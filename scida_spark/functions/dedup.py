@@ -1,0 +1,264 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design (100 TB):
+  * exact dedup — hash-groupBy: one shuffle on the digest, map-side
+    combine; never materializes text twice.
+  * n-gram Jaccard — exact pairwise via shingle inverted index
+    (explode → self-join on shingle → count). Correct but O(pairs
+    sharing a shingle); at scale use MinHash LSH below to generate
+    candidates and verify only those.
+  * MinHash LSH — shingle → 64-bit hash → K permutations → minima →
+    B bands; identical band hash ⇒ candidate pair. All shuffles are on
+    band keys; candidates then verified with exact Jaccard. This is the
+    scale path: cost is O(docs × K) + O(candidates).
+  * SimHash — 64-bit signature; near-dups = small Hamming distance.
+  * embedding cosine — see functions/similarity.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical texts by md5; canonical id = min id per cluster."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(F.count("*").alias("n"), F.min(id_col).alias("canonical_id"))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row per distinct text (the min-id row). Two shuffles:
+    digest-agg + semi-join back; both on the digest key."""
+    keep = exact_dedup_clusters(df, id_col, text_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# --------------------------------------------------------------------------
+# Shingles + exact n-gram Jaccard
+# --------------------------------------------------------------------------
+
+
+def shingles(text_col: str, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles of a single-space-tokenized text."""
+    t = F.split(F.trim(F.col(text_col)), " ")
+    idx = F.sequence(F.lit(0), F.size(t) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(t, (i + k + 1).cast("int")) for k in range(n)])
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact pairwise Jaccard over word n-gram shingle sets.
+
+    Inverted-index self-join: explode shingles, join on shingle with
+    id_a < id_b, count intersections, derive union from per-doc set
+    sizes. Jaccard = |∩| / (|A|+|B|-|∩|) — an exact ratio of integers,
+    so the double division is engine-independent.
+    """
+    sh = df.select(F.col(id_col).alias("doc"), shingles(text_col, n).alias("sh"))
+    sizes = sh.select("doc", F.size("sh").alias("nsh"))
+    ex = sh.select("doc", F.explode("sh").alias("g"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("nsh").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("nsh").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_perm: int = 64, seed: int = 42
+) -> DataFrame:
+    """Per-doc MinHash signature (array<long>, length num_perm).
+
+    Shingle → xxhash64 (JVM-side) → vectorized (a·x+b) mod p minima in
+    a Pandas UDF over the hash array. One narrow pass, no shuffle.
+    """
+    a, b = _perm_params(num_perm, seed)
+    sc = df.sparkSession.sparkContext
+    bcast = sc.broadcast((a, b))
+
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.transform(shingles(text_col, n), lambda s: F.xxhash64(s)).alias("hashes"),
+    )
+
+    @F.pandas_udf("array<long>")
+    def _sig(hashes: pd.Series) -> pd.Series:
+        aa, bb = bcast.value
+        out = []
+        for hs in hashes:
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64) % _MERSENNE
+            # (num_perm, n_shingles) via broadcasting, min along shingles.
+            vals = (aa[:, None].astype(np.uint64) * h[None, :] + bb[:, None].astype(np.uint64)) % _MERSENNE
+            out.append(vals.min(axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    return sh.select("doc", _sig(F.col("hashes")).alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature; equal band-hash ⇒ candidate pair.
+
+    Shuffles only on (band, band_hash) keys; the quadratic blow-up is
+    confined to hash buckets (skew-safe via AQE).
+    """
+    sig = signatures
+    band_cols = []
+    for bi in range(bands):
+        lo = bi * rows_per_band + 1  # slice() is 1-based
+        band_cols.append(
+            F.xxhash64(
+                F.lit(bi), F.concat_ws(",", F.slice("signature", lo, rows_per_band))
+            ).alias(f"b{bi}")
+        )
+    banded = sig.select("doc", F.explode(F.array(*band_cols)).alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: candidates → exact-Jaccard verify.
+
+    Returns (doc_a, doc_b, jaccard) for verified near-dup pairs. The
+    exact verification joins shingle sets only for candidate pairs —
+    at scale this is the crucial difference from the all-pairs join.
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perm, seed)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    sh = df.select(F.col(id_col).alias("doc"), shingles(text_col, n).alias("sh"))
+    a = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("n_union", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn("jaccard", F.col("n_inter").cast("double") / F.col("n_union").cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over token xxhash64 values (vectorized bit-count)."""
+
+    tok_hashes = F.transform(
+        F.split(F.trim(F.col(text_col)), " "), lambda t: F.xxhash64(t)
+    )
+    sh = df.select(F.col(id_col).alias("doc"), tok_hashes.alias("hashes"))
+
+    @F.pandas_udf("long")
+    def _simhash(hashes: pd.Series) -> pd.Series:
+        out = np.empty(len(hashes), dtype=np.int64)
+        for i, hs in enumerate(hashes):
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            bitsum = np.zeros(64, dtype=np.int64)
+            for bit in range(64):
+                bitsum[bit] = int(((h >> np.uint64(bit)) & np.uint64(1)).sum())
+            n = len(h)
+            sig = np.uint64(0)
+            for bit in range(64):
+                if bitsum[bit] * 2 > n:
+                    sig |= np.uint64(1) << np.uint64(bit)
+            out[i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return sh.select("doc", _simhash(F.col("hashes")).alias("simhash"))
+
+
+def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance over SimHash signatures.
+
+    Block on 4 x 16-bit chunks (pigeonhole: distance ≤3 ⇒ at least one
+    chunk equal) so the join is equi on chunk values, never all-pairs.
+    """
+    chunks = [
+        F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
+        for i in range(4)
+    ]
+    blocked = signatures.select("doc", "simhash", *chunks)
+    pieces = []
+    for i in range(4):
+        a = blocked.select(
+            F.col("doc").alias("doc_a"), F.col("simhash").alias("sig_a"), F.col(f"c{i}").alias("ck")
+        )
+        b = blocked.select(
+            F.col("doc").alias("doc_b"), F.col("simhash").alias("sig_b"), F.col(f"c{i}").alias("ck")
+        )
+        pieces.append(a.join(b, ["ck"]).filter(F.col("doc_a") < F.col("doc_b")).drop("ck"))
+    cands = pieces[0]
+    for p in pieces[1:]:
+        cands = cands.unionAll(p)
+    cands = cands.distinct()
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cands.withColumn("hamming", ham.cast("int")).filter(
+        F.col("hamming") <= max_hamming
+    ).select("doc_a", "doc_b", "hamming")

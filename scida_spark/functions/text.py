@@ -1,0 +1,117 @@
+"""Text analysis: tokenization, quality scoring, language ID, fingerprints.
+
+All hot-path logic is JVM-side Column expressions (split / filter /
+transform / size) so it stays inside whole-stage codegen; only the
+rolling-hash fingerprint uses an Arrow-batched Pandas UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword sets for the n-gram/stopword heuristic.
+# Deterministic and SQL-expressible (the oracle recomputes the same
+# scores); tie-break order is fixed: en > de > es > fr > zh.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "und", "das"),
+    "es": ("el", "la", "los", "que"),
+    "fr": ("le", "la", "les", "et"),
+    "zh": ("de", "shi", "zai", "le"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (single-space corpus → simple split)."""
+    return F.split(F.trim(text), " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_hits(text: Column, words: tuple[str, ...]) -> Column:
+    """Count of tokens that are in the stopword set."""
+    wl = list(words)
+    return F.size(F.filter(tokens(text), lambda t: t.isin(wl)))
+
+
+def distinct_token_ratio(text: Column) -> Column:
+    t = tokens(text)
+    return F.size(F.array_distinct(t)).cast("double") / F.size(t)
+
+
+def mean_token_length(text: Column) -> Column:
+    t = tokens(text)
+    return F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    ).cast("double") / F.size(t)
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic quality heuristic in [0, ~2]: rewards length (log),
+    lexical diversity, and a sane mean token length. Pure arithmetic —
+    identical across engines."""
+    n = token_count(text).cast("double")
+    return (
+        F.least(F.log10(n + 1) / 3.0, F.lit(1.0))
+        + distinct_token_ratio(text) * 0.5
+        + F.when((mean_token_length(text) >= 3) & (mean_token_length(text) <= 8), 0.5).otherwise(
+            0.0
+        )
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {lang: stopword_hits(text, sw) for lang, sw in LANG_STOPWORDS.items()}
+
+
+def lang_id(text: Column) -> Column:
+    """argmax of stopword hit counts with fixed tie-break (en>de>es>fr>zh)."""
+    s = lang_scores(text)
+    expr = F.lit("zh")
+    # Build reversed so earlier languages win ties.
+    for lang in ["fr", "es", "de", "en"]:
+        cond = F.lit(True)
+        for other in LANG_STOPWORDS:
+            if other != lang:
+                # >= for langs later in tie-break order, > for earlier.
+                order = list(LANG_STOPWORDS)
+                if order.index(other) < order.index(lang):
+                    cond = cond & (s[lang] > s[other])
+                else:
+                    cond = cond & (s[lang] >= s[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def md5_fingerprint(text: Column, nhex: int = 16) -> Column:
+    """Portable content fingerprint: first ``nhex`` hex chars of md5."""
+    return F.substring(F.md5(text), 1, nhex)
+
+
+MOD = (1 << 61) - 1
+BASE = 257
+
+
+def rolling_hash_fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
+    """Polynomial rolling hash over bytes, mod 2^61-1 (Karp-Rabin).
+
+    Arrow-batched Pandas UDF (vectorized per batch with numpy on the
+    byte array) — the UDF escape hatch for logic Columns can't express.
+    """
+
+    @F.pandas_udf("long")
+    def _rh(s: pd.Series) -> pd.Series:
+        out = np.empty(len(s), dtype=np.int64)
+        for i, txt in enumerate(s):
+            h = 0
+            for b in (txt or "").encode("utf-8"):
+                h = (h * BASE + b) % MOD
+            out[i] = h
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _rh(F.col(text_col)))

@@ -1,0 +1,355 @@
+"""Halo/subhalo catalog semantics — the reference's only non-trivial
+distributed machinery, re-expressed Spark-first.
+
+The reference's physical layout: particles are stored sorted so each
+halo's particles are contiguous (and each subhalo's particles are
+contiguous within its halo); per-group length arrays plus prefix-sum
+offsets define membership (reference src/scida/customs/arepo/
+dataset.py:312-453, numba kernels :1064-1349).
+
+Spark mapping:
+  * offsets        → window prefix-sum over the (small) catalog
+  * GroupID        → broadcast-searchsorted Pandas UDF over uid
+                     (the catalog is ~1e6 rows ≪ particles ~1e10; a
+                     broadcast numpy array + vectorized searchsorted is
+                     the same physical strategy the reference uses by
+                     rechunking the small side to one block,
+                     dataset.py:1147-1149) — with a range-join fallback
+                     for catalogs too large to broadcast
+  * SubhaloID      → same kernel nested within halos + Column arithmetic
+  * group→particle attribute copy → broadcast equi-join
+  * grouped()      → groupBy().agg() / applyInPandas
+
+Sentinel: unbound rows get int64 max (reference dataset.py:323-324,
+docs/halocatalogs.md:57-60).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+SENTINEL = np.iinfo(np.int64).max  # 9223372036854775807
+
+
+def group_offsets(
+    catalog: DataFrame, length_col: str, order_col: str, offset_col: str = "offset"
+) -> DataFrame:
+    """offsets = concat([0], cumsum(lengths))[:-1] per catalog row.
+
+    Reference: GroupOffsetsType construction (arepo/dataset.py:342-352).
+    Window is a single global ordering — acceptable because catalogs are
+    ~1e6 rows (the reference materializes them to the driver outright,
+    dataset.py:555-575); for larger catalogs use
+    ``operators.uid.with_uid_by_order``'s two-phase pattern instead.
+    """
+    w = W.orderBy(order_col).rowsBetween(W.unboundedPreceding, -1)
+    return catalog.withColumn(
+        offset_col, F.coalesce(F.sum(F.col(length_col)).over(w), F.lit(0)).cast("long")
+    )
+
+
+def _collect_offsets(catalog: DataFrame, length_col: str, order_col: str) -> np.ndarray:
+    """Boundary array [0, c0, c0+c1, ...] (len = ngroups+1) on the driver.
+
+    The catalog is the *small* side (≲1e6 rows → 8 MB); collecting and
+    broadcasting it mirrors the reference's eager offsets compute
+    (dataset.py:555-575) and is the scale-correct choice: the big side
+    (particles) never shuffles.
+    """
+    pdf = catalog.select(order_col, length_col).orderBy(order_col).toPandas()
+    lengths = pdf[length_col].to_numpy(dtype=np.int64)
+    return np.concatenate([[0], np.cumsum(lengths)])
+
+
+def add_group_ids(
+    particles: DataFrame,
+    catalog: DataFrame,
+    length_col: str = "GroupLen",
+    group_order_col: str = "GroupID",
+    uid_col: str = "uid",
+    out_col: str = "GroupID",
+) -> DataFrame:
+    """Assign each particle its halo index from contiguous uid ranges.
+
+    Vectorized ``np.searchsorted`` over a broadcast boundary array —
+    the Spark analog of the reference's ``get_hidx`` numba kernel
+    (arepo/dataset.py:1064-1103). Rows past the last boundary are
+    "unbound" → SENTINEL.
+    """
+    bounds = _collect_offsets(catalog, length_col, group_order_col)
+    sc = particles.sparkSession.sparkContext
+    b_bounds = sc.broadcast(bounds)
+
+    @F.pandas_udf("long")
+    def _hidx(uid: pd.Series) -> pd.Series:
+        bnd = b_bounds.value
+        u = uid.to_numpy(dtype=np.int64)
+        idx = np.searchsorted(bnd, u, side="right") - 1
+        out = idx.astype(np.int64)
+        out[u >= bnd[-1]] = SENTINEL
+        out[u < 0] = SENTINEL
+        return pd.Series(out)
+
+    return particles.withColumn(out_col, _hidx(F.col(uid_col)))
+
+
+def add_subhalo_ids(
+    particles: DataFrame,
+    group_catalog: DataFrame,
+    subhalo_catalog: DataFrame,
+    *,
+    group_length_col: str = "GroupLen",
+    group_order_col: str = "GroupID",
+    group_firstsub_col: str = "GroupFirstSub",
+    group_nsubs_col: str = "GroupNsubs",
+    sub_length_col: str = "SubhaloLen",
+    sub_order_col: str = "SubhaloID",
+    uid_col: str = "uid",
+) -> DataFrame:
+    """Assign LocalSubhaloID and SubhaloID per particle.
+
+    Within each halo, the first sum(SubhaloLenType) particles belong to
+    its subhalos in order; the remainder ("inner fuzz") and unbound
+    particles get the sentinel. Mirrors the reference's
+    ``get_localshidx`` nested-interval walk (arepo/dataset.py:1164-1258)
+    and the SubhaloID composition ``firstsub + local`` (:445-449), as
+    one broadcast of three small arrays + one vectorized kernel.
+    """
+    g_bounds = _collect_offsets(group_catalog, group_length_col, group_order_col)
+    gpdf = (
+        group_catalog.select(group_order_col, group_firstsub_col, group_nsubs_col)
+        .orderBy(group_order_col)
+        .toPandas()
+    )
+    firstsub = gpdf[group_firstsub_col].to_numpy(dtype=np.int64)
+    nsubs = gpdf[group_nsubs_col].to_numpy(dtype=np.int64)
+    spdf = subhalo_catalog.select(sub_order_col, sub_length_col).orderBy(sub_order_col).toPandas()
+    sublen = spdf[sub_length_col].to_numpy(dtype=np.int64)
+    # Per-subhalo start uid: halo offset + cumsum of sibling subhalo lengths.
+    sub_start = np.empty(len(sublen) + 1, dtype=np.int64)
+    pos = 0
+    for gi in range(len(g_bounds) - 1):
+        base = g_bounds[gi]
+        for _ in range(nsubs[gi]):
+            sub_start[pos] = base
+            base += sublen[pos]
+            pos += 1
+    sub_start[pos:] = np.iinfo(np.int64).max  # safety tail
+    # Per-subhalo end uid.
+    sub_end = np.empty(len(sublen), dtype=np.int64)
+    sub_end[: len(sublen)] = sub_start[: len(sublen)] + sublen
+
+    sc = particles.sparkSession.sparkContext
+    b = sc.broadcast((g_bounds, firstsub, nsubs, sub_start[: len(sublen)], sub_end))
+
+    @F.pandas_udf("local_subhalo_id long, subhalo_id long")
+    def _shidx(uid: pd.Series) -> pd.DataFrame:
+        g_bnd, fsub, nsub, s_start, s_end = b.value
+        u = uid.to_numpy(dtype=np.int64)
+        gid = np.searchsorted(g_bnd, u, side="right") - 1
+        unbound = (u >= g_bnd[-1]) | (u < 0)
+        # Global subhalo index via searchsorted on subhalo start uids:
+        # valid iff the particle lies inside that subhalo's [start, end).
+        sid = np.searchsorted(s_start, u, side="right") - 1
+        valid = (sid >= 0) & (sid < len(s_start)) & ~unbound
+        inside = np.zeros_like(valid)
+        inside[valid] = u[valid] < s_end[sid[valid]]
+        # Also require the subhalo to belong to the particle's halo.
+        gid_safe = np.clip(gid, 0, len(fsub) - 1)
+        has_sub = nsub[gid_safe] > 0
+        local = sid - fsub[gid_safe]
+        in_halo = inside & has_sub & (local >= 0) & (local < nsub[gid_safe])
+        out_local = np.where(in_halo, local, SENTINEL).astype(np.int64)
+        out_global = np.where(in_halo, sid, SENTINEL).astype(np.int64)
+        out_local[unbound] = SENTINEL
+        out_global[unbound] = SENTINEL
+        return pd.DataFrame({"local_subhalo_id": out_local, "subhalo_id": out_global})
+
+    res = particles.withColumn("__sh", _shidx(F.col(uid_col)))
+    return res.withColumn("LocalSubhaloID", F.col("__sh.local_subhalo_id")).withColumn(
+        "SubhaloID", F.col("__sh.subhalo_id")
+    ).drop("__sh")
+
+
+def add_group_ids_rangejoin(
+    particles: DataFrame,
+    catalog_with_offsets: DataFrame,
+    *,
+    offset_col: str = "offset",
+    length_col: str = "GroupLen",
+    group_id_col: str = "GroupID",
+    uid_col: str = "uid",
+    out_col: str = "GroupID",
+) -> DataFrame:
+    """Range-join fallback: ``uid >= offset AND uid < offset+len``.
+
+    For catalogs too large to broadcast to the driver. Broadcast-hint
+    the catalog side so Spark plans a broadcast-nested-loop pruned by
+    the range predicate; unmatched (unbound) rows → SENTINEL via left
+    join miss.
+    """
+    cat = catalog_with_offsets.select(
+        F.col(group_id_col).alias("__gid"),
+        F.col(offset_col).alias("__off"),
+        (F.col(offset_col) + F.col(length_col)).alias("__end"),
+    )
+    cond = (F.col(uid_col) >= F.col("__off")) & (F.col(uid_col) < F.col("__end"))
+    joined = particles.join(F.broadcast(cat), cond, "left")
+    return joined.withColumn(
+        out_col, F.coalesce(F.col("__gid"), F.lit(SENTINEL)).cast("long")
+    ).drop("__gid", "__off", "__end")
+
+
+def add_group_quantity(
+    particles: DataFrame,
+    catalog: DataFrame,
+    quantity_cols: list[str],
+    group_id_col: str = "GroupID",
+) -> DataFrame:
+    """Copy per-halo attributes onto each member particle.
+
+    Reference: ``add_groupquantity_to_particles`` (arepo/dataset.py:
+    519-553) — there a manual rechunk-to-one-block broadcast; here a
+    broadcast equi-join (unbound particles keep NULL).
+    """
+    small = catalog.select(group_id_col, *quantity_cols)
+    return particles.join(F.broadcast(small), group_id_col, "left")
+
+
+class GroupAwareOperation:
+    """Fluent segmented-aggregation API: ``grouped(...).sum().evaluate()``.
+
+    Mirrors the reference's ``GroupAwareOperation`` chain
+    (arepo/dataset.py:826-1016). Built-in reductions compile to
+    ``groupBy().agg()`` (shuffle with map-side combine); arbitrary
+    ``apply(func)`` chains fall back to ``applyInPandas`` where Spark's
+    shuffle + AQE replace the reference's chunk cost model
+    (dataset.py:1381-1445).
+    """
+
+    _BUILTIN = {"sum", "min", "max", "mean", "count"}
+
+    def __init__(self, df: DataFrame, fields: list[str], group_col: str = "GroupID"):
+        self._df = df
+        self._fields = list(fields)
+        self._group_col = group_col
+        self._ops: list[tuple[str, object]] = []
+
+    def _chain(self, op: str, payload=None) -> "GroupAwareOperation":
+        new = GroupAwareOperation(self._df, self._fields, self._group_col)
+        new._ops = [*self._ops, (op, payload)]
+        return new
+
+    def sum(self):
+        return self._chain("sum")
+
+    def min(self):
+        return self._chain("min")
+
+    def max(self):
+        return self._chain("max")
+
+    def mean(self):
+        return self._chain("mean")
+
+    def count(self):
+        return self._chain("count")
+
+    def half(self):
+        """Reference's demo op: first half of each group's rows
+        (arepo/dataset.py:939-948 'half' example)."""
+        return self._chain("half")
+
+    def apply(self, func, schema: str):
+        """Arbitrary per-group pandas function → declared output schema.
+
+        The reference probes the function on a 1-row sample to infer
+        shape/units (dataset.py:1529-1576); Spark requires the schema
+        declared — we take it explicitly.
+        """
+        return self._chain("apply", (func, schema))
+
+    def evaluate(self, nmax: int | None = None, idxlist: list[int] | None = None) -> DataFrame:
+        df = self._df
+        g = self._group_col
+        if nmax is not None:
+            # Valid "first n groups" filter: halos are ordered (mass-desc
+            # in the reference, docs/halocatalogs.md:103-107).
+            df = df.filter(F.col(g) < nmax)
+        if idxlist is not None:
+            df = df.filter(F.col(g).isin(list(idxlist)))
+        simple = [op for op, _ in self._ops if op in self._BUILTIN]
+        complex_ops = [(op, p) for op, p in self._ops if op not in self._BUILTIN]
+        if not complex_ops:
+            aggs = []
+            for op in simple:
+                fn = {"sum": F.sum, "min": F.min, "max": F.max, "mean": F.avg, "count": F.count}[op]
+                for f in self._fields:
+                    aggs.append(fn(f).alias(f"{op}_{f}"))
+            return df.groupBy(g).agg(*aggs)
+        # Chained / custom ops: applyInPandas per group.
+        ops = self._ops
+        fields = self._fields
+
+        last_apply = next(((fn, sch) for op, (fn, sch) in reversed([
+            (o, p) for o, p in ops if o == "apply"
+        ])), None)
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = pdf
+            for op, payload in ops:
+                if op == "half":
+                    out = out.iloc[: max(1, len(out) // 2)]
+                elif op in GroupAwareOperation._BUILTIN:
+                    agg = getattr(out[fields], op)()
+                    out = pd.DataFrame({g: [pdf[g].iloc[0]], **{f: [agg[f]] for f in fields}})
+                elif op == "apply":
+                    fn, _ = payload
+                    out = fn(out)
+            if g not in out.columns:
+                out = out.assign(**{g: pdf[g].iloc[0]})
+            return out
+
+        if last_apply is not None:
+            schema = last_apply[1]
+        else:
+            # builtin chain ending in reduction → one row of doubles
+            schema = ", ".join([f"{g} long"] + [f"{f} double" for f in fields])
+        return df.groupBy(g).applyInPandas(run, schema=schema)
+
+
+def grouped(df: DataFrame, fields: list[str] | str, group_col: str = "GroupID") -> GroupAwareOperation:
+    """Entry point mirroring ``ds.grouped(...)`` (arepo/dataset.py:664-749)."""
+    if isinstance(fields, str):
+        fields = [fields]
+    return GroupAwareOperation(df, fields, group_col)
+
+
+# --- Selectors (reference Selector framework, interface.py:421-503 +
+#     arepo/selector.py:16-141) ------------------------------------------------
+
+
+def select_halo(particles: DataFrame, halo_id: int, group_id_col: str = "GroupID") -> DataFrame:
+    return particles.filter(F.col(group_id_col) == halo_id)
+
+
+def select_subhalo(particles: DataFrame, subhalo_id: int, col: str = "SubhaloID") -> DataFrame:
+    return particles.filter(F.col(col) == subhalo_id)
+
+
+def select_local_subhalo(
+    particles: DataFrame, halo_id: int, local_subhalo_id: int
+) -> DataFrame:
+    """haloID=h, localSubhaloID=i (reference arepo/selector.py:100-140)."""
+    return particles.filter(
+        (F.col("GroupID") == halo_id) & (F.col("LocalSubhaloID") == local_subhalo_id)
+    )
+
+
+def select_unbound(particles: DataFrame, group_id_col: str = "GroupID") -> DataFrame:
+    """Unbound tail: rows past the last halo (selector.py:70-98)."""
+    return particles.filter(F.col(group_id_col) == SENTINEL)

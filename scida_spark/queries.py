@@ -1,0 +1,502 @@
+"""Headline query definitions: Spark implementation + DuckDB oracle SQL.
+
+Each query is registered via :func:`query` with a matching ANSI-SQL
+oracle. Conventions that make cross-engine value-hash comparison exact:
+
+* Float aggregates go through ``CAST(expr AS DECIMAL(38,6))`` before
+  ``SUM`` — decimal arithmetic is exact and order-independent, so Spark
+  and DuckDB agree bitwise; the final value is cast back to DOUBLE.
+* Ratios/averages are computed from those exact decimals (identical
+  doubles in, identical doubles out).
+* Counts / integer sums are cast to BIGINT on both sides.
+* Timestamps are emitted as formatted strings (engines differ on
+  timezone/precision semantics).
+* Every computed column is aliased identically on both sides.
+
+Scale notes are attached per query: what the plan does at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from scida_spark.session import ensure_session_defaults
+from scida_spark.tables import table
+
+DEC = "decimal(38,6)"
+
+
+def dsum(col, alias: str):
+    """Exact, order-independent cross-engine sum → DOUBLE."""
+    return F.sum(col.cast(DEC)).cast("double").alias(alias)
+
+
+@dataclass
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible, rows-only check
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_session_defaults(spark)
+            return fn(spark, sf_dir)
+
+        _REGISTRY[name] = Query(name, wrapped, oracle)
+        return wrapped
+
+    return deco
+
+
+def registry() -> dict[str, Query]:
+    # Import side-effect modules that register queries.
+    import scida_spark.queries_pipeline  # noqa: F401
+    import scida_spark.queries_scida  # noqa: F401
+
+    return _REGISTRY
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (SURVEY §2.2/§2.4/§2.5/§2.6 — Spark built-ins)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan → filter (pushed to parquet) → partial+final agg.
+
+    Scale: single shuffle on a 6-value grouping key; map-side partial
+    aggregation makes the shuffle O(partitions), not O(rows).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax")), "sum_charge"),
+            (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(F.col("l_discount").cast(DEC)).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → joins → agg.
+
+    Scale: the filtered customer side is small → Catalyst/AQE picks
+    broadcast-hash; lineitem never shuffles for the customer join.
+    """
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+@query(
+    "q5_region_revenue",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+                  JOIN customer c ON c.c_nationkey = n.n_nationkey
+                  JOIN orders o ON o.o_custkey = c.c_custkey
+                  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                  JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table join with small dims broadcast.
+
+    Scale: region/nation/customer/supplier are dims → broadcast joins;
+    the only shuffle join is lineitem⋈orders on orderkey.
+    """
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == F.col("n_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@query(
+    "q_brand_volume",
+    """
+    SELECT p.p_brand,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size <= 15
+    GROUP BY p.p_brand
+    """,
+)
+def q_brand_volume(spark, sf_dir):
+    """Broadcast dim join + multi-agg incl. exact distinct.
+
+    Scale: part is a dim → explicit broadcast; countDistinct expands to
+    a two-phase aggregate, still one shuffle keyed by p_brand.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            F.count("*").alias("n_items"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+@query(
+    "q_anti_semi_join",
+    """
+    WITH bulk AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity > 45)
+    SELECT p.p_brand,
+           CAST(COUNT(b.l_partkey) AS BIGINT) AS n_with_bulk,
+           CAST(COUNT(*) - COUNT(b.l_partkey) AS BIGINT) AS n_without_bulk
+    FROM part p LEFT JOIN bulk b ON b.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q_anti_semi_join(spark, sf_dir):
+    """Semi + anti join (EXISTS / NOT EXISTS) over the same predicate.
+
+    Scale: the lineitem side is pre-filtered then reduced to distinct
+    join keys before the join; both joins broadcast the reduced side."""
+    p = table(spark, sf_dir, "part")
+    bulk = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_partkey")
+        .distinct()
+    )
+    with_bulk = (
+        p.join(bulk, p.p_partkey == bulk.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_with_bulk"))
+    )
+    without_bulk = (
+        p.join(bulk, p.p_partkey == bulk.l_partkey, "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_without_bulk"))
+    )
+    return (
+        with_bulk.join(without_bulk, "p_brand", "full_outer")
+        .select(
+            "p_brand",
+            F.coalesce("n_with_bulk", F.lit(0)).alias("n_with_bulk"),
+            F.coalesce("n_without_bulk", F.lit(0)).alias("n_without_bulk"),
+        )
+    )
+
+
+@query(
+    "q_top3_per_order",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                   ORDER BY l_extendedprice DESC, l_linenumber) AS INT) AS rn
+      FROM lineitem) t
+    WHERE rn <= 3 AND l_orderkey % 100 = 0
+    """,
+)
+def q_top3_per_order(spark, sf_dir):
+    """Top-k per group via ranking window (deterministic tie-break).
+
+    Scale: one shuffle on the partition key; rank filter applied
+    before any further pipeline — no global sort.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy(F.col("l_extendedprice").desc(), "l_linenumber")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) & (F.col("l_orderkey") % 100 == 0))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "rn")
+    )
+
+
+@query(
+    "q_running_total",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                OVER (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_qty
+    FROM lineitem WHERE l_suppkey <= 10
+    """,
+)
+def q_running_total(spark, sf_dir):
+    """Running (prefix-sum) window — the scida offsets primitive
+    (reference src/scida/customs/arepo/dataset.py:342-352) generalized.
+
+    Scale: partitioned by key so each ordering is per-partition; never a
+    single global ordering task.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 10)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast(DEC)).over(w).cast("double").alias("running_qty"),
+    )
+
+
+@query(
+    "q_rollup_flag_status",
+    """
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_flag_status(spark, sf_dir):
+    """ROLLUP grouping sets (absent in the reference — SURVEY §2.5
+    'Distinct/grouping sets/cube/rollup: absent'; free in Spark)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum(F.col("l_quantity"), "sum_qty"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@query(
+    "q_set_ops",
+    """
+    WITH building AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         machinery AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+    SELECT 'intersect' AS op, CAST(c_nationkey AS INT) AS nationkey
+    FROM (SELECT c_nationkey FROM building INTERSECT SELECT c_nationkey FROM machinery)
+    UNION ALL
+    SELECT 'except' AS op, CAST(c_nationkey AS INT) AS nationkey
+    FROM (SELECT c_nationkey FROM building EXCEPT SELECT c_nationkey FROM machinery)
+    """,
+)
+def q_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT set operators (absent in reference, SURVEY §2.6)."""
+    c = table(spark, sf_dir, "customer")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    m = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey")
+    return b.intersect(m).select(F.lit("intersect").alias("op"), F.col("c_nationkey").alias("nationkey")).unionAll(
+        b.subtract(m).select(F.lit("except").alias("op"), F.col("c_nationkey").alias("nationkey"))
+    )
+
+
+@query(
+    "q_pivot_flag_status",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE) AS qty_O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot_flag_status(spark, sf_dir):
+    """Pivot (conditional aggregation) — relational completeness."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double"))
+        .select("l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F"))
+    )
+
+
+@query(
+    "q_histogram2d_events",
+    """
+    SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS value_bin,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS hour_bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_histogram2d_events(spark, sf_dir):
+    """2-D histogram = bucketed groupBy — the Spark form of the
+    reference's ``da.histogram2d`` (docs/visualization.md:41-55).
+
+    Scale: one shuffle over O(bins) keys with map-side combine; never
+    materializes the 2-D grid on the driver.
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.floor(F.col("value") / 10.0).cast("bigint").alias("value_bin"),
+            F.hour("ts").cast("int").alias("hour_bin"),
+        )
+        .agg(F.count("*").alias("n"), dsum(F.col("value"), "sum_value"))
+    )
+
+
+@query(
+    "q_sessionization",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    s AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g)
+    SELECT user_id, CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id
+    """,
+)
+def q_sessionization(spark, sf_dir):
+    """Sessionization: lag + gap>30min + running sum → session ids.
+
+    Scale: two windows over the same (user_id, ts) partitioning — one
+    shuffle, reused across both window stages.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    g = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    ws = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    s = g.withColumn("session_id", F.sum("new_session").over(ws))
+    return s.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+@query(
+    "q_asof_last_click",
+    """
+    SELECT event_id, user_id,
+           COALESCE(strftime(last_click_ts, '%Y-%m-%d %H:%M:%S'), '<none>') AS last_click
+    FROM (
+      SELECT event_id, user_id, event_type, ts,
+             MAX(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+      FROM events) t
+    WHERE event_type = 'purchase'
+    """,
+)
+def q_asof_last_click(spark, sf_dir):
+    """As-of join semantics (for each purchase, most recent prior click of
+    the same user) expressed as a running-max window — Spark lacks a
+    native as-of join; this composition avoids a range join entirely.
+
+    Scale: single shuffle on user_id; O(1) state per row in the window.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    last_click = F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w)
+    return (
+        ev.withColumn("last_click_ts", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(
+                F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss"), F.lit("<none>")
+            ).alias("last_click"),
+        )
+    )

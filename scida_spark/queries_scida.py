@@ -1,0 +1,417 @@
+"""Scida-semantics queries: uid / offsets / catalog-ID machinery exercised
+over the driver's relational tables, each with a DuckDB oracle.
+
+Mapping used throughout: ``lineitem`` rows = particles (ordered by
+(l_orderkey, l_linenumber) → uid), ``orders`` = halo catalog (GroupLen =
+number of lineitems). The real engine kernels from
+``scida_spark.operators`` run on the Spark side; the oracle recomputes
+the *semantics* (window functions / range logic) in ANSI SQL — so a
+hash match validates the kernels, not a reimplementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from scida_spark.operators import catalog as C
+from scida_spark.operators import histogram as H
+from scida_spark.operators import spatial as S
+from scida_spark.operators.uid import with_uid_by_order
+from scida_spark.queries import DEC, dsum, query
+from scida_spark.tables import table
+
+SENT = C.SENTINEL
+GROUP_CUTOFF = 1000  # orders with key < cutoff are "halos"; the rest is the unbound tail
+
+
+def _particles(spark, sf_dir):
+    """lineitem with uid in (l_orderkey, l_linenumber) order."""
+    li = table(spark, sf_dir, "lineitem")
+    # key = l_orderkey, tie-break within key = l_linenumber
+    return with_uid_by_order(li, "l_orderkey", "l_linenumber")
+
+
+def _group_catalog(spark, sf_dir):
+    """orders (< cutoff) as halo catalog with GroupLen = lineitem count.
+
+    Left join keeps zero-length halos (orders with no lineitems) —
+    searchsorted(side='right') skips them correctly.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < GROUP_CUTOFF)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < GROUP_CUTOFF)
+    counts = li.groupBy("l_orderkey").agg(F.count("*").alias("GroupLen"))
+    return (
+        o.select(F.col("o_orderkey").alias("GroupID"))
+        .join(counts, F.col("GroupID") == F.col("l_orderkey"), "left")
+        .select("GroupID", F.coalesce("GroupLen", F.lit(0)).cast("long").alias("GroupLen"))
+    )
+
+
+@query(
+    "scida_offsets_cumsum",
+    f"""
+    WITH counts AS (
+      SELECT o.o_orderkey AS group_id,
+             CAST(COALESCE(COUNT(l.l_orderkey), 0) AS BIGINT) AS group_len
+      FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey < {GROUP_CUTOFF}
+      GROUP BY o.o_orderkey)
+    SELECT group_id, group_len,
+           CAST(COALESCE(SUM(group_len) OVER (ORDER BY group_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset
+    FROM counts
+    """,
+)
+def scida_offsets_cumsum(spark, sf_dir):
+    """GroupOffsets = concat([0], cumsum(GroupLen))[:-1] — the reference's
+    offsets primitive (arepo/dataset.py:342-352) via window prefix-sum."""
+    cat = _group_catalog(spark, sf_dir)
+    return C.group_offsets(cat, "GroupLen", "GroupID").select(
+        F.col("GroupID").alias("group_id"),
+        F.col("GroupLen").alias("group_len"),
+        F.col("offset"),
+    )
+
+
+_GROUPID_ORACLE = f"""
+    WITH li AS (
+      SELECT l_orderkey,
+             ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS uid
+      FROM lineitem)
+    SELECT CAST(uid AS BIGINT) AS uid,
+           CAST(CASE WHEN l_orderkey < {GROUP_CUTOFF} THEN l_orderkey
+                     ELSE 9223372036854775807 END AS BIGINT) AS group_id
+    FROM li
+    """
+
+
+@query("scida_groupid_searchsorted", _GROUPID_ORACLE)
+def scida_groupid_searchsorted(spark, sf_dir):
+    """Particle→halo ID via broadcast-searchsorted Pandas UDF — the Spark
+    form of the reference's ``get_hidx`` kernel (arepo/dataset.py:
+    1064-1103); unbound tail → int64-max sentinel (:323-324).
+
+    Scale: the big side maps once over a broadcast boundary array — no
+    shuffle of particles at all.
+    """
+    parts = _particles(spark, sf_dir)
+    cat = _group_catalog(spark, sf_dir)
+    out = C.add_group_ids(parts, cat, length_col="GroupLen", group_order_col="GroupID")
+    return out.select("uid", F.col("GroupID").alias("group_id"))
+
+
+@query("scida_groupid_rangejoin", _GROUPID_ORACLE)
+def scida_groupid_rangejoin(spark, sf_dir):
+    """Same assignment as a range join (uid ∈ [offset, offset+len)) —
+    the fallback when the catalog exceeds broadcast size (SURVEY §2.4)."""
+    parts = _particles(spark, sf_dir)
+    cat = C.group_offsets(_group_catalog(spark, sf_dir), "GroupLen", "GroupID")
+    out = C.add_group_ids_rangejoin(parts, cat, length_col="GroupLen")
+    return out.select("uid", F.col("GroupID").alias("group_id"))
+
+
+@query(
+    "scida_subhalo_ids",
+    f"""
+    WITH li AS (
+      SELECT l_orderkey,
+             ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS uid,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1 AS r,
+             COUNT(*) OVER (PARTITION BY l_orderkey) AS n
+      FROM lineitem WHERE l_orderkey < {GROUP_CUTOFF}),
+    g AS (
+      SELECT l_orderkey, COUNT(*) AS n,
+             CASE WHEN COUNT(*) > 1 THEN 2 ELSE 1 END AS nsubs
+      FROM lineitem WHERE l_orderkey < {GROUP_CUTOFF} GROUP BY l_orderkey),
+    g2 AS (
+      SELECT l_orderkey, nsubs,
+             COALESCE(SUM(nsubs) OVER (ORDER BY l_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS firstsub
+      FROM g),
+    bound AS (
+      SELECT li.uid,
+             CAST(CASE WHEN li.r < CEIL(li.n / 2.0) THEN 0 ELSE 1 END AS BIGINT)
+               AS local_subhalo_id,
+             CAST(g2.firstsub + CASE WHEN li.r < CEIL(li.n / 2.0) THEN 0 ELSE 1 END AS BIGINT)
+               AS subhalo_id
+      FROM li JOIN g2 USING (l_orderkey)),
+    tail AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1
+               + (SELECT COUNT(*) FROM lineitem WHERE l_orderkey < {GROUP_CUTOFF}) AS uid,
+             CAST(9223372036854775807 AS BIGINT) AS local_subhalo_id,
+             CAST(9223372036854775807 AS BIGINT) AS subhalo_id
+      FROM lineitem WHERE l_orderkey >= {GROUP_CUTOFF})
+    SELECT CAST(uid AS BIGINT) AS uid, local_subhalo_id, subhalo_id FROM bound
+    UNION ALL SELECT CAST(uid AS BIGINT), local_subhalo_id, subhalo_id FROM tail
+    """,
+)
+def scida_subhalo_ids(spark, sf_dir):
+    """LocalSubhaloID/SubhaloID via the nested searchsorted kernel
+    (reference ``get_localshidx`` arepo/dataset.py:1164-1258 and
+    SubhaloID = GroupFirstSub + local, :445-449).
+
+    Synthetic subhalo structure: each order (halo) splits its lineitems
+    into subhalo 0 = first ceil(n/2) rows, subhalo 1 = rest (orders with
+    one item have a single subhalo). The oracle recomputes this with
+    window SQL; the Spark side builds the catalog and runs the kernel.
+    """
+    parts = _particles(spark, sf_dir)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < GROUP_CUTOFF)
+    counts = li.groupBy("l_orderkey").agg(F.count("*").alias("n"))
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < GROUP_CUTOFF)
+        .join(counts, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .select(
+            F.col("o_orderkey").alias("GroupID"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("GroupLen"),
+            F.when(F.coalesce("n", F.lit(0)) > 1, 2)
+            .when(F.coalesce("n", F.lit(0)) == 1, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("GroupNsubs"),
+        )
+    )
+    w = W.orderBy("GroupID").rowsBetween(W.unboundedPreceding, -1)
+    groups = o.withColumn(
+        "GroupFirstSub", F.coalesce(F.sum("GroupNsubs").over(w), F.lit(0)).cast("long")
+    )
+    # Subhalo catalog: lengths [ceil(n/2), floor(n/2)] per halo with n>0.
+    sub0 = groups.filter(F.col("GroupLen") > 0).select(
+        F.col("GroupFirstSub").alias("SubhaloID"),
+        F.ceil(F.col("GroupLen") / 2.0).cast("long").alias("SubhaloLen"),
+    )
+    sub1 = groups.filter(F.col("GroupLen") > 1).select(
+        (F.col("GroupFirstSub") + 1).alias("SubhaloID"),
+        F.floor(F.col("GroupLen") / 2.0).cast("long").alias("SubhaloLen"),
+    )
+    subs = sub0.unionAll(sub1)
+    out = C.add_subhalo_ids(
+        parts,
+        groups,
+        subs,
+        group_length_col="GroupLen",
+        group_order_col="GroupID",
+        group_firstsub_col="GroupFirstSub",
+        group_nsubs_col="GroupNsubs",
+        sub_length_col="SubhaloLen",
+        sub_order_col="SubhaloID",
+    )
+    return out.select(
+        "uid",
+        F.col("LocalSubhaloID").alias("local_subhalo_id"),
+        F.col("SubhaloID").alias("subhalo_id"),
+    )
+
+
+@query(
+    "scida_group_quantity_broadcast",
+    """
+    SELECT l.l_returnflag,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_group_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY l.l_returnflag
+    """,
+)
+def scida_group_quantity_broadcast(spark, sf_dir):
+    """Per-particle copy of a halo attribute — the reference's
+    ``add_groupquantity_to_particles`` (arepo/dataset.py:519-553) as a
+    broadcast equi-join, then an aggregate consuming the copied column."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("GroupID"), "o_totalprice"
+    )
+    parts = li.withColumn("GroupID", F.col("l_orderkey"))
+    out = C.add_group_quantity(parts, o, ["o_totalprice"])
+    return out.groupBy("l_returnflag").agg(
+        dsum(F.col("o_totalprice"), "sum_group_price"), F.count("*").alias("n")
+    )
+
+
+@query(
+    "scida_grouped_agg",
+    """
+    SELECT CAST(l_orderkey AS BIGINT) AS GroupID,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_l_quantity,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_l_extendedprice,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_l_extendedprice
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def scida_grouped_agg(spark, sf_dir):
+    """``grouped(fields).sum().min().max().evaluate()`` — the fluent
+    segmented-aggregation API (reference arepo/dataset.py:664-1016)
+    compiling to one shuffle groupBy with map-side combine."""
+    li = table(spark, sf_dir, "lineitem").withColumn("GroupID", F.col("l_orderkey"))
+    # Same plan shape the grouped() API emits (C.grouped(li, fields)
+    # .sum().evaluate()), with exact-decimal sums for cross-engine equality.
+    agg = li.groupBy("GroupID").agg(
+        dsum(F.col("l_quantity"), "sum_l_quantity"),
+        F.min("l_extendedprice").alias("min_l_extendedprice"),
+        F.max("l_extendedprice").alias("max_l_extendedprice"),
+    )
+    return agg
+
+
+@query(
+    "scida_grouped_apply",
+    """
+    SELECT CAST(l_orderkey AS BIGINT) AS GroupID,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(l_extendedprice) - MIN(l_extendedprice) AS DOUBLE) AS price_range
+    FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_orderkey
+    """,
+)
+def scida_grouped_apply(spark, sf_dir):
+    """``grouped(...).apply(func)`` — arbitrary per-group pandas function
+    via applyInPandas (reference ``map_group_operation``
+    arepo/dataset.py:1448-1674; Spark's shuffle+AQE replaces the
+    hand-rolled chunk cost model)."""
+    import pandas as pd
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 2000)
+        .withColumn("GroupID", F.col("l_orderkey"))
+    )
+
+    def price_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "GroupID": [pdf["GroupID"].iloc[0]],
+                "n": [len(pdf)],
+                "price_range": [pdf["l_extendedprice"].max() - pdf["l_extendedprice"].min()],
+            }
+        )
+
+    return (
+        C.grouped(li, ["l_extendedprice"])
+        .apply(price_stats, schema="GroupID long, n long, price_range double")
+        .evaluate()
+    )
+
+
+@query(
+    "scida_selector_uid_range",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS uid
+      FROM lineitem)
+    SELECT CAST(uid AS BIGINT) AS uid, l_orderkey, l_linenumber,
+           CAST(l_quantity AS DOUBLE) AS l_quantity
+    FROM li WHERE uid >= 1000 AND uid < 1200
+    """,
+)
+def scida_selector_uid_range(spark, sf_dir):
+    """Positional slice ``field[offset:offset+length]`` — the selector
+    primitive (reference interface.py:421-503) as a uid-range filter."""
+    parts = _particles(spark, sf_dir)
+    return parts.filter((F.col("uid") >= 1000) & (F.col("uid") < 1200)).select(
+        "uid", "l_orderkey", "l_linenumber", F.col("l_quantity").cast("double").alias("l_quantity")
+    )
+
+
+@query(
+    "scida_pbc_cutout",
+    """
+    WITH pts AS (
+      SELECT l_orderkey,
+             fmod(l_extendedprice, 100.0) AS x,
+             fmod(l_quantity * 7.0, 100.0) AS y
+      FROM lineitem),
+    d AS (
+      SELECT l_orderkey, x, y,
+             CASE WHEN ABS(x - 10.0) > 50.0 THEN 100.0 - ABS(x - 10.0) ELSE ABS(x - 10.0) END AS dx,
+             CASE WHEN ABS(y - 50.0) > 50.0 THEN 100.0 - ABS(y - 50.0) ELSE ABS(y - 50.0) END AS dy
+      FROM pts)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_inside,
+           CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sum_x,
+           CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sum_y
+    FROM d WHERE dx < 15.0 AND dy < 20.0
+    """,
+)
+def scida_pbc_cutout(spark, sf_dir):
+    """Rectangular cutout with periodic-boundary wrap (reference
+    src/scida/misc.py:181-231): |x-c| folded at box/2. Coordinates are
+    synthesized deterministically from lineitem columns; the filter is
+    pure Column arithmetic → whole-stage codegen, pushdown-friendly."""
+    li = table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        "l_orderkey",
+        (F.col("l_extendedprice") % 100.0).alias("x"),
+        ((F.col("l_quantity") * 7.0) % 100.0).alias("y"),
+    )
+    mask = S.box_mask([F.col("x"), F.col("y")], [10.0, 50.0], [30.0, 40.0], 100.0)
+    return pts.filter(mask).agg(
+        F.count("*").alias("n_inside"), dsum(F.col("x"), "sum_x"), dsum(F.col("y"), "sum_y")
+    )
+
+
+@query(
+    "scida_histogram2d",
+    """
+    SELECT CAST(CASE WHEN value = 100.0 THEN 19 ELSE FLOOR((value - 0.0) / 5.0) END AS BIGINT) AS xbin,
+           CAST(CASE WHEN user_id = 150 THEN 14 ELSE FLOOR((user_id - 0.0) / 10.0) END AS BIGINT) AS ybin,
+           CAST(COUNT(*) AS BIGINT) AS count
+    FROM events
+    WHERE value >= 0.0 AND value <= 100.0 AND user_id >= 0 AND user_id <= 150
+    GROUP BY 1, 2
+    """,
+)
+def scida_histogram2d(spark, sf_dir):
+    """2-D histogram operator (reference da.histogram2d usage,
+    docs/visualization.md:41-55) — bucketed groupBy, numpy edge rules."""
+    ev = table(spark, sf_dir, "events")
+    return H.histogram2d(ev, "value", "user_id", (0.0, 100.0), (0.0, 150.0), (20, 15)).select(
+        "xbin", "ybin", F.col("count")
+    )
+
+
+@query(
+    "scida_sum_masses",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS total_mass,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    """,
+)
+def scida_sum_masses(spark, sf_dir):
+    """The reference's flagship demo: one-column scan-reduce
+    (``Masses.sum()``, docs/largedatasets.md:36-46; 1e10 rows / 80 GB).
+    Parquet column pruning means only this column is read."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(dsum(F.col("l_extendedprice"), "total_mass"), F.count("*").alias("n"))
+
+
+@query(
+    "scida_radial_profile",
+    """
+    SELECT l_returnflag,
+           CAST(FLOOR(l_quantity / 10.0) AS BIGINT) AS rbin,
+           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+             / NULLIF(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 0.0)
+             AS weighted_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def scida_radial_profile(spark, sf_dir):
+    """Per-group binned statistic — the reference's per-halo radial
+    profile pattern (docs/halocatalogs.md:113-168): groupBy(key, bin)
+    with a weighted mean; one shuffle, map-side partials."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            "l_returnflag", F.floor(F.col("l_quantity") / 10.0).cast("bigint").alias("rbin")
+        )
+        .agg(
+            (
+                F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast(DEC)).cast("double")
+                / F.nullif(F.sum(F.col("l_quantity").cast(DEC)).cast("double"), F.lit(0.0))
+            ).alias("weighted_price"),
+            F.count("*").alias("n"),
+        )
+    )

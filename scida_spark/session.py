@@ -1,0 +1,67 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode uses ``local[$SPARK_GRAFT_CPUS]`` (default all cores); on a
+real cluster the same configs apply — AQE handles runtime re-planning
+(partition coalescing, skew joins) so the static shuffle-partition
+count only needs to be in the right order of magnitude.
+
+Scale posture (100 TB): every knob here is chosen to survive a
+1000-executor deployment —
+  * AQE on (coalesce + skew join): replaces the reference's hand-rolled
+    chunk cost model (scida ``map_group_operation`` planner,
+    reference src/scida/customs/arepo/dataset.py:1381-1445).
+  * Arrow execution for the Pandas-UDF escape hatches.
+  * UTC session timezone so results are engine-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "scida_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession with engine defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_session_defaults(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable defaults to an externally-created session.
+
+    The driver hands ``queries()`` callables its own session; pin the
+    configs that affect result *values* (timezone, AQE) — these are all
+    runtime-mutable SQL confs.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    return spark
