@@ -1,0 +1,74 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + fetch top rows); a
+warm-up pass absorbs session/JIT startup so numbers reflect steady-state
+throughput, which is what scales to the cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q_brand_volume",
+    "q_top3_per_order",
+    "q_histogram2d_events",
+    "q_sessionization",
+    "scida_sum_masses",
+    "scida_groupid_searchsorted",
+    "scida_grouped_agg",
+    "dedup_exact_clusters",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "text_token_stats",
+    "stream_tumbling_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from scida_spark.session import get_spark
+
+    spark = get_spark("bench")
+    from scida_spark.queries import registry
+
+    reg = registry()
+    names = [n for n in HEADLINE if n in reg]
+    # Warm-up: JVM/codegen/Arrow spin-up on the smallest table.
+    reg["q1_pricing_summary"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = reg[name].fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        _ = n
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

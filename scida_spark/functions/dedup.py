@@ -58,6 +58,9 @@ def shingles(text_col: str, n: int = 3) -> F.Column:
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(t, (i + k + 1).cast("int")) for k in range(n)])
     )
+    # sequence(0, negative) is DESCENDING in Spark, not empty — guard
+    # short docs (fewer than n tokens) to an empty shingle set.
+    grams = F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
 
 
@@ -132,6 +135,11 @@ def minhash_signatures(
         aa, bb = bcast.value
         out = []
         for hs in hashes:
+            if len(hs) == 0:
+                # doc shorter than the shingle width → empty set; fixed
+                # max-valued signature (never collides with real minima)
+                out.append(np.full(len(aa), _MERSENNE - 1, dtype=np.int64))
+                continue
             h = np.asarray(hs, dtype=np.int64).astype(np.uint64) % _MERSENNE
             # (num_perm, n_shingles) via broadcasting, min along shingles.
             vals = (aa[:, None].astype(np.uint64) * h[None, :] + bb[:, None].astype(np.uint64)) % _MERSENNE

@@ -1,0 +1,75 @@
+"""Similarity search vs numpy ground truth; LSH recall sanity."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scida_spark.functions import similarity as S
+
+DIM = 16
+N = 60
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((N, DIM)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(N)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), vecs
+
+
+def _cosine_np(a, b):
+    return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_bruteforce_topk_matches_numpy(spark, emb_df):
+    df, vecs = emb_df
+    q = df.filter(F.col("vec_id") < 3)
+    got = S.cosine_topk_bruteforce(df, q, k=5).collect()
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r["query_id"], []).append((r["rank"], r["cand_id"], r["sim"]))
+    v64 = vecs.astype(np.float64)
+    for qid in range(3):
+        sims = [(_cosine_np(v64[qid], v64[c]), c) for c in range(N) if c != qid]
+        expect = sorted(sims, key=lambda t: (-t[0], t[1]))[:5]
+        mine = sorted(by_query[qid])
+        assert [c for _, c, _ in mine] == [c for _, c in expect]
+        for (_, _, sim), (es, _) in zip(mine, expect):
+            assert sim == pytest.approx(es, abs=1e-9)
+
+
+def test_neardup_pairs_threshold(spark, emb_df):
+    df, vecs = emb_df
+    got = {(r["id_a"], r["id_b"]) for r in S.embedding_neardup_pairs(df, threshold=0.5).collect()}
+    v64 = vecs.astype(np.float64)
+    expect = {
+        (a, b)
+        for a in range(N)
+        for b in range(a + 1, N)
+        if _cosine_np(v64[a], v64[b]) >= 0.5
+    }
+    assert got == expect
+
+
+def test_lsh_topk_recall(spark):
+    # Clustered corpus (the regime ANN is for): 10 tight clusters — true
+    # neighbors share a cluster, so hyperplane buckets must co-locate them.
+    rng = np.random.RandomState(42)
+    centers = rng.standard_normal((10, DIM)) * 5
+    vecs = np.vstack([c + rng.standard_normal((6, DIM)) * 0.1 for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in S.cosine_topk_bruteforce(df, q, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["cand_id"])
+        for r in S.lsh_topk(df, q, k=3, nbits=8, dim=DIM).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8
