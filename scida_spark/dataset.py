@@ -1,0 +1,165 @@
+"""Dataset handle + ``load()`` facade — the reference's BaseDataset /
+scida.load() (src/scida/interface.py:39-119, convenience.py:287-396)
+re-expressed as a dict-of-DataFrames catalog entry.
+
+Format dispatch (determine_loader, reference io/_base.py:757-791):
+  * directory of ``*.parquet`` → one container per file (our native
+    layout; also what ``Dataset.save`` writes)
+  * ``*.hdf5`` / ``*.zarr``    → gated custom sources
+    (scida_spark.sources; h5py/zarr are not installed in this container,
+    so they raise with instructions — the split-planning logic is real)
+
+Detection ladder: candidate dataset classes vote with (Confidence,
+Specificity) and the max wins (reference discovertypes.py:59-155,
+:238-343) — kept as plain Python over metadata, no I/O beyond footers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field as dc_field
+from enum import IntEnum
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scida_spark.fields import FieldContainer
+from scida_spark.units import UnitRegistry, get_column_unit, set_column_unit
+
+
+class Confidence(IntEnum):
+    """Reference CandidateStatus confidence (discovertypes.py:59-155)."""
+
+    UNSUPPORTED = 0
+    MAYBE = 1
+    LIKELY = 2
+    CERTAIN = 3
+
+
+@dataclass
+class Dataset:
+    path: str
+    data: FieldContainer
+    metadata: dict = dc_field(default_factory=dict)
+    ureg: UnitRegistry = dc_field(default_factory=UnitRegistry)
+
+    def __getitem__(self, key):
+        # item access delegates to data (reference interface.py:250-251)
+        return self.data[key]
+
+    def __contains__(self, key):
+        return key in self.data
+
+    def keys(self):
+        return self.data.keys()
+
+    @property
+    def containers(self) -> dict[str, FieldContainer]:
+        return self.data._containers
+
+    # -- selectors (reference Selector framework, interface.py:421-503) ----
+
+    def return_data(self, haloID: int | None = None, subhaloID: int | None = None,
+                    localSubhaloID: int | None = None, unbound: bool = False):
+        """Sliced view per container, mirroring ArepoSelector semantics
+        (reference customs/arepo/selector.py:16-141): returns a new
+        FieldContainer tree of filtered DataFrames."""
+        from scida_spark.operators import catalog as C
+
+        out = FieldContainer(name=self.data.name)
+        for name, cont in self.containers.items():
+            df = cont._df
+            if df is None:
+                continue
+            if unbound and "GroupID" in df.columns:
+                df = C.select_unbound(df)
+            elif haloID is not None and localSubhaloID is not None and {
+                "GroupID", "LocalSubhaloID"
+            } <= set(df.columns):
+                df = C.select_local_subhalo(df, haloID, localSubhaloID)
+            elif haloID is not None and "GroupID" in df.columns:
+                df = C.select_halo(df, haloID)
+            elif subhaloID is not None and "SubhaloID" in df.columns:
+                df = C.select_subhalo(df, subhaloID)
+            sub = FieldContainer(df, name=name, ureg=cont.ureg)
+            sub._recipes = dict(cont._recipes)
+            out[name] = sub
+        return out
+
+    # -- save (reference interface.py:273-378: zarr sink → parquet here) ----
+
+    def save(self, out_dir: str, fields: list[str] | None = None) -> None:
+        """Write containers to ``out_dir/<container>.parquet`` with unit
+        strings in column metadata and dataset metadata as JSON sidecar."""
+        os.makedirs(out_dir, exist_ok=True)
+        for name, cont in self.containers.items():
+            df = cont.to_dataframe()
+            if fields is not None:
+                keep = [c for c in df.columns if c in fields]
+                df = df.select(*keep)
+            for col, unit in cont.field_units.items():
+                if col in df.columns:
+                    df = set_column_unit(df, col, unit)
+            df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+        with open(os.path.join(out_dir, "_metadata.json"), "w") as fh:
+            json.dump(self.metadata, fh, default=str)
+
+
+def _sniff_format(path: str) -> str:
+    if path.endswith((".hdf5", ".h5")):
+        return "hdf5"
+    if path.endswith(".zarr") or os.path.isdir(os.path.join(path, ".zgroup")):
+        return "zarr"
+    if os.path.isdir(path):
+        entries = os.listdir(path)
+        if any(e.endswith(".parquet") for e in entries):
+            return "parquet_dir"
+        if any(e.endswith((".hdf5", ".h5")) for e in entries):
+            return "hdf5_multi"
+    raise ValueError(f"cannot determine format of {path!r}")
+
+
+def load(path: str, spark: SparkSession | None = None, units: bool | str = True,
+         **kwargs) -> Dataset:
+    """Open a dataset path → Dataset handle of lazy DataFrames.
+
+    ``units=False|'code'|True`` mirrors the reference's load modes
+    (docs/units.md); unit attachment reads column metadata written by
+    :meth:`Dataset.save`.
+    """
+    if spark is None:
+        from scida_spark.session import get_spark
+
+        spark = get_spark()
+    fmt = _sniff_format(path)
+    root = FieldContainer(name=os.path.basename(path.rstrip("/")))
+    metadata: dict = {}
+    ureg = UnitRegistry()
+    if fmt == "parquet_dir":
+        meta_path = os.path.join(path, "_metadata.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                metadata = json.load(fh)
+        for entry in sorted(os.listdir(path)):
+            if not entry.endswith(".parquet"):
+                continue
+            name = entry[: -len(".parquet")]
+            df = spark.read.parquet(os.path.join(path, entry))
+            cont = FieldContainer(df, name=name, ureg=ureg)
+            if units:
+                for f_ in df.schema.fields:
+                    u = (f_.metadata or {}).get("unit")
+                    if u:
+                        cont.field_units[f_.name] = u
+            root[name] = cont
+    elif fmt in ("hdf5", "hdf5_multi"):
+        from scida_spark.sources.hdf5 import load_hdf5_dataset
+
+        return load_hdf5_dataset(path, spark, **kwargs)
+    elif fmt == "zarr":
+        from scida_spark.sources.zarr import load_zarr_dataset
+
+        return load_zarr_dataset(path, spark, **kwargs)
+    ds = Dataset(path=path, data=root, metadata=metadata, ureg=ureg)
+    return ds

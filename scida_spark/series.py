@@ -1,0 +1,105 @@
+"""DatasetSeries — ordered collection of datasets (simulation snapshots)
+with metadata-based member selection (reference src/scida/series.py:
+85-163; nearest-metadata lookup :343-446; JSON metadata cache :448-524).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from collections.abc import Sequence
+
+
+class DatasetSeries:
+    def __init__(self, paths: Sequence[str], spark=None, lazy: bool = True,
+                 cache_dir: str | None = None, **load_kwargs):
+        self.paths = list(paths)
+        self._spark = spark
+        self._load_kwargs = load_kwargs
+        self._datasets: dict[int, object] = {}
+        self._metadata: list[dict] | None = None
+        self._cache_dir = cache_dir
+        if not lazy:
+            for i in range(len(self.paths)):
+                self.get_dataset(index=i)
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def __getitem__(self, i: int):
+        return self.get_dataset(index=i)
+
+    def _open(self, i: int):
+        if i not in self._datasets:
+            from scida_spark.dataset import load
+
+            self._datasets[i] = load(self.paths[i], spark=self._spark, **self._load_kwargs)
+        return self._datasets[i]
+
+    # -- metadata cache (reference series.py:448-524) -----------------------
+
+    def _cache_path(self) -> str | None:
+        if self._cache_dir is None:
+            return None
+        key = hashlib.md5("|".join(sorted(self.paths)).encode()).hexdigest()[:16]
+        return os.path.join(self._cache_dir, f"series_meta_{key}.json")
+
+    @property
+    def metadata(self) -> list[dict]:
+        if self._metadata is not None:
+            return self._metadata
+        cp = self._cache_path()
+        if cp and os.path.exists(cp):
+            with open(cp) as fh:
+                self._metadata = json.load(fh)
+            return self._metadata
+        metas = []
+        for i in range(len(self.paths)):
+            mpath = os.path.join(self.paths[i], "_metadata.json")
+            if os.path.exists(mpath):
+                with open(mpath) as fh:
+                    metas.append(json.load(fh))
+            else:
+                metas.append({})
+        self._metadata = metas
+        if cp:
+            os.makedirs(os.path.dirname(cp), exist_ok=True)
+            with open(cp, "w") as fh:
+                json.dump(metas, fh)
+        return metas
+
+    # -- selection (reference series.py:343-446) ----------------------------
+
+    def get_dataset(self, index: int | None = None, name: str | None = None,
+                    reltol: float = 1e-2, **metadata_proximity):
+        """Select by index, by path name, or by nearest metadata value
+        (e.g. ``redshift=2.0``) within relative tolerance."""
+        if index is not None:
+            return self._open(index)
+        if name is not None:
+            for i, p in enumerate(self.paths):
+                if os.path.basename(p.rstrip("/")) == name:
+                    return self._open(i)
+            raise KeyError(name)
+        if metadata_proximity:
+            (key, target), *rest = metadata_proximity.items()
+            if rest:
+                raise ValueError("one metadata key at a time")
+            best_i, best_d = None, float("inf")
+            for i, m in enumerate(self.metadata):
+                if key not in m:
+                    continue
+                d = abs(float(m[key]) - float(target))
+                if d < best_d:
+                    best_i, best_d = i, d
+            if best_i is None:
+                raise KeyError(f"no member has metadata {key!r}")
+            denom = max(abs(float(target)), 1e-300)
+            if best_d / denom > reltol and best_d > reltol:
+                raise ValueError(
+                    f"nearest {key}={self.metadata[best_i][key]} is outside "
+                    f"tolerance of target {target}"
+                )
+            return self._open(best_i)
+        raise ValueError("provide index, name, or a metadata key")

@@ -1,0 +1,60 @@
+"""Streaming deduplication and custom stateful operators.
+
+* :func:`dedup_stream` — exactly-once-per-key emission inside the
+  watermark horizon via ``dropDuplicatesWithinWatermark`` (bounded
+  state: keys expire with the watermark).
+* :func:`running_user_stats` — custom stateful operator via
+  ``applyInPandasWithState``: per-user running aggregates emitted on
+  every trigger (the streaming analog of the reference's per-group
+  ``map_group_operation``; state is one tiny tuple per key).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+OUT_SCHEMA = "user_id long, n_events long, total_value double"
+STATE_SCHEMA = "n long, total double"
+
+
+def _update_user_stats(
+    key, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, total = state.get
+    else:
+        n, total = 0, 0.0
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [total]})
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum) maintained as keyed state."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_stats,
+            outputStructType=OUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

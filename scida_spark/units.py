@@ -1,0 +1,199 @@
+"""Unit layer: physical units attached to columns, propagated eagerly at
+expression-build time — never inside Catalyst.
+
+The reference wraps dask arrays in pint Quantities and resolves units
+from curated YAML files + per-field HDF5 attributes (reference
+src/scida/interfaces/mixins/units.py:122-203, configfiles/units/*.yaml),
+evaluating dimensional analysis eagerly when the graph is built
+(docs/tutorial/observations.md:104-112). pint is not available here, so
+this is a minimal, dependency-free unit algebra with the same surface:
+
+* :class:`Unit` — scale factor + exponent vector over base dimensions
+  (supports ``* / **``, equality at rtol, conversion factors)
+* :class:`UnitRegistry` — named units incl. per-dataset cosmology
+  definitions ``h`` and ``a`` (reference mixins/cosmology.py:54-63)
+* column attachment via Spark ``StructField.metadata['unit']`` so units
+  survive save/load without touching the engine's plans
+
+Mismatch checking mirrors units.py:668-733 (~1e-3 rtol); the
+missing-unit policy (warn/raise/ignore) mirrors units.py:736-768.
+"""
+
+from __future__ import annotations
+
+import math
+import warnings
+from dataclasses import dataclass, field
+
+BASE_DIMS = ("length", "mass", "time", "angle", "dimensionless")
+
+
+@dataclass(frozen=True)
+class Unit:
+    """scale * Π dim_i^exp_i. Immutable; arithmetic returns new Units."""
+
+    scale: float = 1.0
+    dims: tuple[tuple[str, float], ...] = ()
+    name: str | None = None
+
+    @staticmethod
+    def dimensionless() -> "Unit":
+        return Unit(1.0, (), "dimensionless")
+
+    def _dimdict(self) -> dict[str, float]:
+        return dict(self.dims)
+
+    @staticmethod
+    def _norm(d: dict[str, float]) -> tuple[tuple[str, float], ...]:
+        return tuple(sorted((k, v) for k, v in d.items() if v != 0))
+
+    def __mul__(self, other: "Unit") -> "Unit":
+        d = self._dimdict()
+        for k, v in other.dims:
+            d[k] = d.get(k, 0) + v
+        return Unit(self.scale * other.scale, self._norm(d))
+
+    def __truediv__(self, other: "Unit") -> "Unit":
+        d = self._dimdict()
+        for k, v in other.dims:
+            d[k] = d.get(k, 0) - v
+        return Unit(self.scale / other.scale, self._norm(d))
+
+    def __pow__(self, p: float) -> "Unit":
+        return Unit(self.scale**p, self._norm({k: v * p for k, v in self.dims}))
+
+    def same_dimensions(self, other: "Unit") -> bool:
+        return self._norm(self._dimdict()) == other._norm(other._dimdict())
+
+    def conversion_factor(self, target: "Unit") -> float:
+        """Multiplier converting a value in self to target units."""
+        if not self.same_dimensions(target):
+            raise ValueError(f"incompatible dimensions: {self} vs {target}")
+        return self.scale / target.scale
+
+    def isclose(self, other: "Unit", rtol: float = 1e-3) -> bool:
+        """Same dimensions and scales equal within rtol (mirrors the
+        reference's mismatch check, units.py:668-733)."""
+        return self.same_dimensions(other) and math.isclose(
+            self.scale, other.scale, rel_tol=rtol
+        )
+
+    def __str__(self) -> str:
+        return self.name or (
+            f"{self.scale:g} " + " ".join(f"{k}^{v:g}" for k, v in self.dims)
+        ).strip()
+
+
+class UnitRegistry:
+    """Named units, including per-dataset cosmology definitions.
+
+    ``define('h', 0.6774)`` mirrors the reference's per-dataset registry
+    injection of ``h`` and ``a`` from the header
+    (mixins/cosmology.py:54-63).
+    """
+
+    def __init__(self, missing_units: str = "warn"):
+        if missing_units not in ("warn", "raise", "ignore"):
+            raise ValueError("missing_units must be warn|raise|ignore")
+        self.missing_units = missing_units
+        self._units: dict[str, Unit] = {
+            "dimensionless": Unit.dimensionless(),
+            "unknown": Unit(1.0, (), "unknown"),
+            "cm": Unit(1.0, (("length", 1),), "cm"),
+            "g": Unit(1.0, (("mass", 1),), "g"),
+            "s": Unit(1.0, (("time", 1),), "s"),
+            "km": Unit(1e5, (("length", 1),), "km"),
+            "kpc": Unit(3.085678e21, (("length", 1),), "kpc"),
+            "Mpc": Unit(3.085678e24, (("length", 1),), "Mpc"),
+            "Msun": Unit(1.989e33, (("mass", 1),), "Msun"),
+            "Gyr": Unit(3.15576e16, (("time", 1),), "Gyr"),
+            "deg": Unit(math.pi / 180.0, (("angle", 1),), "deg"),
+            "rad": Unit(1.0, (("angle", 1),), "rad"),
+        }
+
+    def define(self, name: str, value: float | Unit) -> None:
+        if isinstance(value, Unit):
+            self._units[name] = Unit(value.scale, value.dims, name)
+        else:
+            self._units[name] = Unit(float(value), (), name)
+
+    def define_code_units(self, *, h: float, a: float, unit_length_cm: float,
+                          unit_mass_g: float, unit_velocity_cm_s: float) -> None:
+        """Gadget-style code units from header scalars (reference
+        configfiles/units/gadget_cosmological.yaml + FIXTURES.md §6)."""
+        self.define("h", h)
+        self.define("a", a)
+        self._units["code_length"] = Unit(
+            unit_length_cm / h, (("length", 1),), "code_length"
+        )
+        self._units["code_mass"] = Unit(unit_mass_g / h, (("mass", 1),), "code_mass")
+        self._units["code_velocity"] = Unit(
+            unit_velocity_cm_s, (("length", 1), ("time", -1)), "code_velocity"
+        )
+
+    def __getitem__(self, name: str) -> Unit:
+        return self.parse(name)
+
+    def parse(self, expr: str) -> Unit:
+        """Parse 'a * b / c**2'-style unit expressions over named units."""
+        import re
+
+        expr = expr.strip()
+        if not expr:
+            return Unit.dimensionless()
+        if expr in self._units:
+            return self._units[expr]
+        # tiny recursive-descent-free evaluation: split on / then single *
+        num, _, den = expr.partition("/")
+
+        def atom(tok: str) -> Unit:
+            tok = tok.strip()
+            base, _, p = tok.partition("**")
+            base = base.strip()
+            try:
+                return Unit(float(base), (), None) ** (float(p) if p else 1.0)
+            except ValueError:
+                pass
+            if base not in self._units:
+                return self._missing(base)
+            return self._units[base] ** (float(p) if p else 1.0)
+
+        def tokens(s: str) -> list[str]:
+            # split on '*' that is not part of '**'
+            return [t for t in re.split(r"(?<!\*)\*(?!\*)", s) if t.strip()]
+
+        num_toks, den_toks = tokens(num), tokens(den)
+        if len(num_toks) == 1 and not den_toks:
+            return atom(num_toks[0])  # preserve unit name for single tokens
+        u = Unit.dimensionless()
+        for tok in num_toks:
+            u = u * atom(tok)
+        for tok in den_toks:
+            u = u / atom(tok)
+        return u
+
+    def _missing(self, name: str) -> Unit:
+        if self.missing_units == "raise":
+            raise KeyError(f"unknown unit: {name!r}")
+        if self.missing_units == "warn":
+            warnings.warn(f"unknown unit {name!r}; treating as 'unknown'", stacklevel=3)
+        return self._units["unknown"]
+
+
+# --- column metadata attachment -------------------------------------------
+
+
+def set_column_unit(df, col_name: str, unit: str):
+    """Record a unit string in the column's StructField metadata (survives
+    parquet round-trips)."""
+    from pyspark.sql import functions as F
+
+    meta = {"unit": unit}
+    return df.withColumn(col_name, F.col(col_name).alias(col_name, metadata=meta))
+
+
+def get_column_unit(df, col_name: str) -> str | None:
+    for f in df.schema.fields:
+        if f.name == col_name:
+            return (f.metadata or {}).get("unit")
+    return None

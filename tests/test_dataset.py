@@ -1,0 +1,106 @@
+"""Dataset load/save/selector/series — mirrors the reference's
+integration tier (test_io_load.py, test_save_load.py, test_series.py)
+on the parquet-dir layout."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from scida_spark.dataset import Dataset, load
+from scida_spark.fields import FieldContainer
+from scida_spark.operators import catalog as C
+from scida_spark.series import DatasetSeries
+
+
+@pytest.fixture()
+def snapshot_dir(spark, tmp_path):
+    """Synthetic snapshot: particles with catalog IDs + group catalog."""
+    out = str(tmp_path / "snap")
+    particles = spark.range(100).withColumnRenamed("id", "uid").withColumn(
+        "Masses", (F.col("uid") * 1.0)
+    )
+    groups = spark.createDataFrame(
+        [(0, 40, 0, 2), (1, 30, 2, 1), (2, 20, 3, 1)],
+        "GroupID long, GroupLen long, GroupFirstSub long, GroupNsubs long",
+    )
+    parts = C.add_group_ids(particles, groups)
+    root = FieldContainer(name="snap")
+    pc = FieldContainer(parts, name="PartType0")
+    pc.field_units["Masses"] = "code_mass"
+    root["PartType0"] = pc
+    root["Group"] = FieldContainer(groups, name="Group")
+    ds = Dataset(path=out, data=root, metadata={"redshift": 1.5, "boxsize": 100.0})
+    ds.save(out)
+    return out
+
+
+def test_save_load_roundtrip(spark, snapshot_dir):
+    ds = load(snapshot_dir, spark=spark)
+    assert set(ds.containers) == {"PartType0", "Group"}
+    assert ds.metadata["redshift"] == 1.5
+    pt0 = ds["PartType0"]
+    assert pt0.field_units.get("Masses") == "code_mass"
+    total = pt0.df.agg(F.sum("Masses").alias("s")).first()["s"]
+    assert total == sum(range(100))
+
+
+def test_item_access_delegates(spark, snapshot_dir):
+    ds = load(snapshot_dir, spark=spark)
+    col = ds["PartType0"]["Masses"]  # container → Column
+    assert ds["PartType0"].df.select(col).count() == 100
+
+
+def test_selector_return_data(spark, snapshot_dir):
+    ds = load(snapshot_dir, spark=spark)
+    view = ds.return_data(haloID=1)
+    assert view["PartType0"].df.count() == 30
+    unbound = ds.return_data(unbound=True)
+    assert unbound["PartType0"].df.count() == 10
+
+
+def test_alias_on_loaded(spark, snapshot_dir):
+    ds = load(snapshot_dir, spark=spark)
+    ds.data.add_alias("gas", "PartType0")
+    assert ds["gas"].df.count() == 100
+
+
+def test_series_nearest_metadata(spark, tmp_path):
+    paths = []
+    for i, z in enumerate([0.0, 1.0, 2.0]):
+        p = str(tmp_path / f"snapdir_{i:03d}")
+        root = FieldContainer(name=f"s{i}")
+        root["PartType0"] = FieldContainer(spark.range(10 + i), name="PartType0")
+        Dataset(path=p, data=root, metadata={"redshift": z}).save(p)
+        paths.append(p)
+    series = DatasetSeries(paths, spark=spark, cache_dir=str(tmp_path / "cache"))
+    assert len(series) == 3
+    ds = series.get_dataset(redshift=1.02, reltol=0.05)
+    assert ds.metadata["redshift"] == 1.0
+    with pytest.raises(ValueError):
+        series.get_dataset(redshift=5.0)
+    ds0 = series.get_dataset(name="snapdir_000")
+    assert ds0.metadata["redshift"] == 0.0
+    # metadata cache file written
+    cache_files = os.listdir(str(tmp_path / "cache"))
+    assert any(f.startswith("series_meta_") for f in cache_files)
+
+
+def test_hdf5_gated(spark, tmp_path):
+    from scida_spark.sources.hdf5 import HAS_H5PY, plan_splits, prune_splits_for_uid_range
+
+    # split planning is pure-Python and always available
+    splits = plan_splits([("a.0.hdf5", 100), ("a.1.hdf5", 50)], "PartType0", 40)
+    assert [(s.file, s.row_start, s.row_stop, s.uid_start) for s in splits] == [
+        ("a.0.hdf5", 0, 40, 0),
+        ("a.0.hdf5", 40, 80, 40),
+        ("a.0.hdf5", 80, 100, 80),
+        ("a.1.hdf5", 0, 40, 100),
+        ("a.1.hdf5", 40, 50, 140),
+    ]
+    pruned = prune_splits_for_uid_range(splits, 90, 120)
+    assert [(s.file, s.uid_start) for s in pruned] == [("a.0.hdf5", 80), ("a.1.hdf5", 100)]
+    if not HAS_H5PY:
+        with pytest.raises(ImportError):
+            load(str(tmp_path / "x.hdf5"), spark=spark)

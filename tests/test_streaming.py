@@ -1,0 +1,105 @@
+"""Structured Streaming tests: drive bounded file sources to completion
+through the memory sink and compare against the batch-computed truth."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from scida_spark.streaming import dedup as SD
+from scida_spark.streaming import windows as SW
+from scida_spark.tables import table
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir, tmp_path_factory):
+    """events (ts converted to proper timestamps) written to a stream-
+    readable parquet dir + its batch twin."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    batch = table(spark, sf_dir, "events")
+    batch.write.mode("overwrite").parquet(out)
+    schema = spark.read.parquet(out).schema
+    stream = spark.readStream.schema(schema).parquet(out)
+    return stream, spark.read.parquet(out)
+
+
+def test_tumbling_counts_stream_matches_batch(spark, events_stream):
+    stream, batch = events_stream
+    res = SW.run_to_completion(SW.tumbling_counts(stream), "t_tumbling")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in res.collect()
+    }
+    expect = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in (
+            batch.groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+            .select(F.col("window.start").alias("window_start"), "event_type", "n", "sum_value")
+            .collect()
+        )
+    }
+    assert got == expect
+
+
+def test_session_windows_stream(spark, events_stream):
+    stream, batch = events_stream
+    res = SW.run_to_completion(SW.session_windows(stream), "t_sessions")
+    # session count per user must match the batch lag+cumsum sessionizer
+    got = res.groupBy("user_id").count().collect()
+    got_map = {r["user_id"]: r["count"] for r in got}
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    sessions = (
+        batch.withColumn("new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(F.sum("new").alias("n_sessions"))
+    )
+    expect_map = {r["user_id"]: r["n_sessions"] for r in sessions.collect()}
+    assert got_map == expect_map
+
+
+def test_dedup_stream(spark, events_stream, tmp_path):
+    stream, batch = events_stream
+    deduped = SD.dedup_stream(stream, ["user_id", "event_type"])
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT count(*) AS n FROM t_dedup").first()["n"]
+    expect = batch.select("user_id", "event_type").distinct().count()
+    assert got == expect
+
+
+def test_stateful_running_stats(spark, events_stream):
+    stream, batch = events_stream
+    res = SD.running_user_stats(stream)
+    q = (
+        res.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_state")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # last update per user = full running totals (single input batch →
+    # one update per user)
+    rows = spark.sql("SELECT * FROM t_state").collect()
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in rows}
+    expect = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == expect

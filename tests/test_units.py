@@ -1,0 +1,77 @@
+"""Unit layer: algebra, code units, parsing, mismatch policy, column
+metadata round-trip (mirrors reference tests/integration/
+test_units_loading.py semantics at the algebra level)."""
+
+import math
+import warnings
+
+import pytest
+
+from scida_spark.units import Unit, UnitRegistry, get_column_unit, set_column_unit
+
+
+def test_algebra():
+    reg = UnitRegistry()
+    kpc, msun, s = reg["kpc"], reg["Msun"], reg["s"]
+    rho = msun / kpc**3
+    assert rho.same_dimensions(reg["g"] / reg["cm"] ** 3)
+    v = kpc / s
+    assert not v.same_dimensions(rho)
+    with pytest.raises(ValueError):
+        v.conversion_factor(rho)
+
+
+def test_code_units_gadget():
+    """FIXTURES.md §6: UnitLength=3.085678e21 cm (kpc), UnitMass=1.989e43 g
+    (1e10 Msun), h=0.7 → code_length = kpc/h, code_mass = 1e10 Msun/h."""
+    reg = UnitRegistry()
+    reg.define_code_units(
+        h=0.7, a=1.0, unit_length_cm=3.085678e21, unit_mass_g=1.989e43,
+        unit_velocity_cm_s=1e5,
+    )
+    cl = reg["code_length"]
+    assert cl.conversion_factor(reg["kpc"]) == pytest.approx(1 / 0.7)
+    cm_ = reg["code_mass"]
+    assert cm_.conversion_factor(reg["Msun"]) == pytest.approx(1e10 / 0.7)
+    assert reg["h"].scale == pytest.approx(0.7)
+
+
+def test_parse_expressions():
+    reg = UnitRegistry()
+    u = reg.parse("Msun / kpc**3")
+    assert u.same_dimensions(reg["g"] / reg["cm"] ** 3)
+    u2 = reg.parse("1e10 * Msun")
+    assert u2.scale == pytest.approx(1e10 * 1.989e33)
+    assert reg.parse("").same_dimensions(Unit.dimensionless())
+
+
+def test_isclose_rtol():
+    a = Unit(1.0, (("length", 1),))
+    b = Unit(1.0005, (("length", 1),))
+    c = Unit(1.01, (("length", 1),))
+    assert a.isclose(b)  # within 1e-3 (reference units.py:668-733)
+    assert not a.isclose(c)
+
+
+def test_missing_policy():
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        reg = UnitRegistry(missing_units="warn")
+        u = reg.parse("frobnicate")
+        assert u.name == "unknown"
+        assert any("frobnicate" in str(x.message) for x in w)
+    reg2 = UnitRegistry(missing_units="raise")
+    with pytest.raises(KeyError):
+        reg2.parse("frobnicate")
+    reg3 = UnitRegistry(missing_units="ignore")
+    assert reg3.parse("frobnicate").name == "unknown"
+
+
+def test_column_metadata_roundtrip(spark, tmp_path):
+    df = spark.range(5).withColumnRenamed("id", "Masses")
+    df = set_column_unit(df, "Masses", "code_mass")
+    assert get_column_unit(df, "Masses") == "code_mass"
+    p = str(tmp_path / "u.parquet")
+    df.write.mode("overwrite").parquet(p)
+    df2 = spark.read.parquet(p)
+    assert get_column_unit(df2, "Masses") == "code_mass"
