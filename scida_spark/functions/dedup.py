@@ -194,13 +194,18 @@ def minhash_dedup_pairs(
     at scale this is the crucial difference from the all-pairs join.
     """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_perm, seed)
+    # Cache the signature table: the banded self-join references it on
+    # both sides, and without the cache the Pandas-UDF minhash kernel
+    # re-runs once per side per band expression.
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perm, seed).cache()
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     sh = df.select(F.col(id_col).alias("doc"), shingles(text_col, n).alias("sh"))
     a = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # Candidates are tiny (LSH prunes ~all pairs) → broadcast them so the
+    # shingle table streams through two broadcast joins, no shuffle.
     verified = (
-        cands.join(a, "doc_a")
+        F.broadcast(cands).join(a, "doc_a")
         .join(b, "doc_b")
         .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn("n_union", F.size(F.array_union("sh_a", "sh_b")))
