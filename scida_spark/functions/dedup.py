@@ -51,9 +51,15 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def shingles(text_col: str, n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles of a single-space-tokenized text."""
-    t = F.split(F.trim(F.col(text_col)), " ")
+def shingles_from_tokens(tok_col, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles from a pre-split token array column.
+
+    The token array MUST be a materialized column (not an inline split
+    expression): Catalyst does not CSE subexpressions inside lambda
+    bodies, so an inlined split would re-tokenize the text once per
+    element_at — ~10x slower on 50-token docs.
+    """
+    t = F.col(tok_col) if isinstance(tok_col, str) else tok_col
     idx = F.sequence(F.lit(0), F.size(t) - n)
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(t, (i + k + 1).cast("int")) for k in range(n)])
@@ -62,6 +68,23 @@ def shingles(text_col: str, n: int = 3) -> F.Column:
     # short docs (fewer than n tokens) to an empty shingle set.
     grams = F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
+
+
+def shingles(text_col: str, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles of a single-space-tokenized text.
+
+    Prefer ``_shingle_table`` / ``shingles_from_tokens`` in hot paths —
+    this inline form re-splits the text per element access (see above).
+    """
+    return shingles_from_tokens(F.split(F.trim(F.col(text_col)), " "), n)
+
+
+def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc, sh) with tokens materialized as a column before shingling."""
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.split(F.trim(F.col(text_col)), " ").alias("_t")
+    )
+    return toks.select("doc", shingles_from_tokens("_t", n).alias("sh"))
 
 
 def ngram_jaccard_pairs(
@@ -74,7 +97,7 @@ def ngram_jaccard_pairs(
     sizes. Jaccard = |∩| / (|A|+|B|-|∩|) — an exact ratio of integers,
     so the double division is engine-independent.
     """
-    sh = df.select(F.col(id_col).alias("doc"), shingles(text_col, n).alias("sh"))
+    sh = _shingle_table(df, id_col, text_col, n)
     sizes = sh.select("doc", F.size("sh").alias("nsh"))
     ex = sh.select("doc", F.explode("sh").alias("g"))
     a = ex.alias("a")
@@ -125,9 +148,8 @@ def minhash_signatures(
     sc = df.sparkSession.sparkContext
     bcast = sc.broadcast((a, b))
 
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.transform(shingles(text_col, n), lambda s: F.xxhash64(s)).alias("hashes"),
+    sh = _shingle_table(df, id_col, text_col, n).select(
+        "doc", F.transform("sh", lambda s: F.xxhash64(s)).alias("hashes")
     )
 
     @F.pandas_udf("array<long>")
@@ -199,7 +221,7 @@ def minhash_dedup_pairs(
     # re-runs once per side per band expression.
     sigs = minhash_signatures(df, id_col, text_col, n, num_perm, seed).cache()
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    sh = df.select(F.col(id_col).alias("doc"), shingles(text_col, n).alias("sh"))
+    sh = _shingle_table(df, id_col, text_col, n)
     a = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     # Candidates are tiny (LSH prunes ~all pairs) → broadcast them so the
