@@ -117,6 +117,12 @@ def _sniff_format(path: str) -> str:
             return "parquet_dir"
         if any(e.endswith((".hdf5", ".h5")) for e in entries):
             return "hdf5_multi"
+        if any(e.endswith(".npy") for e in entries) or any(
+            os.path.isdir(os.path.join(path, e))
+            and any(f.endswith(".npy") for f in os.listdir(os.path.join(path, e)))
+            for e in entries
+        ):
+            return "npy_dir"
     raise ValueError(f"cannot determine format of {path!r}")
 
 
@@ -161,5 +167,9 @@ def load(path: str, spark: SparkSession | None = None, units: bool | str = True,
         from scida_spark.sources.zarr import load_zarr_dataset
 
         return load_zarr_dataset(path, spark, **kwargs)
+    elif fmt == "npy_dir":
+        from scida_spark.sources.npy import load_npy_dataset
+
+        return load_npy_dataset(path, spark, **kwargs)
     ds = Dataset(path=path, data=root, metadata=metadata, ureg=ureg)
     return ds
