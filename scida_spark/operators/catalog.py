@@ -353,3 +353,38 @@ def select_local_subhalo(
 def select_unbound(particles: DataFrame, group_id_col: str = "GroupID") -> DataFrame:
     """Unbound tail: rows past the last halo (selector.py:70-98)."""
     return particles.filter(F.col(group_id_col) == SENTINEL)
+
+
+def select_zoom_target(
+    particles: DataFrame,
+    targets: DataFrame,
+    target_id: int,
+    *,
+    with_fuzz: bool = True,
+    uid_col: str = "uid",
+) -> DataFrame:
+    """Zoom-target selector (TNG-Cluster): particles of zoom target i =
+    its main uid range, optionally unioned with its low-resolution
+    "fuzz" range (reference customs/arepo/TNGcluster/dataset.py:14-171,
+    array slice :82-112, offsets from header :200-237).
+
+    ``targets`` columns: target_id, offset, length, fuzz_offset,
+    fuzz_length. The single target row is collected (the target table is
+    O(targets) ≈ tiny) and the selection becomes uid-range predicates —
+    exactly what the source-level split pruning consumes (npy/HDF5
+    readers skip non-overlapping splits without opening files). The
+    reference instead rewrites every field recipe to slice its output
+    (:114-170); with Catalyst the filter pushes through derived columns
+    automatically, so no rewrite machinery is needed.
+    """
+    row = targets.filter(F.col("target_id") == target_id).collect()
+    if not row:
+        raise KeyError(f"zoom target {target_id} not found")
+    t = row[0]
+    cond = (F.col(uid_col) >= t["offset"]) & (F.col(uid_col) < t["offset"] + t["length"])
+    if with_fuzz and t["fuzz_length"] and t["fuzz_length"] > 0:
+        cond = cond | (
+            (F.col(uid_col) >= t["fuzz_offset"])
+            & (F.col(uid_col) < t["fuzz_offset"] + t["fuzz_length"])
+        )
+    return particles.filter(cond)

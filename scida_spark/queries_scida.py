@@ -415,3 +415,67 @@ def scida_radial_profile(spark, sf_dir):
             F.count("*").alias("n"),
         )
     )
+
+
+@query(
+    "scida_zoom_selector",
+    """
+    WITH li AS (
+      SELECT l_quantity,
+             ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS uid
+      FROM lineitem)
+    SELECT CAST(uid AS BIGINT) AS uid, CAST(l_quantity AS DOUBLE) AS l_quantity
+    FROM li WHERE (uid >= 100 AND uid < 300) OR (uid >= 1000 AND uid < 1100)
+    """,
+)
+def scida_zoom_selector(spark, sf_dir):
+    """Zoom-target selection (TNG-Cluster): main uid range ∪ fuzz range
+    (reference TNGcluster/dataset.py:82-112). The recipe-rewrite
+    machinery of the reference (:114-170) is unnecessary — Catalyst
+    pushes the uid predicates through any derived column, and the
+    custom sources prune non-overlapping splits."""
+    parts = _particles(spark, sf_dir)
+    targets = spark.createDataFrame(
+        [(0, 100, 200, 1000, 100)],
+        "target_id long, offset long, length long, fuzz_offset long, fuzz_length long",
+    )
+    out = C.select_zoom_target(parts, targets, 0)
+    return out.select("uid", F.col("l_quantity").cast("double").alias("l_quantity"))
+
+
+# Constants formatted through Python repr so both engines parse the
+# bit-identical double (e.g. 3*0.76 = 2.2800000000000002, not 2.28).
+_T_XH3 = repr(3.0 * 0.76)
+_T_XH4 = repr(4.0 * 0.76)
+_T_GM1 = repr(5.0 / 3.0 - 1.0)
+
+@query(
+    "scida_temperature_field",
+    f"""
+    WITH g AS (
+      SELECT event_id, value / 330.0 AS xe, (value + 1.0) * 100.0 AS u
+      FROM events WHERE event_id < 2000)
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           ROUND(1e10 * {_T_GM1} * u / 1.380650e-16 *
+             (4.0 / (1.0 + {_T_XH3} + {_T_XH4} * xe) * 1.672622e-24), 4) AS temperature
+    FROM g
+    """,
+)
+def scida_temperature_field(spark, sf_dir):
+    """The reference's bundled Temperature derived field
+    (extra_fields.py:36-66) as pure Column arithmetic — no UDF, stays in
+    whole-stage codegen. Inputs are synthesized from the events table
+    (xe = value/330 ∈ [0,1], u = (value+1)*100); the oracle evaluates
+    the identical expression tree, so doubles match bit-for-bit."""
+    from scida_spark.functions.physics import temperature
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    xe = (F.col("value") / F.lit(330.0)).alias("xe")
+    u = ((F.col("value") + F.lit(1.0)) * F.lit(100.0)).alias("u")
+    g = ev.select("event_id", xe, u)
+    # Engines constant-fold the literal products differently (1-2 ULP);
+    # round well above ULP but far below physical precision.
+    return g.select(
+        "event_id",
+        F.round(temperature(F.col("xe"), F.col("u")), 4).alias("temperature"),
+    )
