@@ -51,17 +51,27 @@ def mean_token_length(text: Column) -> Column:
     ).cast("double") / F.size(t)
 
 
+def quality_score_from_stats(n: Column, nd: Column, mean_len: Column) -> Column:
+    """Quality heuristic from pre-computed token stats (n tokens,
+    distinct tokens, mean token length). Use this form in hot paths:
+    compute the stats once as real columns (Catalyst does not CSE a
+    repeated split inside one projection)."""
+    nn = n.cast("double")
+    return (
+        F.least(F.log10(nn + 1) / 3.0, F.lit(1.0))
+        + (nd.cast("double") / nn) * 0.5
+        + F.when((mean_len >= 3) & (mean_len <= 8), 0.5).otherwise(0.0)
+    )
+
+
 def quality_score(text: Column) -> Column:
     """Deterministic quality heuristic in [0, ~2]: rewards length (log),
     lexical diversity, and a sane mean token length. Pure arithmetic —
     identical across engines."""
-    n = token_count(text).cast("double")
-    return (
-        F.least(F.log10(n + 1) / 3.0, F.lit(1.0))
-        + distinct_token_ratio(text) * 0.5
-        + F.when((mean_token_length(text) >= 3) & (mean_token_length(text) <= 8), 0.5).otherwise(
-            0.0
-        )
+    return quality_score_from_stats(
+        token_count(text),
+        F.size(F.array_distinct(tokens(text))),
+        mean_token_length(text),
     )
 
 
@@ -69,9 +79,9 @@ def lang_scores(text: Column) -> dict[str, Column]:
     return {lang: stopword_hits(text, sw) for lang, sw in LANG_STOPWORDS.items()}
 
 
-def lang_id(text: Column) -> Column:
-    """argmax of stopword hit counts with fixed tie-break (en>de>es>fr>zh)."""
-    s = lang_scores(text)
+def lang_id_from_scores(s: dict[str, Column]) -> Column:
+    """argmax over pre-computed per-language hit-count columns with fixed
+    tie-break (en>de>es>fr>zh) — the CSE-friendly form."""
     expr = F.lit("zh")
     # Build reversed so earlier languages win ties.
     for lang in ["fr", "es", "de", "en"]:
@@ -86,6 +96,16 @@ def lang_id(text: Column) -> Column:
                     cond = cond & (s[lang] >= s[other])
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
     return expr
+
+
+def lang_id(text: Column) -> Column:
+    """argmax of stopword hit counts with fixed tie-break (en>de>es>fr>zh)."""
+    return lang_id_from_scores(lang_scores(text))
+
+
+def stopword_hits_from_tokens(tok_col: Column, words: tuple[str, ...]) -> Column:
+    wl = list(words)
+    return F.size(F.filter(tok_col, lambda t: t.isin(wl)))
 
 
 def md5_fingerprint(text: Column, nhex: int = 16) -> Column:

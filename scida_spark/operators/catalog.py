@@ -129,19 +129,23 @@ def add_subhalo_ids(
     nsubs = gpdf[group_nsubs_col].to_numpy(dtype=np.int64)
     spdf = subhalo_catalog.select(sub_order_col, sub_length_col).orderBy(sub_order_col).toPandas()
     sublen = spdf[sub_length_col].to_numpy(dtype=np.int64)
-    # Per-subhalo start uid: halo offset + cumsum of sibling subhalo lengths.
-    sub_start = np.empty(len(sublen) + 1, dtype=np.int64)
-    pos = 0
-    for gi in range(len(g_bounds) - 1):
-        base = g_bounds[gi]
-        for _ in range(nsubs[gi]):
-            sub_start[pos] = base
-            base += sublen[pos]
-            pos += 1
-    sub_start[pos:] = np.iinfo(np.int64).max  # safety tail
-    # Per-subhalo end uid.
-    sub_end = np.empty(len(sublen), dtype=np.int64)
-    sub_end[: len(sublen)] = sub_start[: len(sublen)] + sublen
+    # Per-subhalo start uid = its halo's offset + cumsum of prior sibling
+    # lengths — fully vectorized (no Python loop over the catalog; this
+    # runs on the driver for ~1e6-row catalogs):
+    #   halo_of_sub: which halo owns each subhalo (subhalos are stored
+    #   grouped by halo in SubhaloID order — the reference's layout)
+    ngroups = len(g_bounds) - 1
+    nsub_total = int(nsubs.sum())
+    if nsub_total != len(sublen):
+        raise ValueError(
+            f"sum(GroupNsubs)={nsub_total} != len(subhalo catalog)={len(sublen)}"
+        )
+    halo_of_sub = np.repeat(np.arange(ngroups, dtype=np.int64), nsubs)
+    cs = np.concatenate([[0], np.cumsum(sublen)])[:-1]  # global prefix
+    first_idx = np.concatenate([[0], np.cumsum(nsubs)])[:-1]  # first sub per halo
+    base_cs = np.repeat(cs[first_idx] if ngroups else np.empty(0, np.int64), nsubs)
+    sub_start = g_bounds[halo_of_sub] + cs - base_cs
+    sub_end = sub_start + sublen
 
     sc = particles.sparkSession.sparkContext
     b = sc.broadcast((g_bounds, firstsub, nsubs, sub_start[: len(sublen)], sub_end))

@@ -198,10 +198,11 @@ def text_token_stats(spark, sf_dir):
     """Token counting (whitespace tokenizer) aggregated per language —
     all JVM-side split/size, no UDF."""
     docs = table(spark, sf_dir, "documents")
-    t = docs.select(
+    toks = docs.select("lang", TX.tokens(F.col("text")).alias("_t"))
+    t = toks.select(
         "lang",
-        TX.token_count(F.col("text")).alias("n_tok"),
-        F.size(F.array_distinct(TX.tokens(F.col("text")))).alias("n_distinct"),
+        F.size("_t").alias("n_tok"),
+        F.size(F.array_distinct("_t")).alias("n_distinct"),
     )
     return t.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
@@ -236,7 +237,24 @@ def text_quality_scores(spark, sf_dir):
     """Quality scoring (length/diversity/token-length heuristic),
     histogrammed into deciles. Pure Column arithmetic."""
     docs = table(spark, sf_dir, "documents")
-    s = docs.select("doc_id", TX.quality_score(F.col("text")).alias("score"))
+    # Tokens → stats → score as separate projections: Catalyst does not
+    # CSE a repeated split within one projection (see functions/dedup.py).
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("_t"))
+    stats = toks.select(
+        "doc_id",
+        F.size("_t").alias("n"),
+        F.size(F.array_distinct("_t")).alias("nd"),
+        (
+            F.aggregate("_t", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+            .cast("double") / F.size("_t")
+        ).alias("mean_len"),
+    )
+    s = stats.select(
+        "doc_id",
+        TX.quality_score_from_stats(
+            F.col("n"), F.col("nd"), F.col("mean_len")
+        ).alias("score"),
+    )
     return s.groupBy(
         F.floor(F.col("score") * 10).cast("bigint").alias("score_decile")
     ).agg(F.count("*").alias("n_docs"), dsum(F.col("score"), "sum_score"))
@@ -274,8 +292,19 @@ def text_lang_id(spark, sf_dir):
     """Language-ID heuristic: stopword-set hit counts, argmax with fixed
     tie-break (en>de>es>fr>zh) — confusion matrix vs the labeled lang."""
     docs = table(spark, sf_dir, "documents")
-    pred = docs.select(
-        F.col("lang").alias("actual_lang"), TX.lang_id(F.col("text")).alias("pred_lang")
+    toks = docs.select("lang", TX.tokens(F.col("text")).alias("_t"))
+    scored = toks.select(
+        "lang",
+        *[
+            TX.stopword_hits_from_tokens(F.col("_t"), sw).alias(f"c_{lg}")
+            for lg, sw in TX.LANG_STOPWORDS.items()
+        ],
+    )
+    pred = scored.select(
+        F.col("lang").alias("actual_lang"),
+        TX.lang_id_from_scores(
+            {lg: F.col(f"c_{lg}") for lg in TX.LANG_STOPWORDS}
+        ).alias("pred_lang"),
     )
     return pred.groupBy("actual_lang", "pred_lang").agg(F.count("*").alias("n"))
 
