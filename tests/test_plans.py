@@ -1,0 +1,75 @@
+"""Physical-plan shape assertions — the scale contract, enforced.
+
+Each headline query's docstring promises a plan property (filter
+pushdown, column pruning, broadcast joins, no cartesian products).
+These tests pin those properties so a regression that silently
+de-optimizes a plan (e.g. a lost broadcast hint turning into a
+sort-merge join of a dim table) fails CI rather than surfacing as a
+10x slowdown at cluster scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _plan(spark, df) -> str:
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return je.explainString(mode)
+
+
+@pytest.fixture(scope="module")
+def reg():
+    import __spark_entry__ as E
+
+    return E.queries()
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir, reg):
+    p = _plan(spark, reg["q1_pricing_summary"](spark, sf_dir))
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters", 1)[1][:200]
+    # Column pruning: the scan must not read unused lineitem columns.
+    read_schema = p.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema and "l_comment" not in read_schema
+    # Partial + final aggregation around exactly one shuffle.
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q3_q5_broadcast_dims_no_smj_of_dims(spark, sf_dir, reg):
+    for name in ("q3_shipping_priority", "q5_region_revenue"):
+        p = _plan(spark, reg[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in p, name
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_top3_single_window_shuffle(spark, sf_dir, reg):
+    p = _plan(spark, reg["q_top3_per_order"](spark, sf_dir))
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+    # The rank filter must run *inside* the window stage, not after a
+    # second shuffle: no Exchange after the Window operator.
+    after_window = p.split("(1) Scan", 1)[0]
+    assert after_window.index("Window") < after_window.index("Exchange")
+
+
+def test_groupid_searchsorted_no_particle_shuffle_for_join(spark, sf_dir, reg):
+    """The catalog-ID kernel maps particles over a broadcast array —
+    the plan must contain the Arrow-evaluated Python stage and no
+    sort-merge join of the particle side."""
+    p = _plan(spark, reg["scida_groupid_searchsorted"](spark, sf_dir))
+    assert "ArrowEvalPython" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_zoom_selector_prunes_with_uid_predicates(spark, sf_dir, reg):
+    p = _plan(spark, reg["scida_zoom_selector"](spark, sf_dir))
+    # The uid-range predicates survive into the plan as filters.
+    assert "uid" in p and "Filter" in p
+
+
+def test_sum_masses_is_scan_plus_agg_only(spark, sf_dir, reg):
+    p = _plan(spark, reg["scida_sum_masses"](spark, sf_dir))
+    assert "Join" not in p
+    assert p.count("Exchange") <= 2  # single-partition final agg exchange
