@@ -500,3 +500,152 @@ def q_asof_last_click(spark, sf_dir):
             ).alias("last_click"),
         )
     )
+
+
+@query(
+    "q_min_cost_supplier",
+    """
+    WITH cheapest AS (
+      SELECT l_partkey, MIN(l_extendedprice) AS min_price
+      FROM lineitem GROUP BY l_partkey)
+    SELECT l.l_partkey, CAST(l.l_suppkey AS BIGINT) AS l_suppkey,
+           CAST(l.l_extendedprice AS DOUBLE) AS price
+    FROM lineitem l JOIN cheapest c
+      ON c.l_partkey = l.l_partkey AND l.l_extendedprice = c.min_price
+    WHERE l.l_partkey % 50 = 0
+    """,
+)
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: correlated min subquery → groupBy-min + join back.
+
+    Scale: both sides shuffle on l_partkey (the aggregated side is
+    |parts|, far smaller); AQE broadcasts it when it fits."""
+    li = table(spark, sf_dir, "lineitem")
+    cheapest = (
+        li.groupBy("l_partkey")
+        .agg(F.min("l_extendedprice").alias("min_price"))
+        .withColumnRenamed("l_partkey", "ck")
+    )
+    return (
+        li.join(
+            cheapest,
+            (F.col("l_partkey") == F.col("ck"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .filter(F.col("l_partkey") % 50 == 0)
+        .select(
+            "l_partkey", F.col("l_suppkey").cast("bigint").alias("l_suppkey"),
+            F.col("l_extendedprice").cast("double").alias("price"),
+        )
+    )
+
+
+@query(
+    "q13_order_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey)
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13: left outer join keeping zero-order customers, then a
+    second aggregation over the counts (a histogram of group sizes).
+
+    Scale: shuffle on c_custkey, then a tiny shuffle on the count value
+    with map-side combine."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q15_top_revenue_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem GROUP BY l_suppkey)
+    SELECT l_suppkey, total_revenue FROM rev
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q15_top_revenue_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: aggregate → scalar-subquery max → filter.
+
+    Scale: the revenue table is |suppliers| rows; the max is a
+    single-value broadcast — no second pass over lineitem."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("m"))
+    return rev.join(F.broadcast(mx), rev.total_revenue == mx.m).select(
+        "l_suppkey", "total_revenue"
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 250)
+    SELECT o.o_orderkey, CAST(o.o_custkey AS BIGINT) AS o_custkey,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+    FROM orders o JOIN big b ON b.l_orderkey = o.o_orderkey
+                  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING-subquery semi-join then re-aggregate.
+
+    Scale: the HAVING output is a small key list → broadcast semi join;
+    lineitem shuffles once on l_orderkey (reused by both aggregates
+    under AQE)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("s"))
+        .filter(F.col("s") > 250)
+        .select(F.col("l_orderkey").alias("bk"))
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == F.col("bk"))
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(dsum(F.col("l_quantity"), "total_qty"))
+        .select("o_orderkey", F.col("o_custkey").cast("bigint").alias("o_custkey"), "total_qty")
+    )
+
+
+@query(
+    "q_json_props",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_props(spark, sf_dir):
+    """JSON extraction over a string column (get_json_object) + agg —
+    semi-structured surface (absent in the numeric-only reference; free
+    in Spark, SURVEY §2.3 'String/date/JSON: none in the reference')."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("sum_k"), F.count(k).alias("n_with_k")
+    )

@@ -479,3 +479,32 @@ def scida_temperature_field(spark, sf_dir):
         "event_id",
         F.round(temperature(F.col("xe"), F.col("u")), 4).alias("temperature"),
     )
+
+
+@query(
+    "scida_grouped_fluent",
+    f"""
+    SELECT CAST(l_orderkey AS BIGINT) AS GroupID,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_l_quantity,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_l_quantity
+    FROM lineitem WHERE l_orderkey < 500 GROUP BY l_orderkey
+    """,
+)
+def scida_grouped_fluent(spark, sf_dir):
+    """The fluent segmented-aggregation chain itself:
+    ``grouped(df, fields).sum().max().evaluate(nmax=500)`` — reference
+    GroupAwareOperation (arepo/dataset.py:826-1016) with the nmax
+    first-n-groups filter (:1499-1527). Compiles to one groupBy().agg()
+    — chained reductions share a single shuffle."""
+    li = table(spark, sf_dir, "lineitem").withColumn("GroupID", F.col("l_orderkey"))
+    out = (
+        C.grouped(li, ["l_quantity"])
+        .sum()
+        .max()
+        .evaluate(nmax=500)
+    )
+    return out.select(
+        F.col("GroupID").cast("bigint").alias("GroupID"),
+        F.col("sum_l_quantity").cast("double").alias("sum_l_quantity"),
+        F.col("max_l_quantity").cast("double").alias("max_l_quantity"),
+    )
