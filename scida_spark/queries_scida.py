@@ -508,3 +508,31 @@ def scida_grouped_fluent(spark, sf_dir):
         F.col("sum_l_quantity").cast("double").alias("sum_l_quantity"),
         F.col("max_l_quantity").cast("double").alias("max_l_quantity"),
     )
+
+
+@query(
+    "scida_global_running_sum",
+    """
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                OVER (ORDER BY l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running
+    FROM lineitem WHERE l_orderkey < 2000
+    """,
+)
+def scida_global_running_sum(spark, sf_dir):
+    """GLOBAL running total under a total ordering via the two-phase
+    prefix-sum operator (operators/prefix_sum.py) — never a single-task
+    window over the data. The oracle is the naive global window, so a
+    hash match proves the two-phase plan computes identical values."""
+    from scida_spark.operators.prefix_sum import global_running_sum
+
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    out = global_running_sum(li, "l_quantity", "l_orderkey", "l_linenumber")
+    return out.select(
+        F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        F.col("running").cast("double").alias("running"),
+    )

@@ -1,0 +1,54 @@
+"""Two-phase global prefix sum: equality with the naive global window
+and partition-count invariance."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from scida_spark.operators.prefix_sum import global_running_sum
+
+
+def _data(spark, nparts):
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 97).alias("k"),
+        F.col("id").alias("i"),
+        ((F.col("id") * 7919) % 1000 / 10.0).alias("v"),
+    )
+    return df.repartition(nparts)
+
+
+def test_matches_naive_global_window(spark):
+    df = _data(spark, 8)
+    got = global_running_sum(df, "v", "k", "i")
+    w = W.orderBy("k", "i").rowsBetween(W.unboundedPreceding, W.currentRow)
+    expect = df.withColumn(
+        "running", F.sum(F.col("v").cast("decimal(38,6)")).over(w)
+    )
+    diff = (
+        got.select("k", "i", "running")
+        .exceptAll(expect.select("k", "i", "running"))
+        .count()
+    )
+    assert diff == 0
+    assert got.count() == 5000
+
+
+def test_partition_invariance(spark):
+    a = global_running_sum(_data(spark, 2), "v", "k", "i").select("k", "i", "running")
+    b = global_running_sum(_data(spark, 17), "v", "k", "i").select("k", "i", "running")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_no_single_task_window_over_data(spark):
+    """The only unpartitioned window in the plan runs over the per-key
+    aggregate (|keys| rows), never the raw data: the Window operator
+    directly over the scan must be partitioned."""
+    df = _data(spark, 8)
+    plan = global_running_sum(df, "v", "k", "i")._jdf.queryExecution().executedPlan().toString()
+    # The window over the data rows is keyed (windowspecdefinition(k#..,
+    # i#.. ASC ...)): its spec names the partition column first.
+    assert "windowspecdefinition(k#" in plan
+    # The unpartitioned offsets window consumes the aggregated side: it
+    # sits above a HashAggregate, which appears in the plan.
+    assert "HashAggregate" in plan
