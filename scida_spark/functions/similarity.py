@@ -142,6 +142,108 @@ def lsh_topk(
     )
 
 
+def _kmeans_centroids(sample: np.ndarray, nlist: int, seed: int, iters: int = 10) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (spherical:
+    cosine assignment via normalized vectors)."""
+    rng = np.random.RandomState(seed)
+    x = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    cent = x[rng.choice(len(x), size=nlist, replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for j in range(nlist):
+            members = x[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    cent[j] = c / n
+    return cent
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroid lists
+    (cosine). One narrow Pandas-UDF pass over a broadcast centroid
+    matrix — no shuffle."""
+    bcast = embeddings.sparkSession.sparkContext.broadcast(centroids)
+
+    @F.pandas_udf("array<int>")
+    def _lists(vecs: pd.Series) -> pd.Series:
+        c = bcast.value  # (nlist, dim), unit-norm
+        mat = np.stack(vecs.to_numpy())
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ c.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return embeddings.select(
+        F.col(id_col).alias(out_id),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        _lists(F.col(vec_col).cast("array<double>")).alias("lists"),
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    sample_stride: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize candidates into ``nlist``
+    inverted lists (k-means centroids from a deterministic driver-side
+    sample), probe the query's ``nprobe`` nearest lists only.
+
+    The scale path complementing :func:`lsh_topk`: candidate vectors
+    get ONE list id (narrow map, no shuffle), queries explode to
+    nprobe probes, and the search is an equi-join on list id — the
+    cross-join never happens. Centroid training reads a ~1e4-row
+    deterministic sample (``id % stride == 0``), so the index build is
+    O(sample) on the driver and O(N) distributed assignment.
+    """
+    sample = np.stack(
+        [
+            np.asarray(r["v"], dtype=np.float64)
+            for r in embeddings.select(
+                F.col(vec_col).cast("array<double>").alias("v")
+            )
+            .filter(F.col(id_col) % sample_stride == 0)
+            .limit(max(nlist * 64, 1024))
+            .collect()
+        ]
+    )
+    cent = _kmeans_centroids(sample, nlist, seed)
+    cands = ivf_assign(embeddings, cent, 1, id_col, vec_col, out_id="cand_id").select(
+        "cand_id", F.col("v").alias("cv"), F.element_at("lists", 1).alias("list_id")
+    )
+    q = ivf_assign(queries, cent, nprobe, id_col, vec_col, out_id="query_id").select(
+        "query_id", F.col("v").alias("qv"), F.explode("lists").alias("list_id")
+    )
+    scored = (
+        cands.join(F.broadcast(q), "list_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .select("query_id", "cand_id", "sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

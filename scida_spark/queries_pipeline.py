@@ -451,3 +451,14 @@ def stream_session_windows(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
     )
+
+
+@query("sim_ivf_topk", None)  # approximate → rows-only + pytest recall check
+def sim_ivf_topk(spark, sf_dir):
+    """ANN top-k via IVF (coarse k-means quantization → inverted lists →
+    nprobe-list search): the bucketed alternative to sim_lsh_topk.
+    Candidates get one list id in a narrow pass; the search is an
+    equi-join on list id — no cross-join at any scale."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return SIM.ivf_topk(emb, q, k=10, nlist=16, nprobe=4)

@@ -73,3 +73,39 @@ def test_lsh_topk_recall(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8
+
+
+def test_ivf_topk_recall(spark):
+    rng = np.random.RandomState(11)
+    centers = rng.standard_normal((10, DIM)) * 5
+    vecs = np.vstack([c + rng.standard_normal((8, DIM)) * 0.1 for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in S.cosine_topk_bruteforce(df, q, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["cand_id"])
+        for r in S.ivf_topk(df, q, k=3, nlist=8, nprobe=3, sample_stride=1).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8
+
+
+def test_ivf_deterministic(spark):
+    rng = np.random.RandomState(3)
+    vecs = rng.standard_normal((40, DIM))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.filter(F.col("vec_id") < 3)
+    a = sorted(map(tuple, S.ivf_topk(df, q, k=5, nlist=4, nprobe=2, sample_stride=1)
+                   .select("query_id", "cand_id", "rank").collect()))
+    b = sorted(map(tuple, S.ivf_topk(df, q, k=5, nlist=4, nprobe=2, sample_stride=1)
+                   .select("query_id", "cand_id", "rank").collect()))
+    assert a == b
