@@ -25,9 +25,12 @@ HEADLINE = [
     "q_top3_per_order",
     "q_histogram2d_events",
     "q_sessionization",
+    "q18_large_orders",
+    "q_percentiles",
     "scida_sum_masses",
     "scida_groupid_searchsorted",
     "scida_grouped_agg",
+    "scida_global_running_sum",
     "dedup_exact_clusters",
     "dedup_minhash_lsh",
     "sim_cosine_topk",

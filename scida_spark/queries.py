@@ -649,3 +649,28 @@ def q_json_props(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.sum(k).cast("bigint").alias("sum_k"), F.count(k).alias("n_with_k")
     )
+
+
+@query(
+    "q_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.50) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont`` — verified bit-identical). At 100 TB swap
+    to ``percentile_approx`` (Greenwald-Khanna sketch, mergeable,
+    bounded memory); the exact form is the oracle-able baseline."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+        F.expr("percentile(l_quantity, 0.50)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+        F.count("*").alias("n"),
+    )
