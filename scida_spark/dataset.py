@@ -5,9 +5,10 @@ re-expressed as a dict-of-DataFrames catalog entry.
 Format dispatch (determine_loader, reference io/_base.py:757-791):
   * directory of ``*.parquet`` → one container per file (our native
     layout; also what ``Dataset.save`` writes)
-  * ``*.hdf5`` / ``*.zarr``    → gated custom sources
-    (scida_spark.sources; h5py/zarr are not installed in this container,
-    so they raise with instructions — the split-planning logic is real)
+  * ``*.zarr`` / zarr store dir → native zarr v2 Python Data Source
+    (scida_spark.sources.zarr — pure-Python reader/writer, runnable)
+  * ``*.hdf5``                 → gated custom source (h5py not
+    installed here; split planning is real and tested)
 
 Detection ladder: candidate dataset classes vote with (Confidence,
 Specificity) and the max wins (reference discovertypes.py:59-155,
