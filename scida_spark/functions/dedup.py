@@ -277,6 +277,80 @@ def minhash_dedup_pairs(
 
 
 # --------------------------------------------------------------------------
+# Connected components (dedup clusters from near-dup pairs)
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster ids from an undirected near-dup pair list: each node gets
+    the MIN node id reachable from it (the canonical representative).
+
+    Per round: (1) every node takes min(own, neighbors') label —
+    one-hop propagation; (2) pointer jumping — node's label becomes its
+    label's label (path doubling), so convergence is O(log diameter)
+    rounds, not O(diameter). Each round localCheckpoints (truncating
+    lineage — the plan would otherwise grow a join per round). The loop
+    is driver-side *plan* iteration only; data never leaves executors.
+    Non-convergence inside the cap raises rather than returning wrong
+    labels.
+    """
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct().cache()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges.src == labels.node)
+                .groupBy(F.col("dst").alias("node2"))
+                .agg(F.min("label").alias("nlabel"))
+            )
+            stepped = labels.join(
+                neighbor_min, labels.node == F.col("node2"), "left"
+            ).select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            # Pointer jumping: label := label's label (path doubling).
+            lb = stepped.select(
+                F.col("node").alias("pnode"), F.col("label").alias("plabel")
+            )
+            new_labels = (
+                stepped.join(lb, stepped.label == F.col("pnode"), "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                return labels.select("node", F.col("label").alias("cluster_id"))
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    finally:
+        edges.unpersist()
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 

@@ -462,3 +462,50 @@ def sim_ivf_topk(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     return SIM.ivf_topk(emb, q, k=10, nlist=16, nprobe=4)
+
+
+@query(
+    "dedup_cc_clusters",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id AS doc,
+             list_distinct(list_transform(
+               generate_series(1, len(string_split(trim(text), ' ')) - 2),
+               i -> string_split(trim(text), ' ')[i] || ' ' ||
+                    string_split(trim(text), ' ')[i+1] || ' ' ||
+                    string_split(trim(text), ' ')[i+2])) AS grams
+      FROM documents),
+    sizes AS (SELECT doc, len(grams) AS nsh FROM sh),
+    ex AS (SELECT doc, unnest(grams) AS g FROM sh),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc < b.doc
+      GROUP BY a.doc, b.doc),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / CAST(sa.nsh + sb.nsh - n_inter AS DOUBLE) >= 0.2),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
+    SELECT CAST(node AS BIGINT) AS node, CAST(MIN(label) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_cc_clusters(spark, sf_dir):
+    """Dedup cluster assignment: exact near-dup pairs (3-gram Jaccard
+    ≥0.2) → connected components via iterative min-label propagation.
+    The DuckDB oracle computes the same transitive closure with a
+    recursive CTE, so the distributed loop is value-checked exactly."""
+    pairs = D.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.2
+    )
+    cc = D.connected_components(pairs)
+    return cc.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+    )

@@ -95,3 +95,42 @@ def test_minhash_signature_deterministic(spark, docs_df):
     s1 = D.minhash_signatures(docs_df, "doc_id", "text").orderBy("doc").collect()
     s2 = D.minhash_signatures(docs_df, "doc_id", "text").orderBy("doc").collect()
     assert [r["signature"] for r in s1] == [r["signature"] for r in s2]
+
+
+def test_connected_components_vs_union_find(spark):
+    from scida_spark.functions.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (3, 10)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        (r.node, r.cluster_id) for r in connected_components(df).collect()
+    }
+    # union-find ground truth
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        parent[find(a)] = find(b)
+    for a, b in edges:
+        union(a, b)
+    nodes = {n for e in edges for n in e}
+    roots = {}
+    for n in nodes:
+        roots.setdefault(find(n), []).append(n)
+    expect = {(n, min(members)) for members in roots.values() for n in members}
+    assert got == expect
+
+
+def test_connected_components_long_chain(spark):
+    from scida_spark.functions.dedup import connected_components
+
+    # diameter-30 chain — exercises multi-round convergence
+    edges = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.node: r.cluster_id for r in connected_components(df).collect()}
+    assert set(got.values()) == {0}
+    assert set(got.keys()) == set(range(31))
