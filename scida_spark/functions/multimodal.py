@@ -101,6 +101,47 @@ def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, payload binary, "
+    "meta struct<mime:string,width:int,height:int,n_bytes:bigint>"
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize over binary payloads — mapInPandas plumbing with the
+    decode/encode kernel stubbed (PIL unavailable): the deterministic
+    fake emits a payload truncated/padded to width*height bytes so batch
+    shapes, output schema, and metadata rewrite are all exercised for
+    real. Swap ``_fake_resize`` for a PIL kernel in production.
+    """
+    target = width * height
+
+    def _fake_resize(b: bytes) -> bytes:
+        b = b or b""
+        return b[:target] if len(b) >= target else b + b"\x00" * (target - len(b))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload = pdf["payload"].map(_fake_resize)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out_payload,
+                    "meta": [
+                        {
+                            "mime": m["mime"] if m else None,
+                            "width": width,
+                            "height": height,
+                            "n_bytes": len(p),
+                        }
+                        for m, p in zip(pdf["meta"], out_payload)
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: one output row per (media, frame idx).
 

@@ -103,3 +103,53 @@ def test_stateful_running_stats(spark, events_stream):
         .collect()
     }
     assert got == expect
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data policy: rows older than watermark are dropped from
+    append-mode windowed aggregation — fed as two ordered micro-batches
+    so the watermark from batch 1 gates batch 2."""
+    import os
+    from pyspark.sql.types import (
+        StructType, StructField, TimestampType, LongType
+    )
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    schema = StructType([
+        StructField("ts", TimestampType(), True),
+        StructField("v", LongType(), True),
+    ])
+    on_time = spark.createDataFrame(
+        [("2024-01-01 10:00:30", 1), ("2024-01-01 11:00:30", 2)],
+        "ts string, v long",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "v")
+    late = spark.createDataFrame(
+        [("2024-01-01 09:00:10", 99)], "ts string, v long"
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "v")
+    on_time.write.parquet(src + "/b1")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: watermark advances to ~10:50
+        late.write.parquet(src + "/b2")  # 09:00 row arrives late
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM t_late").collect()
+    # The 09:00 window is below the watermark -> the late row must not
+    # create or update a window; only fully-closed on-time windows emit.
+    assert all(r["s"] != 99 for r in rows)
