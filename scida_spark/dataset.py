@@ -38,6 +38,129 @@ class Confidence(IntEnum):
     CERTAIN = 3
 
 
+@dataclass(frozen=True)
+class CandidateStatus:
+    """A dataset class's vote for a path (reference discovertypes.py:59-155)."""
+
+    confidence: Confidence
+    specificity: int = 0
+
+
+class DatasetType:
+    """Registry base for dataset-class detection (reference
+    registries.py:67-69 + discovertypes.py:238-343): every subclass
+    votes via ``validate_path``; the winner is chosen by max
+    Confidence → most-derived class (MRO depth) → max Specificity
+    (reference winner selection, discovertypes.py:303-334).
+    """
+
+    registry: list[type["DatasetType"]] = []
+
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+        DatasetType.registry.append(cls)
+
+    @classmethod
+    def validate_path(cls, path: str) -> CandidateStatus:
+        return CandidateStatus(Confidence.UNSUPPORTED)
+
+    @classmethod
+    def mro_depth(cls) -> int:
+        return len([c for c in cls.__mro__ if issubclass(c, DatasetType)])
+
+
+def determine_type(path: str) -> type["DatasetType"]:
+    """Run the detection ladder over all registered dataset types."""
+    votes = [
+        (c.validate_path(path), c)
+        for c in DatasetType.registry
+    ]
+    votes = [(s, c) for s, c in votes if s.confidence > Confidence.UNSUPPORTED]
+    if not votes:
+        raise ValueError(f"no dataset type recognizes {path!r}")
+    votes.sort(
+        key=lambda t: (int(t[0].confidence), t[1].mro_depth(), t[0].specificity),
+        reverse=True,
+    )
+    return votes[0][1]
+
+
+class ParquetDirType(DatasetType):
+    """Generic engine-native layout: directory of <container>.parquet."""
+
+    @classmethod
+    def validate_path(cls, path: str) -> CandidateStatus:
+        if os.path.isdir(path) and any(
+            e.endswith(".parquet") for e in os.listdir(path)
+        ):
+            return CandidateStatus(Confidence.CERTAIN, specificity=1)
+        return CandidateStatus(Confidence.UNSUPPORTED)
+
+
+class CatalogAwareParquetType(ParquetDirType):
+    """Snapshot + halo/subhalo catalog layout (the Arepo-style shape:
+    reference customs/arepo/dataset.py:71-88 auto-discovers a sibling
+    catalog). More derived → wins ties against the generic type."""
+
+    CATALOG_NAMES = {"group", "subhalo", "Group", "Subhalo"}
+
+    @classmethod
+    def validate_path(cls, path: str) -> CandidateStatus:
+        base = super().validate_path(path)
+        if base.confidence == Confidence.UNSUPPORTED:
+            return base
+        names = {e[: -len(".parquet")] for e in os.listdir(path) if e.endswith(".parquet")}
+        if names & cls.CATALOG_NAMES:
+            return CandidateStatus(Confidence.CERTAIN, specificity=2)
+        return CandidateStatus(Confidence.UNSUPPORTED)
+
+
+class ZarrType(DatasetType):
+    @classmethod
+    def validate_path(cls, path: str) -> CandidateStatus:
+        if not os.path.isdir(path):
+            return CandidateStatus(Confidence.UNSUPPORTED)
+        if os.path.exists(os.path.join(path, ".zgroup")) or os.path.exists(
+            os.path.join(path, ".zarray")
+        ):
+            return CandidateStatus(Confidence.CERTAIN, specificity=1)
+        # zarr store without .zgroup marker: any child with .zarray
+        if any(
+            os.path.isfile(os.path.join(path, e, ".zarray"))
+            for e in os.listdir(path)
+            if os.path.isdir(os.path.join(path, e))
+        ):
+            return CandidateStatus(Confidence.LIKELY, specificity=1)
+        return CandidateStatus(Confidence.UNSUPPORTED)
+
+
+class NpyDirType(DatasetType):
+    @classmethod
+    def validate_path(cls, path: str) -> CandidateStatus:
+        if not os.path.isdir(path):
+            return CandidateStatus(Confidence.UNSUPPORTED)
+        entries = os.listdir(path)
+        if any(e.endswith(".npy") for e in entries) or any(
+            os.path.isdir(os.path.join(path, e))
+            and any(f.endswith(".npy") for f in os.listdir(os.path.join(path, e)))
+            for e in entries
+        ):
+            return CandidateStatus(Confidence.LIKELY, specificity=1)
+        return CandidateStatus(Confidence.UNSUPPORTED)
+
+
+class Hdf5Type(DatasetType):
+    @classmethod
+    def validate_path(cls, path: str) -> CandidateStatus:
+        if path.endswith((".hdf5", ".h5")):
+            return CandidateStatus(Confidence.CERTAIN, specificity=1)
+        if os.path.isdir(path) and any(
+            e.endswith((".hdf5", ".h5")) for e in os.listdir(path)
+        ):
+            return CandidateStatus(Confidence.LIKELY, specificity=1)
+        return CandidateStatus(Confidence.UNSUPPORTED)
+
+
 @dataclass
 class Dataset:
     path: str
@@ -180,7 +303,18 @@ def load(path: str, spark: SparkSession | None = None, units: bool | str = True,
         from scida_spark.session import get_spark
 
         spark = get_spark()
-    fmt = _sniff_format(path)
+    # Detection ladder first (class-level vote); _sniff_format keeps the
+    # same answer for format dispatch and errors on unknown layouts.
+    dtype = determine_type(path)
+    if hasattr(dtype, "load_dataset"):  # custom types bring their own loader
+        return dtype.load_dataset(path, spark, **kwargs)
+    fmt = {
+        ParquetDirType: "parquet_dir",
+        CatalogAwareParquetType: "parquet_dir",
+        ZarrType: "zarr",
+        NpyDirType: "npy_dir",
+        Hdf5Type: "hdf5",
+    }.get(dtype) or _sniff_format(path)
     root = FieldContainer(name=os.path.basename(path.rstrip("/")))
     metadata: dict = {}
     ureg = UnitRegistry()
