@@ -674,3 +674,63 @@ def q_percentiles(spark, sf_dir):
         F.expr("percentile(l_quantity, 0.75)").alias("p75"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "q4_order_priority",
+    """
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS (semi join whose condition
+    compares columns across both tables — ships >90 days after order).
+
+    Scale: orders' date filter pushes to the parquet scan; the semi
+    join shuffles on the equi key only, with the date comparison as a
+    join residual — no cartesian blow-up."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q_global_topn",
+    """
+    SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DOUBLE) AS price
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20
+    """,
+)
+def q_global_topn(spark, sf_dir):
+    """Global top-N: orderBy + limit plans as TakeOrderedAndProject —
+    per-partition heaps + a driver merge of N rows, never a full sort
+    (deterministic tie-break makes it oracle-able)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(20)
+        .select(
+            "l_orderkey", "l_linenumber",
+            F.col("l_extendedprice").cast("double").alias("price"),
+        )
+    )
