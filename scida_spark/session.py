@@ -43,6 +43,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # spark.sql.files.maxPartitionBytes stays at the 128 MB default:
+        # measured at sf0.1, smaller splits change nothing once the JVM
+        # is warm (per-query planning overhead dominates, not scan
+        # parallelism), and at real scale 128 MB is the right split size.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
