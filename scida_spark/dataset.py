@@ -230,6 +230,100 @@ class Dataset:
             json.dump(self.metadata, fh, default=str)
 
 
+def resolve_path(path: str, cache_dir: str | None = None) -> str:
+    """Path resolution (reference ``find_path``, convenience.py:183-284):
+    local paths pass through; ``http(s)://`` archives are downloaded to
+    a cache dir and extracted once (keyed by URL hash — re-loads hit
+    the cache, mirroring the reference's download cache :203-259).
+    Supported archives: .tar.gz/.tgz/.tar/.zip; other URLs are saved
+    as plain files.
+    """
+    import hashlib
+    import shutil
+    import tarfile
+    import urllib.request
+    import zipfile
+
+    if not path.startswith(("http://", "https://", "file://")):
+        return path
+    cache_dir = cache_dir or os.path.join(
+        os.path.expanduser("~"), ".cache", "scida_spark", "downloads"
+    )
+    key = hashlib.md5(path.encode()).hexdigest()[:16]
+    target = os.path.join(cache_dir, key)
+    done_marker = os.path.join(target, "_complete")
+    if os.path.exists(done_marker):
+        entries = [e for e in os.listdir(target) if e != "_complete"]
+        return os.path.join(target, entries[0]) if len(entries) == 1 else target
+    os.makedirs(target, exist_ok=True)
+    fname = path.rstrip("/").rsplit("/", 1)[-1] or "download"
+    local = os.path.join(target, fname)
+    with urllib.request.urlopen(path) as resp, open(local, "wb") as out:
+        shutil.copyfileobj(resp, out)
+    if fname.endswith((".tar.gz", ".tgz", ".tar")):
+        with tarfile.open(local) as tf:
+            tf.extractall(target, filter="data")
+        os.remove(local)
+    elif fname.endswith(".zip"):
+        with zipfile.ZipFile(local) as zf:
+            zf.extractall(target)
+        os.remove(local)
+    with open(done_marker, "w") as fh:
+        fh.write(path)
+    entries = [e for e in os.listdir(target) if e != "_complete"]
+    return os.path.join(target, entries[0]) if len(entries) == 1 else target
+
+
+CATALOG_DIR_PATTERNS = ("groups_", "fof_subhalo_tab_", "catalog", "group")
+
+
+def discover_catalog_path(snapshot_path: str) -> str | None:
+    """Find a halo-catalog sibling of a snapshot directory (reference
+    heuristics, customs/arepo/dataset.py:254-280: ``groups_*`` /
+    ``fof_subhalo_tab_*`` next to ``snapdir_*``/``snapshot_*``).
+    Returns None when nothing matches.
+    """
+    p = snapshot_path.rstrip("/")
+    parent, base = os.path.split(p)
+    if not parent or not os.path.isdir(parent):
+        return None
+    # snapdir_099 → groups_099 (suffix-number match, reference :262-270)
+    suffix = base.rsplit("_", 1)[-1] if "_" in base else None
+    candidates = []
+    for entry in sorted(os.listdir(parent)):
+        full = os.path.join(parent, entry)
+        if full == p or not os.path.isdir(full):
+            continue
+        low = entry.lower()
+        if any(low.startswith(pat) for pat in CATALOG_DIR_PATTERNS):
+            if suffix and entry.endswith(f"_{suffix}"):
+                return full  # exact snapshot-number match wins
+            candidates.append(full)
+    return candidates[0] if candidates else None
+
+
+def register_default_fields(container, ureg=None) -> list[str]:
+    """Register the bundled derived-field recipes whose dependencies are
+    present (reference FieldDefs dependency check,
+    customs/arepo/dataset.py:108-123 + extra_fields.py:6-33). Returns
+    the names actually registered.
+    """
+    from pyspark.sql import functions as F
+
+    from scida_spark.functions.physics import temperature
+
+    registered = []
+    cols = set(container.df.columns) if container._df is not None else set()
+    if {"ElectronAbundance", "InternalEnergy"} <= cols:
+
+        @container.register_field("Temperature", units="K")
+        def _temp(c):
+            return temperature(F.col("ElectronAbundance"), F.col("InternalEnergy"))
+
+        registered.append("Temperature")
+    return registered
+
+
 def _sniff_format(path: str) -> str:
     if path.endswith((".hdf5", ".h5")):
         return "hdf5"
@@ -303,6 +397,7 @@ def load(path: str, spark: SparkSession | None = None, units: bool | str = True,
         from scida_spark.session import get_spark
 
         spark = get_spark()
+    path = resolve_path(path)
     # Detection ladder first (class-level vote); _sniff_format keeps the
     # same answer for format dispatch and errors on unknown layouts.
     dtype = determine_type(path)
