@@ -180,6 +180,85 @@ class UnitRegistry:
         return self._units["unknown"]
 
 
+# --- unit-propagating column wrapper --------------------------------------
+
+
+class UnitColumn:
+    """A (Column, Unit) pair with eager dimensional analysis — the
+    engine's pint-Quantity surface (reference fields are
+    ``pint.Quantity(dask.array)``, docs/units.md:43-57; propagation
+    happens at graph-build time, docs/tutorial/observations.md:104-112).
+
+    Arithmetic propagates units in Python while composing ordinary
+    Column expressions; Catalyst never sees units. ``+``/``-`` require
+    compatible dimensions and auto-convert the right side (pint
+    semantics); ``*``/``/``/``**`` combine dimensions; ``to()``
+    converts explicitly. Incompatible dimensions raise at expression
+    build time — before any job runs.
+    """
+
+    def __init__(self, col, unit: Unit | str, ureg: "UnitRegistry | None" = None):
+        from pyspark.sql import Column, functions as F
+
+        self.ureg = ureg or UnitRegistry()
+        self.unit = self.ureg.parse(unit) if isinstance(unit, str) else unit
+        self.col: Column = F.col(col) if isinstance(col, str) else col
+
+    # -- arithmetic ---------------------------------------------------------
+
+    def _coerce(self, other) -> "UnitColumn":
+        if isinstance(other, UnitColumn):
+            return other
+        from pyspark.sql import functions as F
+
+        return UnitColumn(F.lit(other), Unit.dimensionless(), self.ureg)
+
+    def __mul__(self, other):
+        o = self._coerce(other)
+        return UnitColumn(self.col * o.col, self.unit * o.unit, self.ureg)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other):
+        o = self._coerce(other)
+        return UnitColumn(self.col / o.col, self.unit / o.unit, self.ureg)
+
+    def __pow__(self, p: float):
+        return UnitColumn(self.col ** p, self.unit ** p, self.ureg)
+
+    def __add__(self, other):
+        o = self._coerce(other).to(self.unit)
+        return UnitColumn(self.col + o.col, self.unit, self.ureg)
+
+    def __sub__(self, other):
+        o = self._coerce(other).to(self.unit)
+        return UnitColumn(self.col - o.col, self.unit, self.ureg)
+
+    def __neg__(self):
+        return UnitColumn(-self.col, self.unit, self.ureg)
+
+    # -- conversion ---------------------------------------------------------
+
+    def to(self, target: Unit | str) -> "UnitColumn":
+        """Convert to target units (multiplies by the exact factor —
+        mirrors pint's ``.to()``, docs/units.md:69-80)."""
+        t = self.ureg.parse(target) if isinstance(target, str) else target
+        factor = self.unit.conversion_factor(t)  # raises on dim mismatch
+        col = self.col if factor == 1.0 else self.col * factor
+        return UnitColumn(col, t, self.ureg)
+
+    @property
+    def magnitude(self):
+        """The bare Column (pint ``.magnitude``)."""
+        return self.col
+
+    def alias(self, name: str):
+        return self.col.alias(name)
+
+    def __repr__(self) -> str:
+        return f"UnitColumn({self.col}, unit={self.unit})"
+
+
 # --- column metadata attachment -------------------------------------------
 
 

@@ -75,3 +75,56 @@ def test_column_metadata_roundtrip(spark, tmp_path):
     df.write.mode("overwrite").parquet(p)
     df2 = spark.read.parquet(p)
     assert get_column_unit(df2, "Masses") == "code_mass"
+
+
+# --- UnitColumn wrapper ----------------------------------------------------
+
+
+def test_unitcolumn_propagation(spark):
+    from pyspark.sql import functions as F
+    from scida_spark.units import UnitColumn, UnitRegistry
+
+    ureg = UnitRegistry()
+    df = spark.createDataFrame([(2.0, 3.0)], "d double, t double")
+    dist = UnitColumn(F.col("d"), "km", ureg)
+    dur = UnitColumn(F.col("t"), "s", ureg)
+    speed = dist / dur
+    assert speed.unit.same_dimensions(ureg.parse("cm") / ureg.parse("s"))
+    # km/s -> cm/s is a factor of 1e5.
+    v = df.select(speed.to("cm / s").alias("v")).first()["v"]
+    assert v == pytest.approx(2.0 / 3.0 * 1e5)
+
+
+def test_unitcolumn_addition_autoconverts(spark):
+    from pyspark.sql import functions as F
+    from scida_spark.units import UnitColumn, UnitRegistry
+
+    ureg = UnitRegistry()
+    df = spark.createDataFrame([(1.0, 2.0)], "a double, b double")
+    km = UnitColumn(F.col("a"), "km", ureg)
+    cm = UnitColumn(F.col("b"), "cm", ureg)
+    total = km + cm  # right side auto-converted to km
+    got = df.select(total.alias("x")).first()["x"]
+    assert got == pytest.approx(1.0 + 2.0 / 1e5)
+    assert str(total.unit) == "km"
+
+
+def test_unitcolumn_incompatible_raises(spark):
+    from pyspark.sql import functions as F
+    from scida_spark.units import UnitColumn, UnitRegistry
+
+    ureg = UnitRegistry()
+    with pytest.raises(ValueError, match="incompatible"):
+        _ = UnitColumn(F.col("a"), "km", ureg) + UnitColumn(F.col("b"), "g", ureg)
+
+
+def test_unitcolumn_power_and_scalar(spark):
+    from pyspark.sql import functions as F
+    from scida_spark.units import UnitColumn, UnitRegistry
+
+    ureg = UnitRegistry()
+    df = spark.createDataFrame([(3.0,)], "x double")
+    r = UnitColumn(F.col("x"), "cm", ureg)
+    area = (r ** 2) * 2.0
+    assert dict(area.unit.dims)["length"] == 2
+    assert df.select(area.alias("a")).first()["a"] == pytest.approx(18.0)
