@@ -201,6 +201,17 @@ class FieldContainer(MutableMapping):
             {k: v for k, v in other._aliases.items() if overwrite or k not in self._aliases}
         )
 
+    def with_units(self, key: str):
+        """Field as a :class:`~scida_spark.units.UnitColumn` (pint-
+        Quantity surface): unit taken from ``field_units`` (declared by
+        recipes or read from column metadata), dimensionless if absent.
+        """
+        from scida_spark.units import UnitColumn
+
+        col = self[key]
+        unit = self.field_units.get(self._resolve(key), "dimensionless")
+        return UnitColumn(col, unit, self.ureg)
+
     def split_vector_field(self, key: str, names: list[str] | None = None) -> list[str]:
         """Split a 2-D (array-typed) field into scalar columns
         ``key0, key1, ...`` — the reference's DataFrame-bridge behavior

@@ -26,7 +26,14 @@ GROUP_CUTOFF = 1000  # orders with key < cutoff are "halos"; the rest is the unb
 
 
 def _particles(spark, sf_dir):
-    """lineitem with uid in (l_orderkey, l_linenumber) order."""
+    """lineitem with uid in (l_orderkey, l_linenumber) order.
+
+    Deliberately NOT cached: a .cache() here materializes all 12
+    lineitem columns and defeats parquet column pruning for every
+    downstream query (measured 3-8x slower). In the real engine uid
+    comes free from ingest split bookkeeping (sources/*); recomputing
+    the two-phase ordering per query keeps each plan's scan minimal.
+    """
     li = table(spark, sf_dir, "lineitem")
     # key = l_orderkey, tie-break within key = l_linenumber
     return with_uid_by_order(li, "l_orderkey", "l_linenumber")

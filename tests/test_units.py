@@ -128,3 +128,16 @@ def test_unitcolumn_power_and_scalar(spark):
     area = (r ** 2) * 2.0
     assert dict(area.unit.dims)["length"] == 2
     assert df.select(area.alias("a")).first()["a"] == pytest.approx(18.0)
+
+
+def test_container_with_units(spark):
+    from scida_spark.fields import FieldContainer
+    from scida_spark.units import UnitRegistry
+
+    ureg = UnitRegistry()
+    df = spark.createDataFrame([(4.0,)], "Masses double")
+    cont = FieldContainer(df, name="gas", ureg=ureg)
+    cont.field_units["Masses"] = "Msun"
+    m = cont.with_units("Masses")
+    grams = df.select(m.to("g").alias("g")).first()["g"]
+    assert grams == pytest.approx(4.0 * 1.989e33)
