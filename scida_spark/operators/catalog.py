@@ -224,6 +224,52 @@ def add_group_quantity(
     return particles.join(F.broadcast(small), group_id_col, "left")
 
 
+def segmented_apply(
+    df: DataFrame,
+    key_col: str,
+    func,
+    schema: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group apply executed as a per-*block* loop — the reference's
+    actual execution shape (``wrap_func_scalar`` loops groups within a
+    dask block, arepo/dataset.py:1019-1061), in Spark terms:
+
+      repartition(key) → sortWithinPartitions(key) → mapInPandas that
+      iterates contiguous group runs inside each Arrow batch.
+
+    vs ``groupBy().applyInPandas``: one Python call per *batch* rather
+    than per *group*, so many-tiny-groups workloads (catalogs have ~1e6
+    halos of ~1e3 rows) don't pay per-group invocation overhead. Groups
+    can span Arrow batch boundaries within a partition — the trailing
+    group of each batch is held back and stitched onto the next.
+    """
+    rp = (
+        df.repartition(num_partitions, key_col)
+        if num_partitions
+        else df.repartition(key_col)
+    ).sortWithinPartitions(key_col)
+
+    def run(batches):
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None and len(pending):
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_key = pdf[key_col].iloc[-1]
+            tail_mask = pdf[key_col] == last_key
+            pending = pdf[tail_mask]
+            body = pdf[~tail_mask]
+            for _, g in body.groupby(key_col, sort=True):
+                yield func(g)
+        if pending is not None and len(pending):
+            for _, g in pending.groupby(key_col, sort=True):
+                yield func(g)
+
+    return rp.mapInPandas(run, schema)
+
+
 class GroupAwareOperation:
     """Fluent segmented-aggregation API: ``grouped(...).sum().evaluate()``.
 

@@ -186,3 +186,38 @@ def test_add_group_quantity(spark):
     assert rows[1]["GroupMass"] == 75.0
     assert rows[2]["GroupMass"] == 50.0
     assert rows[3]["GroupMass"] is None  # unbound → no halo attribute
+
+
+def test_segmented_apply_stitches_groups_across_arrow_batches(spark):
+    """A group split across Arrow batches inside a partition must be
+    reassembled before func sees it — force 7-row batches to exercise
+    the stitching path."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from scida_spark.operators.catalog import segmented_apply
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        df = spark.range(0, 200).select(
+            (F.col("id") % 13).alias("k"), F.col("id").alias("v")
+        )
+
+        def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"k": [pdf["k"].iloc[0]], "n": [len(pdf)], "s": [int(pdf["v"].sum())]}
+            )
+
+        got = {
+            r.k: (r.n, r.s)
+            for r in segmented_apply(df, "k", agg, "k long, n long, s long").collect()
+        }
+        expect = {
+            r.k: (r.n, r.s)
+            for r in df.groupBy("k")
+            .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+            .collect()
+        }
+        assert got == expect
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
