@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis) over the pure-Python kernels —
+beyond the reference's test strategy (SURVEY §5: 'property-based
+testing: not present'). No SparkSession needed; these run in ms."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from scida_spark.sources.hdf5 import plan_splits, prune_splits_for_uid_range
+from scida_spark.units import Unit, UnitRegistry
+
+
+# --- split planning: every row covered exactly once ------------------------
+
+
+@given(
+    files=st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=8),
+    target=st.integers(min_value=1, max_value=1024),
+)
+@settings(max_examples=200, deadline=None)
+def test_plan_splits_partitions_rows_exactly_once(files, target):
+    file_rows = [(f"f{i}", n) for i, n in enumerate(files)]
+    splits = plan_splits(file_rows, "c", target)
+    # Global uid coverage: [0, sum) with no gaps or overlaps.
+    ranges = sorted(
+        (s.uid_start, s.uid_start + (s.row_stop - s.row_start)) for s in splits
+    )
+    total = sum(files)
+    covered = 0
+    prev_end = 0
+    for lo, hi in ranges:
+        assert lo == prev_end
+        covered += hi - lo
+        prev_end = hi
+    assert covered == total
+    # File-local ranges never exceed the file or the target size.
+    sizes = dict(file_rows)
+    for s in splits:
+        assert 0 <= s.row_start < s.row_stop <= sizes[s.file]
+        assert s.row_stop - s.row_start <= target
+
+
+@given(
+    files=st.lists(st.integers(min_value=1, max_value=1000), min_size=1, max_size=5),
+    target=st.integers(min_value=1, max_value=256),
+    data=st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_prune_keeps_exactly_overlapping_splits(files, target, data):
+    total = sum(files)
+    lo = data.draw(st.integers(min_value=0, max_value=total))
+    hi = data.draw(st.integers(min_value=lo, max_value=total))
+    splits = plan_splits([(f"f{i}", n) for i, n in enumerate(files)], "c", target)
+    pruned = prune_splits_for_uid_range(splits, lo, hi)
+    for s in splits:
+        n = s.row_stop - s.row_start
+        overlaps = s.uid_start < hi and s.uid_start + n > lo
+        assert (s in pruned) == overlaps
+
+
+# --- unit algebra: group laws ----------------------------------------------
+
+_unit_names = st.sampled_from(["cm", "g", "s", "km", "kpc", "Msun", "Gyr"])
+
+
+@given(a=_unit_names, b=_unit_names, c=_unit_names)
+@settings(max_examples=100, deadline=None)
+def test_unit_mul_associative_and_inverse(a, b, c):
+    reg = UnitRegistry()
+    ua, ub, uc = reg[a], reg[b], reg[c]
+    lhs = (ua * ub) * uc
+    rhs = ua * (ub * uc)
+    assert lhs.same_dimensions(rhs)
+    assert abs(lhs.scale - rhs.scale) <= 1e-9 * abs(lhs.scale)
+    ident = (ua / ub) * ub
+    assert ident.same_dimensions(ua)
+    assert abs(ident.scale - ua.scale) <= 1e-9 * abs(ua.scale)
+
+
+@given(a=_unit_names, p=st.integers(min_value=-3, max_value=3))
+@settings(max_examples=100, deadline=None)
+def test_unit_power_matches_repeated_mul(a, p):
+    reg = UnitRegistry()
+    u = reg[a]
+    powed = u ** p
+    manual = Unit.dimensionless()
+    for _ in range(abs(p)):
+        manual = manual * u if p > 0 else manual / u
+    assert powed.same_dimensions(manual)
+    assert abs(powed.scale - manual.scale) <= 1e-6 * max(abs(manual.scale), 1e-300)
+
+
+@given(a=_unit_names, b=_unit_names)
+@settings(max_examples=100, deadline=None)
+def test_conversion_roundtrip(a, b):
+    reg = UnitRegistry()
+    ua, ub = reg[a], reg[b]
+    if not ua.same_dimensions(ub):
+        return
+    f = ua.conversion_factor(ub)
+    g = ub.conversion_factor(ua)
+    assert abs(f * g - 1.0) < 1e-12
