@@ -74,6 +74,51 @@ def session_windows(
     )
 
 
+def clicks_to_purchases_join(
+    events: DataFrame,
+    *,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's clicks in the preceding ``max_gap`` (no reference
+    counterpart — Structured Streaming capability, SURVEY §2.7).
+
+    Both sides carry watermarks so the join state is bounded: a click
+    is held only until the watermark passes click_ts + max_gap, then
+    evicted (Spark derives the state horizon from the time-bound
+    condition).
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col(ts_col).alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col(ts_col).alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap}"))
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        F.col("p_user").alias("user_id"), "purchase_id", "click_id",
+        "purchase_ts", "click_ts",
+    )
+
+
 def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
     """Drive a bounded streaming source to completion via the memory sink
     (complete mode) and return the result as a batch DataFrame — the

@@ -153,3 +153,40 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # The 09:00 window is below the watermark -> the late row must not
     # create or update a window; only fully-closed on-time windows emit.
     assert all(r["s"] != 99 for r in rows)
+
+
+def test_stream_stream_join_matches_batch(spark, events_stream):
+    """Stream-stream purchase⋈click join equals the batch join on the
+    bounded input."""
+    stream, batch = events_stream
+    res = SW.clicks_to_purchases_join(stream)
+    q = (
+        res.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_ssj")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM t_ssj").collect()
+    }
+    c = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    p = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    expect = {
+        (r.pid, r.cid)
+        for r in p.join(
+            c,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == expect
