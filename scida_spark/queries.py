@@ -734,3 +734,89 @@ def q_global_topn(spark, sf_dir):
             F.col("l_extendedprice").cast("double").alias("price"),
         )
     )
+
+
+@query(
+    "q_string_date_funcs",
+    """
+    SELECT UPPER(substr(c_name, 1, 8)) AS name_prefix,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(length(c_mktsegment)) AS BIGINT) AS total_seg_len
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    WHERE c_name LIKE 'Customer%'
+    GROUP BY 1, 2
+    """,
+)
+def q_string_date_funcs(spark, sf_dir):
+    """String + date function surface (upper/substr/like/length/
+    extract-year) — absent in the numeric-only reference (SURVEY §2.3),
+    native in Spark; all inside whole-stage codegen."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_name").like("Customer%"))
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.upper(F.substring("c_name", 1, 8)).alias("name_prefix"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("c_mktsegment")).cast("bigint").alias("total_seg_len"),
+        )
+    )
+
+
+@query(
+    "q_range_frame_window",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                OVER (PARTITION BY user_id ORDER BY value
+                      RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS near_sum
+    FROM events WHERE user_id < 20
+    """,
+)
+def q_range_frame_window(spark, sf_dir):
+    """RANGE-frame window (value-distance frame, not row-count): sums
+    peers within 10 units of the current value — the frame type rows-
+    based windows can't express."""
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("value")
+        .rangeBetween(-10, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("near_sum"),
+    )
+
+
+@query(
+    "q_ntile_quartiles",
+    """
+    SELECT quartile, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM (SELECT o_totalprice,
+                 CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+          FROM orders) t
+    GROUP BY quartile
+    """,
+)
+def q_ntile_quartiles(spark, sf_dir):
+    """NTILE ranking window → quartile boundaries. The global ordering
+    is a single window task over |orders| rows — acceptable for a
+    catalog-sized table; for fact tables use q_percentiles
+    (percentile_approx at scale) instead."""
+    o = table(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    t = o.select("o_totalprice", F.ntile(4).over(w).cast("int").alias("quartile"))
+    return t.groupBy("quartile").agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+    )

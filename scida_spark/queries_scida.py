@@ -547,3 +547,27 @@ def scida_global_running_sum(spark, sf_dir):
         F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
         F.col("running").cast("double").alias("running"),
     )
+
+
+@query(
+    "scida_histogram1d_weighted",
+    """
+    SELECT CAST(CASE WHEN value = 100 THEN 19 ELSE FLOOR(value / 5.0) END AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS count,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS weight_sum
+    FROM events WHERE value >= 0 AND value <= 100
+    GROUP BY 1
+    """,
+)
+def scida_histogram1d_weighted(spark, sf_dir):
+    """Weighted 1-D histogram (reference da.histogram with weights,
+    docs/tutorial/observations.md:120-141) — numpy edge convention:
+    value == hi lands in the last bin."""
+    ev = table(spark, sf_dir, "events")
+    out = H.histogram1d(
+        ev.withColumn("value_dec", F.col("value").cast(DEC)),
+        "value", 0.0, 100.0, 20, weight_col="value_dec",
+    )
+    return out.select(
+        "bin", "count", F.col("weight_sum").cast("double").alias("weight_sum")
+    )
