@@ -208,6 +208,35 @@ def add_group_ids_rangejoin(
     ).drop("__gid", "__off", "__end")
 
 
+def add_group_ids_auto(
+    particles: DataFrame,
+    catalog: DataFrame,
+    *,
+    length_col: str = "GroupLen",
+    group_order_col: str = "GroupID",
+    uid_col: str = "uid",
+    out_col: str = "GroupID",
+    broadcast_limit: int = 50_000_000,
+) -> DataFrame:
+    """Pick the catalog-ID strategy by catalog size: broadcast
+    searchsorted (fast path — one narrow map over the particles) while
+    the boundary array fits comfortably in driver/executor memory
+    (~8 bytes x rows), else the range-join fallback. Mirrors Spark's
+    own broadcast-threshold logic, applied to our custom kernel.
+    """
+    n = catalog.count()
+    if n <= broadcast_limit:
+        return add_group_ids(
+            particles, catalog, length_col=length_col,
+            group_order_col=group_order_col, uid_col=uid_col, out_col=out_col,
+        )
+    cat = group_offsets(catalog, length_col, group_order_col)
+    return add_group_ids_rangejoin(
+        particles, cat, length_col=length_col, group_id_col=group_order_col,
+        uid_col=uid_col, out_col=out_col,
+    )
+
+
 def add_group_quantity(
     particles: DataFrame,
     catalog: DataFrame,

@@ -221,3 +221,19 @@ def test_segmented_apply_stitches_groups_across_arrow_batches(spark):
         assert got == expect
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_add_group_ids_auto_both_paths(spark):
+    from pyspark.sql import functions as F
+    from scida_spark.operators.catalog import SENTINEL, add_group_ids_auto
+
+    parts = spark.range(0, 100).select(F.col("id").alias("uid"))
+    cat = spark.createDataFrame(
+        [(0, 40), (1, 30), (2, 20)], "GroupID long, GroupLen long"
+    )
+    expect = [0] * 40 + [1] * 30 + [2] * 20 + [SENTINEL] * 10
+    fast = add_group_ids_auto(parts, cat)
+    assert [r.GroupID for r in fast.orderBy("uid").collect()] == expect
+    # Force the range-join fallback with a tiny broadcast limit.
+    slow = add_group_ids_auto(parts, cat, broadcast_limit=1)
+    assert [r.GroupID for r in slow.orderBy("uid").collect()] == expect
