@@ -509,3 +509,38 @@ def dedup_cc_clusters(spark, sf_dir):
         F.col("node").cast("bigint").alias("node"),
         F.col("cluster_id").cast("bigint").alias("cluster_id"),
     )
+
+
+@query(
+    "text_bpe_token_count",
+    r"""
+    WITH t AS (
+      SELECT lang,
+             regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]') AS toks
+      FROM documents),
+    s AS (
+      SELECT lang, len(toks) AS n_tok,
+             len(list_filter(toks, x -> regexp_matches(x, '^[^A-Za-z0-9]$'))) AS n_punct
+      FROM t)
+    SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(n_punct) AS BIGINT) AS total_punct,
+           CAST(MAX(n_tok) AS BIGINT) AS max_bpe_tokens
+    FROM s GROUP BY lang
+    """,
+)
+def text_bpe_token_count(spark, sf_dir):
+    """BPE-ish tokenization (letter runs / single digits / punctuation —
+    the GPT-style pre-tokenizer split) + punctuation counts per
+    language. Identical regex engine semantics both sides (verified)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("lang", TX.bpe_tokens(F.col("text")).alias("toks"))
+    s = toks.select(
+        "lang",
+        F.size("toks").alias("n_tok"),
+        F.size(F.filter("toks", lambda t: t.rlike(r"^[^A-Za-z0-9]$"))).alias("n_punct"),
+    )
+    return s.groupBy("lang").agg(
+        F.sum("n_tok").cast("bigint").alias("total_bpe_tokens"),
+        F.sum("n_punct").cast("bigint").alias("total_punct"),
+        F.max("n_tok").cast("bigint").alias("max_bpe_tokens"),
+    )
