@@ -92,6 +92,14 @@ def read_zarray_meta(array_dir: str) -> ZarrArrayMeta:
         )
     if z["dtype"] not in _DTYPE_MAP:
         raise ValueError(f"{array_dir}: dtype {z['dtype']!r} unsupported")
+    # Only row-chunked 2-D arrays: a second chunk axis would mean
+    # multiple files per row chunk ("i.j" grid) — reject rather than
+    # silently read a partial width.
+    if len(z["shape"]) == 2 and z["chunks"][1] != z["shape"][1]:
+        raise ValueError(
+            f"{array_dir}: column-chunked 2-D arrays unsupported "
+            f"(chunks {z['chunks']} vs shape {z['shape']})"
+        )
     return ZarrArrayMeta(
         path=array_dir,
         name=os.path.basename(array_dir.rstrip("/")),

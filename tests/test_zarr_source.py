@@ -142,3 +142,16 @@ def test_save_load_roundtrip(spark, tmp_path):
     assert list(back[499].Coordinates) == pytest.approx(list(coords[499]))
     got_sum = sum(r.Masses for r in back)
     assert got_sum == pytest.approx(float(masses.sum()))
+
+
+def test_column_chunked_2d_rejected(tmp_path):
+    import json
+
+    d = tmp_path / "colchunk"
+    d.mkdir()
+    (d / ".zarray").write_text(json.dumps({
+        "zarr_format": 2, "shape": [10, 8], "chunks": [5, 4], "dtype": "<f8",
+        "compressor": None, "fill_value": 0, "order": "C", "filters": None,
+    }))
+    with pytest.raises(ValueError, match="column-chunked"):
+        read_zarray_meta(str(d))
