@@ -191,6 +191,12 @@ class Dataset:
         FieldContainer tree of filtered DataFrames."""
         from scida_spark.operators import catalog as C
 
+        if haloID is not None and subhaloID is not None and localSubhaloID is None:
+            raise ValueError(
+                "specify either haloID (optionally with localSubhaloID) or "
+                "subhaloID, not both — a combined filter would silently "
+                "return the whole halo"
+            )
         out = FieldContainer(name=self.data.name)
         for name, cont in self.containers.items():
             df = cont._df

@@ -169,9 +169,15 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """Universal-hash coefficients sized so (a*x + b) NEVER overflows
+    uint64: a,b < 2^31 and inputs reduced to 32 bits, so a*x+b < 2^63
+    and the mod-Mersenne reduction is exact. (A previous draw from
+    [1, 2^61) silently wrapped mod 2^64, leaving an ad-hoc hash family
+    whose band-collision probability no longer tracked MinHash theory.)
+    """
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    a = rng.randint(1, 1 << 31, size=num_perm, dtype=np.int64)
+    b = rng.randint(0, 1 << 31, size=num_perm, dtype=np.int64)
     return a, b
 
 
@@ -194,20 +200,25 @@ def minhash_signatures(
     @F.pandas_udf("array<long>")
     def _sig(hashes: pd.Series) -> pd.Series:
         aa, bb = bcast.value
+        a64 = aa[:, None].astype(np.uint64)
+        b64 = bb[:, None].astype(np.uint64)
         out = []
         for hs in hashes:
-            if len(hs) == 0:
-                # doc shorter than the shingle width → empty set; fixed
-                # max-valued signature (never collides with real minima)
-                out.append(np.full(len(aa), _MERSENNE - 1, dtype=np.int64))
-                continue
-            h = np.asarray(hs, dtype=np.int64).astype(np.uint64) % _MERSENNE
-            # (num_perm, n_shingles) via broadcasting, min along shingles.
-            vals = (aa[:, None].astype(np.uint64) * h[None, :] + bb[:, None].astype(np.uint64)) % _MERSENNE
+            # Reduce shingle hashes to 32 bits so a*x+b stays < 2^63
+            # (no uint64 wrap → the Mersenne universal family is exact).
+            h = (np.asarray(hs, dtype=np.int64).astype(np.uint64) >> np.uint64(32))
+            vals = (a64 * h[None, :] + b64) % _MERSENNE
             out.append(vals.min(axis=1).astype(np.int64))
         return pd.Series(out)
 
-    return sh.select("doc", _sig(F.col("hashes")).alias("signature"))
+    # Docs with no shingles (shorter than the n-gram width) have no
+    # signature at all: an empty set has Jaccard 0/undefined with
+    # everything, and a shared sentinel signature would make ALL short
+    # docs collide in every band — a quadratic candidate blow-up on
+    # real corpora.
+    return sh.filter(F.size("hashes") > 0).select(
+        "doc", _sig(F.col("hashes")).alias("signature")
+    )
 
 
 def lsh_candidate_pairs(
@@ -385,16 +396,28 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str, bits: int = 64
 def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by Hamming distance over SimHash signatures.
 
-    Block on 4 x 16-bit chunks (pigeonhole: distance ≤3 ⇒ at least one
-    chunk equal) so the join is equi on chunk values, never all-pairs.
+    Pigeonhole blocking: split the 64 bits into ``max_hamming + 1``
+    chunks — distance ≤ d flips at most d chunks, so at least one chunk
+    is equal and the join is equi on chunk values, never all-pairs.
+    (A fixed 4-chunk split is only complete for d ≤ 3; the chunk count
+    must follow the requested distance or recall silently drops.)
     """
+    nchunks = max_hamming + 1
+    if nchunks > 64:
+        raise ValueError("max_hamming must be < 64")
+    base = 64 // nchunks
+    rem = 64 % nchunks
+    widths = [base + (1 if i < rem else 0) for i in range(nchunks)]
+    offs = [sum(widths[:i]) for i in range(nchunks)]
     chunks = [
-        F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
-        for i in range(4)
+        F.shiftrightunsigned(F.col("simhash"), offs[i])
+        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+        .alias(f"c{i}")
+        for i in range(nchunks)
     ]
     blocked = signatures.select("doc", "simhash", *chunks)
     pieces = []
-    for i in range(4):
+    for i in range(nchunks):
         a = blocked.select(
             F.col("doc").alias("doc_a"), F.col("simhash").alias("sig_a"), F.col(f"c{i}").alias("ck")
         )

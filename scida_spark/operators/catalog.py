@@ -370,16 +370,24 @@ class GroupAwareOperation:
                 for f in self._fields:
                     aggs.append(fn(f).alias(f"{op}_{f}"))
             return df.groupBy(g).agg(*aggs)
-        # Chained / custom ops: applyInPandas per group.
+        # Chained / custom ops: applyInPandas per group. Ops apply
+        # SEQUENTIALLY on this path (half → sum means "sum of the first
+        # half"), mirroring the reference's ChainOps composition
+        # (arepo/dataset.py:789-823); the pure-builtin fast path above
+        # instead evaluates each reduction independently in one agg.
         ops = self._ops
         fields = self._fields
 
         last_apply = next(((fn, sch) for op, (fn, sch) in reversed([
             (o, p) for o, p in ops if o == "apply"
         ])), None)
+        has_apply = last_apply is not None
 
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
-            out = pdf
+            # Restrict to the declared frame (group key + fields): the
+            # input carries every df column, which would not match the
+            # default output schema for non-reducing chains like half().
+            out = pdf[[g, *[f for f in fields if f != g]]]
             for op, payload in ops:
                 if op == "half":
                     out = out.iloc[: max(1, len(out) // 2)]
@@ -391,12 +399,14 @@ class GroupAwareOperation:
                     out = fn(out)
             if g not in out.columns:
                 out = out.assign(**{g: pdf[g].iloc[0]})
+            if not has_apply:
+                out = out.astype({f: "float64" for f in fields if f in out.columns})
             return out
 
-        if last_apply is not None:
+        if has_apply:
             schema = last_apply[1]
         else:
-            # builtin chain ending in reduction → one row of doubles
+            # builtin/half chain → (key, fields-as-double)
             schema = ", ".join([f"{g} long"] + [f"{f} double" for f in fields])
         return df.groupBy(g).applyInPandas(run, schema=schema)
 

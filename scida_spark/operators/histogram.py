@@ -18,8 +18,10 @@ from pyspark.sql import functions as F
 def _bin_index(x: Column, lo: float, hi: float, nbins: int) -> Column:
     width = (hi - lo) / nbins
     raw = F.floor((x - F.lit(lo)) / F.lit(width)).cast("long")
-    # numpy convention: x == hi falls in the last bin.
-    return F.when(x == F.lit(hi), F.lit(nbins - 1)).otherwise(raw)
+    # numpy convention: x == hi falls in the last bin; the least() also
+    # clips in-range values whose inexact division rounds up to nbins
+    # (possible when width is not exactly representable).
+    return F.least(raw, F.lit(nbins - 1))
 
 
 def histogram1d(

@@ -30,12 +30,18 @@ def salted_agg(
 
     ``partial_aggs`` run per (key, salt); ``merge_aggs`` combine the
     ``nsalt`` partials per key (they reference the partial output
-    columns). The salt is deterministic-per-row via a hash of the full
-    row's shuffle-independent columns — monotonically_increasing_id is
-    avoided (not stable across retries); pmod(hash(all cols), nsalt)
-    spreads rows of a hot key evenly without RNG.
+    columns). Salt = hash(row columns, partition id): the partition-id
+    term spreads byte-identical duplicate rows (the typical hot key in
+    dedup workloads) that a pure row hash would send to one bucket.
+    Which salt a row lands in never affects the merged result — the
+    (partial, merge) pair must be assignment-independent, as all
+    algebraic aggregates are — so task retries changing partition ids
+    are harmless.
     """
-    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(nsalt))
+    salt = F.pmod(
+        F.hash(*[F.col(c) for c in df.columns], F.spark_partition_id()),
+        F.lit(nsalt),
+    )
     partial = (
         df.withColumn("__salt", salt)
         .groupBy(key_col, "__salt")

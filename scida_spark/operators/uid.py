@@ -65,7 +65,15 @@ def with_uid_ingest_order(df: DataFrame, uid_col: str = "uid") -> DataFrame:
     exact per-partition counts, so uids are dense 0..N-1.
     """
     pid = F.spark_partition_id()
-    local = df.withColumn("__pid", pid).withColumn("__mono", F.monotonically_increasing_id())
+    # localCheckpoint pins ONE physical materialization: the per-pid
+    # counts (job 1) and the uid assignment (job 2) must see identical
+    # partition ids / row order, which AQE re-planning or shuffle-fetch
+    # nondeterminism would otherwise break between jobs.
+    local = (
+        df.withColumn("__pid", pid)
+        .withColumn("__mono", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
     counts = local.groupBy("__pid").count().orderBy("__pid").collect()
     acc = 0
     rows = []

@@ -425,7 +425,7 @@ def q_histogram2d_events(spark, sf_dir):
     "q_sessionization",
     """
     WITH g AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE OR
                        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -433,7 +433,7 @@ def q_histogram2d_events(spark, sf_dir):
       FROM events),
     s AS (
       SELECT user_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM g)
     SELECT user_id, CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
@@ -454,7 +454,14 @@ def q_sessionization(spark, sf_dir):
         "new_session",
         F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
     )
-    ws = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # Tie-break must match the lag window's (ts, event_id) ordering —
+    # ts-only ordering is ambiguous for same-ts events and flakes the
+    # cross-engine hash.
+    ws = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     s = g.withColumn("session_id", F.sum("new_session").over(ws))
     return s.groupBy("user_id").agg(
         F.countDistinct("session_id").alias("n_sessions"), F.count("*").alias("n_events")

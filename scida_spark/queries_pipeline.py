@@ -418,7 +418,7 @@ def stream_sliding_counts(spark, sf_dir):
     "stream_session_windows",
     """
     WITH g AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -426,7 +426,7 @@ def stream_sliding_counts(spark, sf_dir):
       FROM events),
     s AS (
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM g)
     SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
@@ -445,7 +445,11 @@ def stream_session_windows(spark, sf_dir):
     g = ev.withColumn(
         "new_session", F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
     )
-    ws = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ws = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     s = g.withColumn("session_id", F.sum("new_session").over(ws))
     return s.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),

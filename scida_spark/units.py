@@ -143,8 +143,11 @@ class UnitRegistry:
             return Unit.dimensionless()
         if expr in self._units:
             return self._units[expr]
-        # tiny recursive-descent-free evaluation: split on / then single *
-        num, _, den = expr.partition("/")
+        # tiny recursive-descent-free evaluation: left-assoc division
+        # (a/b/c = a/(b*c)) — every '/'-separated segment after the
+        # first is a denominator factor.
+        parts = expr.split("/")
+        num, den_parts = parts[0], parts[1:]
 
         def atom(tok: str) -> Unit:
             tok = tok.strip()
@@ -162,7 +165,8 @@ class UnitRegistry:
             # split on '*' that is not part of '**'
             return [t for t in re.split(r"(?<!\*)\*(?!\*)", s) if t.strip()]
 
-        num_toks, den_toks = tokens(num), tokens(den)
+        num_toks = tokens(num)
+        den_toks = [t for p in den_parts for t in tokens(p)]
         if len(num_toks) == 1 and not den_toks:
             return atom(num_toks[0])  # preserve unit name for single tokens
         u = Unit.dimensionless()
