@@ -827,3 +827,29 @@ def q_ntile_quartiles(spark, sf_dir):
         F.min("o_totalprice").cast("double").alias("lo"),
         F.max("o_totalprice").cast("double").alias("hi"),
     )
+
+
+@query(
+    "q_corr_stats",
+    """
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc,
+           ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_corr_stats(spark, sf_dir):
+    """Statistical aggregates (corr / covar_samp / stddev_samp) — one
+    shuffle with mergeable moment sketches (sum, sum-of-squares,
+    cross-products), so the plan is identical in shape to a plain sum
+    at any scale. Rounded to 6 decimals: the moment accumulation order
+    differs between engines at ~1e-12."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.count("*").alias("n"),
+    )
