@@ -58,3 +58,20 @@ def running_user_stats(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def write_stream_foreach_batch(stream_df: DataFrame, out_dir: str, checkpoint_dir: str):
+    """foreachBatch parquet sink: per-micro-batch idempotent write keyed
+    by batch_id (the standard exactly-once-to-storage pattern — replays
+    of a batch after failure overwrite the same directory instead of
+    duplicating rows). Returns the started StreamingQuery.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -190,3 +190,16 @@ def test_stream_stream_join_matches_batch(spark, events_stream):
         ).collect()
     }
     assert got == expect
+
+
+def test_foreach_batch_sink_roundtrip(spark, events_stream, tmp_path):
+    stream, batch = events_stream
+    out = str(tmp_path / "fb_out")
+    ck = str(tmp_path / "fb_ck")
+    q = SD.write_stream_foreach_batch(stream, out, ck)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    written = spark.read.parquet(out + "/batch_id=*")
+    assert written.count() == batch.count()
