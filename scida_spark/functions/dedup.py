@@ -270,14 +270,20 @@ def minhash_dedup_pairs(
     # both sides, and without the cache the Pandas-UDF minhash kernel
     # re-runs once per side per band expression.
     sigs = minhash_signatures(df, id_col, text_col, n, num_perm, seed).cache()
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band).cache()
     sh = shingle_hash_table(df, id_col, text_col, n)
     a = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
-    # Candidates are tiny (LSH prunes ~all pairs) → broadcast them so the
-    # shingle table streams through two broadcast joins, no shuffle.
+    # On a sparse-duplicate corpus LSH prunes ~all pairs → broadcast the
+    # candidates so the shingle table streams through two broadcast
+    # joins with no shuffle. But candidate count scales with the SQUARE
+    # of near-dup cluster sizes (measured: 20x corpus of dense replicas
+    # → 400x candidates), so past a size bound fall back to shuffle
+    # joins rather than OOM the driver/executors on the broadcast.
+    n_cands = cands.count()
+    cand_side = F.broadcast(cands) if n_cands <= 2_000_000 else cands
     verified = (
-        F.broadcast(cands).join(a, "doc_a")
+        cand_side.join(a, "doc_a")
         .join(b, "doc_b")
         .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn("n_union", F.size(F.array_union("sh_a", "sh_b")))
