@@ -43,6 +43,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # Vectorized-kernel batch size: the 10k default throttles the
+        # Pandas-UDF kernels with Python round-trip overhead (measured
+        # 3x on the 12M-row catalog-ID kernel). 128k rows ≈ 1-8 MB
+        # Arrow batches for the numeric columns these kernels carry.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
         # spark.sql.files.maxPartitionBytes stays at the 128 MB default:
         # measured at sf0.1, smaller splits change nothing once the JVM
         # is warm (per-query planning overhead dominates, not scan
@@ -69,4 +74,7 @@ def ensure_session_defaults(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # Perf-only (never value-affecting): larger Arrow batches for the
+    # Pandas-UDF kernels — see get_spark.
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
     return spark
