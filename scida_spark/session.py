@@ -77,4 +77,7 @@ def ensure_session_defaults(spark: SparkSession) -> SparkSession:
     # Perf-only (never value-affecting): larger Arrow batches for the
     # Pandas-UDF kernels — see get_spark.
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
+    # Externally-created sessions default to 200 shuffle partitions —
+    # pointless task overhead at test scale; AQE still re-coalesces.
+    spark.conf.set("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
     return spark

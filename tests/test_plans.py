@@ -73,3 +73,11 @@ def test_sum_masses_is_scan_plus_agg_only(spark, sf_dir, reg):
     p = _plan(spark, reg["scida_sum_masses"](spark, sf_dir))
     assert "Join" not in p
     assert p.count("Exchange") <= 2  # single-partition final agg exchange
+
+
+def test_global_topn_is_take_ordered(spark, sf_dir, reg):
+    """orderBy+limit must plan as TakeOrderedAndProject (per-partition
+    heaps + driver merge of N rows), never a full global sort."""
+    p = _plan(spark, reg["q_global_topn"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p.split("TakeOrderedAndProject")[0]
