@@ -1,0 +1,94 @@
+"""Streaming npy source: tail a growing on-disk array as micro-batches.
+
+Completes the custom-source story (SURVEY §2.7 is net-new capability):
+the same npy-dir layout the batch source reads (sources/npy.py) exposed
+through Spark 4's ``SimpleDataSourceStreamReader`` — each trigger reads
+the rows appended since the last committed offset, so a simulation
+writing snapshots row-by-row (or a pipeline appending documents) can be
+consumed incrementally with the full Structured Streaming machinery
+(windows, watermarks, stateful ops) downstream.
+
+Offsets are ``{"row": n}`` — exactly-once via Spark's offset log: on
+restart, ``readBetweenOffsets`` replays the committed range
+deterministically from the immutable rows on disk.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.types import StructType
+
+from scida_spark.sources.npy import discover_schema
+
+
+class NpyStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, path: str, schema: StructType, rows_per_batch: int):
+        self.path = path
+        self.schema_ = schema
+        self.rows_per_batch = rows_per_batch
+        self.fields = [f.name for f in schema.fields if f.name != "uid"]
+
+    def initialOffset(self) -> dict:  # noqa: N802 (Spark API name)
+        return {"row": 0}
+
+    def _current_rows(self) -> int:
+        # Re-discover on every trigger: the array may have grown
+        # (writers replace the .npy files with longer ones).
+        _, nrows, _ = discover_schema(self.path)
+        return nrows
+
+    def _read_range(self, lo: int, hi: int):
+        # Returns a LIST: the runtime pickles the prefetched batch into
+        # its offset cache for replay, so a generator won't do.
+        if hi <= lo:
+            return []
+        arrays = {}
+        for name in self.fields:
+            arrays[name] = np.load(
+                os.path.join(self.path, name + ".npy"), mmap_mode="r"
+            )[lo:hi]
+        out = []
+        for i in range(hi - lo):
+            row = [lo + i]
+            for name in self.fields:
+                v = arrays[name][i]
+                row.append(v.tolist() if getattr(v, "ndim", 0) else v.item())
+            out.append(tuple(row))
+        return out
+
+    def read(self, start: dict):
+        lo = start["row"]
+        hi = min(self._current_rows(), lo + self.rows_per_batch)
+        # iter() over a materialized list: the runtime drives it as an
+        # iterator but pickles the MATERIALIZED rows into its prefetch
+        # cache (a bare generator fails pickling; a bare list fails
+        # next()).
+        return iter(self._read_range(lo, hi)), {"row": max(hi, lo)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
+        return iter(self._read_range(start["row"], end["row"]))
+
+    def commit(self, end: dict) -> None:
+        pass  # rows are immutable on disk; nothing to clean up
+
+
+class NpyStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "npystream"
+
+    def schema(self) -> StructType:
+        schema, _, _ = discover_schema(self.options["path"])
+        return schema
+
+    def simpleStreamReader(self, schema: StructType) -> NpyStreamReader:  # noqa: N802
+        return NpyStreamReader(
+            self.options["path"], schema, int(self.options.get("rows_per_batch", 1 << 16))
+        )
+
+
+def register(spark) -> None:
+    spark.dataSource.register(NpyStreamDataSource)

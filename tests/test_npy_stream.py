@@ -1,0 +1,73 @@
+"""Streaming npy source: micro-batch tailing of a growing array,
+exactly-once offsets, downstream aggregation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scida_spark.sources.npy_stream import register
+
+
+def _write(d, n, start=0):
+    vals = np.arange(start, start + n, dtype=np.float64)
+    full = np.concatenate([np.arange(0, start, dtype=np.float64), vals])
+    np.save(d / "Value.npy", full)
+
+
+def test_stream_reads_all_rows_in_batches(spark, tmp_path):
+    _write(tmp_path, 250)
+    register(spark)
+    stream = (
+        spark.readStream.format("npystream")
+        .option("path", str(tmp_path))
+        .option("rows_per_batch", 100)
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("npys_all")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM npys_all").collect()
+    assert len(rows) == 250
+    assert sorted(r.uid for r in rows) == list(range(250))
+    got = {r.uid: r.Value for r in rows}
+    assert got[123] == pytest.approx(123.0)
+
+
+def test_stream_picks_up_appended_rows(spark, tmp_path):
+    _write(tmp_path, 100)
+    register(spark)
+    stream = (
+        spark.readStream.format("npystream")
+        .option("path", str(tmp_path))
+        .option("rows_per_batch", 1000)
+        .load()
+    )
+    agg = stream.groupBy().agg(
+        F.count("*").alias("n"), F.sum("Value").alias("s")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("npys_grow")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = spark.sql("SELECT * FROM npys_grow").first()
+        assert first.n == 100
+        _write(tmp_path, 50, start=100)  # array grows to 150 rows
+        q.processAllAvailable()
+        second = spark.sql("SELECT * FROM npys_grow").first()
+        assert second.n == 150
+        assert second.s == pytest.approx(float(np.arange(150).sum()))
+    finally:
+        q.stop()
