@@ -853,3 +853,32 @@ def q_corr_stats(spark, sf_dir):
         F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "q_grouping_sets",
+    """
+    SELECT COALESCE(l_returnflag, '<any>') AS returnflag,
+           COALESCE(CAST(l_linenumber AS VARCHAR), '<any>') AS linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linenumber))
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (disjoint dimensions in one pass —
+    distinct from ROLLUP's hierarchy; absent in the reference, SURVEY
+    §2.5). One scan expands to both groupings before the shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, '<any>') AS returnflag,
+               COALESCE(CAST(l_linenumber AS STRING), '<any>') AS linenumber,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM {li}
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linenumber))
+        """,
+        li=li,
+    )

@@ -571,3 +571,32 @@ def scida_histogram1d_weighted(spark, sf_dir):
     return out.select(
         "bin", "count", F.col("weight_sum").cast("double").alias("weight_sum")
     )
+
+
+@query(
+    "scida_shcounts",
+    f"""
+    WITH subs AS (
+      SELECT l_orderkey AS grnr,
+             ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS subhalo_id
+      FROM lineitem WHERE l_orderkey < {GROUP_CUTOFF})
+    SELECT CAST(grnr AS BIGINT) AS grnr,
+           CAST(COUNT(*) AS BIGINT) AS n_subhalos,
+           CAST(MIN(subhalo_id) AS BIGINT) AS first_subhalo
+    FROM subs GROUP BY grnr
+    """,
+)
+def scida_shcounts(spark, sf_dir):
+    """Reverse-FK build: per halo, subhalo count + first subhalo index —
+    the reference's ``get_shcounts_shcells`` numba kernel
+    (arepo/dataset.py:1317-1349) as one groupBy (SURVEY §2.4). The
+    subhalo table is synthesized from lineitems with a global index."""
+    subs = _particles(spark, sf_dir).filter(
+        F.col("l_orderkey") < GROUP_CUTOFF
+    ).select(F.col("l_orderkey").alias("grnr"), F.col("uid").alias("subhalo_id"))
+    return subs.groupBy("grnr").agg(
+        F.count("*").alias("n_subhalos"),
+        F.min("subhalo_id").alias("first_subhalo"),
+    ).select(
+        F.col("grnr").cast("bigint").alias("grnr"), "n_subhalos", "first_subhalo"
+    )
