@@ -25,6 +25,7 @@ the actual byte-reading kernel raises ImportError with instructions.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 try:
@@ -33,6 +34,26 @@ try:
     HAS_H5PY = True
 except ImportError:
     HAS_H5PY = False
+
+# Pluggable backend: the name of a module exposing the h5py File API
+# (``File(path, "r")`` → mapping of groups/datasets with .shape/.dtype
+# and slice reads). Default "h5py"; tests inject
+# ``scida_spark.sources.h5_shim`` so the FULL read kernel — the exact
+# code that runs with h5py — executes in CI against directory-backed
+# stores. A module NAME (not object) because executors re-import it in
+# each worker process.
+_H5_BACKEND = "h5py"
+
+
+def set_h5_backend(module_name: str) -> None:
+    global _H5_BACKEND
+    _H5_BACKEND = module_name
+
+
+def _h5_module(name: str | None = None):
+    import importlib
+
+    return importlib.import_module(name or _H5_BACKEND)
 
 
 @dataclass(frozen=True)
@@ -90,49 +111,139 @@ def prune_splits_for_uid_range(
     return out
 
 
-def _require_h5py():
-    if not HAS_H5PY:
+def _require_backend():
+    if _H5_BACKEND == "h5py" and not HAS_H5PY:
         raise ImportError(
             "HDF5 reading requires h5py, which is not installed in this "
-            "environment. The split planner (plan_splits) and uid/pruning "
-            "logic are importable and tested; install h5py to enable "
-            "load_hdf5_dataset()."
+            "environment. The split planner (plan_splits), uid/pruning "
+            "logic, AND the full read kernel are tested via the "
+            "h5_shim backend (set_h5_backend); install h5py to read "
+            "real HDF5 files with the identical code path."
         )
 
 
-def read_splits_arrow(spark, splits: list[Split], columns: list[str], schema):
-    """Distributed read: parallelize the split plan, mapInArrow each split
-    to Arrow batches read with h5py (projection: only ``columns``)."""
-    _require_h5py()
-    import pandas as pd  # noqa: F401 — used inside the UDF closure
+def walk_container(h5file, container: str) -> list[DatasetInfo]:
+    """Schema walk of one group: (name, rows, width, dtype) per dataset
+    (reference helpers_hdf5.py:55-135). ``h5file`` is an open backend
+    File object."""
+    grp = h5file[container]
+    out = []
+    for name in sorted(grp.keys()):
+        ds = grp[name]
+        shape = getattr(ds, "shape", None)
+        if shape is None or len(shape) > 2:
+            continue
+        width = shape[1] if len(shape) == 2 else 1
+        out.append(DatasetInfo(container, name, shape[0], width, str(ds.dtype)))
+    return out
 
+
+def read_splits_arrow(spark, splits: list[Split], columns: list[str], schema,
+                      backend: str | None = None):
+    """Distributed read: parallelize the split plan, mapInArrow each split
+    to Arrow batches read with the h5 backend (projection: only
+    ``columns``). The kernel body is identical for h5py and the tested
+    shim — only the imported module differs."""
+    backend_name = backend or _H5_BACKEND
+    if backend_name == "h5py":
+        _require_backend()
     split_rows = [(s.file, s.container, s.row_start, s.row_stop, s.uid_start) for s in splits]
     plan_df = spark.createDataFrame(
         split_rows, "file string, container string, row_start long, row_stop long, uid_start long"
     ).repartition(max(1, len(split_rows)))
 
     def read_one(iterator):
-        import h5py as _h5
+        import numpy as np
         import pyarrow as pa
 
+        _h5 = _h5_module(backend_name)
         for batch in iterator:
             for row in batch.to_pylist():
                 with _h5.File(row["file"], "r") as fh:
                     grp = fh[row["container"]]
                     lo, hi = row["row_start"], row["row_stop"]
-                    data = {"uid": list(range(row["uid_start"], row["uid_start"] + hi - lo))}
+                    data = {
+                        "uid": np.arange(
+                            row["uid_start"], row["uid_start"] + hi - lo, dtype=np.int64
+                        )
+                    }
                     for c in columns:
-                        arr = grp[c][lo:hi]
+                        arr = np.asarray(grp[c][lo:hi])
                         data[c] = arr.tolist() if arr.ndim > 1 else arr
                     yield pa.RecordBatch.from_pydict(data)
 
     return plan_df.mapInArrow(read_one, schema)
 
 
-def load_hdf5_dataset(path: str, spark, **kwargs):
-    """Full HDF5 → Dataset load (schema walk + splits + containers)."""
-    _require_h5py()
-    raise NotImplementedError(
-        "end-to-end HDF5 load pending an environment with h5py; "
-        "use plan_splits/read_splits_arrow building blocks"
+def load_hdf5_dataset(path: str, spark, rows_per_split: int = 1 << 20,
+                      backend: str | None = None):
+    """Full HDF5(-API) → Dataset load: schema walk → per-container
+    splits → distributed Arrow read. Multi-file series (``prefix.N``)
+    are numeric-sorted and concatenated via uid bookkeeping
+    (reference io/_base.py:974-1045 + virtual concat §2.1)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
     )
+
+    from scida_spark.dataset import Dataset
+    from scida_spark.fields import FieldContainer
+    from scida_spark.units import UnitRegistry
+
+    backend_name = backend or _H5_BACKEND
+    if backend_name == "h5py":
+        _require_backend()
+    _h5 = _h5_module(backend_name)
+    dtype_map = {
+        "float32": FloatType(), "float64": DoubleType(),
+        "int32": IntegerType(), "int64": LongType(),
+        "uint32": LongType(), "uint64": LongType(),
+    }
+    # Multi-file series: numeric-sorted *.hdf5/*.h5 children (".h5dir"
+    # = a directory acting as one shim file). A path that is itself one
+    # file (or shim store) stays a single-element list.
+    files = [path]
+    if os.path.isdir(path):
+        cand = sorted(
+            (e for e in os.listdir(path) if e.endswith((".hdf5", ".h5", ".h5dir"))),
+            key=lambda e: [int(t) if t.isdigit() else t for t in e.replace(".", " ").split()],
+        )
+        if cand:
+            files = [os.path.join(path, e) for e in cand]
+    ureg = UnitRegistry()
+    root = FieldContainer(name=os.path.basename(path.rstrip("/")))
+    # Containers discovered from the first file; per-file row counts per
+    # container accumulate into the global uid.
+    with _h5.File(files[0], "r") as fh:
+        containers = [k for k in sorted(fh.keys()) if hasattr(fh[k], "keys")]
+    for cont_name in containers:
+        file_rows = []
+        infos = None
+        for f in files:
+            with _h5.File(f, "r") as fh:
+                ds_infos = walk_container(fh, cont_name)
+                if infos is None:
+                    infos = ds_infos
+                file_rows.append((f, ds_infos[0].rows if ds_infos else 0))
+        if not infos:
+            continue
+        fields = [StructField("uid", LongType(), False)]
+        cols = []
+        for info in infos:
+            t = dtype_map.get(info.dtype)
+            if t is None:
+                continue  # skip unsupported (reference io/_base.py:706-714)
+            fields.append(
+                StructField(info.name, ArrayType(t, False) if info.width > 1 else t, False)
+            )
+            cols.append(info.name)
+        schema = StructType(fields)
+        splits = plan_splits(file_rows, cont_name, rows_per_split)
+        df = read_splits_arrow(spark, splits, cols, schema, backend=backend_name)
+        root[cont_name] = FieldContainer(df, name=cont_name, ureg=ureg)
+    return Dataset(path=path, data=root, metadata={}, ureg=ureg)
