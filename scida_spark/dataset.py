@@ -219,15 +219,39 @@ class Dataset:
 
     # -- save (reference interface.py:273-378: zarr sink → parquet here) ----
 
-    def save(self, out_dir: str, fields: list[str] | None = None) -> None:
-        """Write containers to ``out_dir/<container>.parquet`` with unit
-        strings in column metadata and dataset metadata as JSON sidecar."""
+    def save(self, out_dir: str, fields: list[str] | None = None,
+             format: str = "parquet") -> None:
+        """Write containers to ``out_dir`` with unit strings preserved
+        and dataset metadata as a JSON sidecar.
+
+        ``format="parquet"`` (engine-native) → ``<container>.parquet``;
+        ``format="zarr"`` (the reference's sink, interface.py:273-378)
+        → one zarr group per container, chunk files written directly by
+        executors (sources/zarr.py::save_zarr_container). The zarr path
+        requires each container to carry a dense ``uid`` column (the
+        positional spine); unit strings go to ``.zattrs``.
+        """
         os.makedirs(out_dir, exist_ok=True)
         for name, cont in self.containers.items():
             df = cont.to_dataframe()
             if fields is not None:
-                keep = [c for c in df.columns if c in fields]
+                keep = [c for c in df.columns if c in fields or c == "uid"]
                 df = df.select(*keep)
+            if format == "zarr":
+                from scida_spark.sources.zarr import save_zarr_container
+
+                # zarr v2 group markers: root + per-container (drives
+                # format detection on reload).
+                with open(os.path.join(out_dir, ".zgroup"), "w") as fh:
+                    json.dump({"zarr_format": 2}, fh)
+                sub = os.path.join(out_dir, name)
+                save_zarr_container(df, sub)
+                with open(os.path.join(sub, ".zgroup"), "w") as fh:
+                    json.dump({"zarr_format": 2}, fh)
+                units = {c: u for c, u in cont.field_units.items() if c in df.columns}
+                with open(os.path.join(sub, ".zattrs"), "w") as fh:
+                    json.dump({"units": units}, fh)
+                continue
             for col, unit in cont.field_units.items():
                 if col in df.columns:
                     df = set_column_unit(df, col, unit)

@@ -155,3 +155,28 @@ def test_column_chunked_2d_rejected(tmp_path):
     }))
     with pytest.raises(ValueError, match="column-chunked"):
         read_zarray_meta(str(d))
+
+
+def test_dataset_save_zarr_roundtrip(spark, tmp_path):
+    """Dataset.save(format='zarr') → load() detection → same values
+    (the reference's zarr sink + reload path)."""
+    from scida_spark.dataset import Dataset, load
+    from scida_spark.fields import FieldContainer
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("uid"), (F.col("id") * 0.5).alias("Masses")
+    )
+    root = FieldContainer(name="snap")
+    cont = FieldContainer(df, name="PartType0")
+    cont.field_units["Masses"] = "code_mass"
+    root["PartType0"] = cont
+    ds = Dataset(path="mem", data=root, metadata={"redshift": 1.5})
+    out = str(tmp_path / "zsave")
+    ds.save(out, format="zarr")
+    back = load(out, spark=spark)
+    bdf = back["PartType0"].df
+    assert bdf.count() == 200
+    assert bdf.agg(F.sum("Masses")).first()[0] == pytest.approx(sum(i * 0.5 for i in range(200)))
+    import json as _json, os as _os
+    attrs = _json.load(open(_os.path.join(out, "PartType0", ".zattrs")))
+    assert attrs["units"]["Masses"] == "code_mass"
