@@ -110,10 +110,14 @@ def read_fits_splits(spark, path: str, hdu: int, splits, columns: list[str], sch
         plan, "row_start long, row_stop long, uid_start long"
     ).repartition(max(1, len(plan)))
 
+    fields_by_name = {f.name: f for f in schema.fields}
+
     def read_one(iterator):
         import numpy as np
         import pyarrow as pa
         from astropy.io import fits
+
+        from scida_spark.sources.convert import to_arrow_column
 
         for batch in iterator:
             for row in batch.to_pylist():
@@ -121,13 +125,17 @@ def read_fits_splits(spark, path: str, hdu: int, splits, columns: list[str], sch
                 with fits.open(path, memmap=True) as hdul:
                     rec = hdul[hdu].data[lo:hi]
                     data = {
-                        "uid": np.arange(
+                        "uid": pa.array(np.arange(
                             row["uid_start"], row["uid_start"] + hi - lo, dtype=np.int64
-                        )
+                        ))
                     }
                     for c in columns:
-                        arr = np.asarray(rec[c])
-                        data[c] = arr.tolist() if arr.ndim > 1 else arr
+                        # Cast to the DECLARED type: record arrays hold
+                        # 'S' bytes for 'A' columns and big-endian
+                        # numerics — raw Arrow conversion mistypes both.
+                        data[c] = to_arrow_column(
+                            np.asarray(rec[c]), fields_by_name[c]
+                        )
                     yield pa.RecordBatch.from_pydict(data)
 
     return plan_df.mapInArrow(read_one, schema)

@@ -152,9 +152,13 @@ def read_splits_arrow(spark, splits: list[Split], columns: list[str], schema,
         split_rows, "file string, container string, row_start long, row_stop long, uid_start long"
     ).repartition(max(1, len(split_rows)))
 
+    fields_by_name = {f.name: f for f in schema.fields}
+
     def read_one(iterator):
         import numpy as np
         import pyarrow as pa
+
+        from scida_spark.sources.convert import to_arrow_column
 
         _h5 = _h5_module(backend_name)
         for batch in iterator:
@@ -163,13 +167,17 @@ def read_splits_arrow(spark, splits: list[Split], columns: list[str], schema,
                     grp = fh[row["container"]]
                     lo, hi = row["row_start"], row["row_stop"]
                     data = {
-                        "uid": np.arange(
+                        "uid": pa.array(np.arange(
                             row["uid_start"], row["uid_start"] + hi - lo, dtype=np.int64
-                        )
+                        ))
                     }
                     for c in columns:
-                        arr = np.asarray(grp[c][lo:hi])
-                        data[c] = arr.tolist() if arr.ndim > 1 else arr
+                        # Cast to the DECLARED type: on-disk data is
+                        # uint64 IDs / float32 coordinates etc., which
+                        # raw Arrow conversion rejects or mistypes.
+                        data[c] = to_arrow_column(
+                            np.asarray(grp[c][lo:hi]), fields_by_name[c]
+                        )
                     yield pa.RecordBatch.from_pydict(data)
 
     return plan_df.mapInArrow(read_one, schema)
@@ -207,11 +215,13 @@ def load_hdf5_dataset(path: str, spark, rows_per_split: int = 1 << 20,
     # Multi-file series: numeric-sorted *.hdf5/*.h5 children (".h5dir"
     # = a directory acting as one shim file). A path that is itself one
     # file (or shim store) stays a single-element list.
+    from scida_spark.sources.convert import natural_sort_key
+
     files = [path]
     if os.path.isdir(path):
         cand = sorted(
             (e for e in os.listdir(path) if e.endswith((".hdf5", ".h5", ".h5dir"))),
-            key=lambda e: [int(t) if t.isdigit() else t for t in e.replace(".", " ").split()],
+            key=natural_sort_key,
         )
         if cand:
             files = [os.path.join(path, e) for e in cand]
@@ -227,8 +237,22 @@ def load_hdf5_dataset(path: str, spark, rows_per_split: int = 1 << 20,
         for f in files:
             with _h5.File(f, "r") as fh:
                 ds_infos = walk_container(fh, cont_name)
+                # All datasets of a container must share the leading dim
+                # (clear error at load time, not an opaque executor
+                # crash; mirrors npy/zarr discovery validation).
+                rowset = {i.rows for i in ds_infos}
+                if len(rowset) > 1:
+                    raise ValueError(
+                        f"{f}:{cont_name}: datasets disagree on rows: "
+                        + ", ".join(f"{i.name}={i.rows}" for i in ds_infos)
+                    )
                 if infos is None:
                     infos = ds_infos
+                elif {i.name for i in ds_infos} != {i.name for i in infos}:
+                    raise ValueError(
+                        f"{f}:{cont_name}: dataset names differ from the "
+                        f"first file of the series"
+                    )
                 file_rows.append((f, ds_infos[0].rows if ds_infos else 0))
         if not infos:
             continue

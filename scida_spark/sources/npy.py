@@ -40,16 +40,7 @@ import os
 from dataclasses import dataclass
 
 import numpy as np
-from pyspark.sql.datasource import (
-    DataSource,
-    DataSourceReader,
-    EqualTo,
-    GreaterThan,
-    GreaterThanOrEqual,
-    InputPartition,
-    LessThan,
-    LessThanOrEqual,
-)
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -144,25 +135,14 @@ class NpyReader(DataSourceReader):
         self._uid_hi = self.nrows
 
     def pushFilters(self, filters):  # noqa: N802 (Spark API name)
-        for f in filters:
-            if getattr(f, "attribute", None) != ("uid",):
-                yield f
-                continue
-            v = f.value
-            if isinstance(f, GreaterThanOrEqual):
-                self._uid_lo = max(self._uid_lo, int(v))
-            elif isinstance(f, GreaterThan):
-                self._uid_lo = max(self._uid_lo, int(v) + 1)
-            elif isinstance(f, LessThanOrEqual):
-                self._uid_hi = min(self._uid_hi, int(v) + 1)
-            elif isinstance(f, LessThan):
-                self._uid_hi = min(self._uid_hi, int(v))
-            elif isinstance(f, EqualTo):
-                self._uid_lo = max(self._uid_lo, int(v))
-                self._uid_hi = min(self._uid_hi, int(v) + 1)
-            # uid filters are also re-applied by Spark: we only *prune*,
-            # never consume, so correctness never depends on this path.
-            yield f
+        # Prune-only: every filter is yielded back for Spark to
+        # re-apply, so correctness never depends on this path.
+        from scida_spark.sources.convert import narrow_uid_bounds
+
+        kept, self._uid_lo, self._uid_hi = narrow_uid_bounds(
+            filters, self._uid_lo, self._uid_hi
+        )
+        yield from kept
 
     def partitions(self):
         lo = (self._uid_lo // self.rows_per_split) * self.rows_per_split
@@ -177,24 +157,21 @@ class NpyReader(DataSourceReader):
     def read(self, partition: RowRange):
         import pyarrow as pa
 
+        from scida_spark.sources.convert import to_arrow_column
+
         lo, hi = partition.start, partition.stop
         if hi <= lo:
             return
         cols: dict[str, object] = {}
         for field in self.schema.fields:
             if field.name == "uid":
-                cols["uid"] = np.arange(lo, hi, dtype=np.int64)
+                cols["uid"] = pa.array(np.arange(lo, hi, dtype=np.int64))
                 continue
-            # Memory-map → only the requested row range touches disk.
+            # Memory-map → only the requested row range touches disk;
+            # convert to the DECLARED Arrow type (unsigned ints widen).
             arr = np.load(os.path.join(self.path, field.name + ".npy"),
                           mmap_mode="r")[lo:hi]
-            if arr.ndim == 2:
-                flat = pa.array(np.ascontiguousarray(arr).reshape(-1))
-                cols[field.name] = pa.FixedSizeListArray.from_arrays(
-                    flat, arr.shape[1]
-                ).cast(pa.list_(flat.type))
-            else:
-                cols[field.name] = pa.array(np.ascontiguousarray(arr))
+            cols[field.name] = to_arrow_column(arr, field)
         yield pa.RecordBatch.from_pydict(cols)
 
 

@@ -49,7 +49,15 @@ class NpyStreamReader(SimpleDataSourceStreamReader):
         for name in self.fields:
             arrays[name] = np.load(
                 os.path.join(self.path, name + ".npy"), mmap_mode="r"
-            )[lo:hi]
+            )
+        # Writers replace field files one at a time (non-atomic): clamp
+        # to the shortest field actually on disk so a mid-update trigger
+        # reads a consistent prefix instead of crashing; the remainder
+        # arrives with the next trigger.
+        hi = min(hi, *(a.shape[0] for a in arrays.values()))
+        if hi <= lo:
+            return []
+        arrays = {name: a[lo:hi] for name, a in arrays.items()}
         out = []
         for i in range(hi - lo):
             row = [lo + i]
@@ -65,8 +73,10 @@ class NpyStreamReader(SimpleDataSourceStreamReader):
         # iter() over a materialized list: the runtime drives it as an
         # iterator but pickles the MATERIALIZED rows into its prefetch
         # cache (a bare generator fails pickling; a bare list fails
-        # next()).
-        return iter(self._read_range(lo, hi)), {"row": max(hi, lo)}
+        # next()). The committed offset advances by the rows ACTUALLY
+        # read — _read_range may clamp below ``hi`` mid-writer-update.
+        rows = self._read_range(lo, hi)
+        return iter(rows), {"row": lo + len(rows)}
 
     def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
         return iter(self._read_range(start["row"], end["row"]))

@@ -32,16 +32,7 @@ import zlib
 from dataclasses import dataclass
 
 import numpy as np
-from pyspark.sql.datasource import (
-    DataSource,
-    DataSourceReader,
-    EqualTo,
-    GreaterThan,
-    GreaterThanOrEqual,
-    InputPartition,
-    LessThan,
-    LessThanOrEqual,
-)
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -214,23 +205,13 @@ class ZarrReader(DataSourceReader):
         self._uid_hi = self.nrows
 
     def pushFilters(self, filters):  # noqa: N802 (Spark API name)
-        for f in filters:
-            if getattr(f, "attribute", None) != ("uid",):
-                yield f
-                continue
-            v = f.value
-            if isinstance(f, GreaterThanOrEqual):
-                self._uid_lo = max(self._uid_lo, int(v))
-            elif isinstance(f, GreaterThan):
-                self._uid_lo = max(self._uid_lo, int(v) + 1)
-            elif isinstance(f, LessThanOrEqual):
-                self._uid_hi = min(self._uid_hi, int(v) + 1)
-            elif isinstance(f, LessThan):
-                self._uid_hi = min(self._uid_hi, int(v))
-            elif isinstance(f, EqualTo):
-                self._uid_lo = max(self._uid_lo, int(v))
-                self._uid_hi = min(self._uid_hi, int(v) + 1)
-            yield f  # prune-only: Spark re-applies every filter
+        # Prune-only: every filter is yielded back for Spark to re-apply.
+        from scida_spark.sources.convert import narrow_uid_bounds
+
+        kept, self._uid_lo, self._uid_hi = narrow_uid_bounds(
+            filters, self._uid_lo, self._uid_hi
+        )
+        yield from kept
 
     def partitions(self):
         lo = (self._uid_lo // self.rows_per_split) * self.rows_per_split
@@ -245,22 +226,18 @@ class ZarrReader(DataSourceReader):
     def read(self, partition: ZarrRowRange):
         import pyarrow as pa
 
+        from scida_spark.sources.convert import to_arrow_column
+
         lo, hi = partition.start, partition.stop
         if hi <= lo:
             return
         cols: dict[str, object] = {}
         for field in self.schema.fields:
             if field.name == "uid":
-                cols["uid"] = np.arange(lo, hi, dtype=np.int64)
+                cols["uid"] = pa.array(np.arange(lo, hi, dtype=np.int64))
                 continue
             arr = read_zarr_rows(self.metas[field.name], lo, hi)
-            if arr.ndim == 2:
-                flat = pa.array(np.ascontiguousarray(arr).reshape(-1))
-                cols[field.name] = pa.FixedSizeListArray.from_arrays(
-                    flat, arr.shape[1]
-                ).cast(pa.list_(flat.type))
-            else:
-                cols[field.name] = pa.array(np.ascontiguousarray(arr))
+            cols[field.name] = to_arrow_column(arr, field)
         yield pa.RecordBatch.from_pydict(cols)
 
 
@@ -336,17 +313,39 @@ def save_zarr_container(
     import pandas as pd
     from pyspark.sql import functions as F
 
-    n = df.count()
+    stats = df.agg(
+        F.count("*").alias("n"),
+        F.min(uid_col).alias("lo"),
+        F.max(uid_col).alias("hi"),
+        F.countDistinct(uid_col).alias("nd"),
+    ).first()
+    n = stats["n"]
+    if n == 0:
+        raise ValueError("cannot save an empty container to zarr")
+    # Chunk files are addressed by uid // chunks: a gapped uid range
+    # would silently leave fill_value holes in the store. Require the
+    # dense 0..N-1 spine.
+    if stats["lo"] != 0 or stats["hi"] != n - 1 or stats["nd"] != n:
+        raise ValueError(
+            f"zarr save requires a dense uid 0..{n-1}; got "
+            f"min={stats['lo']} max={stats['hi']} distinct={stats['nd']} "
+            f"(reassign uid after filtering, e.g. operators.uid)"
+        )
     fields = [f for f in df.schema.fields if f.name != uid_col]
-    # Column → (zarr dtype str, numpy dtype, width) from schema + probe.
     spark_to_np = {"float": "<f4", "double": "<f8", "integer": "<i4", "long": "<i8"}
-    probe = df.orderBy(uid_col).limit(1).collect()[0]
+    # Array widths probed without sorting the whole frame.
+    width_exprs = [
+        F.size(f.name).alias(f.name)
+        for f in fields
+        if f.dataType.typeName() == "array"
+    ]
+    widths = df.select(*width_exprs).first() if width_exprs else {}
     colspec: dict[str, tuple[str, int]] = {}
     for f in fields:
         t = f.dataType.typeName()
         if t == "array":
             el = f.dataType.elementType.typeName()
-            colspec[f.name] = (spark_to_np[el], len(probe[f.name]))
+            colspec[f.name] = (spark_to_np[el], widths[f.name])
         else:
             colspec[f.name] = (spark_to_np[t], 0)
     spec_items = sorted(colspec.items())

@@ -106,3 +106,22 @@ def test_load_npy_dataset_facade(spark, tmp_path):
     ds = load_npy_dataset(str(tmp_path), spark)
     cont = ds["PartType0"]
     assert cont.df.agg(F.sum("Masses")).first()[0] == pytest.approx(100.0)
+
+
+def test_unsigned_int_columns_widen_to_long(spark, tmp_path):
+    """uint32/uint64 columns must read as LongType values, not crash
+    with UNSUPPORTED_ARROWTYPE (reader casts to the declared type)."""
+    np.save(tmp_path / "Flags.npy", np.array([1, 2, 3], dtype=np.uint32))
+    np.save(tmp_path / "IDs.npy", np.array([2**40, 5, 7], dtype=np.uint64))
+    df = _read(spark, str(tmp_path))
+    rows = df.orderBy("uid").collect()
+    assert [r.Flags for r in rows] == [1, 2, 3]
+    assert rows[0].IDs == 2**40
+    assert dict(df.dtypes)["IDs"] == "bigint"
+
+
+def test_float32_2d_keeps_float(spark, tmp_path):
+    np.save(tmp_path / "Coords.npy", np.ones((4, 3), dtype=np.float32) * 1.5)
+    df = _read(spark, str(tmp_path))
+    assert df.schema["Coords"].dataType.elementType.typeName() == "float"
+    assert list(df.first().Coords) == [1.5, 1.5, 1.5]

@@ -180,3 +180,24 @@ def test_dataset_save_zarr_roundtrip(spark, tmp_path):
     import json as _json, os as _os
     attrs = _json.load(open(_os.path.join(out, "PartType0", ".zattrs")))
     assert attrs["units"]["Masses"] == "code_mass"
+
+
+def test_unsigned_zarr_arrays_widen_to_long(spark, tmp_path):
+    d = tmp_path / "u"
+    write_zarr_array(str(d / "Flags"), np.array([9, 8, 7], dtype=np.uint32), chunks=2)
+    write_zarr_array(str(d / "IDs"), np.array([2**40, 1, 2], dtype=np.uint64), chunks=2,
+                     compressor=None)
+    df = _read(spark, str(d))
+    rows = df.orderBy("uid").collect()
+    assert [r.Flags for r in rows] == [9, 8, 7]
+    assert rows[0].IDs == 2**40
+
+
+def test_save_zarr_rejects_gapped_uid(spark, tmp_path):
+    from scida_spark.sources.zarr import save_zarr_container
+
+    df = spark.range(0, 100).select(
+        (F.col("id") * 2).alias("uid"), F.col("id").cast("double").alias("v")
+    )
+    with pytest.raises(ValueError, match="dense uid"):
+        save_zarr_container(df, str(tmp_path / "gap"), chunks=32)
