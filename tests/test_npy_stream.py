@@ -71,3 +71,27 @@ def test_stream_picks_up_appended_rows(spark, tmp_path):
         assert second.s == pytest.approx(float(np.arange(150).sum()))
     finally:
         q.stop()
+
+
+def test_stream_2d_field(spark, tmp_path):
+    np.save(tmp_path / "Coordinates.npy", np.arange(60, dtype=np.float64).reshape(20, 3))
+    register(spark)
+    stream = (
+        spark.readStream.format("npystream")
+        .option("path", str(tmp_path))
+        .option("rows_per_batch", 7)
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("npys_2d")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM npys_2d ORDER BY uid").collect()
+    assert len(rows) == 20
+    assert list(rows[4].Coordinates) == [12.0, 13.0, 14.0]
