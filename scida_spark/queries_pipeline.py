@@ -548,3 +548,72 @@ def text_bpe_token_count(spark, sf_dir):
         F.sum("n_punct").cast("bigint").alias("total_punct"),
         F.max("n_tok").cast("bigint").alias("max_bpe_tokens"),
     )
+
+
+@query(
+    "dedup_keep_latest",
+    """
+    SELECT user_id, event_type, CAST(event_id AS BIGINT) AS event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM (
+      SELECT user_id, event_type, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_latest(spark, sf_dir):
+    """Keyed dedup keep-LATEST (the mirror of dedup_first_event's
+    keep-first): rank window with a total tie-break, keep rank 1 —
+    the standard newest-version-wins pattern for revisioned corpora."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "event_type", "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+    )
+
+
+@query(
+    "text_stopword_ratio",
+    """
+    WITH t AS (
+      SELECT lang,
+             len(string_split(trim(text), ' ')) AS n,
+             len(list_filter(string_split(trim(text), ' '),
+                 x -> x IN ('the','a','of','and','der','die','und','das',
+                            'el','la','los','que','le','les','et'))) AS n_stop
+      FROM documents)
+    SELECT lang,
+           CAST(SUM(n_stop) AS BIGINT) AS total_stopwords,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_stop) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS stopword_ratio
+    FROM t GROUP BY lang
+    """,
+)
+def text_stopword_ratio(spark, sf_dir):
+    """Stopword-ratio quality signal per language (the third classic
+    quality component besides length and lexical diversity) — exact
+    integer ratio, engine-independent."""
+    all_sw = [w for sws in TX.LANG_STOPWORDS.values() for w in sws]
+    # de-dup while preserving membership semantics
+    sw = list(dict.fromkeys(all_sw))
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("lang", TX.tokens(F.col("text")).alias("_t"))
+    t = toks.select(
+        "lang",
+        F.size("_t").alias("n"),
+        F.size(F.filter("_t", lambda x: x.isin(sw))).alias("n_stop"),
+    )
+    return t.groupBy("lang").agg(
+        F.sum("n_stop").cast("bigint").alias("total_stopwords"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        (F.sum("n_stop").cast("double") / F.sum("n").cast("double")).alias("stopword_ratio"),
+    )
