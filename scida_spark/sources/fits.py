@@ -36,6 +36,18 @@ try:
 except ImportError:
     HAS_ASTROPY = False
 
+# Pluggable backend (same pattern as sources/hdf5.py): a module NAME
+# exposing astropy's ``open(path, memmap=...)`` → HDU-list API. Tests
+# inject ``scida_spark.sources.fits_shim`` so the real read kernel runs
+# in CI; with astropy installed nothing changes but the import.
+_FITS_BACKEND = "astropy.io.fits"
+
+
+def _fits_module(name: str | None = None):
+    import importlib
+
+    return importlib.import_module(name or _FITS_BACKEND)
+
 # FITS BINTABLE TFORMn codes → Spark types (FITS standard 4.0 §7.3.3).
 _TFORM_MAP = {
     "L": None,  # logical — rare in survey catalogs; skip like void
@@ -101,10 +113,13 @@ def _require_astropy():
         )
 
 
-def read_fits_splits(spark, path: str, hdu: int, splits, columns: list[str], schema):
+def read_fits_splits(spark, path: str, hdu: int, splits, columns: list[str], schema,
+                     backend: str | None = None):
     """Distributed BINTABLE read: one mapInArrow task per row-range split,
-    astropy memmap per task (projection: only ``columns``)."""
-    _require_astropy()
+    memmap per task (projection: only ``columns``)."""
+    backend_name = backend or _FITS_BACKEND
+    if backend_name == "astropy.io.fits":
+        _require_astropy()
     plan = [(s.row_start, s.row_stop, s.uid_start) for s in splits]
     plan_df = spark.createDataFrame(
         plan, "row_start long, row_stop long, uid_start long"
@@ -115,10 +130,11 @@ def read_fits_splits(spark, path: str, hdu: int, splits, columns: list[str], sch
     def read_one(iterator):
         import numpy as np
         import pyarrow as pa
-        from astropy.io import fits
 
         from scida_spark.sources.convert import to_arrow_column
+        from scida_spark.sources.fits import _fits_module
 
+        fits = _fits_module(backend_name)
         for batch in iterator:
             for row in batch.to_pylist():
                 lo, hi = row["row_start"], row["row_stop"]
@@ -141,21 +157,26 @@ def read_fits_splits(spark, path: str, hdu: int, splits, columns: list[str], sch
     return plan_df.mapInArrow(read_one, schema)
 
 
-def load_fits_dataset(path: str, spark, hdu: int = 1, rows_per_split: int = 1 << 20):
+def load_fits_dataset(path: str, spark, hdu: int = 1, rows_per_split: int = 1 << 20,
+                      backend: str | None = None):
     """FITS file → Dataset handle (header-driven schema + split plan)."""
-    _require_astropy()
     import os
+
+    backend_name = backend or _FITS_BACKEND
+    if backend_name == "astropy.io.fits":
+        _require_astropy()
+    fits_mod = _fits_module(backend_name)
 
     from scida_spark.dataset import Dataset
     from scida_spark.fields import FieldContainer
     from scida_spark.sources.hdf5 import plan_splits
     from scida_spark.units import UnitRegistry
 
-    with _fits.open(path, memmap=True) as hdul:
+    with fits_mod.open(path, memmap=True) as hdul:
         cards = dict(hdul[hdu].header)
     schema, nrows, columns = schema_from_bintable_header(cards)
     splits = plan_splits([(path, nrows)], f"hdu{hdu}", rows_per_split)
-    df = read_fits_splits(spark, path, hdu, splits, columns, schema)
+    df = read_fits_splits(spark, path, hdu, splits, columns, schema, backend=backend_name)
     ureg = UnitRegistry()
     name = os.path.basename(path)
     root = FieldContainer(name=name)
