@@ -280,7 +280,11 @@ def minhash_dedup_pairs(
     # of near-dup cluster sizes (measured: 20x corpus of dense replicas
     # → 400x candidates), so past a size bound fall back to shuffle
     # joins rather than OOM the driver/executors on the broadcast.
-    n_cands = cands.count()
+    n_cands = cands.count()  # materializes cands (and, transitively, sigs)
+    # sigs are only an input to cands — drop them now rather than
+    # leaking a cached signature table per call (repeated invocations
+    # in one session otherwise accumulate eviction churn).
+    sigs.unpersist()
     cand_side = F.broadcast(cands) if n_cands <= 2_000_000 else cands
     verified = (
         cand_side.join(a, "doc_a")
