@@ -357,7 +357,7 @@ def register_default_fields(container, ureg=None) -> list[str]:
 def _sniff_format(path: str) -> str:
     if path.endswith((".hdf5", ".h5")):
         return "hdf5"
-    if path.endswith(".zarr") or os.path.isdir(os.path.join(path, ".zgroup")):
+    if path.endswith(".zarr") or os.path.isfile(os.path.join(path, ".zgroup")):
         return "zarr"
     if os.path.isdir(path):
         entries = os.listdir(path)

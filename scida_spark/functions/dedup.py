@@ -270,7 +270,11 @@ def minhash_dedup_pairs(
     # both sides, and without the cache the Pandas-UDF minhash kernel
     # re-runs once per side per band expression.
     sigs = minhash_signatures(df, id_col, text_col, n, num_perm, seed).cache()
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band).cache()
+    # Eager localCheckpoint instead of cache(): materializes the (small)
+    # candidate table once and truncates lineage, with block cleanup tied
+    # to this DataFrame's lifetime — a cache() here leaked one cached
+    # table per call (same in-session leak 4b336d2 fixed for sigs).
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band).localCheckpoint(eager=True)
     sh = shingle_hash_table(df, id_col, text_col, n)
     a = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -280,11 +284,12 @@ def minhash_dedup_pairs(
     # of near-dup cluster sizes (measured: 20x corpus of dense replicas
     # → 400x candidates), so past a size bound fall back to shuffle
     # joins rather than OOM the driver/executors on the broadcast.
-    n_cands = cands.count()  # materializes cands (and, transitively, sigs)
-    # sigs are only an input to cands — drop them now rather than
-    # leaking a cached signature table per call (repeated invocations
-    # in one session otherwise accumulate eviction churn).
+    # sigs are only an input to cands (already materialized above) —
+    # drop them now rather than leaking a cached signature table per
+    # call (repeated invocations in one session otherwise accumulate
+    # eviction churn).
     sigs.unpersist()
+    n_cands = cands.count()  # cheap: counts the checkpointed blocks
     cand_side = F.broadcast(cands) if n_cands <= 2_000_000 else cands
     verified = (
         cand_side.join(a, "doc_a")

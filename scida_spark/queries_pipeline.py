@@ -159,10 +159,13 @@ def sim_cosine_topk(spark, sf_dir):
     """,
 )
 def sim_neardup_pairs(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline;
-    LSH-bucketed variant below is the 100 TB path)."""
+    """Embedding-cosine near-duplicate pairs via spherical-cell blocking
+    — exact above threshold (triangle-inequality cell pruning + exact
+    cosine verify), no cartesian product in the plan. The oracle is the
+    naive all-pairs SQL, so a hash match proves the blocked plan loses
+    no pair."""
     emb = table(spark, sf_dir, "embeddings")
-    res = SIM.embedding_neardup_pairs(emb, threshold=0.35)
+    res = SIM.embedding_neardup_pairs_blocked(emb, threshold=0.35, ncells=64)
     return res.select("id_a", "id_b", F.round("sim", 6).alias("sim_r"))
 
 

@@ -436,5 +436,16 @@ def load_zarr_dataset(path: str, spark, chunks_per_split: int = 8):
             .option("chunks_per_split", chunks_per_split)
             .load()
         )
-        root[name] = FieldContainer(df, name=name, ureg=ureg)
+        cont = FieldContainer(df, name=name, ureg=ureg)
+        # Unit strings written by Dataset.save(format='zarr') live in the
+        # container's .zattrs — read them back so units survive the zarr
+        # round-trip like they do the parquet one.
+        sub_attrs = os.path.join(sub, ".zattrs")
+        if os.path.isfile(sub_attrs):
+            with open(sub_attrs) as fh:
+                sub_meta = json.load(fh)
+            for col, unit in (sub_meta.get("units") or {}).items():
+                if col in df.columns:
+                    cont.field_units[col] = unit
+        root[name] = cont
     return Dataset(path=path, data=root, metadata=metadata, ureg=ureg)

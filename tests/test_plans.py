@@ -81,3 +81,12 @@ def test_global_topn_is_take_ordered(spark, sf_dir, reg):
     p = _plan(spark, reg["q_global_topn"](spark, sf_dir))
     assert "TakeOrderedAndProject" in p
     assert "Sort " not in p.split("TakeOrderedAndProject")[0]
+
+
+def test_neardup_pairs_no_cartesian(spark, sf_dir, reg):
+    """The near-dup primary is tile-blocked: two keyed shuffles into a
+    cogrouped Pandas stage — never a CartesianProduct / BNLJ."""
+    p = _plan(spark, reg["sim_neardup_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "FlatMapCoGroupsInPandas" in p

@@ -109,3 +109,36 @@ def test_ivf_deterministic(spark):
     b = sorted(map(tuple, S.ivf_topk(df, q, k=5, nlist=4, nprobe=2, sample_stride=1)
                    .select("query_id", "cand_id", "rank").collect()))
     assert a == b
+
+
+def test_neardup_blocked_matches_crossjoin_exactly(spark, emb_df):
+    """The tiled/cell-blocked primary must return bitwise-identical
+    pairs to the all-pairs cross-join oracle (exact-recall contract)."""
+    df, _ = emb_df
+    exact = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in S.embedding_neardup_pairs(df, threshold=0.3).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in S.embedding_neardup_pairs_blocked(
+            df, threshold=0.3, ncells=8, sample_stride=1
+        ).collect()
+    }
+    assert blocked == exact  # keys AND double values bitwise equal
+
+
+def test_neardup_blocked_handles_zero_vectors(spark):
+    rows = [(0, [0.0] * DIM), (1, [1.0] + [0.0] * (DIM - 1)), (2, [1.0] + [0.0] * (DIM - 1))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = S.embedding_neardup_pairs_blocked(df, threshold=0.9, ncells=4, sample_stride=1).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
+
+
+def test_kmeans_guards_zero_rows_and_small_samples():
+    """Zero-norm rows are dropped (no NaN centroids) and nlist clamps to
+    the surviving sample size instead of raising in rng.choice."""
+    sample = np.vstack([np.zeros(4), np.eye(4)[:3] * 2.0])
+    cent = S._kmeans_centroids(sample, nlist=10, seed=0)
+    assert len(cent) == 3
+    assert np.isfinite(cent).all()

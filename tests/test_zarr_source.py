@@ -201,3 +201,40 @@ def test_save_zarr_rejects_gapped_uid(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="dense uid"):
         save_zarr_container(df, str(tmp_path / "gap"), chunks=32)
+
+
+def test_zarr_units_survive_reload(spark, tmp_path):
+    """Unit strings written to each container's .zattrs by save() must be
+    read back into FieldContainer.field_units on load (they previously
+    survived only the parquet round-trip)."""
+    from scida_spark.dataset import Dataset, load
+    from scida_spark.fields import FieldContainer
+
+    df = spark.range(0, 50).select(
+        F.col("id").alias("uid"), (F.col("id") * 2.0).alias("Masses")
+    )
+    root = FieldContainer(name="snap")
+    cont = FieldContainer(df, name="PartType0")
+    cont.field_units["Masses"] = "code_mass"
+    root["PartType0"] = cont
+    out = str(tmp_path / "zunits")
+    Dataset(path="mem", data=root, metadata={}).save(out, format="zarr")
+    back = load(out, spark=spark)
+    assert back["PartType0"].field_units["Masses"] == "code_mass"
+
+
+def test_load_metadata_over_zarr_store(spark, tmp_path):
+    """.zgroup is a marker FILE — load_metadata on a store not named
+    *.zarr must still detect zarr (regression: isdir vs isfile sniff)."""
+    from scida_spark.dataset import Dataset, load_metadata
+    from scida_spark.fields import FieldContainer
+
+    df = spark.range(0, 20).select(
+        F.col("id").alias("uid"), (F.col("id") * 1.0).alias("Masses")
+    )
+    root = FieldContainer(name="snap")
+    root["PartType0"] = FieldContainer(df, name="PartType0")
+    out = str(tmp_path / "plainname")
+    Dataset(path="mem", data=root, metadata={"boxsize": 100.0}).save(out, format="zarr")
+    meta = load_metadata(out, spark=spark)
+    assert meta["format"] == "zarr"
