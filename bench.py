@@ -21,21 +21,21 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
-    "q_brand_volume",
+    "q_part_brand_stats",
     "q_top3_per_order",
-    "q_histogram2d_events",
-    "q_sessionization",
+    "scida_histogram2d",
+    "stream_session_windows",
     "q18_large_orders",
     "q_percentiles",
     "scida_sum_masses",
     "scida_groupid_searchsorted",
-    "scida_grouped_agg",
+    "scida_grouped_fluent",
     "scida_global_running_sum",
     "dedup_exact_clusters",
-    "dedup_minhash_lsh",
+    "dedup_signature_pairs",
     "sim_cosine_topk",
     "text_token_stats",
-    "stream_tumbling_counts",
+    "stream_window_counts",
 ]
 
 
@@ -52,7 +52,7 @@ def main() -> None:
     # Pandas-UDF query to start the Arrow Python workers — both are
     # fixed per-session costs, not per-query throughput.
     reg["q1_pricing_summary"].fn(spark, sf_dir).count()
-    reg["dedup_minhash_lsh"].fn(spark, "/root/testdata/sf0.001").count()
+    reg["dedup_signature_pairs"].fn(spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     for name in names:

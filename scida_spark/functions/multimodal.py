@@ -41,7 +41,10 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
-FEATURE_SCHEMA = "media_id long, n_bytes long, sha256 string, fake_mean_pixel double"
+FEATURE_SCHEMA = (
+    "media_id long, n_bytes long, sha256 string, fingerprint string, "
+    "fake_mean_pixel double"
+)
 
 
 def to_media_table(df: DataFrame, id_col: str, text_col: str, mime: str = "text/plain") -> DataFrame:
@@ -93,6 +96,13 @@ def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame
                     "n_bytes": payloads.map(lambda b: len(b or b"")).astype("int64"),
                     "sha256": payloads.map(
                         lambda b: hashlib.sha256(b or b"").hexdigest()
+                    ),
+                    # Portable content fingerprint: md5 prefix of the
+                    # payload bytes (== md5 of the source text for UTF-8
+                    # payloads) — the text_fingerprint semantic fused
+                    # into the same Arrow pass.
+                    "fingerprint": payloads.map(
+                        lambda b: hashlib.md5(b or b"").hexdigest()[:16]
                     ),
                     "fake_mean_pixel": payloads.map(_fake_decode_stats).astype("float64"),
                 }

@@ -67,7 +67,7 @@ _EARLY = [
     "q1_pricing_summary",
     "scida_subhalo_ids",
     "scida_group_quantity_broadcast",
-    "scida_grouped_agg",
+    "scida_grouped_fluent",
     "scida_grouped_apply",
     "scida_selector_uid_range",
     "scida_pbc_cutout",
@@ -76,7 +76,6 @@ _EARLY = [
     "scida_radial_profile",
     "scida_zoom_selector",
     "scida_temperature_field",
-    "scida_grouped_fluent",
     "scida_global_running_sum",
     "scida_histogram1d_weighted",
     "scida_shcounts",
@@ -224,59 +223,44 @@ def q5_region_revenue(spark, sf_dir):
 
 
 @query(
-    "q_brand_volume",
+    "q_part_brand_stats",
     """
-    SELECT p.p_brand,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-           CAST(COUNT(*) AS BIGINT) AS n_items,
-           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
-    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE p.p_size <= 15
-    GROUP BY p.p_brand
+    WITH bulk AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity > 45),
+    sa AS (
+      SELECT p.p_brand,
+             CAST(COUNT(b.l_partkey) AS BIGINT) AS n_with_bulk,
+             CAST(COUNT(*) - COUNT(b.l_partkey) AS BIGINT) AS n_without_bulk
+      FROM part p LEFT JOIN bulk b ON b.l_partkey = p.p_partkey
+      GROUP BY p.p_brand),
+    vol AS (
+      SELECT p.p_brand,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_size <= 15
+      GROUP BY p.p_brand)
+    SELECT sa.p_brand, sa.n_with_bulk, sa.n_without_bulk,
+           COALESCE(vol.sum_qty, 0.0) AS sum_qty,
+           COALESCE(vol.n_items, 0) AS n_items,
+           COALESCE(vol.n_suppliers, 0) AS n_suppliers
+    FROM sa LEFT JOIN vol ON vol.p_brand = sa.p_brand
     """,
 )
-def q_brand_volume(spark, sf_dir):
-    """Broadcast dim join + multi-agg incl. exact distinct.
+def q_part_brand_stats(spark, sf_dir):
+    """Per-brand stats combining semi + anti join (EXISTS / NOT EXISTS
+    over the same predicate) with a broadcast dim join + multi-agg incl.
+    exact distinct (merged r1 queries q_anti_semi_join + q_brand_volume;
+    one registry slot, same operators demonstrated).
 
-    Scale: part is a dim → explicit broadcast; countDistinct expands to
-    a two-phase aggregate, still one shuffle keyed by p_brand.
-    """
-    li = table(spark, sf_dir, "lineitem")
-    p = table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .groupBy("p_brand")
-        .agg(
-            dsum(F.col("l_quantity"), "sum_qty"),
-            F.count("*").alias("n_items"),
-            F.countDistinct("l_suppkey").alias("n_suppliers"),
-        )
-    )
-
-
-@query(
-    "q_anti_semi_join",
-    """
-    WITH bulk AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity > 45)
-    SELECT p.p_brand,
-           CAST(COUNT(b.l_partkey) AS BIGINT) AS n_with_bulk,
-           CAST(COUNT(*) - COUNT(b.l_partkey) AS BIGINT) AS n_without_bulk
-    FROM part p LEFT JOIN bulk b ON b.l_partkey = p.p_partkey
-    GROUP BY p.p_brand
-    """,
-)
-def q_anti_semi_join(spark, sf_dir):
-    """Semi + anti join (EXISTS / NOT EXISTS) over the same predicate.
-
-    Scale: the lineitem side is pre-filtered then reduced to distinct
-    join keys before the join; both joins broadcast the reduced side."""
+    Scale: the bulk side is pre-filtered then reduced to DISTINCT join
+    keys before both semi/anti joins (broadcast); part is a dim →
+    explicit broadcast for the volume join; countDistinct expands to a
+    two-phase aggregate, still one shuffle keyed by p_brand; the final
+    brand-grain join is tiny (|brands| rows)."""
     p = table(spark, sf_dir, "part")
-    bulk = (
-        table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") > 45)
-        .select("l_partkey")
-        .distinct()
-    )
+    li = table(spark, sf_dir, "lineitem")
+    bulk = li.filter(F.col("l_quantity") > 45).select("l_partkey").distinct()
     with_bulk = (
         p.join(bulk, p.p_partkey == bulk.l_partkey, "left_semi")
         .groupBy("p_brand")
@@ -287,13 +271,28 @@ def q_anti_semi_join(spark, sf_dir):
         .groupBy("p_brand")
         .agg(F.count("*").alias("n_without_bulk"))
     )
-    return (
-        with_bulk.join(without_bulk, "p_brand", "full_outer")
-        .select(
-            "p_brand",
-            F.coalesce("n_with_bulk", F.lit(0)).alias("n_with_bulk"),
-            F.coalesce("n_without_bulk", F.lit(0)).alias("n_without_bulk"),
+    semi_anti = with_bulk.join(without_bulk, "p_brand", "full_outer").select(
+        "p_brand",
+        F.coalesce("n_with_bulk", F.lit(0)).alias("n_with_bulk"),
+        F.coalesce("n_without_bulk", F.lit(0)).alias("n_without_bulk"),
+    )
+    small = table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    vol = (
+        li.join(F.broadcast(small), li.l_partkey == small.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            F.count("*").alias("n_items"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
         )
+    )
+    return semi_anti.join(vol, "p_brand", "left").select(
+        "p_brand",
+        "n_with_bulk",
+        "n_without_bulk",
+        F.coalesce("sum_qty", F.lit(0.0)).alias("sum_qty"),
+        F.coalesce("n_items", F.lit(0)).alias("n_items"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
     )
 
 
@@ -324,62 +323,43 @@ def q_top3_per_order(spark, sf_dir):
 
 
 @query(
-    "q_running_total",
+    "q_window_frames",
     """
-    SELECT l_suppkey, l_orderkey, l_linenumber,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
-                OVER (PARTITION BY l_suppkey
-                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-             AS running_qty
-    FROM lineitem WHERE l_suppkey <= 10
+             AS running_value,
+           CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                OVER (PARTITION BY user_id ORDER BY value
+                      RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS near_sum
+    FROM events WHERE user_id < 20
     """,
 )
-def q_running_total(spark, sf_dir):
-    """Running (prefix-sum) window — the scida offsets primitive
-    (reference src/scida/customs/arepo/dataset.py:342-352) generalized.
+def q_window_frames(spark, sf_dir):
+    """ROWS-frame running prefix sum + RANGE-frame (value-distance) sum
+    in one pass (merged r1 queries q_running_total + q_range_frame_window;
+    one registry slot, both frame types demonstrated). The running sum is
+    the scida offsets primitive (reference
+    src/scida/customs/arepo/dataset.py:342-352) generalized.
 
-    Scale: partitioned by key so each ordering is per-partition; never a
-    single global ordering task.
+    Scale: both windows share the user_id partitioning — ONE shuffle,
+    two per-partition sorts (by ts, by value); never a single global
+    ordering task.
     """
-    li = table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 10)
-    w = (
-        W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    return li.select(
-        "l_suppkey",
-        "l_orderkey",
-        "l_linenumber",
-        F.sum(F.col("l_quantity").cast(DEC)).over(w).cast("double").alias("running_qty"),
-    )
-
-
-@query(
-    "q_rollup_flag_status",
-    """
-    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
-           COALESCE(l_linestatus, '<all>') AS linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-           CAST(COUNT(*) AS BIGINT) AS n
-    FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-)
-def q_rollup_flag_status(spark, sf_dir):
-    """ROLLUP grouping sets (absent in the reference — SURVEY §2.5
-    'Distinct/grouping sets/cube/rollup: absent'; free in Spark)."""
-    li = table(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(dsum(F.col("l_quantity"), "sum_qty"), F.count("*").alias("n"))
-        .select(
-            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
-            "sum_qty",
-            "n",
-        )
+    w_near = W.partitionBy("user_id").orderBy("value").rangeBetween(-10, W.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast(DEC)).over(w_run).cast("double").alias("running_value"),
+        F.sum(F.col("value").cast(DEC)).over(w_near).cast("double").alias("near_sum"),
     )
 
 
@@ -422,80 +402,6 @@ def q_pivot_flag_status(spark, sf_dir):
         .pivot("l_linestatus", ["O", "F"])
         .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double"))
         .select("l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F"))
-    )
-
-
-@query(
-    "q_histogram2d_events",
-    """
-    SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS value_bin,
-           CAST(EXTRACT(hour FROM ts) AS INT) AS hour_bin,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
-    FROM events GROUP BY 1, 2
-    """,
-)
-def q_histogram2d_events(spark, sf_dir):
-    """2-D histogram = bucketed groupBy — the Spark form of the
-    reference's ``da.histogram2d`` (docs/visualization.md:41-55).
-
-    Scale: one shuffle over O(bins) keys with map-side combine; never
-    materializes the 2-D grid on the driver.
-    """
-    ev = table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.floor(F.col("value") / 10.0).cast("bigint").alias("value_bin"),
-            F.hour("ts").cast("int").alias("hour_bin"),
-        )
-        .agg(F.count("*").alias("n"), dsum(F.col("value"), "sum_value"))
-    )
-
-
-@query(
-    "q_sessionization",
-    """
-    WITH g AS (
-      SELECT user_id, ts, event_id,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 30 MINUTE OR
-                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events),
-    s AS (
-      SELECT user_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-      FROM g)
-    SELECT user_id, CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
-           CAST(COUNT(*) AS BIGINT) AS n_events
-    FROM s GROUP BY user_id
-    """,
-)
-def q_sessionization(spark, sf_dir):
-    """Sessionization: lag + gap>30min + running sum → session ids.
-
-    Scale: two windows over the same (user_id, ts) partitioning — one
-    shuffle, reused across both window stages.
-    """
-    ev = table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
-    g = ev.withColumn(
-        "new_session",
-        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
-    )
-    # Tie-break must match the lag window's (ts, event_id) ordering —
-    # ts-only ordering is ambiguous for same-ts events and flakes the
-    # cross-engine hash.
-    ws = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    s = g.withColumn("session_id", F.sum("new_session").over(ws))
-    return s.groupBy("user_id").agg(
-        F.countDistinct("session_id").alias("n_sessions"), F.count("*").alias("n_events")
     )
 
 
@@ -670,48 +576,91 @@ def q18_large_orders(spark, sf_dir):
 
 
 @query(
-    "q_json_props",
+    "q_function_surface",
     """
-    SELECT event_type,
+    SELECT UPPER(substr(event_type, 1, 3)) AS et_prefix,
+           CAST(EXTRACT(year FROM ts) AS INT) AS ts_year,
+           CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k
-    FROM events GROUP BY event_type
+           CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k,
+           CAST(SUM(length(event_type)) AS BIGINT) AS total_type_len
+    FROM events WHERE event_type LIKE '%r%'
+    GROUP BY 1, 2
     """,
 )
-def q_json_props(spark, sf_dir):
-    """JSON extraction over a string column (get_json_object) + agg —
-    semi-structured surface (absent in the numeric-only reference; free
-    in Spark, SURVEY §2.3 'String/date/JSON: none in the reference')."""
-    ev = table(spark, sf_dir, "events")
+def q_function_surface(spark, sf_dir):
+    """Scalar-function surface in one pass: JSON extraction
+    (get_json_object), string functions (upper/substr/like/length), and
+    date-part extraction (year) — semi-structured + string/date surface
+    absent in the numeric-only reference (SURVEY §2.3 'String/date/JSON:
+    none in the reference'), free in Spark. Merged r1 queries
+    q_json_props + q_string_date_funcs into one registry slot; every
+    expression stays inside whole-stage codegen."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type").like("%r%"))
     k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
-    return ev.groupBy("event_type").agg(
-        F.sum(k).cast("bigint").alias("sum_k"), F.count(k).alias("n_with_k")
+    return (
+        ev.groupBy(
+            F.upper(F.substring("event_type", 1, 3)).alias("et_prefix"),
+            F.year("ts").cast("int").alias("ts_year"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).cast("bigint").alias("sum_k"),
+            F.count(k).alias("n_with_k"),
+            F.sum(F.length("event_type")).cast("bigint").alias("total_type_len"),
+        )
     )
 
 
 @query(
     "q_percentiles",
     """
-    SELECT l_returnflag,
-           quantile_cont(l_quantity, 0.25) AS p25,
-           quantile_cont(l_quantity, 0.50) AS p50,
-           quantile_cont(l_quantity, 0.75) AS p75,
-           CAST(COUNT(*) AS BIGINT) AS n
-    FROM lineitem GROUP BY l_returnflag
+    WITH t AS (
+      SELECT l_returnflag, l_quantity,
+             CAST(NTILE(4) OVER (PARTITION BY l_returnflag
+                   ORDER BY l_quantity, l_orderkey, l_linenumber) AS INT) AS quartile
+      FROM lineitem),
+    q AS (
+      SELECT l_returnflag, quartile, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MIN(l_quantity) AS DOUBLE) AS lo,
+             CAST(MAX(l_quantity) AS DOUBLE) AS hi
+      FROM t GROUP BY 1, 2),
+    p AS (
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.25) AS p25,
+             quantile_cont(l_quantity, 0.50) AS p50,
+             quantile_cont(l_quantity, 0.75) AS p75
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT q.l_returnflag, q.quartile, q.n, q.lo, q.hi, p.p25, p.p50, p.p75
+    FROM q JOIN p ON p.l_returnflag = q.l_returnflag
     """,
 )
 def q_percentiles(spark, sf_dir):
     """Exact interpolated percentiles per group (Spark ``percentile`` ≡
-    DuckDB ``quantile_cont`` — verified bit-identical). At 100 TB swap
-    to ``percentile_approx`` (Greenwald-Khanna sketch, mergeable,
-    bounded memory); the exact form is the oracle-able baseline."""
+    DuckDB ``quantile_cont`` — verified bit-identical) + NTILE quartile
+    buckets with deterministic tie-break (merged r1 queries
+    q_percentiles + q_ntile_quartiles into one registry slot).
+
+    Scale: percentile → ``percentile_approx`` at 100 TB (Greenwald-
+    Khanna sketch, mergeable, bounded memory); the NTILE window is
+    partitioned by returnflag (per-partition sort, no global ordering
+    task); the final join is flag-grain — broadcast."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    w = W.partitionBy("l_returnflag").orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    t = li.select(
+        "l_returnflag", "l_quantity", F.ntile(4).over(w).cast("int").alias("quartile")
+    )
+    q = t.groupBy("l_returnflag", "quartile").agg(
+        F.count("*").alias("n"),
+        F.min("l_quantity").cast("double").alias("lo"),
+        F.max("l_quantity").cast("double").alias("hi"),
+    )
+    p = li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_quantity, 0.25)").alias("p25"),
         F.expr("percentile(l_quantity, 0.50)").alias("p50"),
         F.expr("percentile(l_quantity, 0.75)").alias("p75"),
-        F.count("*").alias("n"),
     )
+    return q.join(F.broadcast(p), "l_returnflag")
 
 
 @query(
@@ -775,92 +724,6 @@ def q_global_topn(spark, sf_dir):
 
 
 @query(
-    "q_string_date_funcs",
-    """
-    SELECT UPPER(substr(c_name, 1, 8)) AS name_prefix,
-           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(length(c_mktsegment)) AS BIGINT) AS total_seg_len
-    FROM customer JOIN orders ON o_custkey = c_custkey
-    WHERE c_name LIKE 'Customer%'
-    GROUP BY 1, 2
-    """,
-)
-def q_string_date_funcs(spark, sf_dir):
-    """String + date function surface (upper/substr/like/length/
-    extract-year) — absent in the numeric-only reference (SURVEY §2.3),
-    native in Spark; all inside whole-stage codegen."""
-    c = table(spark, sf_dir, "customer").filter(F.col("c_name").like("Customer%"))
-    o = table(spark, sf_dir, "orders")
-    return (
-        c.join(o, o.o_custkey == c.c_custkey)
-        .groupBy(
-            F.upper(F.substring("c_name", 1, 8)).alias("name_prefix"),
-            F.year("o_orderdate").cast("int").alias("order_year"),
-        )
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.length("c_mktsegment")).cast("bigint").alias("total_seg_len"),
-        )
-    )
-
-
-@query(
-    "q_range_frame_window",
-    """
-    SELECT user_id, event_id,
-           CAST(SUM(CAST(value AS DECIMAL(38,6)))
-                OVER (PARTITION BY user_id ORDER BY value
-                      RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS DOUBLE)
-             AS near_sum
-    FROM events WHERE user_id < 20
-    """,
-)
-def q_range_frame_window(spark, sf_dir):
-    """RANGE-frame window (value-distance frame, not row-count): sums
-    peers within 10 units of the current value — the frame type rows-
-    based windows can't express."""
-    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("value")
-        .rangeBetween(-10, W.currentRow)
-    )
-    return ev.select(
-        "user_id",
-        "event_id",
-        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("near_sum"),
-    )
-
-
-@query(
-    "q_ntile_quartiles",
-    """
-    SELECT quartile, CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
-           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
-    FROM (SELECT o_totalprice,
-                 CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
-          FROM orders) t
-    GROUP BY quartile
-    """,
-)
-def q_ntile_quartiles(spark, sf_dir):
-    """NTILE ranking window → quartile boundaries. The global ordering
-    is a single window task over |orders| rows — acceptable for a
-    catalog-sized table; for fact tables use q_percentiles
-    (percentile_approx at scale) instead."""
-    o = table(spark, sf_dir, "orders")
-    w = W.orderBy("o_totalprice", "o_orderkey")
-    t = o.select("o_totalprice", F.ntile(4).over(w).cast("int").alias("quartile"))
-    return t.groupBy("quartile").agg(
-        F.count("*").alias("n"),
-        F.min("o_totalprice").cast("double").alias("lo"),
-        F.max("o_totalprice").cast("double").alias("hi"),
-    )
-
-
-@query(
     "q_corr_stats",
     """
     SELECT l_returnflag,
@@ -890,26 +753,33 @@ def q_corr_stats(spark, sf_dir):
     "q_grouping_sets",
     """
     SELECT COALESCE(l_returnflag, '<any>') AS returnflag,
+           COALESCE(l_linestatus, '<any>') AS linestatus,
            COALESCE(CAST(l_linenumber AS VARCHAR), '<any>') AS linenumber,
            CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linenumber))
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                            (l_linenumber), ())
     """,
 )
 def q_grouping_sets(spark, sf_dir):
-    """Explicit GROUPING SETS (disjoint dimensions in one pass —
-    distinct from ROLLUP's hierarchy; absent in the reference, SURVEY
-    §2.5). One scan expands to both groupings before the shuffle."""
+    """GROUPING SETS covering the ROLLUP hierarchy ((flag, status),
+    (flag), ()) PLUS a disjoint dimension (linenumber) in one pass —
+    merged r1 queries q_rollup_flag_status + q_grouping_sets into one
+    registry slot; both shapes absent in the reference (SURVEY §2.5),
+    free in Spark. One scan expands to all four groupings before the
+    single shuffle."""
     li = table(spark, sf_dir, "lineitem")
     return spark.sql(
         """
         SELECT COALESCE(l_returnflag, '<any>') AS returnflag,
+               COALESCE(l_linestatus, '<any>') AS linestatus,
                COALESCE(CAST(l_linenumber AS STRING), '<any>') AS linenumber,
                CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
                COUNT(*) AS n
         FROM {li}
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linenumber))
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                                (l_linenumber), ())
         """,
         li=li,
     )

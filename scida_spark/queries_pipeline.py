@@ -35,73 +35,87 @@ def dedup_exact_clusters(spark, sf_dir):
     return D.exact_dedup_clusters(table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-@query(
-    "dedup_ngram_jaccard",
-    """
-    WITH sh AS (
-      SELECT doc_id AS doc,
-             list_distinct(list_transform(
-               generate_series(1, len(string_split(trim(text), ' ')) - 2),
-               i -> string_split(trim(text), ' ')[i] || ' ' ||
-                    string_split(trim(text), ' ')[i+1] || ' ' ||
-                    string_split(trim(text), ' ')[i+2])) AS grams
-      FROM documents),
-    sizes AS (SELECT doc, len(grams) AS nsh FROM sh),
-    ex AS (SELECT doc, unnest(grams) AS g FROM sh),
-    inter AS (
-      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
-      FROM ex a JOIN ex b ON a.g = b.g AND a.doc < b.doc
-      GROUP BY a.doc, b.doc)
-    SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
-           CAST(n_inter AS DOUBLE) / CAST(sa.nsh + sb.nsh - n_inter AS DOUBLE) AS jaccard
-    FROM inter JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
-    WHERE CAST(n_inter AS DOUBLE) / CAST(sa.nsh + sb.nsh - n_inter AS DOUBLE) >= 0.2
-    """,
-)
-def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram-shingle Jaccard near-dup pairs via inverted-index
-    self-join. At 100 TB the candidate generation moves to MinHash LSH
-    (``dedup_minhash_lsh``); this exact form is the oracle-able baseline."""
-    return D.ngram_jaccard_pairs(
-        table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.2
-    )
+@query("dedup_signature_pairs", None)  # probabilistic signatures → rows-only check
+def dedup_signature_pairs(spark, sf_dir):
+    """Signature-based near-dup pairs, BOTH scale paths in one result
+    (merged r1 queries dedup_minhash_lsh + dedup_simhash into one
+    registry slot, distinguished by the ``method`` column):
 
+    * ``minhash``: MinHash(64 perms) + LSH(16 bands) candidates,
+      exact-Jaccard verified at ≥0.2 — banded equi-join, never
+      all-pairs; score = jaccard.
+    * ``simhash``: SimHash-64 + banded Hamming near-pairs (pigeonhole
+      blocking — distance ≤8 ⇒ at least one of 9 bit-chunks equal, so
+      candidates come from equi-joins only); score = hamming distance.
 
-@query("dedup_minhash_lsh", None)  # probabilistic candidates → rows-only check
-def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash(64 perms) + LSH(16 bands) candidates, exact-Jaccard
-    verified at ≥0.2 — the scale path for near-dedup. Deterministic
-    (seeded permutations) but not SQL-expressible (xxhash64 shingle
-    hashing); pytest cross-checks against the exact all-pairs result."""
-    return D.minhash_dedup_pairs(
-        table(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_perm=64, bands=16,
-        threshold=0.2,
-    ).select("doc_a", "doc_b", "jaccard")
-
-
-@query("dedup_simhash", None)  # bit-level signature → rows-only check
-def dedup_simhash(spark, sf_dir):
-    """SimHash-64 signatures + banded Hamming-distance near-pairs
-    (pigeonhole blocking on 16-bit chunks — equi-joins only)."""
+    Deterministic (seeded permutations / fixed hyperplanes) but not
+    SQL-expressible (xxhash64 hashing); pytest cross-checks both against
+    exact ground truth."""
     docs = table(spark, sf_dir, "documents")
-    sigs = D.simhash_signatures(docs, "doc_id", "text")
-    return D.simhash_near_pairs(sigs, max_hamming=8)
+    mh = D.minhash_dedup_pairs(
+        docs, "doc_id", "text", n=3, num_perm=64, bands=16, threshold=0.2
+    ).select(
+        F.lit("minhash").alias("method"),
+        "doc_a",
+        "doc_b",
+        F.col("jaccard").cast("double").alias("score"),
+    )
+    sh = D.simhash_near_pairs(
+        D.simhash_signatures(docs, "doc_id", "text"), max_hamming=8
+    ).select(
+        F.lit("simhash").alias("method"),
+        "doc_a",
+        "doc_b",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    return mh.unionAll(sh)
 
 
 @query(
-    "dedup_first_event",
+    "dedup_keep_first_latest",
     """
-    SELECT user_id, event_type, CAST(MIN(event_id) AS BIGINT) AS first_event_id,
-           CAST(COUNT(*) AS BIGINT) AS n_dups
-    FROM events GROUP BY user_id, event_type
+    WITH agg AS (
+      SELECT user_id, event_type,
+             CAST(MIN(event_id) AS BIGINT) AS first_event_id,
+             CAST(COUNT(*) AS BIGINT) AS n_dups
+      FROM events GROUP BY user_id, event_type),
+    lat AS (
+      SELECT user_id, event_type, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT a.user_id, a.event_type, a.first_event_id, a.n_dups,
+           CAST(l.event_id AS BIGINT) AS latest_event_id,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS latest_ts_s
+    FROM agg a JOIN lat l
+      ON l.user_id = a.user_id AND l.event_type = a.event_type AND l.rn = 1
     """,
 )
-def dedup_first_event(spark, sf_dir):
-    """Keyed dedup keep-first (batch analog of streaming dropDuplicates):
-    min-id per (user, type) — one shuffle, no window needed."""
+def dedup_keep_first_latest(spark, sf_dir):
+    """Keyed dedup, keep-FIRST and keep-LATEST winners per (user, type)
+    in one pass (merged r1 queries dedup_first_event + dedup_keep_latest
+    into one registry slot): first = min id (batch analog of streaming
+    dropDuplicates), latest = max (ts, event_id) — the standard
+    newest-version-wins pattern for revisioned corpora.
+
+    Scale: ONE shuffle on the key; the latest winner is a struct-max
+    aggregate (map-side combine), not a rank window — no second sort."""
     ev = table(spark, sf_dir, "events")
-    return ev.groupBy("user_id", "event_type").agg(
-        F.min("event_id").alias("first_event_id"), F.count("*").alias("n_dups")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.min("event_id").alias("first_event_id"),
+            F.count("*").alias("n_dups"),
+            F.max(F.struct(F.col("ts"), F.col("event_id"))).alias("_latest"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "first_event_id",
+            "n_dups",
+            F.col("_latest.event_id").alias("latest_event_id"),
+            F.date_format("_latest.ts", "yyyy-MM-dd HH:mm:ss").alias("latest_ts_s"),
+        )
     )
 
 
@@ -169,13 +183,27 @@ def sim_neardup_pairs(spark, sf_dir):
     return res.select("id_a", "id_b", F.round("sim", 6).alias("sim_r"))
 
 
-@query("sim_lsh_topk", None)  # approximate → rows-only + pytest recall check
-def sim_lsh_topk(spark, sf_dir):
-    """ANN top-k via random-hyperplane LSH with multi-probe: equi-join on
-    bucket signature replaces the cross-join at scale."""
+@query("sim_ann_topk", None)  # approximate → rows-only + pytest recall check
+def sim_ann_topk(spark, sf_dir):
+    """ANN top-k, BOTH bucketed scale paths in one result (merged r1
+    queries sim_lsh_topk + sim_ivf_topk into one registry slot,
+    distinguished by the ``method`` column):
+
+    * ``lsh``: random-hyperplane signatures + multi-probe (1-bit flips)
+      — equi-join on bucket replaces the cross-join.
+    * ``ivf``: coarse k-means quantization → inverted lists → nprobe
+      nearest lists only — equi-join on list id.
+
+    Both pytest recall-checked against brute-force ground truth."""
     emb = table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    return SIM.lsh_topk(emb, q, k=10, nbits=12)
+    lsh = SIM.lsh_topk(emb, q, k=10, nbits=12).select(
+        F.lit("lsh").alias("method"), "query_id", "cand_id", "sim", "rank"
+    )
+    ivf = SIM.ivf_topk(emb, q, k=10, nlist=16, nprobe=4).select(
+        F.lit("ivf").alias("method"), "query_id", "cand_id", "sim", "rank"
+    )
+    return lsh.unionAll(ivf)
 
 
 # --------------------------------------------------------------------------
@@ -183,35 +211,74 @@ def sim_lsh_topk(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-@query(
-    "text_token_stats",
-    """
+_TOKEN_STATS_ORACLE = r"""
     WITH t AS (
-      SELECT lang, len(string_split(trim(text), ' ')) AS n_tok,
-             len(list_distinct(string_split(trim(text), ' '))) AS n_distinct
+      SELECT lang,
+             len(string_split(trim(text), ' ')) AS n_tok,
+             len(list_distinct(string_split(trim(text), ' '))) AS n_distinct,
+             len(list_filter(string_split(trim(text), ' '),
+                 x -> x IN ('the','a','of','and','der','die','und','das',
+                            'el','la','los','que','le','les','et'))) AS n_stop,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe,
+             len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'),
+                 x -> regexp_matches(x, '^[^A-Za-z0-9]$'))) AS n_punct
       FROM documents)
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
            CAST(SUM(n_distinct) AS BIGINT) AS total_distinct,
-           CAST(MAX(n_tok) AS BIGINT) AS max_tokens
+           CAST(MAX(n_tok) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_stop) AS BIGINT) AS total_stopwords,
+           CAST(SUM(n_stop) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE) AS stopword_ratio,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(n_punct) AS BIGINT) AS total_punct,
+           CAST(MAX(n_bpe) AS BIGINT) AS max_bpe_tokens
     FROM t GROUP BY lang
-    """,
-)
+    """
+
+
+@query("text_token_stats", _TOKEN_STATS_ORACLE)
 def text_token_stats(spark, sf_dir):
-    """Token counting (whitespace tokenizer) aggregated per language —
-    all JVM-side split/size, no UDF."""
+    """Per-language token statistics in ONE aggregation pass (merged r1
+    queries text_token_stats + text_stopword_ratio + text_bpe_token_count
+    into one registry slot): whitespace token counts + lexical
+    diversity, stopword counts/ratio (the classic quality signal), and
+    BPE-ish pre-tokenizer counts (letter runs / single digits /
+    punctuation — the GPT-style split, identical regex semantics both
+    engines).
+
+    Scale: all JVM-side split/regexp/filter Column expressions inside
+    whole-stage codegen — no UDF; one shuffle on the 5-value lang key
+    with map-side combine. The whitespace and BPE tokenizations are
+    separate projected columns, so Catalyst's lack of intra-projection
+    CSE (see functions/dedup.py) costs nothing."""
+    all_sw = [w for sws in TX.LANG_STOPWORDS.values() for w in sws]
+    sw = list(dict.fromkeys(all_sw))
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select("lang", TX.tokens(F.col("text")).alias("_t"))
+    toks = docs.select(
+        "lang",
+        TX.tokens(F.col("text")).alias("_t"),
+        TX.bpe_tokens(F.col("text")).alias("_b"),
+    )
     t = toks.select(
         "lang",
         F.size("_t").alias("n_tok"),
         F.size(F.array_distinct("_t")).alias("n_distinct"),
+        F.size(F.filter("_t", lambda x: x.isin(sw))).alias("n_stop"),
+        F.size("_b").alias("n_bpe"),
+        F.size(F.filter("_b", lambda t: t.rlike(r"^[^A-Za-z0-9]$"))).alias("n_punct"),
     )
     return t.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("total_tokens"),
         F.sum("n_distinct").cast("bigint").alias("total_distinct"),
         F.max("n_tok").cast("bigint").alias("max_tokens"),
+        F.sum("n_stop").cast("bigint").alias("total_stopwords"),
+        (F.sum("n_stop").cast("double") / F.sum("n_tok").cast("double")).alias(
+            "stopword_ratio"
+        ),
+        F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
+        F.sum("n_punct").cast("bigint").alias("total_punct"),
+        F.max("n_bpe").cast("bigint").alias("max_bpe_tokens"),
     )
 
 
@@ -312,22 +379,6 @@ def text_lang_id(spark, sf_dir):
     return pred.groupBy("actual_lang", "pred_lang").agg(F.count("*").alias("n"))
 
 
-@query(
-    "text_fingerprint",
-    """
-    SELECT substr(md5(text), 1, 16) AS fingerprint, CAST(doc_id AS BIGINT) AS doc_id
-    FROM documents WHERE doc_id < 100
-    """,
-)
-def text_fingerprint(spark, sf_dir):
-    """Portable content fingerprint (md5 prefix). The rolling-hash
-    (Karp-Rabin) variant is pytest-verified (not SQL-portable)."""
-    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return docs.select(
-        TX.md5_fingerprint(F.col("text")).alias("fingerprint"), F.col("doc_id")
-    )
-
-
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------
@@ -338,19 +389,23 @@ def text_fingerprint(spark, sf_dir):
     """
     SELECT CAST(doc_id AS BIGINT) AS media_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           sha256(text) AS sha256
+           sha256(text) AS sha256,
+           substr(md5(text), 1, 16) AS fingerprint
     FROM documents WHERE doc_id < 200
     """,
 )
 def multimodal_features(spark, sf_dir):
     """Binary-payload feature extraction via mapInPandas (schema /
     Arrow-batch plumbing is real; image decode itself is stubbed —
-    see functions/multimodal.py). sha256 over the payload is the
-    oracle-able part; the deterministic fake decode is pytest-covered."""
+    see functions/multimodal.py) + the portable md5-prefix content
+    fingerprint (merged r1 query text_fingerprint into this slot; the
+    rolling-hash Karp-Rabin variant stays pytest-verified, not
+    SQL-portable). sha256/fingerprint are the oracle-able parts; the
+    deterministic fake decode is pytest-covered."""
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = M.to_media_table(docs, "doc_id", "text")
     feats = M.extract_features(media)
-    return feats.select("media_id", "n_bytes", "sha256")
+    return feats.select("media_id", "n_bytes", "sha256", "fingerprint")
 
 
 # --------------------------------------------------------------------------
@@ -360,61 +415,60 @@ def multimodal_features(spark, sf_dir):
 
 
 @query(
-    "stream_tumbling_counts",
+    "stream_window_counts",
     """
-    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+    SELECT 'tumbling' AS kind,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
-    FROM events GROUP BY 1, 2
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding' AS kind, window_start, '<all>' AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT unnest([
+               strftime(make_timestamp(CAST(FLOOR(epoch(ts) / 1800) * 1800 * 1000000 AS BIGINT)), '%Y-%m-%d %H:%M:%S'),
+               strftime(make_timestamp(CAST((FLOOR(epoch(ts) / 1800) * 1800 - 1800) * 1000000 AS BIGINT)), '%Y-%m-%d %H:%M:%S')
+             ]) AS window_start,
+             value
+      FROM events) w
+    GROUP BY window_start
     """,
 )
-def stream_tumbling_counts(spark, sf_dir):
-    """Tumbling 1-hour window aggregation — identical semantics to the
-    Structured Streaming version in scida_spark.streaming (same
-    F.window call), run here on the bounded table for the oracle."""
+def stream_window_counts(spark, sf_dir):
+    """Tumbling (1 h) + sliding (1 h length / 30 min slide) window
+    aggregations in one result (merged r1 queries stream_tumbling_counts
+    + stream_sliding_counts into one registry slot, distinguished by
+    ``kind``) — identical semantics to the Structured Streaming versions
+    in scida_spark.streaming (same F.window calls), run here on the
+    bounded table for the oracle. Every event lands in exactly two
+    epoch-aligned sliding windows — the oracle materializes both starts
+    per event."""
     ev = table(spark, sf_dir, "events")
-    return (
+    tum = (
         ev.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count("*").alias("n"), dsum(F.col("value"), "sum_value"))
         .select(
+            F.lit("tumbling").alias("kind"),
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
             "n",
             "sum_value",
         )
     )
-
-
-@query(
-    "stream_sliding_counts",
-    """
-    WITH w AS (
-      SELECT unnest([
-               make_timestamp(CAST(FLOOR(epoch(ts) / 1800) * 1800 * 1000000 AS BIGINT)),
-               make_timestamp(CAST((FLOOR(epoch(ts) / 1800) * 1800 - 1800) * 1000000 AS BIGINT))
-             ]) AS window_start,
-             value
-      FROM events)
-    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
-    FROM w GROUP BY 1
-    """,
-)
-def stream_sliding_counts(spark, sf_dir):
-    """Sliding window (1 h length, 30 min slide): every event lands in
-    exactly two epoch-aligned windows — matches Spark's window()
-    alignment; the oracle materializes both starts per event."""
-    ev = table(spark, sf_dir, "events")
-    return (
+    sli = (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes"))
         .agg(F.count("*").alias("n"), dsum(F.col("value"), "sum_value"))
         .select(
+            F.lit("sliding").alias("kind"),
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.lit("<all>").alias("event_type"),
             "n",
             "sum_value",
         )
     )
+    return tum.unionAll(sli)
 
 
 @query(
@@ -460,17 +514,6 @@ def stream_session_windows(spark, sf_dir):
     )
 
 
-@query("sim_ivf_topk", None)  # approximate → rows-only + pytest recall check
-def sim_ivf_topk(spark, sf_dir):
-    """ANN top-k via IVF (coarse k-means quantization → inverted lists →
-    nprobe-list search): the bucketed alternative to sim_lsh_topk.
-    Candidates get one list id in a narrow pass; the search is an
-    equi-join on list id — no cross-join at any scale."""
-    emb = table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 5)
-    return SIM.ivf_topk(emb, q, k=10, nlist=16, nprobe=4)
-
-
 @query(
     "dedup_cc_clusters",
     """
@@ -489,7 +532,9 @@ def sim_ivf_topk(spark, sf_dir):
       FROM ex a JOIN ex b ON a.g = b.g AND a.doc < b.doc
       GROUP BY a.doc, b.doc),
     pairs AS (
-      SELECT doc_a, doc_b FROM inter
+      SELECT doc_a, doc_b,
+             CAST(n_inter AS DOUBLE) / CAST(sa.nsh + sb.nsh - n_inter AS DOUBLE) AS jaccard
+      FROM inter
       JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
       WHERE CAST(n_inter AS DOUBLE) / CAST(sa.nsh + sb.nsh - n_inter AS DOUBLE) >= 0.2),
     edges AS (
@@ -498,125 +543,37 @@ def sim_ivf_topk(spark, sf_dir):
     reach(node, label) AS (
       SELECT src, src FROM edges
       UNION
-      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
-    SELECT CAST(node AS BIGINT) AS node, CAST(MIN(label) AS BIGINT) AS cluster_id
-    FROM reach GROUP BY node
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+    labels AS (
+      SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node)
+    SELECT CAST(p.doc_a AS BIGINT) AS doc_a, CAST(p.doc_b AS BIGINT) AS doc_b,
+           p.jaccard, CAST(l.cluster_id AS BIGINT) AS cluster_id
+    FROM pairs p JOIN labels l ON l.node = p.doc_a
     """,
 )
 def dedup_cc_clusters(spark, sf_dir):
-    """Dedup cluster assignment: exact near-dup pairs (3-gram Jaccard
-    ≥0.2) → connected components via iterative min-label propagation.
-    The DuckDB oracle computes the same transitive closure with a
-    recursive CTE, so the distributed loop is value-checked exactly."""
+    """Exact near-dup pairs (3-gram-shingle Jaccard ≥0.2 via
+    inverted-index self-join) + dedup cluster assignment: connected
+    components via iterative min-label propagation over the pair graph,
+    reported at pair grain with each pair's component label (merged r1
+    queries dedup_ngram_jaccard + dedup_cc_clusters into one registry
+    slot — the pairs ARE the CC input, so one result value-checks both).
+    The DuckDB oracle recomputes the same transitive closure with a
+    recursive CTE, so the distributed loop is value-checked exactly.
+
+    Scale: candidate generation is the exact baseline (hot-shingle
+    df-capped); MinHash LSH (dedup_signature_pairs) is the 100 TB
+    candidate path. CC rounds are O(log diameter) with localCheckpoint-
+    bounded lineage."""
     pairs = D.ngram_jaccard_pairs(
         table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.2
     )
-    cc = D.connected_components(pairs)
-    return cc.select(
-        F.col("node").cast("bigint").alias("node"),
+    cc = D.connected_components(pairs.select("doc_a", "doc_b"))
+    return pairs.join(cc, pairs.doc_a == cc.node).select(
+        F.col("doc_a").cast("bigint").alias("doc_a"),
+        F.col("doc_b").cast("bigint").alias("doc_b"),
+        "jaccard",
         F.col("cluster_id").cast("bigint").alias("cluster_id"),
     )
 
 
-@query(
-    "text_bpe_token_count",
-    r"""
-    WITH t AS (
-      SELECT lang,
-             regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]') AS toks
-      FROM documents),
-    s AS (
-      SELECT lang, len(toks) AS n_tok,
-             len(list_filter(toks, x -> regexp_matches(x, '^[^A-Za-z0-9]$'))) AS n_punct
-      FROM t)
-    SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS total_bpe_tokens,
-           CAST(SUM(n_punct) AS BIGINT) AS total_punct,
-           CAST(MAX(n_tok) AS BIGINT) AS max_bpe_tokens
-    FROM s GROUP BY lang
-    """,
-)
-def text_bpe_token_count(spark, sf_dir):
-    """BPE-ish tokenization (letter runs / single digits / punctuation —
-    the GPT-style pre-tokenizer split) + punctuation counts per
-    language. Identical regex engine semantics both sides (verified)."""
-    docs = table(spark, sf_dir, "documents")
-    toks = docs.select("lang", TX.bpe_tokens(F.col("text")).alias("toks"))
-    s = toks.select(
-        "lang",
-        F.size("toks").alias("n_tok"),
-        F.size(F.filter("toks", lambda t: t.rlike(r"^[^A-Za-z0-9]$"))).alias("n_punct"),
-    )
-    return s.groupBy("lang").agg(
-        F.sum("n_tok").cast("bigint").alias("total_bpe_tokens"),
-        F.sum("n_punct").cast("bigint").alias("total_punct"),
-        F.max("n_tok").cast("bigint").alias("max_bpe_tokens"),
-    )
-
-
-@query(
-    "dedup_keep_latest",
-    """
-    SELECT user_id, event_type, CAST(event_id AS BIGINT) AS event_id,
-           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
-    FROM (
-      SELECT user_id, event_type, event_id, ts,
-             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-                   ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events) t
-    WHERE rn = 1
-    """,
-)
-def dedup_keep_latest(spark, sf_dir):
-    """Keyed dedup keep-LATEST (the mirror of dedup_first_event's
-    keep-first): rank window with a total tie-break, keep rank 1 —
-    the standard newest-version-wins pattern for revisioned corpora."""
-    ev = table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id", "event_type").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id", "event_type", "event_id",
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
-        )
-    )
-
-
-@query(
-    "text_stopword_ratio",
-    """
-    WITH t AS (
-      SELECT lang,
-             len(string_split(trim(text), ' ')) AS n,
-             len(list_filter(string_split(trim(text), ' '),
-                 x -> x IN ('the','a','of','and','der','die','und','das',
-                            'el','la','los','que','le','les','et'))) AS n_stop
-      FROM documents)
-    SELECT lang,
-           CAST(SUM(n_stop) AS BIGINT) AS total_stopwords,
-           CAST(SUM(n) AS BIGINT) AS total_tokens,
-           CAST(SUM(n_stop) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS stopword_ratio
-    FROM t GROUP BY lang
-    """,
-)
-def text_stopword_ratio(spark, sf_dir):
-    """Stopword-ratio quality signal per language (the third classic
-    quality component besides length and lexical diversity) — exact
-    integer ratio, engine-independent."""
-    all_sw = [w for sws in TX.LANG_STOPWORDS.values() for w in sws]
-    # de-dup while preserving membership semantics
-    sw = list(dict.fromkeys(all_sw))
-    docs = table(spark, sf_dir, "documents")
-    toks = docs.select("lang", TX.tokens(F.col("text")).alias("_t"))
-    t = toks.select(
-        "lang",
-        F.size("_t").alias("n"),
-        F.size(F.filter("_t", lambda x: x.isin(sw))).alias("n_stop"),
-    )
-    return t.groupBy("lang").agg(
-        F.sum("n_stop").cast("bigint").alias("total_stopwords"),
-        F.sum("n").cast("bigint").alias("total_tokens"),
-        (F.sum("n_stop").cast("double") / F.sum("n").cast("double")).alias("stopword_ratio"),
-    )

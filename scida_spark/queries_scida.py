@@ -238,31 +238,6 @@ def scida_group_quantity_broadcast(spark, sf_dir):
 
 
 @query(
-    "scida_grouped_agg",
-    """
-    SELECT CAST(l_orderkey AS BIGINT) AS GroupID,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_l_quantity,
-           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_l_extendedprice,
-           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_l_extendedprice
-    FROM lineitem GROUP BY l_orderkey
-    """,
-)
-def scida_grouped_agg(spark, sf_dir):
-    """``grouped(fields).sum().min().max().evaluate()`` — the fluent
-    segmented-aggregation API (reference arepo/dataset.py:664-1016)
-    compiling to one shuffle groupBy with map-side combine."""
-    li = table(spark, sf_dir, "lineitem").withColumn("GroupID", F.col("l_orderkey"))
-    # Same plan shape the grouped() API emits (C.grouped(li, fields)
-    # .sum().evaluate()), with exact-decimal sums for cross-engine equality.
-    agg = li.groupBy("GroupID").agg(
-        dsum(F.col("l_quantity"), "sum_l_quantity"),
-        F.min("l_extendedprice").alias("min_l_extendedprice"),
-        F.max("l_extendedprice").alias("max_l_extendedprice"),
-    )
-    return agg
-
-
-@query(
     "scida_grouped_apply",
     """
     SELECT CAST(l_orderkey AS BIGINT) AS GroupID,
@@ -497,26 +472,32 @@ def scida_temperature_field(spark, sf_dir):
     f"""
     SELECT CAST(l_orderkey AS BIGINT) AS GroupID,
            CAST(SUM(l_quantity) AS DOUBLE) AS sum_l_quantity,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_l_quantity,
            CAST(MAX(l_quantity) AS DOUBLE) AS max_l_quantity
     FROM lineitem WHERE l_orderkey < 500 GROUP BY l_orderkey
     """,
 )
 def scida_grouped_fluent(spark, sf_dir):
-    """The fluent segmented-aggregation chain itself:
-    ``grouped(df, fields).sum().max().evaluate(nmax=500)`` — reference
-    GroupAwareOperation (arepo/dataset.py:826-1016) with the nmax
-    first-n-groups filter (:1499-1527). Compiles to one groupBy().agg()
-    — chained reductions share a single shuffle."""
+    """The fluent segmented-aggregation chain:
+    ``grouped(df, fields).sum().min().max().evaluate(nmax=500)`` —
+    reference GroupAwareOperation (arepo/dataset.py:826-1016) with the
+    nmax first-n-groups filter (:1499-1527). Compiles to ONE
+    groupBy().agg() — chained reductions share a single shuffle with
+    map-side combine (merged r1 queries scida_grouped_agg +
+    scida_grouped_fluent into one registry slot: same API, same plan
+    shape)."""
     li = table(spark, sf_dir, "lineitem").withColumn("GroupID", F.col("l_orderkey"))
     out = (
         C.grouped(li, ["l_quantity"])
         .sum()
+        .min()
         .max()
         .evaluate(nmax=500)
     )
     return out.select(
         F.col("GroupID").cast("bigint").alias("GroupID"),
         F.col("sum_l_quantity").cast("double").alias("sum_l_quantity"),
+        F.col("min_l_quantity").cast("double").alias("min_l_quantity"),
         F.col("max_l_quantity").cast("double").alias("max_l_quantity"),
     )
 
