@@ -167,6 +167,7 @@ class Dataset:
     data: FieldContainer
     metadata: dict = dc_field(default_factory=dict)
     ureg: UnitRegistry = dc_field(default_factory=UnitRegistry)
+    cosmology: "object | None" = None  # scida_spark.cosmology.Cosmology
 
     def __getitem__(self, key):
         # item access delegates to data (reference interface.py:250-251)
@@ -177,6 +178,15 @@ class Dataset:
 
     def keys(self):
         return self.data.keys()
+
+    @property
+    def redshift(self) -> float | None:
+        """Header-derived redshift (reference CosmologyMixin.redshift,
+        mixins/cosmology.py:50-52)."""
+        if self.cosmology is not None and self.cosmology.redshift is not None:
+            return self.cosmology.redshift
+        z = self.metadata.get("redshift")
+        return None if z is None else float(z)
 
     @property
     def containers(self) -> dict[str, FieldContainer]:
@@ -354,6 +364,86 @@ def register_default_fields(container, ureg=None) -> list[str]:
     return registered
 
 
+# Default Arepo particle-type aliases (reference customs/arepo/
+# dataset.py:90-103) — registered on load for every present container.
+AREPO_ALIASES = {
+    "PartType0": ["gas", "baryons"],
+    "PartType1": ["dm", "dark matter"],
+    "PartType2": ["lowres", "lowres dm"],
+    "PartType3": ["tracer", "tracers"],
+    "PartType4": ["stars"],
+    "PartType5": ["bh", "black holes"],
+}
+
+
+def register_default_aliases(root: FieldContainer) -> list[str]:
+    """Wire gas/dm/stars/… aliases for present PartType containers
+    (reference arepo/dataset.py:90-103: alias only when target exists).
+    Returns the alias names registered."""
+    registered = []
+    for target, names in AREPO_ALIASES.items():
+        if target not in root._containers:
+            continue
+        for alias in names:
+            root.add_alias(alias, target)
+            registered.append(alias)
+    return registered
+
+
+def apply_simulation_config(ds: Dataset) -> str | None:
+    """Identify the simulation from metadata/path and apply its curated
+    unit file + cosmology definitions (reference flow: simulations.yaml
+    identifiers → unitfile → per-dataset h/a, mixins/units.py:340-430 +
+    mixins/cosmology.py:54-63). Field unit hints fill only fields whose
+    stored metadata carried no unit (stored wins — the reference's
+    non-override default, units yaml ``override: true`` flips it).
+    Returns the matched simulation name (recorded in ds.metadata)."""
+    from scida_spark.config import (
+        apply_unitfile,
+        field_unit_hints,
+        identify_simulation,
+        simulation_properties,
+    )
+    from scida_spark.cosmology import (
+        cosmology_from_metadata,
+        define_cosmology_units,
+        is_cosmological,
+    )
+
+    cosmo = cosmology_from_metadata(ds.metadata)
+    if cosmo is not None and is_cosmological(ds.metadata):
+        define_cosmology_units(ds.ureg, cosmo)
+        ds.cosmology = cosmo
+        if cosmo.redshift is not None:
+            ds.metadata.setdefault("redshift", cosmo.redshift)
+    matches = identify_simulation(ds.metadata, ds.path)
+    if not matches:
+        return None
+    name = matches[0]
+    props = simulation_properties(name)
+    unitfile = props.get("unitfile")
+    if unitfile:
+        hints = apply_unitfile(ds.ureg, unitfile)
+        for cname, cont in ds.containers.items():
+            for fname, ustr in field_unit_hints(hints, cname).items():
+                cont.field_units.setdefault(fname, ustr)
+    ds.metadata["simulation"] = name
+    return name
+
+
+def merge_catalog(snapshot: Dataset, catalog: Dataset) -> Dataset:
+    """Merge a halo/subhalo catalog's containers into the snapshot
+    (keep-first on clashes, reference merge_data) AFTER the redshift
+    consistency check (reference arepo/dataset.py:190-198: np.isclose
+    else ValueError)."""
+    from scida_spark.cosmology import check_redshift_consistency
+
+    check_redshift_consistency(snapshot.redshift, catalog.redshift)
+    snapshot.data.merge(catalog.data)
+    register_default_aliases(snapshot.data)
+    return snapshot
+
+
 def _sniff_format(path: str) -> str:
     if path.endswith((".hdf5", ".h5")):
         return "hdf5"
@@ -460,6 +550,7 @@ def load(path: str, spark: SparkSession | None = None, units: bool | str = True,
                     if u:
                         cont.field_units[f_.name] = u
             root[name] = cont
+        register_default_aliases(root)
     elif fmt in ("hdf5", "hdf5_multi"):
         from scida_spark.sources.hdf5 import load_hdf5_dataset
 
@@ -473,4 +564,6 @@ def load(path: str, spark: SparkSession | None = None, units: bool | str = True,
 
         return load_npy_dataset(path, spark, **kwargs)
     ds = Dataset(path=path, data=root, metadata=metadata, ureg=ureg)
+    if units:
+        apply_simulation_config(ds)
     return ds

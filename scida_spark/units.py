@@ -25,7 +25,7 @@ import math
 import warnings
 from dataclasses import dataclass, field
 
-BASE_DIMS = ("length", "mass", "time", "angle", "dimensionless")
+BASE_DIMS = ("length", "mass", "time", "angle", "temperature", "dimensionless")
 
 
 @dataclass(frozen=True)
@@ -107,6 +107,9 @@ class UnitRegistry:
             "Mpc": Unit(3.085678e24, (("length", 1),), "Mpc"),
             "Msun": Unit(1.989e33, (("mass", 1),), "Msun"),
             "Gyr": Unit(3.15576e16, (("time", 1),), "Gyr"),
+            "yr": Unit(3.15576e7, (("time", 1),), "yr"),
+            "K": Unit(1.0, (("temperature", 1),), "K"),
+            "erg": Unit(1.0, (("mass", 1), ("length", 2), ("time", -2)), "erg"),
             "deg": Unit(math.pi / 180.0, (("angle", 1),), "deg"),
             "rad": Unit(1.0, (("angle", 1),), "rad"),
         }
@@ -134,8 +137,22 @@ class UnitRegistry:
     def __getitem__(self, name: str) -> Unit:
         return self.parse(name)
 
+    _TOKEN_RE = None  # compiled lazily (class-level cache)
+
     def parse(self, expr: str) -> Unit:
-        """Parse 'a * b / c**2'-style unit expressions over named units."""
+        """Parse unit expressions over named units — the same surface the
+        reference's curated YAML files use (pint syntax, e.g.
+        ``1e10 * Msun / h``, ``a * kpc``, ``(km / s)^2``, ``km * a^(1/2) / s``
+        — configfiles/units/gadget_cosmological.yaml). Recursive descent:
+
+            expr   := term (('*' | '/') term)*
+            term   := factor (('^' | '**') factor)?
+            factor := NAME | NUMBER | '-' factor | '(' expr ')'
+
+        Exponents may be any parenthesized dimensionless expression
+        (``a^(1/2)``). Implicit multiplication (``1e10 Msun``) is
+        accepted: adjacent factors multiply.
+        """
         import re
 
         expr = expr.strip()
@@ -143,37 +160,80 @@ class UnitRegistry:
             return Unit.dimensionless()
         if expr in self._units:
             return self._units[expr]
-        # tiny recursive-descent-free evaluation: left-assoc division
-        # (a/b/c = a/(b*c)) — every '/'-separated segment after the
-        # first is a denominator factor.
-        parts = expr.split("/")
-        num, den_parts = parts[0], parts[1:]
+        if UnitRegistry._TOKEN_RE is None:
+            UnitRegistry._TOKEN_RE = re.compile(
+                r"\s*(\*\*|\^|[*/()\-]|[A-Za-z_][A-Za-z0-9_]*"
+                r"|(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)"
+            )
+        toks: list[str] = []
+        pos = 0
+        while pos < len(expr):
+            m = UnitRegistry._TOKEN_RE.match(expr, pos)
+            if not m:
+                return self._missing(expr)
+            toks.append(m.group(1))
+            pos = m.end()
+        i = 0
 
-        def atom(tok: str) -> Unit:
-            tok = tok.strip()
-            base, _, p = tok.partition("**")
-            base = base.strip()
+        def peek() -> str | None:
+            return toks[i] if i < len(toks) else None
+
+        def factor() -> Unit:
+            nonlocal i
+            t = peek()
+            if t is None:
+                raise ValueError(f"unexpected end of unit expression: {expr!r}")
+            if t == "-":
+                i += 1
+                u = factor()
+                return Unit(-u.scale, u.dims)
+            if t == "(":
+                i += 1
+                u = parse_expr()
+                if peek() != ")":
+                    raise ValueError(f"unbalanced parens in unit expression: {expr!r}")
+                i += 1
+                return u
+            i += 1
             try:
-                return Unit(float(base), (), None) ** (float(p) if p else 1.0)
+                return Unit(float(t), ())
             except ValueError:
                 pass
-            if base not in self._units:
-                return self._missing(base)
-            return self._units[base] ** (float(p) if p else 1.0)
+            if t not in self._units:
+                return self._missing(t)
+            return self._units[t]
 
-        def tokens(s: str) -> list[str]:
-            # split on '*' that is not part of '**'
-            return [t for t in re.split(r"(?<!\*)\*(?!\*)", s) if t.strip()]
+        def term() -> Unit:
+            nonlocal i
+            u = factor()
+            if peek() in ("^", "**"):
+                i += 1
+                e = factor()
+                if e.dims:
+                    raise ValueError(f"exponent must be dimensionless in {expr!r}")
+                u = u ** e.scale
+            return u
 
-        num_toks = tokens(num)
-        den_toks = [t for p in den_parts for t in tokens(p)]
-        if len(num_toks) == 1 and not den_toks:
-            return atom(num_toks[0])  # preserve unit name for single tokens
-        u = Unit.dimensionless()
-        for tok in num_toks:
-            u = u * atom(tok)
-        for tok in den_toks:
-            u = u / atom(tok)
+        def parse_expr() -> Unit:
+            nonlocal i
+            u = term()
+            while True:
+                t = peek()
+                if t == "*":
+                    i += 1
+                    u = u * term()
+                elif t == "/":
+                    i += 1
+                    u = u / term()
+                elif t is not None and t not in (")",):
+                    # implicit multiplication: '1e10 Msun'
+                    u = u * term()
+                else:
+                    return u
+
+        u = parse_expr()
+        if i != len(toks):
+            raise ValueError(f"trailing tokens in unit expression: {expr!r}")
         return u
 
     def _missing(self, name: str) -> Unit:
