@@ -554,6 +554,58 @@ def scida_histogram1d_weighted(spark, sf_dir):
     )
 
 
+def _code_mass_to_msun() -> float:
+    """The exact double the unit layer produces for code_mass → Msun
+    (1e10/h through the curated YAML's scale chain) — computed once at
+    import so the oracle SQL embeds the bit-identical literal."""
+    from scida_spark.config import apply_unitfile
+    from scida_spark.units import UnitRegistry
+
+    ureg = UnitRegistry()
+    ureg.define("h", 0.6774)
+    ureg.define("a", 1.0)
+    apply_unitfile(ureg, "units/gadget_cosmological.yaml")
+    return ureg["code_mass"].conversion_factor(ureg["Msun"])
+
+
+_MSUN_FACTOR = _code_mass_to_msun()
+
+
+@query(
+    "scida_units_mass",
+    f"""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity * {_MSUN_FACTOR!r} AS DECIMAL(38,6))) AS DOUBLE)
+             AS total_mass_msun,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def scida_units_mass(spark, sf_dir):
+    """Curated-unit conversion in a query: treat l_quantity as Masses in
+    ``code_mass`` (resolved from units/gadget_cosmological.yaml with
+    h = 0.6774, reference mixins/units.py:122-203) and convert to Msun
+    via ``UnitColumn.to()`` — the multiply-by-exact-factor path
+    (docs/units.md:69-80). The oracle embeds the factor the unit layer
+    computed, so a hash match proves the conversion chain
+    (YAML parse → registry → conversion_factor) end-to-end.
+
+    Scale: the conversion is one Column multiply inside whole-stage
+    codegen — units never touch Catalyst."""
+    from scida_spark.units import UnitColumn, UnitRegistry
+    from scida_spark.config import apply_unitfile
+
+    ureg = UnitRegistry()
+    ureg.define("h", 0.6774)
+    ureg.define("a", 1.0)
+    apply_unitfile(ureg, "units/gadget_cosmological.yaml")
+    li = table(spark, sf_dir, "lineitem")
+    mass_msun = UnitColumn(F.col("l_quantity"), ureg["code_mass"], ureg).to("Msun")
+    return li.select("l_returnflag", mass_msun.magnitude.alias("m")).groupBy(
+        "l_returnflag"
+    ).agg(dsum(F.col("m"), "total_mass_msun"), F.count("*").alias("n"))
+
+
 @query(
     "scida_shcounts",
     f"""
