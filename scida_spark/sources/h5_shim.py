@@ -20,9 +20,14 @@ import numpy as np
 
 
 class ShimDataset:
-    def __init__(self, path: str):
+    def __init__(self, path: str, u6: bool = False):
         self._path = path
-        self._arr = np.load(path, mmap_mode="r")
+        self._u6 = u6
+        # 0-d arrays cannot be memory-mapped; load them eagerly (tiny).
+        try:
+            self._arr = np.load(path, mmap_mode="r")
+        except ValueError:
+            self._arr = np.load(path)
 
     @property
     def shape(self):
@@ -30,6 +35,11 @@ class ShimDataset:
 
     @property
     def dtype(self):
+        if self._u6:
+            # Reproduce h5py's behavior on MTNG's 6-byte unsigned ints:
+            # any .dtype access fails to resolve '<u6' (reference
+            # helpers_hdf5.py:36-47 catches exactly this message).
+            raise TypeError("data type '<u6' not understood")
         return self._arr.dtype
 
     def __getitem__(self, key):
@@ -52,13 +62,27 @@ class ShimGroup:
                 out.append(e)
         return out
 
+    @property
+    def attrs(self) -> dict:
+        """Group attributes from an ``_attrs.json`` sidecar (h5py's
+        ``obj.attrs`` mapping surface, read-only)."""
+        import json
+
+        p = os.path.join(self._path, "_attrs.json")
+        if os.path.isfile(p):
+            with open(p) as fh:
+                return json.load(fh)
+        return {}
+
     def __getitem__(self, name: str):
         sub = os.path.join(self._path, name)
         if os.path.isdir(sub):
             return ShimGroup(sub)
         npy = sub + ".npy"
         if os.path.isfile(npy):
-            return ShimDataset(npy)
+            # A '<name>.u6' sidecar marks the dataset as a 6-byte uint
+            # (h5py cannot resolve its dtype — see ShimDataset.dtype).
+            return ShimDataset(npy, u6=os.path.isfile(sub + ".u6"))
         raise KeyError(name)
 
     def __contains__(self, name: str) -> bool:

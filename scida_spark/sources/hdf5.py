@@ -122,19 +122,120 @@ def _require_backend():
         )
 
 
-def walk_container(h5file, container: str) -> list[DatasetInfo]:
+def _dataset_dtype(ds) -> str:
+    """Dataset dtype with the MTNG 6-byte-uint workaround: h5py cannot
+    resolve ``<u6`` and raises TypeError on any ``.dtype`` access —
+    coerce to uint64, exactly as the reference does
+    (helpers_hdf5.py:36-47)."""
+    try:
+        return str(ds.dtype)
+    except TypeError as e:
+        if "data type '<u6' not understood" in str(e):
+            return "uint64"
+        raise
+
+
+def _is_unsupported_kind(dtype_str: str) -> bool:
+    """vlen / string / object dtypes are skipped (reference
+    io/_base.py:706-714 'we do not support HDF5 vlen dtype'); h5py
+    reports vlen as numpy object dtype."""
+    import numpy as np
+
+    try:
+        kind = np.dtype(dtype_str).kind
+    except TypeError:
+        return True
+    return kind in "OSUV"
+
+
+def walk_container(
+    h5file, container: str, attrs_out: dict | None = None
+) -> list[DatasetInfo]:
     """Schema walk of one group: (name, rows, width, dtype) per dataset
     (reference helpers_hdf5.py:55-135). ``h5file`` is an open backend
-    File object."""
+    File object. Oddballs (reference parity):
+
+    * 0-d datasets are demoted to attributes — recorded in ``attrs_out``
+      instead of the schema (helpers_hdf5.py:82-83 ``scalar_to_attr``).
+    * vlen/string/object dtypes are skipped with a warning
+      (io/_base.py:706-714).
+    * 6-byte uints are coerced to uint64 (helpers_hdf5.py:36-47).
+    """
+    import warnings
+
     grp = h5file[container]
     out = []
     for name in sorted(grp.keys()):
         ds = grp[name]
+        if hasattr(ds, "keys"):  # nested subgroup — not a dataset
+            continue
         shape = getattr(ds, "shape", None)
         if shape is None or len(shape) > 2:
             continue
+        dtype = _dataset_dtype(ds)
+        if len(shape) == 0:
+            if attrs_out is not None:
+                v = ds[()]
+                attrs_out[name] = v.item() if hasattr(v, "item") else v
+            continue
+        if _is_unsupported_kind(dtype):
+            warnings.warn(
+                f"{container}/{name}: dtype {dtype!r} (vlen/string) not "
+                "supported; skipping field",
+                stacklevel=2,
+            )
+            continue
         width = shape[1] if len(shape) == 2 else 1
-        out.append(DatasetInfo(container, name, shape[0], width, str(ds.dtype)))
+        out.append(DatasetInfo(container, name, shape[0], width, dtype))
+    return out
+
+
+def collect_attrs(h5file) -> dict[str, dict]:
+    """Group-path → attrs mapping for one file (the reference's
+    ``walk_group(get_attrs=True)`` shape, helpers_hdf5.py:55-90):
+    root attrs under ``/``, each top-level group under ``/<name>``."""
+    out: dict[str, dict] = {}
+    root = dict(getattr(h5file, "attrs", {}) or {})
+    if root:
+        out["/"] = root
+    for name in sorted(h5file.keys()):
+        obj = h5file[name]
+        if not hasattr(obj, "keys"):
+            continue
+        a = dict(getattr(obj, "attrs", {}) or {})
+        if a:
+            out["/" + name] = a
+    return out
+
+
+def reconcile_attrs(per_file: list[dict[str, dict]]) -> dict[str, dict]:
+    """Union attrs across a file series with an equal/differ split
+    (reference helpers_hdf5.py:301-359): keys equal in every file keep
+    the single value; keys whose values differ become the per-file list
+    (the reference stacks them). Floats compare with np.isclose (the
+    reference relaxed binary equality 'after some incident'); arrays
+    with array_equal. Paths/keys missing from some files are allowed —
+    present values are compared."""
+    import numpy as np
+
+    out: dict[str, dict] = {}
+    paths = sorted(set().union(*[set(d.keys()) for d in per_file])) if per_file else []
+    for apath in paths:
+        merged: dict = {}
+        keys = sorted(
+            set().union(*[set(d.get(apath, {}).keys()) for d in per_file])
+        )
+        for k in keys:
+            vals = [d[apath][k] for d in per_file if apath in d and k in d[apath]]
+            v0 = vals[0]
+            if isinstance(v0, np.ndarray) or isinstance(v0, (list, tuple)):
+                same = all(np.array_equal(v0, v) for v in vals[1:])
+            elif isinstance(v0, float) or isinstance(v0, np.floating):
+                same = all(np.isclose(v0, v) for v in vals[1:])
+            else:
+                same = all(v0 == v for v in vals[1:])
+            merged[k] = v0 if same else list(vals)
+        out[apath] = merged
     return out
 
 
@@ -231,6 +332,21 @@ def load_hdf5_dataset(path: str, spark, rows_per_split: int = 1 << 20,
     # container accumulate into the global uid.
     with _h5.File(files[0], "r") as fh:
         containers = [k for k in sorted(fh.keys()) if hasattr(fh[k], "keys")]
+    # Attribute pass: per-file group attrs + 0-d datasets demoted to
+    # attrs, reconciled across the series (equal keeps one value,
+    # differing becomes the per-file list — reference
+    # helpers_hdf5.py:301-359).
+    per_file_attrs: list[dict] = []
+    for f in files:
+        with _h5.File(f, "r") as fh:
+            d = collect_attrs(fh)
+            for cont_name in containers:
+                scalars: dict = {}
+                walk_container(fh, cont_name, attrs_out=scalars)
+                if scalars:
+                    d.setdefault("/" + cont_name, {}).update(scalars)
+            per_file_attrs.append(d)
+    attrs = reconcile_attrs(per_file_attrs)
     for cont_name in containers:
         file_rows = []
         infos = None
@@ -270,4 +386,12 @@ def load_hdf5_dataset(path: str, spark, rows_per_split: int = 1 << 20,
         splits = plan_splits(file_rows, cont_name, rows_per_split)
         df = read_splits_arrow(spark, splits, cols, schema, backend=backend_name)
         root[cont_name] = FieldContainer(df, name=cont_name, ureg=ureg)
-    return Dataset(path=path, data=root, metadata={}, ureg=ureg)
+    from scida_spark.dataset import apply_simulation_config, register_default_aliases
+
+    register_default_aliases(root)
+    ds = Dataset(
+        path=path, data=root, metadata={"attrs": attrs} if attrs else {}, ureg=ureg
+    )
+    if attrs:
+        apply_simulation_config(ds)
+    return ds
