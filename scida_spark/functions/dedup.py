@@ -391,18 +391,31 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str, bits: int = 64
 
     @F.pandas_udf("long")
     def _simhash(hashes: pd.Series) -> pd.Series:
-        out = np.empty(len(hashes), dtype=np.int64)
-        for i, hs in enumerate(hashes):
-            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-            bitsum = np.zeros(64, dtype=np.int64)
-            for bit in range(64):
-                bitsum[bit] = int(((h >> np.uint64(bit)) & np.uint64(1)).sum())
-            n = len(h)
-            sig = np.uint64(0)
-            for bit in range(64):
-                if bitsum[bit] * 2 > n:
-                    sig |= np.uint64(1) << np.uint64(bit)
-            out[i] = np.int64(sig.astype(np.int64))
+        # Fully vectorized over the Arrow batch: flatten every doc's
+        # token hashes, unpack to a (total_tokens, 64) bit matrix, then
+        # per-doc column sums via reduceat over doc offsets — no Python
+        # loop over docs or bits (the loop form measured ~8x slower at
+        # 64 tokens/doc; see SCALE.md). Little-endian byte view ⇒ bit
+        # column b == (hash >> b) & 1 on every platform Spark runs on.
+        if len(hashes) == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        lens = hashes.map(len).to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.Series(np.zeros(len(hashes), dtype=np.int64))
+        flat = np.concatenate(
+            [np.asarray(h, dtype=np.int64) for h in hashes if len(h)]
+        )
+        bits = np.unpackbits(
+            flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        ).astype(np.int64)
+        nonempty = lens > 0
+        starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        np.cumsum(lens[nonempty][:-1], out=starts[1:])
+        bitsum = np.add.reduceat(bits, starts, axis=0)
+        sig_bits = (bitsum * 2 > lens[nonempty, None]).astype(np.uint8)
+        sigs = np.packbits(sig_bits, axis=1, bitorder="little").view(np.int64).ravel()
+        out = np.zeros(len(hashes), dtype=np.int64)
+        out[nonempty] = sigs
         return pd.Series(out)
 
     return sh.select("doc", _simhash(F.col("hashes")).alias("simhash"))
