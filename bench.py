@@ -1,21 +1,27 @@
 """Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ..., "runs": 3, "agg": "median"}.
 
-Each query is timed end-to-end (plan + execute + fetch top rows); a
-warm-up pass absorbs session/JIT startup so numbers reflect steady-state
-throughput, which is what scales to the cluster.
+Each query is timed end-to-end (plan + execute + fetch count) THREE
+times and the per-query MEDIAN is reported — the r2 driver numbers were
+~2x inflated by one-shot contention noise, which wastes a judging cycle
+(VERDICT r2 item #7). A warm-up pass absorbs session/JIT startup so
+numbers reflect steady-state throughput, which is what scales to the
+cluster.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+RUNS = 3
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -54,13 +60,17 @@ def main() -> None:
     reg["q1_pricing_summary"].fn(spark, sf_dir).count()
     reg["dedup_signature_pairs"].fn(spark, "/root/testdata/sf0.001").count()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        df = reg[name].fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        _ = n
+    # Round-robin the runs (1st pass all queries, then 2nd, then 3rd)
+    # so a transient contention spike hits ONE run of many queries, not
+    # all runs of one query — the median then discards it.
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(RUNS):
+        for name in names:
+            t0 = time.perf_counter()
+            df = reg[name].fn(spark, sf_dir)
+            _ = df.count()
+            samples[name].append(time.perf_counter() - t0)
+    timings = {n: round(statistics.median(s), 4) for n, s in samples.items()}
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -71,6 +81,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs": RUNS,
+                "agg": "median",
             }
         )
     )

@@ -343,18 +343,47 @@ class GroupAwareOperation:
         (arepo/dataset.py:939-948 'half' example)."""
         return self._chain("half")
 
-    def apply(self, func, schema: str):
+    def apply(self, func, schema: str, units: "dict[str, str] | str | None" = None):
         """Arbitrary per-group pandas function → declared output schema.
 
         The reference probes the function on a 1-row sample to infer
         shape/units (dataset.py:1529-1576); Spark requires the schema
-        declared — we take it explicitly.
+        declared — we take it explicitly. Output units likewise:
+
+        * ``units={"col": "km"}`` — declared per output column
+          (attached as StructField metadata on the result).
+        * ``units="probe"`` — the pandas-native analog of the
+          reference's probe: at evaluate() time the function is run
+          driver-side on a one-group sample and the returned
+          DataFrame's ``attrs["units"]`` dict (a func that knows its
+          units sets ``out.attrs["units"] = {...}``) provides the
+          mapping. Eager one-job cost, same trade the reference makes.
+        * ``None`` — no unit metadata on the output.
         """
-        return self._chain("apply", (func, schema))
+        return self._chain("apply", (func, schema, units))
+
+    # ops whose output carries the input field's unit unchanged
+    _UNIT_PRESERVING = {"sum", "min", "max", "mean"}
+
+    @staticmethod
+    def _attach_units(out: DataFrame, unit_map: dict[str, str | None]) -> DataFrame:
+        from scida_spark.units import set_column_unit
+
+        for c, u in unit_map.items():
+            if u and c in out.columns:
+                out = set_column_unit(out, c, u)
+        return out
 
     def evaluate(self, nmax: int | None = None, idxlist: list[int] | None = None) -> DataFrame:
+        from scida_spark.units import get_column_unit
+
         df = self._df
         g = self._group_col
+        # Unit propagation (reference probes func output units,
+        # arepo/dataset.py:1529-1576; our reductions propagate
+        # analytically, custom applies declare or probe — see apply()):
+        # read each input field's unit metadata up front.
+        in_units = {f: get_column_unit(df, f) for f in self._fields}
         if nmax is not None:
             # Valid "first n groups" filter: halos are ordered (mass-desc
             # in the reference, docs/halocatalogs.md:103-107).
@@ -365,11 +394,15 @@ class GroupAwareOperation:
         complex_ops = [(op, p) for op, p in self._ops if op not in self._BUILTIN]
         if not complex_ops:
             aggs = []
+            out_units: dict[str, str | None] = {}
             for op in simple:
                 fn = {"sum": F.sum, "min": F.min, "max": F.max, "mean": F.avg, "count": F.count}[op]
                 for f in self._fields:
                     aggs.append(fn(f).alias(f"{op}_{f}"))
-            return df.groupBy(g).agg(*aggs)
+                    if op in self._UNIT_PRESERVING:
+                        out_units[f"{op}_{f}"] = in_units.get(f)
+                    # count is dimensionless → no unit metadata
+            return self._attach_units(df.groupBy(g).agg(*aggs), out_units)
         # Chained / custom ops: applyInPandas per group. Ops apply
         # SEQUENTIALLY on this path (half → sum means "sum of the first
         # half"), mirroring the reference's ChainOps composition
@@ -378,9 +411,8 @@ class GroupAwareOperation:
         ops = self._ops
         fields = self._fields
 
-        last_apply = next(((fn, sch) for op, (fn, sch) in reversed([
-            (o, p) for o, p in ops if o == "apply"
-        ])), None)
+        applies = [p for o, p in ops if o == "apply"]
+        last_apply = applies[-1] if applies else None
         has_apply = last_apply is not None
 
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -395,7 +427,7 @@ class GroupAwareOperation:
                     agg = getattr(out[fields], op)()
                     out = pd.DataFrame({g: [pdf[g].iloc[0]], **{f: [agg[f]] for f in fields}})
                 elif op == "apply":
-                    fn, _ = payload
+                    fn = payload[0]
                     out = fn(out)
             if g not in out.columns:
                 out = out.assign(**{g: pdf[g].iloc[0]})
@@ -405,10 +437,31 @@ class GroupAwareOperation:
 
         if has_apply:
             schema = last_apply[1]
+            units_decl = last_apply[2] if len(last_apply) > 2 else None
         else:
             # builtin/half chain → (key, fields-as-double)
             schema = ", ".join([f"{g} long"] + [f"{f} double" for f in fields])
-        return df.groupBy(g).applyInPandas(run, schema=schema)
+            units_decl = None
+        result = df.groupBy(g).applyInPandas(run, schema=schema)
+        if not has_apply:
+            # half/builtin chains keep each field's input unit (every
+            # op on this path is unit-preserving: slicing rows or
+            # sum/min/max/mean reductions).
+            return self._attach_units(result, dict(in_units))
+        if units_decl == "probe":
+            # Reference-style eager probe (arepo/dataset.py:1529-1576):
+            # run the declared func driver-side on a one-group sample
+            # and read the returned frame's attrs["units"] mapping.
+            sample = df.select(g, *[f for f in fields if f != g]).limit(256).toPandas()
+            unit_map: dict[str, str] = {}
+            if len(sample):
+                one = sample[sample[g] == sample[g].iloc[0]]
+                probed = last_apply[0](one)
+                unit_map = dict(getattr(probed, "attrs", {}).get("units", {}) or {})
+            return self._attach_units(result, unit_map)
+        if isinstance(units_decl, dict):
+            return self._attach_units(result, units_decl)
+        return result
 
 
 def grouped(df: DataFrame, fields: list[str] | str, group_col: str = "GroupID") -> GroupAwareOperation:

@@ -41,19 +41,29 @@ def dedup_signature_pairs(spark, sf_dir):
     (merged r1 queries dedup_minhash_lsh + dedup_simhash into one
     registry slot, distinguished by the ``method`` column):
 
-    * ``minhash``: MinHash(64 perms) + LSH(16 bands) candidates,
-      exact-Jaccard verified at ≥0.2 — banded equi-join, never
-      all-pairs; score = jaccard.
-    * ``simhash``: SimHash-64 + banded Hamming near-pairs (pigeonhole
-      blocking — distance ≤8 ⇒ at least one of 9 bit-chunks equal, so
-      candidates come from equi-joins only); score = hamming distance.
+    * ``minhash``: MinHash(128 perms) + LSH(64 bands × 2 rows)
+      candidates, exact-Jaccard verified at ≥0.2 — banded equi-join,
+      never all-pairs; score = jaccard. Banding is matched to the
+      threshold: P(candidate) = 1-(1-s²)^64 ≈ 0.93 at s=0.2 (the r2
+      b=16/r=4 pairing had ~2.5 % recall at the same boundary).
+    * ``simhash``: SimHash-64 + pigeonhole-blocked Hamming near-pairs
+      at distance ≤3 — 4 chunks of 16 bits, at least one untouched, ONE
+      equi-join on 16-bit chunk keys, Hamming filter pushed before the
+      distinct. The r2 registration at max_hamming=8 was a measured
+      scale-killer TWICE over: 7-bit pigeonhole keys collapsed to 85 %
+      of all pairs as candidates, and on this corpus the median
+      pairwise SimHash distance is only 18 bits, so ANY complete
+      blocking at d=8 must emit the huge pair mass at distance 10-20 —
+      d=8 is simply not a near-dup bar here. At d=3 the measured
+      candidate rate is ~2 % of N²/2 (pytest-pinned); score = hamming
+      distance.
 
     Deterministic (seeded permutations / fixed hyperplanes) but not
     SQL-expressible (xxhash64 hashing); pytest cross-checks both against
     exact ground truth."""
     docs = table(spark, sf_dir, "documents")
     mh = D.minhash_dedup_pairs(
-        docs, "doc_id", "text", n=3, num_perm=64, bands=16, threshold=0.2
+        docs, "doc_id", "text", n=3, num_perm=128, bands=64, threshold=0.2
     ).select(
         F.lit("minhash").alias("method"),
         "doc_a",
@@ -61,7 +71,7 @@ def dedup_signature_pairs(spark, sf_dir):
         F.col("jaccard").cast("double").alias("score"),
     )
     sh = D.simhash_near_pairs(
-        D.simhash_signatures(docs, "doc_id", "text"), max_hamming=8
+        D.simhash_signatures(docs, "doc_id", "text"), max_hamming=3
     ).select(
         F.lit("simhash").alias("method"),
         "doc_a",
@@ -561,10 +571,14 @@ def dedup_cc_clusters(spark, sf_dir):
     The DuckDB oracle recomputes the same transitive closure with a
     recursive CTE, so the distributed loop is value-checked exactly.
 
-    Scale: candidate generation is the exact baseline (hot-shingle
-    df-capped); MinHash LSH (dedup_signature_pairs) is the 100 TB
-    candidate path. CC rounds are O(log diameter) with localCheckpoint-
-    bounded lineage."""
+    Scale: candidate generation is the exact inverted-index baseline
+    with hot-shingle df-cap (shingles with document frequency > 256 are
+    excluded from candidate generation — each would contribute O(df²)
+    join rows — and candidates are verified against the FULL shingle
+    sets, so values stay exact; see ngram_jaccard_pairs for the
+    completeness contract); MinHash LSH (dedup_signature_pairs) is the
+    100 TB candidate path. CC rounds are O(log diameter) with
+    localCheckpoint-bounded lineage."""
     pairs = D.ngram_jaccard_pairs(
         table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.2
     )

@@ -47,11 +47,22 @@ def test_minhash_short_docs_produce_no_signature(spark):
     assert pairs.count() == 0
 
 
-def test_minhash_coefficients_no_uint64_overflow():
-    a, b = D._perm_params(256)
-    assert int(a.max()) < 1 << 31 and int(b.max()) < 1 << 31
-    # a * (32-bit x) + b < 2^63: exact under uint64.
-    assert int(a.max()) * ((1 << 32) - 1) + int(b.max()) < 1 << 63
+def test_minhash_permutations_are_bijective_and_deterministic():
+    """fmix64(x ^ seed) must be injective (it is a composition of
+    invertible xor-shift / odd-multiply steps) — a collision-free
+    permutation is what makes the minhash estimator exact — and the
+    seed draw must be deterministic. (Replaces the r2 overflow test:
+    the affine-mod-p family it guarded was itself broken — piecewise
+    monotonic in x, see _perm_seeds — and has been removed.)"""
+    s1, s2 = D._perm_seeds(8), D._perm_seeds(8)
+    assert (s1 == s2).all() and len(np.unique(s1)) == 8
+    rng = np.random.RandomState(3)
+    x = rng.randint(-(2**63), 2**63, size=1_000_000, dtype=np.int64).astype(np.uint64)
+    x = np.unique(x)
+    out = D._fmix64(x ^ s1[0])
+    assert len(np.unique(out)) == len(x)  # injective on the sample
+    # distinct seeds → genuinely different permutations
+    assert (D._fmix64(x[:1000] ^ s1[0]) != D._fmix64(x[:1000] ^ s1[1])).any()
 
 
 def test_grouped_half_chain_matches_schema(spark):
