@@ -115,21 +115,49 @@ def apply_unitfile(ureg, unitfile: str | dict) -> dict:
     file order — later definitions may reference earlier ones, e.g.
     ``code_length: ckpc / h`` after ``ckpc: a * kpc``) and return the
     full unit-hints dict (incl. ``fields:``). Mirrors the reference's
-    ``update_unitregistry_fromdict`` (mixins/units.py:280-325)."""
+    ``update_unitregistry_fromdict`` (mixins/units.py:280-325).
+
+    A curated definition that references units NOT yet in the registry
+    (e.g. ``a``/``h`` on a non-cosmological dataset that matched a
+    path-based entry) is SKIPPED with a warning instead of being
+    silently defined against the scale-1 'unknown' unit — a wrong
+    conversion factor (e.g. a dropped 1/h) is far worse than a missing
+    unit name."""
+    import warnings
+
     hints = get_config_fromfile(unitfile) if isinstance(unitfile, str) else unitfile
     for uname, expr in (hints.get("units") or {}).items():
         if expr is None:
             continue
-        ureg.define(uname, ureg.parse(str(expr)))
+        prev = ureg.missing_units
+        ureg.missing_units = "raise"
+        try:
+            val = ureg.parse(str(expr))
+        except (KeyError, ValueError) as e:
+            warnings.warn(
+                f"unit file defines {uname!r} = {expr!r} referencing an "
+                f"unknown unit or malformed expression ({e}); skipping "
+                "the definition",
+                stacklevel=2,
+            )
+            continue
+        finally:
+            ureg.missing_units = prev
+        ureg.define(uname, val)
     return hints
 
 
-def field_unit_hints(hints: dict, container: str) -> dict[str, str]:
+def field_unit_hints(
+    hints: dict, container: str, detailed: bool = False
+) -> dict[str, str] | dict[str, tuple[str, bool]]:
     """Per-container field→unit map: ``_all`` overlaid by the
     container-named section (reference combine order,
-    mixins/units.py:410-420)."""
+    mixins/units.py:410-420). With ``detailed=True`` values are
+    ``(unit, override)`` tuples — the yaml ``{'units': ...,
+    'override': true}`` form marks hints that beat stored metadata
+    (reference mixins/units.py:478)."""
     fields = hints.get("fields") or {}
-    out: dict[str, str] = {}
+    out: dict[str, tuple[str, bool]] = {}
     for section in ("_all", container):
         sec = fields.get(section)
         if sec == "no_units":
@@ -138,9 +166,13 @@ def field_unit_hints(hints: dict, container: str) -> dict[str, str]:
             for fname, u in sec.items():
                 if u is None or u == "none":
                     continue
+                override = False
                 if isinstance(u, dict):  # {'units': ..., 'override': true}
+                    override = bool(u.get("override", False))
                     u = u.get("units")
                     if u is None:
                         continue
-                out[fname] = str(u)
-    return out
+                out[fname] = (str(u), override)
+    if detailed:
+        return out
+    return {k: v[0] for k, v in out.items()}

@@ -390,14 +390,23 @@ def register_default_aliases(root: FieldContainer) -> list[str]:
     return registered
 
 
-def apply_simulation_config(ds: Dataset) -> str | None:
+def apply_simulation_config(ds: Dataset, units: bool | str = True) -> str | None:
     """Identify the simulation from metadata/path and apply its curated
     unit file + cosmology definitions (reference flow: simulations.yaml
     identifiers → unitfile → per-dataset h/a, mixins/units.py:340-430 +
     mixins/cosmology.py:54-63). Field unit hints fill only fields whose
     stored metadata carried no unit (stored wins — the reference's
-    non-override default, units yaml ``override: true`` flips it).
-    Returns the matched simulation name (recorded in ds.metadata)."""
+    non-override default, units yaml ``{'units': ..., 'override': true}``
+    flips it, mixins/units.py:478). Per-field on-disk unit attrs
+    (``to_cgs``/``*_scaling``, collected by the HDF5 schema walk) fill
+    remaining gaps and are mismatch-checked against the curated value
+    at ~1e-3 rtol (reference units.py:668-733), raising/warning per the
+    registry's missing_units policy.
+
+    ``units=False`` skips all unit work (the load(units=False)
+    contract); cosmology metadata and simulation identification still
+    apply. Returns the matched simulation name (recorded in
+    ds.metadata)."""
     from scida_spark.config import (
         apply_unitfile,
         field_unit_hints,
@@ -412,23 +421,80 @@ def apply_simulation_config(ds: Dataset) -> str | None:
 
     cosmo = cosmology_from_metadata(ds.metadata)
     if cosmo is not None and is_cosmological(ds.metadata):
-        define_cosmology_units(ds.ureg, cosmo)
+        if units:
+            define_cosmology_units(ds.ureg, cosmo)
         ds.cosmology = cosmo
         if cosmo.redshift is not None:
             ds.metadata.setdefault("redshift", cosmo.redshift)
     matches = identify_simulation(ds.metadata, ds.path)
-    if not matches:
-        return None
-    name = matches[0]
-    props = simulation_properties(name)
-    unitfile = props.get("unitfile")
-    if unitfile:
-        hints = apply_unitfile(ds.ureg, unitfile)
-        for cname, cont in ds.containers.items():
-            for fname, ustr in field_unit_hints(hints, cname).items():
-                cont.field_units.setdefault(fname, ustr)
-    ds.metadata["simulation"] = name
+    name = matches[0] if matches else None
+    if name:
+        ds.metadata["simulation"] = name
+    if not units:
+        return name
+    # Base definitions (Myr/pc/km_s…) precede any curated per-simulation
+    # unit file — the reference loads units/general.yaml the same way
+    # (mixins/units.py:370).
+    apply_unitfile(ds.ureg, "units/general.yaml")
+    if name:
+        props = simulation_properties(name)
+        unitfile = props.get("unitfile")
+        if unitfile:
+            hints = apply_unitfile(ds.ureg, unitfile)
+            for cname, cont in ds.containers.items():
+                detailed = field_unit_hints(hints, cname, detailed=True)
+                for fname, (ustr, override) in detailed.items():
+                    if override:
+                        cont.field_units[fname] = ustr
+                    else:
+                        cont.field_units.setdefault(fname, ustr)
+    _apply_field_attr_units(ds)
     return name
+
+
+def _apply_field_attr_units(ds: Dataset) -> None:
+    """Resolve per-field on-disk unit attributes into ``field_units``:
+    fields without a curated unit get the attrs-derived unit (so units
+    resolve even with NO simulations.yaml match); fields WITH a curated
+    unit are cross-checked at ~1e-3 rtol on the cgs factor (reference
+    check_unit_mismatch, units.py:668-733) — mismatches raise/warn/pass
+    per the registry's missing_units policy."""
+    import math as _math
+    import warnings
+
+    from scida_spark.units import unit_from_field_attrs, unit_to_expr
+
+    for cname, cont in ds.containers.items():
+        for fname, fattrs in (getattr(cont, "field_unit_attrs", None) or {}).items():
+            u_md = unit_from_field_attrs(ds.ureg, fattrs)
+            if u_md is None:
+                continue
+            cur = cont.field_units.get(fname)
+            if cur is None:
+                if u_md != "none":
+                    cont.field_units[fname] = unit_to_expr(u_md)
+                continue
+            try:
+                cur_u = ds.ureg.parse(cur)
+            except (KeyError, ValueError):
+                continue
+            if u_md == "none":
+                # metadata says unitless: agrees iff the curated unit is
+                # a scale-1 dimensionless (ID/counter fields — reference
+                # units.py:700-712)
+                ok = not cur_u.dims and _math.isclose(cur_u.scale, 1.0, rel_tol=1e-3)
+            else:
+                ok = cur_u.isclose(u_md, rtol=1e-3)
+            if not ok:
+                msg = (
+                    f"unit mismatch for {cname}/{fname}: {cur!r} (unit file) "
+                    f"vs {u_md} (metadata attrs)"
+                )
+                policy = ds.ureg.missing_units
+                if policy == "raise":
+                    raise ValueError(msg)
+                if policy == "warn":
+                    warnings.warn(msg, stacklevel=2)
 
 
 def merge_catalog(snapshot: Dataset, catalog: Dataset) -> Dataset:
@@ -554,15 +620,15 @@ def load(path: str, spark: SparkSession | None = None, units: bool | str = True,
     elif fmt in ("hdf5", "hdf5_multi"):
         from scida_spark.sources.hdf5 import load_hdf5_dataset
 
-        return load_hdf5_dataset(path, spark, **kwargs)
+        return load_hdf5_dataset(path, spark, units=units, **kwargs)
     elif fmt == "zarr":
         from scida_spark.sources.zarr import load_zarr_dataset
 
-        return load_zarr_dataset(path, spark, **kwargs)
+        return load_zarr_dataset(path, spark, units=units, **kwargs)
     elif fmt == "npy_dir":
         from scida_spark.sources.npy import load_npy_dataset
 
-        return load_npy_dataset(path, spark, **kwargs)
+        return load_npy_dataset(path, spark, units=units, **kwargs)
     ds = Dataset(path=path, data=root, metadata=metadata, ureg=ureg)
     if units:
         apply_simulation_config(ds)

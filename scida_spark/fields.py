@@ -51,6 +51,11 @@ class FieldContainer(MutableMapping):
         self._materialized: set[str] = set()
         self._expressions: dict[str, Column] = {}
         self.field_units: dict[str, str] = {}
+        # Per-field on-disk unit attributes (``to_cgs``/``*_scaling``
+        # etc., collected during the HDF5 schema walk — reference
+        # mixins/units.py:122-260); resolved into field_units by
+        # apply_simulation_config with the curated-YAML mismatch check.
+        self.field_unit_attrs: dict[str, dict] = {}
         self.ureg = ureg
 
     # -- DataFrame access ---------------------------------------------------

@@ -48,6 +48,19 @@ class ShimDataset:
     def __len__(self):
         return self._arr.shape[0]
 
+    @property
+    def attrs(self) -> dict:
+        """Per-dataset attributes from a ``<name>.attrs.json`` sidecar
+        (h5py's ``Dataset.attrs`` surface — carries the per-field unit
+        metadata like ``to_cgs``/``a_scaling``/``h_scaling``)."""
+        import json
+
+        p = self._path[: -len(".npy")] + ".attrs.json"
+        if os.path.isfile(p):
+            with open(p) as fh:
+                return json.load(fh)
+        return {}
+
 
 class ShimGroup:
     def __init__(self, path: str):

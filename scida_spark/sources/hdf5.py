@@ -149,7 +149,10 @@ def _is_unsupported_kind(dtype_str: str) -> bool:
 
 
 def walk_container(
-    h5file, container: str, attrs_out: dict | None = None
+    h5file,
+    container: str,
+    attrs_out: dict | None = None,
+    field_attrs_out: dict | None = None,
 ) -> list[DatasetInfo]:
     """Schema walk of one group: (name, rows, width, dtype) per dataset
     (reference helpers_hdf5.py:55-135). ``h5file`` is an open backend
@@ -160,6 +163,9 @@ def walk_container(
     * vlen/string/object dtypes are skipped with a warning
       (io/_base.py:706-714).
     * 6-byte uints are coerced to uint64 (helpers_hdf5.py:36-47).
+    * per-DATASET attributes (``to_cgs``/``*_scaling`` unit metadata,
+      reference mixins/units.py:122-260) land in ``field_attrs_out``
+      keyed by field name.
     """
     import warnings
 
@@ -178,6 +184,10 @@ def walk_container(
                 v = ds[()]
                 attrs_out[name] = v.item() if hasattr(v, "item") else v
             continue
+        if field_attrs_out is not None:
+            fa = dict(getattr(ds, "attrs", {}) or {})
+            if fa:
+                field_attrs_out[name] = fa
         if _is_unsupported_kind(dtype):
             warnings.warn(
                 f"{container}/{name}: dtype {dtype!r} (vlen/string) not "
@@ -228,12 +238,21 @@ def reconcile_attrs(per_file: list[dict[str, dict]]) -> dict[str, dict]:
         for k in keys:
             vals = [d[apath][k] for d in per_file if apath in d and k in d[apath]]
             v0 = vals[0]
-            if isinstance(v0, np.ndarray) or isinstance(v0, (list, tuple)):
-                same = all(np.array_equal(v0, v) for v in vals[1:])
-            elif isinstance(v0, float) or isinstance(v0, np.floating):
-                same = all(np.isclose(v0, v) for v in vals[1:])
-            else:
-                same = all(v0 == v for v in vals[1:])
+            # Type-heterogeneous values across the series (float in one
+            # file, string/array in another) must fall to the
+            # differing-values list, not crash the load on
+            # np.isclose(float, str) — hence the try/except.
+            try:
+                if isinstance(v0, np.ndarray) or isinstance(v0, (list, tuple)):
+                    same = all(np.array_equal(v0, v) for v in vals[1:])
+                elif isinstance(v0, float) or isinstance(v0, np.floating):
+                    same = all(np.isclose(v0, v) for v in vals[1:])
+                else:
+                    same = all(v0 == v for v in vals[1:])
+                if not isinstance(same, bool):
+                    same = bool(same)
+            except (TypeError, ValueError):
+                same = False
             merged[k] = v0 if same else list(vals)
         out[apath] = merged
     return out
@@ -285,11 +304,15 @@ def read_splits_arrow(spark, splits: list[Split], columns: list[str], schema,
 
 
 def load_hdf5_dataset(path: str, spark, rows_per_split: int = 1 << 20,
-                      backend: str | None = None):
+                      backend: str | None = None, units: bool | str = True):
     """Full HDF5(-API) → Dataset load: schema walk → per-container
     splits → distributed Arrow read. Multi-file series (``prefix.N``)
     are numeric-sorted and concatenated via uid bookkeeping
-    (reference io/_base.py:974-1045 + virtual concat §2.1)."""
+    (reference io/_base.py:974-1045 + virtual concat §2.1).
+
+    ``units=False`` skips ALL unit attachment (curated unit files and
+    per-field attrs alike — the reference's load(units=False) contract,
+    docs/units.md); cosmology/simulation identification still runs."""
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,
@@ -350,9 +373,17 @@ def load_hdf5_dataset(path: str, spark, rows_per_split: int = 1 << 20,
     for cont_name in containers:
         file_rows = []
         infos = None
+        field_attrs: dict[str, dict] = {}
         for f in files:
             with _h5.File(f, "r") as fh:
-                ds_infos = walk_container(fh, cont_name)
+                ds_infos = walk_container(
+                    fh,
+                    cont_name,
+                    # Per-field unit attrs from the FIRST file of the
+                    # series (the reference reads them from the merged
+                    # virtual file, whose attrs come from file 0).
+                    field_attrs_out=field_attrs if f == files[0] else None,
+                )
                 # All datasets of a container must share the leading dim
                 # (clear error at load time, not an opaque executor
                 # crash; mirrors npy/zarr discovery validation).
@@ -385,13 +416,18 @@ def load_hdf5_dataset(path: str, spark, rows_per_split: int = 1 << 20,
         schema = StructType(fields)
         splits = plan_splits(file_rows, cont_name, rows_per_split)
         df = read_splits_arrow(spark, splits, cols, schema, backend=backend_name)
-        root[cont_name] = FieldContainer(df, name=cont_name, ureg=ureg)
+        cont = FieldContainer(df, name=cont_name, ureg=ureg)
+        # Always collected (cheap metadata); the units flag gates only
+        # their APPLICATION in apply_simulation_config — so a
+        # units=False load can still be unit-resolved later.
+        cont.field_unit_attrs = field_attrs
+        root[cont_name] = cont
     from scida_spark.dataset import apply_simulation_config, register_default_aliases
 
     register_default_aliases(root)
     ds = Dataset(
         path=path, data=root, metadata={"attrs": attrs} if attrs else {}, ureg=ureg
     )
-    if attrs:
-        apply_simulation_config(ds)
+    if attrs or any(getattr(c, "field_unit_attrs", None) for c in root._containers.values()):
+        apply_simulation_config(ds, units=units)
     return ds

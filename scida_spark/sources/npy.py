@@ -182,7 +182,8 @@ def register(spark) -> None:
     spark.dataSource.register(NpyDataSource)
 
 
-def load_npy_dataset(path: str, spark, rows_per_split: int = 1 << 20):
+def load_npy_dataset(path: str, spark, rows_per_split: int = 1 << 20,
+                     units: bool | str = True):
     """Directory of ``<container>/<field>.npy`` trees → Dataset handle
     (one sub-container per subdirectory; a flat dir is one container)."""
     from scida_spark.dataset import Dataset
@@ -208,4 +209,7 @@ def load_npy_dataset(path: str, spark, rows_per_split: int = 1 << 20):
             .load()
         )
         root[name] = FieldContainer(df, name=name, ureg=ureg)
+    # npy trees carry no unit metadata; the units flag is accepted for
+    # the uniform load(units=...) contract (nothing to attach here).
+    _ = units
     return Dataset(path=path, data=root, metadata={}, ureg=ureg)

@@ -404,9 +404,13 @@ def save_zarr_container(
             json.dump(meta, fh)
 
 
-def load_zarr_dataset(path: str, spark, chunks_per_split: int = 8):
+def load_zarr_dataset(path: str, spark, chunks_per_split: int = 8,
+                      units: bool | str = True):
     """Zarr store → Dataset handle: one sub-container per group directory
-    holding arrays (a flat store of arrays is one container)."""
+    holding arrays (a flat store of arrays is one container).
+
+    ``units=False`` skips unit attachment (stored unit attrs AND the
+    simulation-config pass) — the load(units=False) contract."""
     from scida_spark.dataset import Dataset
     from scida_spark.fields import FieldContainer
     from scida_spark.units import UnitRegistry
@@ -441,11 +445,16 @@ def load_zarr_dataset(path: str, spark, chunks_per_split: int = 8):
         # container's .zattrs — read them back so units survive the zarr
         # round-trip like they do the parquet one.
         sub_attrs = os.path.join(sub, ".zattrs")
-        if os.path.isfile(sub_attrs):
+        if units and os.path.isfile(sub_attrs):
             with open(sub_attrs) as fh:
                 sub_meta = json.load(fh)
             for col, unit in (sub_meta.get("units") or {}).items():
                 if col in df.columns:
                     cont.field_units[col] = unit
         root[name] = cont
-    return Dataset(path=path, data=root, metadata=metadata, ureg=ureg)
+    ds = Dataset(path=path, data=root, metadata=metadata, ureg=ureg)
+    if metadata:
+        from scida_spark.dataset import apply_simulation_config
+
+        apply_simulation_config(ds, units=units)
+    return ds

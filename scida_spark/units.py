@@ -183,6 +183,14 @@ class UnitRegistry:
             t = peek()
             if t is None:
                 raise ValueError(f"unexpected end of unit expression: {expr!r}")
+            if t in ("*", "/", "^", "**", ")"):
+                # An operator where a factor must start is a malformed
+                # expression — raise, never route through _missing (the
+                # warn policy would silently substitute scale-1
+                # 'unknown' and corrupt the conversion factor).
+                raise ValueError(
+                    f"unexpected token {t!r} in unit expression {expr!r}"
+                )
             if t == "-":
                 i += 1
                 u = factor()
@@ -214,6 +222,15 @@ class UnitRegistry:
                 u = u ** e.scale
             return u
 
+        def _starts_factor(t: str) -> bool:
+            if t == "(" or t[0].isalpha() or t[0] == "_":
+                return True
+            try:
+                float(t)
+                return True
+            except ValueError:
+                return False
+
         def parse_expr() -> Unit:
             nonlocal i
             u = term()
@@ -225,9 +242,17 @@ class UnitRegistry:
                 elif t == "/":
                     i += 1
                     u = u / term()
-                elif t is not None and t not in (")",):
-                    # implicit multiplication: '1e10 Msun'
+                elif t is not None and t != ")" and _starts_factor(t):
+                    # implicit multiplication: '1e10 Msun'. ONLY tokens
+                    # that can open a factor (NAME/NUMBER/'(') — a stray
+                    # '^'/'**' here is a malformed expression and must
+                    # raise, not silently route through _missing into a
+                    # scale-1 'unknown' that corrupts conversion factors.
                     u = u * term()
+                elif t is not None and t != ")":
+                    raise ValueError(
+                        f"unexpected token {t!r} in unit expression {expr!r}"
+                    )
                 else:
                     return u
 
@@ -340,3 +365,130 @@ def get_column_unit(df, col_name: str) -> str | None:
         if f.name == col_name:
             return (f.metadata or {}).get("unit")
     return None
+
+
+# --- per-field unit extraction from HDF5 dataset attributes ---------------
+
+_CGS_FACTOR_KEYS = (
+    "to_cgs",
+    "Conversion factor to physical CGS (including cosmological corrections)",
+)
+_SCALING_KEYS = ("length", "mass", "velocity", "time", "h", "a")
+_BASE_UNIT_NAME = {
+    "length": "cm",
+    "mass": "g",
+    "time": "s",
+    "temperature": "K",
+    "angle": "rad",
+}
+
+
+def unit_to_expr(u: Unit) -> str:
+    """Serialize a Unit into a parseable expression over cgs base units
+    (``3.085678e21 * cm`` …) so attrs-derived units can live in the
+    string-valued ``field_units`` maps next to curated names."""
+    parts = [f"{u.scale:.9g}"]
+    for k, v in u.dims:
+        base = _BASE_UNIT_NAME.get(k)
+        if base is None:  # dimensionless pseudo-dims never appear here
+            continue
+        parts.append(base if v == 1 else f"{base}^{v:g}")
+    return " * ".join(parts)
+
+
+def unit_from_field_attrs(ureg: UnitRegistry, attrs: dict) -> "Unit | str | None":
+    """Derive a field's unit from its HDF5 dataset attributes — the
+    reference's ``extract_units_from_attrs`` in cgs mode
+    (mixins/units.py:122-260):
+
+    * TNG/Illustris-style: ``to_cgs`` conversion factor (or the long
+      'Conversion factor to physical CGS …' key) + ``*_scaling``
+      exponents over {length, mass, velocity, time, h, a}. Dimensions
+      come from the exponents over cgs base units; ``h``/``a`` resolve
+      from the per-dataset cosmology definitions in the registry
+      (mixins/cosmology.py:54-63) — if an h/a exponent is non-zero but
+      the registry has no definition, returns None (an unresolvable
+      unit is better reported missing than silently mis-scaled).
+    * SWIFT-style '[bracketed] unit' strings ('Conversion factor',
+      'Expression for physical CGS units'), EAGLE-style 'cgsunits',
+      plain 'units', or a description with [..]/(..).
+
+    Returns a Unit, the string ``"none"`` (explicitly unitless), or
+    None (no unit information present / unresolvable).
+    """
+    import numpy as np
+
+    factor = None
+    for k in _CGS_FACTOR_KEYS:
+        if k in attrs:
+            v = attrs[k]
+            if isinstance(v, (list, tuple, np.ndarray)):
+                v = np.asarray(v).ravel()
+                v = float(v[0]) if v.size else 1.0
+            factor = float(v)
+            break
+    scalings = {
+        k: float(attrs[k + "_scaling"])
+        for k in _SCALING_KEYS
+        if k + "_scaling" in attrs and float(attrs[k + "_scaling"]) != 0.0
+    }
+    if scalings or factor is not None:
+        if scalings or factor not in (None, 0.0, 1.0):
+            u = Unit(1.0 if factor in (None, 0.0) else factor, ())
+            base = {
+                "length": ureg["cm"],
+                "mass": ureg["g"],
+                "velocity": ureg["cm"] / ureg["s"],
+                "time": ureg["s"],
+            }
+            for k, exp in scalings.items():
+                if k in ("h", "a"):
+                    if k not in ureg._units:
+                        return None  # cosmology not defined → unresolvable
+                    u = u * (ureg._units[k] ** exp)
+                else:
+                    u = u * (base[k] ** exp)
+            return u
+        if factor == 1.0 and not scalings:
+            # to_cgs=1, all scalings zero: dimensionless counter/ID
+            # fields — explicitly unitless (reference check,
+            # units.py:700-712 treats these as agreement with 'none').
+            return "none"
+
+    unitstr = None
+    for k in ("Conversion factor", "Expression for physical CGS units"):
+        if k in attrs:
+            s = str(attrs[k])
+            if "[" in s:
+                s = s.split("[")[-1].split("]")[0]
+            unitstr = "" if s.strip() == "-" else s
+            break
+    if unitstr is None and "cgsunits" in attrs:
+        unitstr = attrs["cgsunits"]
+        if unitstr is None:
+            return "none"
+    if unitstr is None and "units" in attrs:
+        unitstr = attrs["units"]
+    if unitstr is None and "description" in attrs:
+        desc = str(attrs["description"])
+        for opener, closer in (("[", "]"), ("(", ")")):
+            if opener in desc and closer in desc.split(opener, 1)[1]:
+                cand = desc.split(opener, 1)[1].split(closer, 1)[0]
+                if cand and cand != desc:
+                    unitstr = cand.strip("'").lower()
+                    break
+    if unitstr is None:
+        return None
+    if isinstance(unitstr, bytes):
+        unitstr = unitstr.decode("utf-8", "replace")
+    unitstr = str(unitstr).strip()
+    if unitstr.lower() in ("none", ""):
+        return "none"
+    prev = ureg.missing_units
+    ureg.missing_units = "raise"
+    try:
+        return ureg.parse(unitstr)
+    except (KeyError, ValueError):
+        return None
+    finally:
+        ureg.missing_units = prev
