@@ -203,3 +203,64 @@ def test_foreach_batch_sink_roundtrip(spark, events_stream, tmp_path):
         q.stop()
     written = spark.read.parquet(out + "/batch_id=*")
     assert written.count() == batch.count()
+
+
+def test_session_window_stream_drops_watermark_late_rows(spark, tmp_path):
+    """VERDICT r2 #9: an end-to-end Structured Streaming run of
+    session_window fed OUT-OF-ORDER events through the custom npystream
+    source, asserting the watermark drops the late row.
+
+    Timeline (seconds, gap=30min=1800s, watermark=30min):
+      batch 1: user 7 at t=1000 and t=5000  → watermark after: 3200
+      batch 2: t=5100 (on time, extends the 5000-session) and t=500
+               (LATE — below watermark 3200 → must be dropped)
+      batch 3: t=12000 → watermark 10200 closes the 5000/5100 session
+    Expected emitted sessions: start=1000 with n=1 (the late t=500 row
+    neither created a session nor merged into this one), and
+    start=5000 with n=2."""
+    import numpy as np
+
+    from scida_spark.sources.npy_stream import register as register_npystream
+
+    src = tmp_path / "sessions_src"
+    src.mkdir()
+
+    def write(ts_list, uid_list):
+        np.save(src / "TsSec.npy", np.array(ts_list, dtype=np.float64))
+        np.save(src / "UserId.npy", np.array(uid_list, dtype=np.int64))
+
+    write([1000.0, 5000.0], [7, 7])
+    register_npystream(spark)
+    stream = (
+        spark.readStream.format("npystream")
+        .option("path", str(src))
+        .option("rows_per_batch", 10)
+        .load()
+        .select(
+            F.col("TsSec").cast("timestamp").alias("ts"),
+            F.col("UserId").alias("user_id"),
+        )
+    )
+    agg = SW.session_windows(stream, gap="30 minutes", watermark="30 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sess_late")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1 → watermark 3200
+        write([1000.0, 5000.0, 5100.0, 500.0], [7, 7, 7, 7])
+        q.processAllAvailable()  # batch 2: 5100 on time, 500 late
+        write([1000.0, 5000.0, 5100.0, 500.0, 12000.0], [7, 7, 7, 7, 7])
+        q.processAllAvailable()  # batch 3 closes the 5000-session
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM t_sess_late ORDER BY window_start").collect()
+    sessions = {r["window_start"].timestamp(): r["n_events"] for r in rows}
+    # the late 500s row must not appear anywhere
+    assert 500.0 not in sessions
+    # the 1000s session closed with exactly its one on-time row
+    assert sessions.get(1000.0) == 1
+    # the 5000s session merged the on-time 5100 row only
+    assert sessions.get(5000.0) == 2
