@@ -90,3 +90,24 @@ def test_neardup_pairs_no_cartesian(spark, sf_dir, reg):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "FlatMapCoGroupsInPandas" in p
+
+
+def test_signature_dedup_no_cartesian(spark, sf_dir, reg):
+    """Both signature-dedup halves are bucketed equi-joins: the plan may
+    never contain a CartesianProduct or BroadcastNestedLoopJoin (the r2
+    registration's degenerate 7-bit pigeonhole keys were an all-pairs
+    join in disguise — candidates, not the plan shape, were the problem;
+    this pins the plan shape while tests/test_dedup_blocking.py pins the
+    candidate count)."""
+    p = _plan(spark, reg["dedup_signature_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_cc_clusters_df_capped_join_no_cartesian(spark, sf_dir, reg):
+    """The exact n-gram-Jaccard candidate join is an equi-join on the
+    df-capped shingle inverted index — no cartesian anywhere in the
+    pairs+CC composition."""
+    p = _plan(spark, reg["dedup_cc_clusters"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
