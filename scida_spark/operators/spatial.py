@@ -1,17 +1,27 @@
-"""Spatial operators: periodic-boundary distances and rectangular cutouts.
+"""Spatial operators: periodic-boundary distances, rectangular cutouts,
+and the cell-partitioned layout that makes cutouts prune at scale.
 
 Reference: ``get_box_mask`` / rectangular cutout with periodic wrap
 (src/scida/misc.py:181-231, exposed via
 src/scida/interfaces/mixins/spatial.py:96-113):
 ``d = |x - c|; d = where(d > box/2, box - d, d); mask = all(d < w/2)``.
 
-Pure Column arithmetic — stays inside whole-stage codegen; with a
-spatially-bucketed layout the same predicate prunes partitions.
+The mask itself is pure Column arithmetic — whole-stage codegen. At
+100 TB a cutout that scans the whole snapshot is wrong no matter how
+fast the mask is, so ``save_spatial_partitioned`` writes the table
+partitioned by coarse per-axis cell ids (``floor(x / cell_width)``)
+and ``rect_cutout_pruned`` turns the cutout box (with periodic wrap)
+into an ``IN``-list on those partition columns: Spark's partition
+pruning then skips every non-overlapping cell directory before any
+file is opened, and the exact mask runs only on the surviving cells.
+The cell list is a conservative superset, so pruning never changes
+results — ``tests/test_spatial_layout.py`` pins both the equality and
+the ``PartitionFilters`` plan shape.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -33,13 +43,17 @@ def box_mask(
 
 def rect_cutout(
     df: DataFrame,
-    coord_col: str,
+    coord_col: str | list[str],
     center: list[float],
     widths: list[float],
     box_size: float,
 ) -> DataFrame:
-    """Rectangular spatial cutout over an ARRAY<DOUBLE> coordinate column."""
-    coords = [F.col(coord_col)[i] for i in range(len(center))]
+    """Rectangular spatial cutout; ``coord_col`` is either one
+    ARRAY<DOUBLE> column name or a list of scalar column names."""
+    if isinstance(coord_col, str):
+        coords = [F.col(coord_col)[i] for i in range(len(center))]
+    else:
+        coords = [F.col(c) for c in coord_col]
     return df.filter(box_mask(coords, center, widths, box_size))
 
 
@@ -50,3 +64,99 @@ def pbc_radial_distance(coords: list[Column], center: list[float], box_size: flo
         d = pbc_distance_1d(x, c, box_size)
         total = total + d * d
     return F.sqrt(total)
+
+
+# --------------------------------------------------------------------------
+# Cell-partitioned layout: cutouts become partition pruning
+# --------------------------------------------------------------------------
+
+
+def spatial_cell(x: Column, box_size: float, ncells: int) -> Column:
+    """Coarse cell id along one axis: ``floor(x / cell_width)``, with the
+    ``x == box_size`` edge clamped into the last cell (numpy-histogram
+    edge rule, same convention as ``operators/histogram.py``)."""
+    cell_w = box_size / ncells
+    return F.least(F.lit(ncells - 1), F.floor(x / F.lit(cell_w))).cast("int")
+
+
+def save_spatial_partitioned(
+    df: DataFrame,
+    coord_cols: list[str],
+    box_size: float,
+    ncells: int,
+    path: str,
+) -> None:
+    """Write ``df`` as parquet partitioned by per-axis cell ids.
+
+    One directory per occupied cell (``cell_0=…/cell_1=…/``). This is
+    the ingest-time layout choice for spatial workloads — the analog of
+    ``operators/layout.save_bucketed`` for equi-join keys: pay one pass
+    now so every later cutout reads only the cells it overlaps. Keep
+    ``ncells`` coarse (8-32 per axis): partition count is ``ncells**d``
+    and parquet wants large files; fine-grained selectivity comes from
+    row-group min/max on the coordinate columns inside each cell.
+    """
+    cells = [
+        spatial_cell(F.col(c), box_size, ncells).alias(f"cell_{i}")
+        for i, c in enumerate(coord_cols)
+    ]
+    (
+        df.select("*", *cells)
+        .write.mode("overwrite")
+        .partitionBy(*[f"cell_{i}" for i in range(len(coord_cols))])
+        .parquet(path)
+    )
+
+
+def cells_overlapping(center: float, width: float, box_size: float, ncells: int) -> list[int]:
+    """Cell ids whose interval intersects the cutout slab
+    ``[center - width/2, center + width/2]`` under periodic wrap.
+
+    Conservative superset: open/closed boundary cases all resolve to
+    "include" only when a strictly-inside point could land in the cell
+    (the mask is strict ``< width/2``, so a slab edge exactly on a cell
+    boundary excludes that cell — see the test's edge cases).
+    """
+    if width >= box_size:
+        return list(range(ncells))
+    cell_w = box_size / ncells
+    a, b = center - width / 2.0, center + width / 2.0
+    if a < 0.0:
+        intervals = [(0.0, b), (a % box_size, box_size)]
+    elif b > box_size:
+        intervals = [(a, box_size), (0.0, b % box_size)]
+    else:
+        intervals = [(a, b)]
+    out = []
+    for k in range(ncells):
+        klo, khi = k * cell_w, (k + 1) * cell_w
+        if any(klo < ib and khi > ia for ia, ib in intervals):
+            out.append(k)
+    return out
+
+
+def rect_cutout_pruned(
+    spark: SparkSession,
+    path: str,
+    coord_cols: list[str],
+    center: list[float],
+    widths: list[float],
+    box_size: float,
+    ncells: int,
+) -> DataFrame:
+    """PBC rectangular cutout over a ``save_spatial_partitioned`` table.
+
+    Per axis: ``cell_i IN (overlapping cells)`` — a predicate on
+    partition columns only, which Catalyst evaluates against the
+    directory listing (``PartitionFilters`` in the scan node) so
+    non-overlapping cells are never read — then the exact periodic
+    ``box_mask`` on the coordinate values. Equivalent by construction
+    to ``rect_cutout`` on the unpartitioned table.
+    """
+    df = spark.read.parquet(path)
+    for i, (c, w) in enumerate(zip(center, widths)):
+        df = df.filter(F.col(f"cell_{i}").isin(cells_overlapping(c, w, box_size, ncells)))
+    coords = [F.col(c) for c in coord_cols]
+    return df.filter(box_mask(coords, center, widths, box_size)).drop(
+        *[f"cell_{i}" for i in range(len(coord_cols))]
+    )
