@@ -196,7 +196,9 @@ def ngram_jaccard_pairs(
     precisely the non-signal the cap exists to drop). ``max_df=None``
     disables the cap and restores the full exact join.
     """
-    sh = shingle_hash_table(df, id_col, text_col, n)
+    # One shingle scan, three consumers (inverted index + both verify
+    # sides): materialize the Pandas-UDF kernel exactly once.
+    sh = shingle_hash_table(df, id_col, text_col, n).localCheckpoint(eager=True)
     cand = ngram_candidate_pairs(sh, max_df)
     sha = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     shb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -371,11 +373,16 @@ def minhash_dedup_pairs(
     # joins rather than OOM the driver/executors on the broadcast.
     n_cands = cands.count()  # cheap: counts the checkpointed blocks
     cand_side = F.broadcast(cands) if n_cands <= 2_000_000 else cands
+    # |A∪B| = |A|+|B|−|A∩B| (shingle arrays are distinct sets): one
+    # array traversal per pair instead of two — array_union also
+    # materializes the merged array only to take its size.
     verified = (
         cand_side.join(a, "doc_a")
         .join(b, "doc_b")
         .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn("n_union", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn(
+            "n_union", F.size("sh_a") + F.size("sh_b") - F.col("n_inter")
+        )
         .withColumn("jaccard", F.col("n_inter").cast("double") / F.col("n_union").cast("double"))
         .filter(F.col("jaccard") >= threshold)
     )
