@@ -431,6 +431,7 @@ def connected_components(
                 neighbor_min, labels.node == F.col("node2"), "left"
             ).select(
                 "node",
+                F.col("label").alias("_prev"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
@@ -439,23 +440,22 @@ def connected_components(
             lb = stepped.select(
                 F.col("node").alias("pnode"), F.col("label").alias("plabel")
             )
+            # Carry the round-start label so convergence detection is a
+            # filter+count over the checkpointed blocks — NOT another
+            # join-with-old-labels job (one fewer shuffle per round).
             new_labels = (
                 stepped.join(lb, stepped.label == F.col("pnode"), "left")
                 .select(
                     "node",
+                    "_prev",
                     F.least(
                         F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
                     ).alias("label"),
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels = new_labels
+            changed = new_labels.filter(F.col("label") != F.col("_prev")).count()
+            labels = new_labels.drop("_prev")
             if changed == 0:
                 return labels.select("node", F.col("label").alias("cluster_id"))
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
