@@ -200,14 +200,18 @@ def sim_ann_topk(spark, sf_dir):
     distinguished by the ``method`` column):
 
     * ``lsh``: random-hyperplane signatures + multi-probe (1-bit flips)
-      — equi-join on bucket replaces the cross-join.
+      — equi-join on bucket replaces the cross-join. Signature width is
+      sized from the corpus (``auto_nbits``: ~32 vectors/bucket) — the
+      r2 registration's fixed nbits=12 left 4096 buckets nearly empty
+      at sf0.01 (1k vectors) and surfaced only 3 candidates for a
+      top-10 request.
     * ``ivf``: coarse k-means quantization → inverted lists → nprobe
       nearest lists only — equi-join on list id.
 
     Both pytest recall-checked against brute-force ground truth."""
     emb = table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    lsh = SIM.lsh_topk(emb, q, k=10, nbits=12).select(
+    lsh = SIM.lsh_topk(emb, q, k=10, nbits=None).select(
         F.lit("lsh").alias("method"), "query_id", "cand_id", "sim", "rank"
     )
     ivf = SIM.ivf_topk(emb, q, k=10, nlist=16, nprobe=4).select(

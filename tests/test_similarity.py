@@ -75,6 +75,28 @@ def test_lsh_topk_recall(spark):
     assert recall >= 0.8
 
 
+def test_auto_nbits_sizing():
+    # ~32 vectors per bucket across scales, clamped to [4, 24]
+    assert S.auto_nbits(10) == 4
+    assert S.auto_nbits(1_000) == 4  # 2^4=16 buckets of ~62
+    assert S.auto_nbits(10_000) == 8
+    assert S.auto_nbits(1_000_000) == 14
+    assert S.auto_nbits(10**9) == 24
+    # the r2 failure mode: nbits=12 at 1k vectors = 0.24 vectors/bucket
+    assert S.auto_nbits(1_000) < 12
+
+
+def test_lsh_auto_nbits_surfaces_candidates(spark, sf_dir):
+    """nbits=None must surface a healthy candidate pool where the fixed
+    nbits=12 registration returned 3 rows for a 5-query top-10 ask."""
+    from scida_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    n_auto = S.lsh_topk(emb, q, k=10, nbits=None).count()
+    assert n_auto >= 25  # ≥5 hits per query on average
+
+
 def test_ivf_topk_recall(spark):
     rng = np.random.RandomState(11)
     centers = rng.standard_normal((10, DIM)) * 5
