@@ -192,6 +192,28 @@ class Dataset:
     def containers(self) -> dict[str, FieldContainer]:
         return self.data._containers
 
+    def info(self, listfields: bool = False, counts: bool = False) -> None:
+        """Print a dataset summary (reference ``Dataset.info``,
+        interface.py:131-158): class, source path, key metadata, then
+        the container tree. ``listfields=True`` also lists every field
+        name per container; ``counts=True`` runs a count() per
+        container (a real scan job — see ``FieldContainer.info``)."""
+        lines = [f"class: {type(self).__name__}", f"source: {self.path}"]
+        z = self.redshift
+        if z is not None:
+            lines.append(f"redshift: {z:.4g}")
+        for key in ("boxsize", "simulation", "snapshot"):
+            if key in self.metadata:
+                lines.append(f"{key}: {self.metadata[key]}")
+        lines.append("=== data ===")
+        lines.append(self.data.info(counts=counts).rstrip("\n"))
+        if listfields:
+            for cname, cont in self.containers.items():
+                lines.append(f"--- {cname} fields ---")
+                lines.append(", ".join(cont.keys(withgroups=False)))
+        lines.append("============")
+        print("\n".join(lines))
+
     # -- selectors (reference Selector framework, interface.py:421-503) ----
 
     def return_data(self, haloID: int | None = None, subhaloID: int | None = None,

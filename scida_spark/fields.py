@@ -188,6 +188,35 @@ class FieldContainer(MutableMapping):
             or (self._df is not None and key in self._df.columns)
         )
 
+    # -- info (reference fields.py:189-223) ----------------------------------
+
+    def info(self, level: int = 0, name: str | None = None,
+             counts: bool = False) -> str:
+        """Indented tree summary: per container, field / recipe /
+        sub-container counts (reference ``FieldContainer.info``,
+        fields.py:189-223). ``counts=True`` additionally runs a Spark
+        ``count()`` per backed container for entry counts — off by
+        default because on a 100 TB table that is a full scan job, not
+        a metadata lookup (the reference reads lengths from dask chunk
+        metadata; parquet row-counts are only as cheap when the footer
+        is already cached)."""
+        if name is None:
+            name = self.name or "root"
+        stats = []
+        nfields = len(self._df.columns) if self._df is not None else 0
+        if nfields:
+            stats.append(f"fields: {nfields}")
+        if counts and self._df is not None:
+            stats.append(f"entries: {self._df.count()}")
+        if self._recipes:
+            stats.append(f"recipes: {len(self._recipes)}")
+        if self._containers:
+            stats.append(f"containers: {len(self._containers)}")
+        rep = "%s+ %s (%s)\n" % ("  " * level, name, ", ".join(stats))
+        for k, cntr in self._containers.items():
+            rep += cntr.info(level + 1, name=k, counts=counts)
+        return rep
+
     # -- merge (reference fields.py:224-255) --------------------------------
 
     def merge(self, other: "FieldContainer", overwrite: bool = False) -> None:

@@ -27,6 +27,18 @@ class DatasetSeries:
     def __len__(self) -> int:
         return len(self.paths)
 
+    def info(self) -> None:
+        """Print a series summary (reference ``DatasetSeries.info``,
+        series.py:206-230): class, dataset count, and per-dataset
+        metadata highlights from the (cached) metadata sweep."""
+        lines = [f"class: {type(self).__name__}", f"datasets: {len(self.paths)}"]
+        meta = self.metadata
+        for i, (p, m) in enumerate(zip(self.paths, meta)):
+            z = m.get("redshift")
+            ztxt = f" z={float(z):.4g}" if z is not None else ""
+            lines.append(f"  [{i}] {p}{ztxt}")
+        print("\n".join(lines))
+
     def __getitem__(self, i: int):
         return self.get_dataset(index=i)
 

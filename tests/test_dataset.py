@@ -87,6 +87,29 @@ def test_series_nearest_metadata(spark, tmp_path):
     assert any(f.startswith("series_meta_") for f in cache_files)
 
 
+def test_info_surfaces(spark, snapshot_dir, tmp_path, capsys):
+    ds = load(snapshot_dir, spark=spark)
+    ds.info(listfields=True, counts=True)
+    out = capsys.readouterr().out
+    assert "class: Dataset" in out and "source: " in out
+    assert "redshift: 1.5" in out
+    assert "PartType0" in out and "Group" in out
+    assert "entries: 100" in out  # counts=True ran the scan
+    assert "Masses" in out  # listfields=True
+    # container tree string form, no counts by default (no Spark job)
+    tree = ds.data.info()
+    assert "PartType0" in tree and "entries" not in tree
+
+    p = str(tmp_path / "s0")
+    root = FieldContainer(name="s0")
+    root["PartType0"] = FieldContainer(spark.range(10), name="PartType0")
+    Dataset(path=p, data=root, metadata={"redshift": 0.5}).save(p)
+    series = DatasetSeries([p], spark=spark)
+    series.info()
+    out = capsys.readouterr().out
+    assert "datasets: 1" in out and "z=0.5" in out
+
+
 def test_hdf5_gated(spark, tmp_path):
     from scida_spark.sources.hdf5 import HAS_H5PY, plan_splits, prune_splits_for_uid_range
 
