@@ -432,28 +432,28 @@ def unit_from_field_attrs(ureg: UnitRegistry, attrs: dict) -> "Unit | str | None
         for k in _SCALING_KEYS
         if k + "_scaling" in attrs and float(attrs[k + "_scaling"]) != 0.0
     }
-    if scalings or factor is not None:
-        if scalings or factor not in (None, 0.0, 1.0):
-            u = Unit(1.0 if factor in (None, 0.0) else factor, ())
-            base = {
-                "length": ureg["cm"],
-                "mass": ureg["g"],
-                "velocity": ureg["cm"] / ureg["s"],
-                "time": ureg["s"],
-            }
-            for k, exp in scalings.items():
-                if k in ("h", "a"):
-                    if k not in ureg._units:
-                        return None  # cosmology not defined → unresolvable
-                    u = u * (ureg._units[k] ** exp)
-                else:
-                    u = u * (base[k] ** exp)
-            return u
-        if factor == 1.0 and not scalings:
-            # to_cgs=1, all scalings zero: dimensionless counter/ID
-            # fields — explicitly unitless (reference check,
-            # units.py:700-712 treats these as agreement with 'none').
-            return "none"
+    if scalings:
+        u = Unit(1.0 if factor in (None, 0.0) else factor, ())
+        base = {
+            "length": ureg["cm"],
+            "mass": ureg["g"],
+            "velocity": ureg["cm"] / ureg["s"],
+            "time": ureg["s"],
+        }
+        for k, exp in scalings.items():
+            if k in ("h", "a"):
+                if k not in ureg._units:
+                    return None  # cosmology not defined → unresolvable
+                u = u * (ureg._units[k] ** exp)
+            else:
+                u = u * (base[k] ** exp)
+        return u
+    # A cgs factor without *_scaling exponents (SWIFT-style files carry
+    # both the float factor and an 'Expression for physical CGS units'
+    # string): fall through to the unit-string branches and seed the
+    # parsed unit with the factor, like the reference's
+    # extract_units_from_attrs (mixins/units.py:159-196). The pure-scale
+    # dimensionless Unit is only the last resort when no string exists.
 
     unitstr = None
     for k in ("Conversion factor", "Expression for physical CGS units"):
@@ -477,18 +477,36 @@ def unit_from_field_attrs(ureg: UnitRegistry, attrs: dict) -> "Unit | str | None
                 if cand and cand != desc:
                     unitstr = cand.strip("'").lower()
                     break
-    if unitstr is None:
-        return None
-    if isinstance(unitstr, bytes):
-        unitstr = unitstr.decode("utf-8", "replace")
-    unitstr = str(unitstr).strip()
-    if unitstr.lower() in ("none", ""):
+    parsed = None
+    if unitstr is not None:
+        if isinstance(unitstr, bytes):
+            unitstr = unitstr.decode("utf-8", "replace")
+        unitstr = str(unitstr).strip()
+        if unitstr.lower() in ("none", ""):
+            parsed = "none"
+        else:
+            prev = ureg.missing_units
+            ureg.missing_units = "raise"
+            try:
+                parsed = ureg.parse(unitstr)
+            except (KeyError, ValueError):
+                parsed = None
+            finally:
+                ureg.missing_units = prev
+    if isinstance(parsed, Unit):
+        if factor not in (None, 0.0, 1.0):
+            return Unit(factor, ()) * parsed
+        return parsed
+    if parsed == "none":
         return "none"
-    prev = ureg.missing_units
-    ureg.missing_units = "raise"
-    try:
-        return ureg.parse(unitstr)
-    except (KeyError, ValueError):
-        return None
-    finally:
-        ureg.missing_units = prev
+    # no (parseable) unit string — factor alone is all we know
+    if factor is not None:
+        if factor == 1.0:
+            # to_cgs=1, no dims anywhere: dimensionless counter/ID
+            # fields — explicitly unitless (reference units.py:700-712
+            # treats these as agreement with 'none').
+            return "none"
+        if factor != 0.0:
+            return Unit(factor, ())
+        return "none"
+    return None

@@ -96,6 +96,41 @@ def test_unit_from_attrs_explicit_strings():
     assert u.isclose(ureg.parse("cm"), rtol=1e-9)
 
 
+def test_unit_from_attrs_swift_factor_plus_expression():
+    """SWIFT files carry BOTH the float cgs factor and a CGS expression
+    string: the factor must seed the parsed unit, not shadow it with a
+    dimensionless pure-scale Unit (reference mixins/units.py:159-196;
+    round-3 ADVICE medium)."""
+    ureg = UnitRegistry()
+    attrs = {
+        "Conversion factor to physical CGS (including cosmological corrections)":
+            2.5e64,
+        "Expression for physical CGS units": "cm**3",
+    }
+    u = unit_from_field_attrs(ureg, attrs)
+    assert isinstance(u, Unit)
+    assert u.same_dimensions(ureg.parse("cm^3"))  # dims preserved
+    assert u.scale == pytest.approx(2.5e64)
+    # factor of exactly 1.0 with a string: string alone
+    u = unit_from_field_attrs(
+        ureg,
+        {
+            "Conversion factor to physical CGS (including cosmological corrections)": 1.0,
+            "Expression for physical CGS units": "cm / s",
+        },
+    )
+    assert u.isclose(ureg.parse("cm / s"), rtol=1e-9)
+    # factor with an unparseable string: pure-scale fallback survives
+    u = unit_from_field_attrs(
+        ureg,
+        {
+            "to_cgs": 7.0,
+            "units": "florps",
+        },
+    )
+    assert isinstance(u, Unit) and u.dims == () and u.scale == pytest.approx(7.0)
+
+
 # --------------------------------------------------------------------------
 # end-to-end through the HDF5 loader
 # --------------------------------------------------------------------------
