@@ -179,6 +179,137 @@ def add_subhalo_ids(
     ).drop("__sh")
 
 
+def subhalo_intervals(
+    group_catalog: DataFrame,
+    subhalo_catalog: DataFrame,
+    *,
+    group_length_col: str = "GroupLen",
+    group_order_col: str = "GroupID",
+    group_firstsub_col: str = "GroupFirstSub",
+    group_nsubs_col: str = "GroupNsubs",
+    sub_length_col: str = "SubhaloLen",
+    sub_order_col: str = "SubhaloID",
+) -> DataFrame:
+    """Per-subhalo ``[__sstart, __send)`` uid interval plus its local
+    index within the owning halo — fully distributed, no driver
+    materialization.
+
+    Construction: explode ``sequence(0, nsubs-1)`` on the group catalog
+    to enumerate (halo, global subhalo id = firstsub + k) pairs, equi-
+    join the subhalo catalog on that id (one catalog-sized shuffle),
+    then a *partitioned* window cumsum of sibling lengths within each
+    halo gives the start offsets. Because the intervals are derived
+    from each halo's own offset, a particle uid falling inside an
+    interval is in the right halo by construction — the membership
+    check the broadcast kernel does explicitly (reference
+    arepo/dataset.py:1164-1258) is implicit here.
+    """
+    g = group_offsets(group_catalog, group_length_col, group_order_col)
+    pairs = (
+        g.filter(F.col(group_nsubs_col) > 0)
+        .select(
+            F.col(group_order_col).alias("__gid"),
+            F.col("offset").alias("__goff"),
+            F.col(group_firstsub_col).alias("__fsub"),
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col(group_nsubs_col) - 1)
+            ).alias("__local"),
+        )
+        .withColumn("__sid", F.col("__fsub") + F.col("__local"))
+    )
+    sub = subhalo_catalog.select(
+        F.col(sub_order_col).alias("__sid"),
+        F.col(sub_length_col).alias("__slen"),
+    )
+    j = pairs.join(sub, "__sid")
+    w = W.partitionBy("__gid").orderBy("__sid").rowsBetween(W.unboundedPreceding, -1)
+    j = j.withColumn("__prior", F.coalesce(F.sum("__slen").over(w), F.lit(0)))
+    return j.select(
+        "__sid",
+        "__local",
+        (F.col("__goff") + F.col("__prior")).cast("long").alias("__sstart"),
+        (F.col("__goff") + F.col("__prior") + F.col("__slen"))
+        .cast("long")
+        .alias("__send"),
+    )
+
+
+def add_subhalo_ids_rangejoin(
+    particles: DataFrame,
+    group_catalog: DataFrame,
+    subhalo_catalog: DataFrame,
+    *,
+    group_length_col: str = "GroupLen",
+    group_order_col: str = "GroupID",
+    group_firstsub_col: str = "GroupFirstSub",
+    group_nsubs_col: str = "GroupNsubs",
+    sub_length_col: str = "SubhaloLen",
+    sub_order_col: str = "SubhaloID",
+    uid_col: str = "uid",
+) -> DataFrame:
+    """Distributed LocalSubhaloID/SubhaloID: range-join particles
+    against per-subhalo uid intervals (``subhalo_intervals``). Same
+    output contract as :func:`add_subhalo_ids` — inner-fuzz and unbound
+    particles match no interval and get the sentinel via left-join miss.
+    The intervals side is catalog-sized, so it gets the broadcast hint
+    (executor-side broadcast of a DataFrame — no driver numpy), exactly
+    like :func:`add_group_ids_rangejoin`.
+    """
+    iv = subhalo_intervals(
+        group_catalog,
+        subhalo_catalog,
+        group_length_col=group_length_col,
+        group_order_col=group_order_col,
+        group_firstsub_col=group_firstsub_col,
+        group_nsubs_col=group_nsubs_col,
+        sub_length_col=sub_length_col,
+        sub_order_col=sub_order_col,
+    )
+    cond = (F.col(uid_col) >= F.col("__sstart")) & (F.col(uid_col) < F.col("__send"))
+    joined = particles.join(F.broadcast(iv), cond, "left")
+    return (
+        joined.withColumn(
+            "LocalSubhaloID",
+            F.coalesce(F.col("__local"), F.lit(SENTINEL)).cast("long"),
+        )
+        .withColumn(
+            "SubhaloID", F.coalesce(F.col("__sid"), F.lit(SENTINEL)).cast("long")
+        )
+        .drop("__sid", "__local", "__sstart", "__send")
+    )
+
+
+def add_subhalo_ids_auto(
+    particles: DataFrame,
+    group_catalog: DataFrame,
+    subhalo_catalog: DataFrame,
+    *,
+    broadcast_limit: int = 50_000_000,
+    n_catalog: int | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Pick the subhalo-ID strategy by combined catalog size, mirroring
+    :func:`add_group_ids_auto`: the broadcast-searchsorted kernel (one
+    narrow map over the particles, zero shuffle) while both catalogs fit
+    comfortably on the driver (~40 bytes x rows of numpy), else the
+    fully distributed interval range join. The golden semantics are
+    identical through both paths (pytest-pinned).
+
+    ``n_catalog`` lets callers who already know the combined catalog
+    row count skip the two count jobs (a snapshot's ngroups+nsubs is in
+    its header); counting is the fallback."""
+    n = (
+        n_catalog
+        if n_catalog is not None
+        else group_catalog.count() + subhalo_catalog.count()
+    )
+    if n <= broadcast_limit:
+        return add_subhalo_ids(particles, group_catalog, subhalo_catalog, **kwargs)
+    return add_subhalo_ids_rangejoin(
+        particles, group_catalog, subhalo_catalog, **kwargs
+    )
+
+
 def add_group_ids_rangejoin(
     particles: DataFrame,
     catalog_with_offsets: DataFrame,

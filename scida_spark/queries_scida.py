@@ -184,6 +184,10 @@ def scida_subhalo_ids(spark, sf_dir):
     groups = o.withColumn(
         "GroupFirstSub", F.coalesce(F.sum("GroupNsubs").over(w), F.lit(0)).cast("long")
     )
+    # The catalog derives from a join + global window; checkpoint it so
+    # the auto dispatcher's size probe and the kernel's catalog reads
+    # share ONE materialization instead of re-running the pipeline.
+    groups = groups.localCheckpoint(eager=True)
     # Subhalo catalog: lengths [ceil(n/2), floor(n/2)] per halo with n>0.
     sub0 = groups.filter(F.col("GroupLen") > 0).select(
         F.col("GroupFirstSub").alias("SubhaloID"),
@@ -194,7 +198,7 @@ def scida_subhalo_ids(spark, sf_dir):
         F.floor(F.col("GroupLen") / 2.0).cast("long").alias("SubhaloLen"),
     )
     subs = sub0.unionAll(sub1)
-    out = C.add_subhalo_ids(
+    out = C.add_subhalo_ids_auto(
         parts,
         groups,
         subs,

@@ -86,17 +86,22 @@ def test_group_ids_rangejoin_golden(spark, npartitions):
         assert row["GroupID"] == _expected_gid(row["uid"]), row
 
 
+_SUBHALO_IMPLS = [C.add_subhalo_ids, C.add_subhalo_ids_rangejoin]
+
+
+@pytest.mark.parametrize("impl", _SUBHALO_IMPLS, ids=["broadcast", "rangejoin"])
 @pytest.mark.parametrize("npartitions", [1, 3, 7])
-def test_subhalo_ids_golden(spark, npartitions):
+def test_subhalo_ids_golden(spark, npartitions, impl):
     particles, groups, subs = _fixture(spark, npartitions)
-    out = C.add_subhalo_ids(particles, groups, subs).orderBy("uid").collect()
+    out = impl(particles, groups, subs).orderBy("uid").collect()
     assert len(out) == 100
     for row in out:
         assert row["SubhaloID"] == _expected_sid(row["uid"]), row
         assert row["LocalSubhaloID"] == _expected_local(row["uid"]), row
 
 
-def test_subhalo_inner_fuzz(spark):
+@pytest.mark.parametrize("impl", _SUBHALO_IMPLS, ids=["broadcast", "rangejoin"])
+def test_subhalo_inner_fuzz(spark, impl):
     """Particles beyond a halo's subhalo span but inside the halo get the
     sentinel (reference 'inner fuzz' semantics)."""
     particles = spark.range(50).withColumnRenamed("id", "uid")
@@ -106,13 +111,29 @@ def test_subhalo_inner_fuzz(spark):
     subs = spark.createDataFrame(
         [(0, 25, 0)], "SubhaloID long, SubhaloLen long, SubhaloGrNr long"
     )
-    out = C.add_subhalo_ids(particles, groups, subs).orderBy("uid").collect()
+    out = impl(particles, groups, subs).orderBy("uid").collect()
     for row in out:
         uid = row["uid"]
         if uid < 25:
             assert row["SubhaloID"] == 0 and row["LocalSubhaloID"] == 0
         else:  # fuzz (25-39) and unbound (40-49)
             assert row["SubhaloID"] == SENT and row["LocalSubhaloID"] == SENT
+
+
+def test_subhalo_ids_auto_dispatch(spark):
+    """The auto dispatcher picks broadcast below the bound and the
+    distributed range join above it; results identical either way."""
+    particles, groups, subs = _fixture(spark, 3)
+    lo = C.add_subhalo_ids_auto(particles, groups, subs).orderBy("uid").collect()
+    hi = (
+        C.add_subhalo_ids_auto(particles, groups, subs, broadcast_limit=0)
+        .orderBy("uid")
+        .collect()
+    )
+    assert lo == hi
+    for row in lo:
+        assert row["SubhaloID"] == _expected_sid(row["uid"]), row
+        assert row["LocalSubhaloID"] == _expected_local(row["uid"]), row
 
 
 def test_offsets(spark):
