@@ -24,13 +24,20 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-def _spread_small_input(df: DataFrame) -> DataFrame:
+def _spread_small_input(df: DataFrame, probe: bool = True) -> DataFrame:
     """Spread a tiny input across the cluster before an Arrow-batched
     kernel scan: a sub-128 MB parquet arrives as one split, which would
     pin the Pandas-UDF scan to one core. Strictly a no-op when the
     input already has enough splits — the 100 TB case never pays an
     extra shuffle here; only the degenerate small-file case does (and
-    its shuffle is by definition tiny)."""
+    its shuffle is by definition tiny).
+
+    The split-count probe (``df.rdd.getNumPartitions()``) forces
+    physical planning of the upstream plan; callers that already know
+    the input is well-partitioned (or materialized) pass
+    ``probe=False`` to skip both the probe and the repartition."""
+    if not probe:
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, target // 2):
@@ -143,21 +150,39 @@ def shingle_hash_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) ->
     )
 
 
-def ngram_candidate_pairs(sh: DataFrame, max_df: int | None) -> DataFrame:
+def ngram_candidate_pairs(
+    sh: DataFrame, max_df: int | None, warn_hot: bool = False
+) -> DataFrame:
     """Distinct candidate (doc_a, doc_b) pairs from the shingle inverted
     index of a ``shingle_hash_table`` result, excluding shingles with
     document frequency > max_df from the self-join (each hot shingle
     would contribute O(df²) join rows). Exposed separately so tests and
     capacity planning can bound the candidate count directly.
+
+    ``warn_hot=True`` materializes the (vocabulary-sized) df table and
+    emits a warning with the count of excluded hot shingles, so
+    divergence from the exact-pairwise baseline is observable on real
+    data instead of silent (the cap changes results only when it
+    actually drops shingles).
     """
     ex = sh.select("doc", F.explode("sh").alias("g"))
     if max_df is not None:
-        kept = (
-            ex.groupBy("g")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") <= max_df)
-            .select("g")
-        )
+        dfs = ex.groupBy("g").agg(F.count("*").alias("_df"))
+        if warn_hot:
+            import warnings
+
+            dfs = dfs.localCheckpoint(eager=True)
+            n_hot = dfs.filter(F.col("_df") > max_df).count()
+            if n_hot:
+                warnings.warn(
+                    f"ngram_candidate_pairs: {n_hot} hot shingles "
+                    f"(df > {max_df}) excluded from candidate generation; "
+                    "pairs whose every shared shingle is hot will be "
+                    "missed (run exact_dedup first for replica clusters, "
+                    "or pass max_df=None for the exact quadratic join)",
+                    UserWarning,
+                )
+        kept = dfs.filter(F.col("_df") <= max_df).select("g")
         ex = ex.join(kept, "g")
     a = ex.select(F.col("doc").alias("doc_a"), "g")
     b = ex.select(F.col("doc").alias("doc_b"), "g")
@@ -199,7 +224,7 @@ def ngram_jaccard_pairs(
     # One shingle scan, three consumers (inverted index + both verify
     # sides): materialize the Pandas-UDF kernel exactly once.
     sh = shingle_hash_table(df, id_col, text_col, n).localCheckpoint(eager=True)
-    cand = ngram_candidate_pairs(sh, max_df)
+    cand = ngram_candidate_pairs(sh, max_df, warn_hot=True)
     sha = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     shb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
@@ -255,6 +280,139 @@ def _fmix64(z: np.ndarray) -> np.ndarray:
     z *= np.uint64(0xC4CEB9FE1A85EC53)
     z ^= z >> np.uint64(33)
     return z
+
+
+def _tokenize_batch(texts: pd.Series):
+    """Vectorized batch tokenization + vocabulary hashing, shared by the
+    simhash and combined-signature kernels.
+
+    Returns ``(lens, codes, uniq_hashes, doc_ids)``: per-doc token
+    counts, per-token vocabulary codes over the flattened corpus, one
+    blake2b-64 hash per UNIQUE token (Zipfian corpus ⇒ vocabulary ≪
+    token instances — hashing the vocabulary once is the win), and the
+    owning doc index per flat token. ``codes`` is None when the batch
+    has no tokens at all."""
+    import hashlib
+
+    tok_lists = texts.fillna("").str.strip().str.split(" ")
+    lens = np.array(
+        [0 if (len(t) == 1 and t[0] == "") else len(t) for t in tok_lists],
+        dtype=np.int64,
+    )
+    if lens.sum() == 0:
+        return lens, None, None, None
+    flat_toks = np.concatenate([t for t, l in zip(tok_lists, lens) if l > 0])
+    codes, uniq = pd.factorize(flat_toks)
+    uh = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(u.encode(), digest_size=8).digest(),
+                "big",
+                signed=True,
+            )
+            for u in uniq
+        ),
+        dtype=np.int64,
+        count=len(uniq),
+    )
+    doc_ids = np.repeat(np.arange(len(texts)), lens)
+    return lens, codes, uh, doc_ids
+
+
+def _simhash_from_tokens(
+    ntexts: int, lens: np.ndarray, codes: np.ndarray, uh: np.ndarray,
+    doc_ids: np.ndarray,
+) -> np.ndarray:
+    """Per-doc 64-bit SimHash from a tokenized batch — the vectorized
+    bit-matrix fold documented in ``simhash_signatures``."""
+    ub = np.unpackbits(
+        uh.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    ).astype(np.int32)
+    if len(uh) <= 4096:
+        counts = np.zeros((ntexts, len(uh)), dtype=np.int32)
+        np.add.at(counts, (doc_ids, codes), 1)
+        bitsum = counts @ ub
+    else:
+        bits = ub[codes]  # (n_tokens, 64) int32
+        bitsum = np.stack(
+            [
+                np.bincount(doc_ids, weights=bits[:, k], minlength=ntexts)
+                for k in range(64)
+            ],
+            axis=1,
+        ).astype(np.int64)
+    # Empty docs never appear in doc_ids → bitsum row 0 → sig 0.
+    sig_bits = (2 * bitsum > lens[:, None]).astype(np.uint8)
+    return np.packbits(sig_bits, axis=1, bitorder="little").view(np.int64).ravel()
+
+
+def signature_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(doc, sh: array<long>, simhash: long) — BOTH dedup signatures in
+    ONE Arrow-batched scan of the corpus.
+
+    ``minhash_dedup_pairs`` and ``simhash_near_pairs`` each need a
+    full-text kernel pass (shingle hashing resp. token hashing); run
+    independently they tokenize the same corpus twice. This kernel
+    tokenizes once, hashes the batch VOCABULARY once (blake2b-64 per
+    unique token), and derives both signatures from the token-hash
+    array:
+
+    * word-n-gram shingle hashes = an order-sensitive fmix64 fold of
+      the n consecutive token hashes (``fmix64(a ^ fmix64(b ^
+      fmix64(c)))``), distinct per doc. Distinct n-grams map to
+      distinct 64-bit values (modulo the same negligible collision
+      rate as direct shingle-string hashing), so downstream
+      intersection/union Jaccard values are IDENTICAL to
+      ``shingle_hash_table``'s — only the hash ids differ.
+    * simhash = the usual majority-bit fold over token hashes.
+
+    This is also strictly faster than ``shingle_hash_table`` alone:
+    that kernel blake2b-hashes every shingle STRING (join + encode per
+    n-gram instance); here the only cryptographic hashing is the
+    vocabulary, and shingle mixing is three vectorized fmix64 passes
+    over the flat token-hash array.
+    """
+
+    @F.pandas_udf("sh array<long>, simhash long")
+    def _sig2(texts: pd.Series) -> pd.DataFrame:
+        ntexts = len(texts)
+        if ntexts == 0:
+            return pd.DataFrame({"sh": [], "simhash": []})
+        lens, codes, uh, doc_ids = _tokenize_batch(texts)
+        if codes is None:
+            return pd.DataFrame(
+                {
+                    "sh": [np.empty(0, dtype=np.int64)] * ntexts,
+                    "simhash": np.zeros(ntexts, dtype=np.int64),
+                }
+            )
+        simhash = _simhash_from_tokens(ntexts, lens, codes, uh, doc_ids)
+        # Flat shingle mix over the whole batch: position i combines
+        # token hashes i..i+n-1; positions whose window crosses a doc
+        # boundary are masked out, then each doc's slice is dedup'd.
+        th = uh.astype(np.uint64)[codes]
+        total = len(th)
+        acc = _fmix64(th[n - 1:].copy())
+        for k in range(n - 2, -1, -1):
+            acc = _fmix64(th[k : total - (n - 1 - k)] ^ acc)
+        # acc[i] is the shingle hash starting at flat position i.
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        shs = []
+        for d in range(ntexts):
+            lo, L = offsets[d], lens[d]
+            if L < n:
+                shs.append(np.empty(0, dtype=np.int64))
+                continue
+            shs.append(np.unique(acc[lo : lo + L - n + 1]).astype(np.int64))
+        return pd.DataFrame({"sh": shs, "simhash": simhash})
+
+    return (
+        _spread_small_input(df)
+        .select(F.col(id_col).alias("doc"), _sig2(F.col(text_col)).alias("_s"))
+        .select("doc", F.col("_s.sh").alias("sh"), F.col("_s.simhash").alias("simhash"))
+    )
 
 
 def minhash_signatures(
@@ -350,7 +508,6 @@ def minhash_dedup_pairs(
     exact verification joins shingle sets only for candidate pairs —
     at scale this is the crucial difference from the all-pairs join.
     """
-    rows_per_band = num_perm // bands
     # ONE shingle scan feeds both signature generation and the verify
     # join (r2 ran it twice); eager localCheckpoints (not cache())
     # materialize each stage exactly once — the banded self-join and
@@ -359,6 +516,25 @@ def minhash_dedup_pairs(
     # to DataFrame lifetime (a cache() here leaked one cached table per
     # call, the in-session leak 4b336d2 fixed).
     sh = shingle_hash_table(df, id_col, text_col, n).localCheckpoint(eager=True)
+    return minhash_dedup_pairs_from_shingles(
+        sh, num_perm=num_perm, bands=bands, threshold=threshold, seed=seed
+    )
+
+
+def minhash_dedup_pairs_from_shingles(
+    sh: DataFrame,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH pairs from an ALREADY-MATERIALIZED (doc, sh) shingle
+    table — the entry point for pipelines that compute the corpus scan
+    once and share it across signature families (``signature_table``).
+    The caller must have localCheckpointed ``sh``; every consumer here
+    (signature kernel + both verify sides) re-reads it."""
+    rows_per_band = num_perm // bands
     sigs = minhash_signatures_from_shingles(sh, num_perm, seed).localCheckpoint(
         eager=True
     )
@@ -480,74 +656,24 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str, bits: int = 64
     token instances repeat) plus the vectorized bit-matrix fold is
     ~10x faster, and only 8-byte ids ever cross the Arrow boundary.
     """
-    import hashlib
-
     @F.pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
-        # Hash each doc's tokens (memoized per batch), then fully
-        # vectorized: flatten every doc's token hashes, unpack to a
-        # (total_tokens, 64) bit matrix, then per-doc column sums via
-        # reduceat over doc offsets — no Python loop over docs or bits
-        # (the loop form measured ~8x slower at 64 tokens/doc; see
-        # SCALE.md). Little-endian byte view ⇒ bit column b ==
-        # (hash >> b) & 1 on every platform Spark runs on.
+        # Vectorized tokenization + batch-level vocabulary factorize
+        # (_tokenize_batch), then per-doc bit sums WITHOUT
+        # np.add.reduceat (measured 4 s on a 270 k-token batch —
+        # reduceat's segmented axis-0 walk is pathologically slow):
+        # small vocabulary → per-doc token-count matrix times the
+        # unique-token bit matrix (one BLAS matmul, 0.03 s on the same
+        # batch); large vocabulary → 64 bincount scatter-adds over doc
+        # ids (vocab-independent, 0.14 s). Little-endian byte view ⇒
+        # bit column b == (hash >> b) & 1 on every platform Spark runs
+        # on. See _simhash_from_tokens.
         if len(texts) == 0:
             return pd.Series(np.empty(0, dtype=np.int64))
-        # Vectorized tokenization + batch-level vocabulary factorize:
-        # hash each UNIQUE token once (Zipfian corpus ⇒ vocabulary ≪
-        # token instances), then gather — ~5x over a per-token Python
-        # memo loop.
-        tok_lists = texts.fillna("").str.strip().str.split(" ")
-        lens = np.array(
-            [0 if (len(t) == 1 and t[0] == "") else len(t) for t in tok_lists],
-            dtype=np.int64,
-        )
-        if lens.sum() == 0:
+        lens, codes, uh, doc_ids = _tokenize_batch(texts)
+        if codes is None:
             return pd.Series(np.zeros(len(texts), dtype=np.int64))
-        flat_toks = np.concatenate(
-            [t for t, l in zip(tok_lists, lens) if l > 0]
-        )
-        codes, uniq = pd.factorize(flat_toks)
-        uh = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.blake2b(u.encode(), digest_size=8).digest(),
-                    "big",
-                    signed=True,
-                )
-                for u in uniq
-            ),
-            dtype=np.int64,
-            count=len(uniq),
-        )
-        # Per-doc bit sums WITHOUT np.add.reduceat (measured 4 s on a
-        # 270 k-token batch — reduceat's segmented axis-0 walk is
-        # pathologically slow): small vocabulary → per-doc token-count
-        # matrix times the unique-token bit matrix (one BLAS matmul,
-        # 0.03 s on the same batch); large vocabulary → 64 bincount
-        # scatter-adds over doc ids (vocab-independent, 0.14 s).
-        doc_ids = np.repeat(np.arange(len(texts)), lens)
-        ub = np.unpackbits(
-            uh.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-        ).astype(np.int32)
-        if len(uniq) <= 4096:
-            counts = np.zeros((len(texts), len(uniq)), dtype=np.int32)
-            np.add.at(counts, (doc_ids, codes), 1)
-            bitsum = counts @ ub
-        else:
-            bits = ub[codes]  # (n_tokens, 64) int32
-            bitsum = np.stack(
-                [
-                    np.bincount(doc_ids, weights=bits[:, k], minlength=len(texts))
-                    for k in range(64)
-                ],
-                axis=1,
-            ).astype(np.int64)
-        # Empty docs never appear in doc_ids → bitsum row 0 → sig 0,
-        # matching the previous explicit nonempty handling.
-        sig_bits = (2 * bitsum > lens[:, None]).astype(np.uint8)
-        sigs = np.packbits(sig_bits, axis=1, bitorder="little").view(np.int64).ravel()
-        return pd.Series(sigs)
+        return pd.Series(_simhash_from_tokens(len(texts), lens, codes, uh, doc_ids))
 
     return _spread_small_input(df).select(
         F.col(id_col).alias("doc"), _simhash(F.col(text_col)).alias("simhash")
@@ -576,8 +702,12 @@ def simhash_candidate_pairs(
     rem = 64 % nchunks
     widths = [base + (1 if i < rem else 0) for i in range(nchunks)]
     offs = [sum(widths[:i]) for i in range(nchunks)]
+    # A full-width chunk (max_hamming=0, level=1 → one 64-bit chunk)
+    # needs no mask — and (1 << 64) - 1 does not fit a LongType literal.
     chunk = [
-        F.shiftrightunsigned(F.col("simhash"), offs[i]).bitwiseAND(
+        F.shiftrightunsigned(F.col("simhash"), offs[i])
+        if widths[i] == 64
+        else F.shiftrightunsigned(F.col("simhash"), offs[i]).bitwiseAND(
             F.lit((1 << widths[i]) - 1)
         )
         for i in range(nchunks)

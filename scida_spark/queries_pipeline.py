@@ -60,10 +60,18 @@ def dedup_signature_pairs(spark, sf_dir):
 
     Deterministic (seeded permutations / fixed hyperplanes) but not
     SQL-expressible (xxhash64 hashing); pytest cross-checks both against
-    exact ground truth."""
+    exact ground truth.
+
+    ONE full-text kernel scan feeds both halves: ``signature_table``
+    tokenizes the corpus once and derives the shingle-hash arrays (for
+    minhash+verify) AND the simhash signatures from the same token-hash
+    arrays; each half then consumes the checkpointed table (the r3
+    version ran two independent corpus scans — the single remaining
+    full-text scan was a third of the whole bench)."""
     docs = table(spark, sf_dir, "documents")
-    mh = D.minhash_dedup_pairs(
-        docs, "doc_id", "text", n=3, num_perm=128, bands=64, threshold=0.2
+    sig = D.signature_table(docs, "doc_id", "text", n=3).localCheckpoint(eager=True)
+    mh = D.minhash_dedup_pairs_from_shingles(
+        sig.select("doc", "sh"), num_perm=128, bands=64, threshold=0.2
     ).select(
         F.lit("minhash").alias("method"),
         "doc_a",
@@ -71,7 +79,7 @@ def dedup_signature_pairs(spark, sf_dir):
         F.col("jaccard").cast("double").alias("score"),
     )
     sh = D.simhash_near_pairs(
-        D.simhash_signatures(docs, "doc_id", "text"), max_hamming=3
+        sig.select("doc", "simhash"), max_hamming=3
     ).select(
         F.lit("simhash").alias("method"),
         "doc_a",

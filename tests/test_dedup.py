@@ -91,6 +91,82 @@ def test_simhash_identical_and_near(spark, docs_df):
     assert (0, 2) in pairs  # near dup within 10 bits
 
 
+def test_signature_table_matches_standalone_kernels(spark, docs_df):
+    """The combined one-scan kernel must agree with the standalone ones:
+    simhash values EXACTLY (same token hashing), and shingle sets up to
+    the hash family — set SIZES and all pairwise intersection sizes
+    (hence Jaccard values) identical to shingle_hash_table's."""
+    combined = {
+        r["doc"]: (set(r["sh"]), r["simhash"])
+        for r in D.signature_table(docs_df, "doc_id", "text", n=3).collect()
+    }
+    simhash = {
+        r["doc"]: r["simhash"]
+        for r in D.simhash_signatures(docs_df, "doc_id", "text").collect()
+    }
+    assert {d: s for d, (_, s) in combined.items()} == simhash
+    legacy = {
+        r["doc"]: set(r["sh"])
+        for r in D.shingle_hash_table(docs_df, "doc_id", "text", 3).collect()
+    }
+    for d, (sh, _) in combined.items():
+        assert len(sh) == len(legacy[d]), d
+    ids = sorted(combined)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                got = len(combined[i][0] & combined[j][0])
+                want = len(legacy[i] & legacy[j])
+                assert got == want, (i, j)
+
+
+def test_minhash_from_signature_table_same_pairs(spark, docs_df):
+    """The shared-scan minhash path reports the same verified pairs with
+    the same exact-Jaccard scores as the standalone pipeline."""
+    sig = D.signature_table(docs_df, "doc_id", "text", n=3).localCheckpoint(eager=True)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.minhash_dedup_pairs_from_shingles(
+            sig.select("doc", "sh"), num_perm=64, bands=16, threshold=0.3
+        ).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.minhash_dedup_pairs(
+            docs_df, "doc_id", "text", n=3, num_perm=64, bands=16, threshold=0.3
+        ).collect()
+    }
+    # LSH candidate sets may differ between hash families; the VERIFIED
+    # exact-dup and near-dup pairs on this corpus must not.
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+def test_simhash_exact_match_blocking_d0(spark, docs_df):
+    """max_hamming=0 (exact-signature simhash match) — one full-width
+    chunk, no mask literal overflow (round-3 ADVICE)."""
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in D.simhash_near_pairs(
+            D.simhash_signatures(docs_df, "doc_id", "text"), max_hamming=0
+        ).collect()
+    }
+    assert pairs == {(0, 1): 0, (3, 4): 0}
+
+
+def test_ngram_hot_shingle_cap_warns(spark):
+    """When the df cap actually excludes shingles, the divergence from
+    the exact baseline is signalled (round-3 ADVICE)."""
+    docs = spark.createDataFrame(
+        [(i, "common boiler plate phrase here") for i in range(6)]
+        + [(100, "a unique document that shares nothing at all")],
+        "doc_id long, text string",
+    )
+    with pytest.warns(UserWarning, match="hot shingles"):
+        D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1, max_df=3).collect()
+
+
 def test_minhash_signature_deterministic(spark, docs_df):
     s1 = D.minhash_signatures(docs_df, "doc_id", "text").orderBy("doc").collect()
     s2 = D.minhash_signatures(docs_df, "doc_id", "text").orderBy("doc").collect()
