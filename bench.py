@@ -56,22 +56,43 @@ def main() -> None:
     names = [n for n in HEADLINE if n in reg]
     # Warm-up: JVM/codegen spin-up on the smallest table, plus one
     # Pandas-UDF query to start the Arrow Python workers — both are
-    # fixed per-session costs, not per-query throughput.
-    reg["q1_pricing_summary"].fn(spark, sf_dir).count()
-    reg["dedup_signature_pairs"].fn(spark, "/root/testdata/sf0.001").count()
+    # fixed per-session costs, not per-query throughput. Warm-up
+    # failures are ignored — the per-query loop reports its own.
+    for warm in (
+        lambda: reg["q1_pricing_summary"].fn(spark, sf_dir).count(),
+        lambda: reg["dedup_signature_pairs"].fn(spark, "/root/testdata/sf0.001").count(),
+    ):
+        try:
+            warm()
+        except Exception:
+            pass
 
     # Round-robin the runs (1st pass all queries, then 2nd, then 3rd)
     # so a transient contention spike hits ONE run of many queries, not
-    # all runs of one query — the median then discards it.
+    # all runs of one query — the median then discards it. Each timed
+    # call is fault-isolated: one broken query records {"err": ...} and
+    # the rest of the bench still reports (r5's whole perf signal was
+    # erased by a single AnalysisException at position 7).
     samples: dict[str, list[float]] = {n: [] for n in names}
+    errors: dict[str, str] = {}
     for _ in range(RUNS):
         for name in names:
+            if name in errors:
+                continue
             t0 = time.perf_counter()
-            df = reg[name].fn(spark, sf_dir)
-            _ = df.count()
+            try:
+                df = reg[name].fn(spark, sf_dir)
+                _ = df.count()
+            except Exception as exc:  # noqa: BLE001 — report, don't abort
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                continue
             samples[name].append(time.perf_counter() - t0)
-    timings = {n: round(statistics.median(s), 4) for n, s in samples.items()}
-    total = round(sum(timings.values()), 4)
+    timings: dict[str, object] = {
+        n: round(statistics.median(s), 4) for n, s in samples.items() if s
+    }
+    total = round(sum(v for v in timings.values() if isinstance(v, float)), 4)
+    for n, msg in errors.items():
+        timings[n] = {"err": msg}
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(

@@ -520,7 +520,7 @@ def stream_session_windows(spark, sf_dir):
     lag + gap-flag prefix sum so the oracle is exact."""
     ev = table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag(F.col("ts")).over(w))
     g = ev.withColumn(
         "new_session", F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
     )

@@ -24,6 +24,9 @@ def dedup_stream(
     watermark: str = "1 hour",
     ts_col: str = "ts",
 ) -> DataFrame:
+    from scida_spark.streaming.windows import ensure_event_time
+
+    events = ensure_event_time(events, ts_col)
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
 
 

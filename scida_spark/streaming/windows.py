@@ -17,6 +17,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Normalize the event-time column to TIMESTAMP.
+
+    Parquet written as timestamp[us] without the UTC-adjusted flag
+    reads as TIMESTAMP_NTZ under Spark ≥4.1, and ``withWatermark``
+    rejects NTZ event time (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+    Session TZ is pinned UTC so the cast keeps wall-clock values.
+    """
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def tumbling_counts(
     events: DataFrame,
     window: str = "1 hour",
@@ -24,6 +37,7 @@ def tumbling_counts(
     ts_col: str = "ts",
     key_col: str = "event_type",
 ) -> DataFrame:
+    events = ensure_event_time(events, ts_col)
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window), key_col)
@@ -45,6 +59,7 @@ def sliding_counts(
     watermark: str = "10 minutes",
     ts_col: str = "ts",
 ) -> DataFrame:
+    events = ensure_event_time(events, ts_col)
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window, slide))
@@ -62,6 +77,7 @@ def session_windows(
 ) -> DataFrame:
     """Native session windows (gap-based merge) — the streaming twin of
     the batch lag+cumsum sessionizer (queries q_sessionization)."""
+    events = ensure_event_time(events, ts_col)
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(ts_col, gap), key_col)
@@ -90,6 +106,7 @@ def clicks_to_purchases_join(
     evicted (Spark derives the state horizon from the time-bound
     condition).
     """
+    events = ensure_event_time(events, ts_col)
     clicks = (
         events.filter(F.col("event_type") == "click")
         .select(

@@ -264,3 +264,40 @@ def test_session_window_stream_drops_watermark_late_rows(spark, tmp_path):
     assert sessions.get(1000.0) == 1
     # the 5000s session merged the on-time 5100 row only
     assert sessions.get(5000.0) == 2
+
+
+def test_ntz_parquet_event_time_regression(spark, tmp_path):
+    """Parquet written as timestamp[us] WITHOUT the UTC-adjusted flag
+    reads as TIMESTAMP_NTZ under Spark >=4.1; ensure_event_time must
+    normalize it so watermarked streams still run (the r5 break)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = tmp_path / "ntz_events"
+    out.mkdir()
+    ts = pd.date_range("2024-01-01", periods=200, freq="90s")
+    tbl = pa.table(
+        {
+            "ts": pa.array(ts, type=pa.timestamp("us")),  # no tz => NTZ in Spark
+            "event_type": pa.array(["click", "view"] * 100),
+            "value": pa.array([float(i) for i in range(200)]),
+        }
+    )
+    pq.write_table(tbl, str(out / "part-0.parquet"))
+
+    batch = spark.read.parquet(str(out))
+    assert dict(batch.dtypes)["ts"] == "timestamp_ntz"
+
+    stream = spark.readStream.schema(batch.schema).parquet(str(out))
+    res = SW.run_to_completion(
+        SW.tumbling_counts(stream, window="10 minutes"), "t_ntz_reg"
+    )
+    rows = res.collect()
+    assert sum(r["n"] for r in rows) == 200
+    # batch twin through the same normalization
+    nb = SW.ensure_event_time(batch, "ts")
+    expect = (
+        nb.groupBy(F.window("ts", "10 minutes"), "event_type").count().count()
+    )
+    assert len(rows) == expect
