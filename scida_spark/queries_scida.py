@@ -340,6 +340,72 @@ def scida_pbc_cutout(spark, sf_dir):
     )
 
 
+_PBC_ORACLE = """
+    WITH pts AS (
+      SELECT l_orderkey,
+             fmod(l_extendedprice, 100.0) AS x,
+             fmod(l_quantity * 7.0, 100.0) AS y
+      FROM lineitem),
+    d AS (
+      SELECT l_orderkey, x, y,
+             CASE WHEN ABS(x - 10.0) > 50.0 THEN 100.0 - ABS(x - 10.0) ELSE ABS(x - 10.0) END AS dx,
+             CASE WHEN ABS(y - 50.0) > 50.0 THEN 100.0 - ABS(y - 50.0) ELSE ABS(y - 50.0) END AS dy
+      FROM pts)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_inside,
+           CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sum_x,
+           CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sum_y
+    FROM d WHERE dx < 15.0 AND dy < 20.0
+    """
+
+
+def _spatial_partitioned_pts(spark, sf_dir, ncells=10):
+    """Cell-partitioned copy of the synthetic (x, y) point table, built
+    once per (sf_dir, source-mtime) and reused — the ingest-time layout
+    a spatial workload would pay for once (save_spatial_partitioned).
+    The cache key includes the source parquet's mtime so a regenerated
+    testdata dir invalidates the copy instead of serving stale cells.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    src = f"{sf_dir.rstrip('/')}/lineitem.parquet"
+    try:
+        mtime = int(os.stat(src).st_mtime)
+    except OSError:
+        mtime = 0
+    key = f"{os.path.abspath(sf_dir)}|{mtime}|{ncells}"
+    tag = hashlib.md5(key.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"scida_spark_cells_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        li = table(spark, sf_dir, "lineitem")
+        pts = li.select(
+            "l_orderkey",
+            (F.col("l_extendedprice") % 100.0).alias("x"),
+            ((F.col("l_quantity") * 7.0) % 100.0).alias("y"),
+        )
+        S.save_spatial_partitioned(pts, ["x", "y"], 100.0, ncells, path)
+    return path
+
+
+@query("scida_pbc_cutout_pruned", _PBC_ORACLE)
+def scida_pbc_cutout_pruned(spark, sf_dir):
+    """The same PBC cutout as ``scida_pbc_cutout``, but over the
+    cell-partitioned layout via ``rect_cutout_pruned`` — the predicate
+    on the cell columns becomes ``PartitionFilters`` so non-overlapping
+    cells are never read (plan-pinned in tests/test_plans.py). The
+    oracle SQL is identical to the full-scan query's: a hash match
+    proves partition pruning loses no rows.
+    """
+    path = _spatial_partitioned_pts(spark, sf_dir)
+    cut = S.rect_cutout_pruned(
+        spark, path, ["x", "y"], [10.0, 50.0], [30.0, 40.0], 100.0, 10
+    )
+    return cut.agg(
+        F.count("*").alias("n_inside"), dsum(F.col("x"), "sum_x"), dsum(F.col("y"), "sum_y")
+    )
+
+
 @query(
     "scida_histogram2d",
     """

@@ -96,3 +96,19 @@ def test_rect_cutout_coord_list_form(spark, sf_dir):
     out = rect_cutout(pts, "pos", [10.0, 50.0], [30.0, 40.0], BOX)
     base = rect_cutout(_pts(spark, sf_dir), ["x", "y"], [10.0, 50.0], [30.0, 40.0], BOX)
     assert out.count() == base.count()
+
+
+def test_registry_pruned_query_matches_full_scan(spark, sf_dir):
+    """The scida_pbc_cutout_pruned registry query (driver-oracled) must
+    equal the full-scan scida_pbc_cutout AND carry PartitionFilters —
+    the driver's hash match then proves pruning loses no rows."""
+    from scida_spark.queries import registry
+
+    reg = registry()
+    full = reg["scida_pbc_cutout"].fn(spark, sf_dir).collect()
+    pruned_df = reg["scida_pbc_cutout_pruned"].fn(spark, sf_dir)
+    pruned = pruned_df.collect()
+    assert [tuple(r) for r in pruned] == [tuple(r) for r in full]
+    assert reg["scida_pbc_cutout_pruned"].oracle == reg["scida_pbc_cutout"].oracle
+    plan = pruned_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell_0" in plan
