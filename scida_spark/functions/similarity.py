@@ -157,16 +157,19 @@ def lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
     Equi-join on bucket replaces the cross-join — the 100 TB plan. Multi-
     probe (flip one bit) improves recall for near-boundary vectors.
-    ``nbits=None`` sizes the signature from the corpus via ``auto_nbits``
-    (one count job — at scale, pass the known table size instead).
+    ``nbits=None`` sizes the signature from the corpus via ``auto_nbits``:
+    pass ``n_vectors`` (known table size — e.g. parquet footer metadata,
+    catalog stats) to avoid the fallback count job, mirroring
+    ``n_catalog`` in ``operators/catalog.add_subhalo_ids_auto``.
     """
     if nbits is None:
-        nbits = auto_nbits(embeddings.count())
+        nbits = auto_nbits(n_vectors if n_vectors is not None else embeddings.count())
     sig_c = hyperplane_signatures(embeddings, nbits, dim, seed, id_col, vec_col).select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),

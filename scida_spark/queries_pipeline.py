@@ -16,6 +16,29 @@ from scida_spark.functions import text as TX
 from scida_spark.queries import DEC, dsum, query
 from scida_spark.tables import table
 
+
+def _parquet_rows(sf_dir: str, name: str = "embeddings") -> int | None:
+    """Row count from the parquet footer — the "known table size" a
+    catalog would provide at scale, so sizing heuristics (auto_nbits)
+    don't need a Spark count job. None if the footer isn't readable
+    (callers fall back to counting)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    try:
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
 # --------------------------------------------------------------------------
 # Dedup
 # --------------------------------------------------------------------------
@@ -219,7 +242,7 @@ def sim_ann_topk(spark, sf_dir):
     Both pytest recall-checked against brute-force ground truth."""
     emb = table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    lsh = SIM.lsh_topk(emb, q, k=10, nbits=None).select(
+    lsh = SIM.lsh_topk(emb, q, k=10, nbits=None, n_vectors=_parquet_rows(sf_dir)).select(
         F.lit("lsh").alias("method"), "query_id", "cand_id", "sim", "rank"
     )
     ivf = SIM.ivf_topk(emb, q, k=10, nlist=16, nprobe=4).select(

@@ -97,6 +97,24 @@ def test_lsh_auto_nbits_surfaces_candidates(spark, sf_dir):
     assert n_auto >= 25  # ≥5 hits per query on average
 
 
+def test_lsh_n_vectors_skips_count_job(spark, sf_dir):
+    """Passing n_vectors (catalog/footer stats) must size the signature
+    WITHOUT triggering the fallback embeddings.count() job — the same
+    contract as n_catalog in add_subhalo_ids_auto."""
+    from scida_spark.queries_pipeline import _parquet_rows
+    from scida_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    n = _parquet_rows(sf_dir)
+    assert n == emb.count()
+    emb.count = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("count() job must not run when n_vectors is given")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    res = S.lsh_topk(emb, q, k=10, nbits=None, n_vectors=n)
+    assert res.where(F.col("rank") <= 10).count() >= 25
+
+
 def test_ivf_topk_recall(spark):
     rng = np.random.RandomState(11)
     centers = rng.standard_normal((10, DIM)) * 5
