@@ -63,9 +63,18 @@ class DatasetSeries:
             return self._metadata
         cp = self._cache_path()
         if cp and os.path.exists(cp):
-            with open(cp) as fh:
-                self._metadata = json.load(fh)
-            return self._metadata
+            # Corrupt/truncated cache (killed process mid-write, disk
+            # hiccup) must not wedge the series: fall through to a
+            # rebuild that overwrites the bad file (reference behavior,
+            # tests/external/test_load.py:114 test_load_cachefail).
+            try:
+                with open(cp) as fh:
+                    loaded = json.load(fh)
+                if isinstance(loaded, list) and len(loaded) == len(self.paths):
+                    self._metadata = loaded
+                    return self._metadata
+            except (json.JSONDecodeError, OSError):
+                pass
         metas = []
         for i in range(len(self.paths)):
             mpath = os.path.join(self.paths[i], "_metadata.json")

@@ -127,3 +127,32 @@ def test_hdf5_gated(spark, tmp_path):
     if not HAS_H5PY:
         with pytest.raises(ImportError):
             load(str(tmp_path / "x.hdf5"), spark=spark)
+
+
+def test_series_cache_corruption_recovery(spark, tmp_path):
+    """A truncated/corrupt metadata cache rebuilds instead of raising
+    (reference tests/external/test_load.py:114 test_load_cachefail)."""
+    paths = []
+    for i, z in enumerate([0.0, 1.0]):
+        p = str(tmp_path / f"snapdir_{i:03d}")
+        root = FieldContainer(name=f"s{i}")
+        root["PartType0"] = FieldContainer(spark.range(5), name="PartType0")
+        Dataset(path=p, data=root, metadata={"redshift": z}).save(p)
+        paths.append(p)
+    cache_dir = str(tmp_path / "cache")
+    series = DatasetSeries(paths, spark=spark, cache_dir=cache_dir)
+    _ = series.metadata  # writes the cache
+    cp = series._cache_path()
+    assert os.path.exists(cp)
+    with open(cp, "w") as fh:
+        fh.write('[{"redshift": 0.0}, {"redsh')  # truncated mid-write
+    fresh = DatasetSeries(paths, spark=spark, cache_dir=cache_dir)
+    meta = fresh.metadata
+    assert [m["redshift"] for m in meta] == [0.0, 1.0]
+    # the bad file was overwritten with a valid cache
+    with open(cp) as fh:
+        assert json.load(fh) == meta
+    # stale cache from a different member count also rebuilds
+    with open(cp, "w") as fh:
+        json.dump([{"redshift": 9.9}], fh)
+    assert len(DatasetSeries(paths, spark=spark, cache_dir=cache_dir).metadata) == 2
