@@ -46,10 +46,10 @@ def is_cosmological(metadata: dict) -> bool:
     config = _group_attrs(metadata, "Config")
     if config and _scalar(config.get("ComovingIntegrationOn")) == 1:
         return True
-    header = _group_attrs(metadata, "Header")
+    header = _group_attrs(metadata, "Header") or _group_attrs(metadata, "/")
     if not header:
         return False
-    time, z = header.get("Time"), header.get("Redshift")
+    time, z = header.get("Time"), header.get("Redshift", header.get("cosmology:redshift"))
     if time is not None and z is not None:
         return math.isclose(
             float(_scalar(time)), 1.0 / (1.0 + float(_scalar(z))), rel_tol=1e-6
@@ -63,10 +63,13 @@ def cosmology_from_metadata(metadata: dict) -> Cosmology | None:
     Header or no cosmological scalars are present."""
     from scida_spark.config import _group_attrs
 
-    header = _group_attrs(metadata, "Header") or {}
+    # Header group, else root attrs (flat stores: rockstar catalogs
+    # keep cosmology as root-level scalars like 'cosmology:hubble' —
+    # our loader demotes 0-d root datasets to the "/" attr group).
+    header = _group_attrs(metadata, "Header") or _group_attrs(metadata, "/") or {}
     params = _group_attrs(metadata, "Parameters") or {}
-    h = header.get("HubbleParam", params.get("HubbleParam"))
-    z = header.get("Redshift")
+    h = header.get("HubbleParam", params.get("HubbleParam", header.get("cosmology:hubble")))
+    z = header.get("Redshift", header.get("cosmology:redshift"))
     a = header.get("Time") if z is None else 1.0 / (1.0 + float(_scalar(z)))
     om = header.get("Omega0", params.get("Omega0"))
     ol = header.get("OmegaLambda", params.get("OmegaLambda"))

@@ -412,7 +412,8 @@ def register_default_aliases(root: FieldContainer) -> list[str]:
     return registered
 
 
-def apply_simulation_config(ds: Dataset, units: bool | str = True) -> str | None:
+def apply_simulation_config(ds: Dataset, units: bool | str = True,
+                            fallback_unitfile: str | None = None) -> str | None:
     """Identify the simulation from metadata/path and apply its curated
     unit file + cosmology definitions (reference flow: simulations.yaml
     identifiers → unitfile → per-dataset h/a, mixins/units.py:340-430 +
@@ -458,18 +459,21 @@ def apply_simulation_config(ds: Dataset, units: bool | str = True) -> str | None
     # unit file — the reference loads units/general.yaml the same way
     # (mixins/units.py:370).
     apply_unitfile(ds.ureg, "units/general.yaml")
-    if name:
-        props = simulation_properties(name)
-        unitfile = props.get("unitfile")
-        if unitfile:
-            hints = apply_unitfile(ds.ureg, unitfile)
-            for cname, cont in ds.containers.items():
-                detailed = field_unit_hints(hints, cname, detailed=True)
-                for fname, (ustr, override) in detailed.items():
-                    if override:
-                        cont.field_units[fname] = ustr
-                    else:
-                        cont.field_units.setdefault(fname, ustr)
+    # Curated file: the matched simulation's, else the detected
+    # family's (GizmoType/RockstarCatalogType etc. carry one — a
+    # simulations.yaml match is more specific and wins).
+    unitfile = simulation_properties(name).get("unitfile") if name else None
+    if not unitfile:
+        unitfile = fallback_unitfile
+    if unitfile:
+        hints = apply_unitfile(ds.ureg, unitfile)
+        for cname, cont in ds.containers.items():
+            detailed = field_unit_hints(hints, cname, detailed=True)
+            for fname, (ustr, override) in detailed.items():
+                if override:
+                    cont.field_units[fname] = ustr
+                else:
+                    cont.field_units.setdefault(fname, ustr)
     _apply_field_attr_units(ds)
     return name
 
@@ -610,7 +614,7 @@ def load(path: str, spark: SparkSession | None = None, units: bool | str = True,
     # same answer for format dispatch and errors on unknown layouts.
     dtype = determine_type(path)
     if hasattr(dtype, "load_dataset"):  # custom types bring their own loader
-        return dtype.load_dataset(path, spark, **kwargs)
+        return dtype.load_dataset(path, spark, units=units, **kwargs)
     fmt = {
         ParquetDirType: "parquet_dir",
         CatalogAwareParquetType: "parquet_dir",
@@ -655,3 +659,8 @@ def load(path: str, spark: SparkSession | None = None, units: bool | str = True,
     if units:
         apply_simulation_config(ds)
     return ds
+
+
+# Simulation-family voters (arepo/gizmo/swift/eagle/rockstar) register
+# on import — placed at module end so the classes above are defined.
+from scida_spark import customs as _customs  # noqa: E402,F401

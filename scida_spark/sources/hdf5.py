@@ -148,6 +148,12 @@ def _is_unsupported_kind(dtype_str: str) -> bool:
     return kind in "OSUV"
 
 
+def _resolve_group(h5file, container: str):
+    """Group lookup with the root spelled as ``""``/``"/"`` — flat
+    stores (rockstar catalogs) keep their datasets at the file root."""
+    return h5file if container in ("", "/") else h5file[container]
+
+
 def walk_container(
     h5file,
     container: str,
@@ -169,7 +175,7 @@ def walk_container(
     """
     import warnings
 
-    grp = h5file[container]
+    grp = _resolve_group(h5file, container)
     out = []
     for name in sorted(grp.keys()):
         ds = grp[name]
@@ -284,7 +290,7 @@ def read_splits_arrow(spark, splits: list[Split], columns: list[str], schema,
         for batch in iterator:
             for row in batch.to_pylist():
                 with _h5.File(row["file"], "r") as fh:
-                    grp = fh[row["container"]]
+                    grp = _resolve_group(fh, row["container"])
                     lo, hi = row["row_start"], row["row_stop"]
                     data = {
                         "uid": pa.array(np.arange(
@@ -304,7 +310,9 @@ def read_splits_arrow(spark, splits: list[Split], columns: list[str], schema,
 
 
 def load_hdf5_dataset(path: str, spark, rows_per_split: int = 1 << 20,
-                      backend: str | None = None, units: bool | str = True):
+                      backend: str | None = None, units: bool | str = True,
+                      family: str | None = None,
+                      family_unitfile: str | None = None):
     """Full HDF5(-API) → Dataset load: schema walk → per-container
     splits → distributed Arrow read. Multi-file series (``prefix.N``)
     are numeric-sorted and concatenated via uid bookkeeping
@@ -355,6 +363,15 @@ def load_hdf5_dataset(path: str, spark, rows_per_split: int = 1 << 20,
     # container accumulate into the global uid.
     with _h5.File(files[0], "r") as fh:
         containers = [k for k in sorted(fh.keys()) if hasattr(fh[k], "keys")]
+        # Flat stores (rockstar catalogs) keep 1-D/2-D datasets at the
+        # file root: walk them as the "" pseudo-container.
+        has_root_data = any(
+            not hasattr(fh[k], "keys")
+            and len(getattr(fh[k], "shape", ()) or ()) in (1, 2)
+            for k in fh.keys()
+        )
+    if has_root_data:
+        containers.append("")
     # Attribute pass: per-file group attrs + 0-d datasets demoted to
     # attrs, reconciled across the series (equal keeps one value,
     # differing becomes the per-file list — reference
@@ -416,18 +433,26 @@ def load_hdf5_dataset(path: str, spark, rows_per_split: int = 1 << 20,
         schema = StructType(fields)
         splits = plan_splits(file_rows, cont_name, rows_per_split)
         df = read_splits_arrow(spark, splits, cols, schema, backend=backend_name)
-        cont = FieldContainer(df, name=cont_name, ureg=ureg)
+        # Root-level datasets surface under a named container: "halos"
+        # for rockstar catalogs (their rows ARE halos), "data" otherwise.
+        display = cont_name or ("halos" if family == "rockstar" else "data")
+        cont = FieldContainer(df, name=display, ureg=ureg)
         # Always collected (cheap metadata); the units flag gates only
         # their APPLICATION in apply_simulation_config — so a
         # units=False load can still be unit-resolved later.
         cont.field_unit_attrs = field_attrs
-        root[cont_name] = cont
+        root[display] = cont
     from scida_spark.dataset import apply_simulation_config, register_default_aliases
 
     register_default_aliases(root)
-    ds = Dataset(
-        path=path, data=root, metadata={"attrs": attrs} if attrs else {}, ureg=ureg
-    )
-    if attrs or any(getattr(c, "field_unit_attrs", None) for c in root._containers.values()):
-        apply_simulation_config(ds, units=units)
+    metadata: dict = {"attrs": attrs} if attrs else {}
+    if family:
+        metadata["family"] = family
+    ds = Dataset(path=path, data=root, metadata=metadata, ureg=ureg)
+    if (
+        attrs
+        or family_unitfile
+        or any(getattr(c, "field_unit_attrs", None) for c in root._containers.values())
+    ):
+        apply_simulation_config(ds, units=units, fallback_unitfile=family_unitfile)
     return ds
