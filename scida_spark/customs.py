@@ -175,6 +175,24 @@ class GizmoType(GadgetStyleType):
     unitfile = "units/gizmo.yaml"
 
     @classmethod
+    def load_dataset(cls, path: str, spark, **kwargs):
+        """Gizmo snapshot load; ``catalog_rockstar_halo=`` /
+        ``catalog_rockstar_star=`` paths load the rockstar catalogs and
+        merge them under ``rockstar_halo`` / ``rockstar_star`` root
+        groups (reference customs/gizmo/dataset.py:52-59)."""
+        rock = {
+            f"rockstar_{kind}": kwargs.pop(f"catalog_rockstar_{kind}", None)
+            for kind in ("halo", "star")
+        }
+        ds = super().load_dataset(path, spark, **kwargs)
+        from scida_spark.dataset import load as _load
+
+        for group, rpath in rock.items():
+            if rpath is not None:
+                ds.merge_data(_load(rpath, spark=spark), root_group=group)
+        return ds
+
+    @classmethod
     def _family_vote(cls, probe: Hdf5Probe) -> CandidateStatus:
         header = probe.header()
         if "GIZMO_version" in header:

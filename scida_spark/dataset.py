@@ -192,6 +192,29 @@ class Dataset:
     def containers(self) -> dict[str, FieldContainer]:
         return self.data._containers
 
+    def merge_data(self, other: "Dataset", root_group: str | None = None,
+                   overwrite: bool = False) -> None:
+        """Merge another dataset's containers into this one (reference
+        ``Dataset.merge_data``, interface.py — the gizmo+rockstar flow,
+        customs/gizmo/dataset.py:52-59 ``merge_data(rh, root_group=
+        'rockstar_halo')``). With ``root_group``, the other dataset's
+        whole tree lands under one named container; without, its
+        containers merge keep-first at the root."""
+        if root_group is not None:
+            if root_group in self.data._containers and not overwrite:
+                raise ValueError(f"container {root_group!r} already present")
+            tree = other.data
+            # A single-container dataset with no root DataFrame (e.g. a
+            # flat rockstar catalog loaded as 'halos') grafts its one
+            # container directly — fields land at rockstar_halo/<field>
+            # like the reference, not rockstar_halo/halos/<field>.
+            if tree._df is None and len(tree._containers) == 1:
+                tree = next(iter(tree._containers.values()))
+            self.data[root_group] = tree
+            tree.name = root_group
+        else:
+            self.data.merge(other.data, overwrite=overwrite)
+
     def info(self, listfields: bool = False, counts: bool = False) -> None:
         """Print a dataset summary (reference ``Dataset.info``,
         interface.py:131-158): class, source path, key metadata, then

@@ -39,6 +39,30 @@ def _parquet_rows(sf_dir: str, name: str = "embeddings") -> int | None:
         return None
 
 
+def _events_stream_copy(spark, sf_dir: str) -> str:
+    """Stream-readable copy of the events table (normalized TIMESTAMP,
+    written once per (sf_dir, source-mtime)) — file-stream replay needs
+    a directory source; the cache key's mtime component invalidates the
+    copy when the driver regenerates testdata."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    try:
+        mtime = int(os.stat(src).st_mtime)
+    except OSError:
+        mtime = 0
+    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{mtime}".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"scida_spark_evstream_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        table(spark, sf_dir, "events").write.mode("overwrite").parquet(path)
+    return path
+
+
+_MEMSINK_SEQ = [0]
+
+
 # --------------------------------------------------------------------------
 # Dedup
 # --------------------------------------------------------------------------
@@ -158,6 +182,44 @@ def dedup_keep_first_latest(spark, sf_dir):
             F.date_format("_latest.ts", "yyyy-MM-dd HH:mm:ss").alias("latest_ts_s"),
         )
     )
+
+
+@query(
+    "stream_dedup_keys",
+    """
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_type
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def stream_dedup_keys(spark, sf_dir):
+    """TRUE Structured-Streaming execution under the driver's oracle:
+    events replayed as a file stream → ``dropDuplicatesWithinWatermark``
+    on (user_id, event_type) → drained through the memory sink. Over a
+    bounded replay the within-watermark dedup emits each key once, so
+    the key set equals batch DISTINCT and DuckDB can hash-check a real
+    streaming pipeline end-to-end (SURVEY §2.7; state is bounded by the
+    watermark horizon at scale, streaming/dedup.py)."""
+    from scida_spark.streaming.dedup import dedup_stream
+
+    src = _events_stream_copy(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    deduped = dedup_stream(stream, ["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    _MEMSINK_SEQ[0] += 1
+    name = f"stream_dedup_keys_sink_{_MEMSINK_SEQ[0]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
 
 
 # --------------------------------------------------------------------------

@@ -207,11 +207,18 @@ def test_eagle_field_attr_units(spark, tmp_path):
 
 
 def test_rockstar_merge_into_gizmo(spark, gizmo_store, rockstar_store):
-    """The reference merges a rockstar catalog into a gizmo snapshot
-    under a root group (gizmo/dataset.py:52-59): same flow via the
-    container merge."""
-    snap = load(gizmo_store, spark=spark)
-    cat = load(rockstar_store, spark=spark)
-    snap.data["rockstar_halo"] = cat.data["halos"]
-    assert snap.data["rockstar_halo"].df.count() == 40
+    """load(gizmo, catalog_rockstar_halo=...) merges the rockstar
+    catalog under the rockstar_halo root group with its fields directly
+    below it (reference gizmo/dataset.py:52-59)."""
+    snap = load(gizmo_store, spark=spark, catalog_rockstar_halo=rockstar_store)
     assert "PartType0" in snap.containers and "rockstar_halo" in snap.containers
+    halos = snap.data["rockstar_halo"]
+    assert halos.df.count() == 40
+    assert "mvir" in halos.df.columns  # fields at rockstar_halo/<field>
+    assert halos.field_units["mvir"] == "code_mass"
+    # explicit merge_data on an already-loaded pair works the same way
+    snap2 = load(gizmo_store, spark=spark)
+    snap2.merge_data(load(rockstar_store, spark=spark), root_group="rockstar_halo")
+    assert snap2.data["rockstar_halo"].df.count() == 40
+    with pytest.raises(ValueError, match="already present"):
+        snap2.merge_data(load(rockstar_store, spark=spark), root_group="rockstar_halo")
