@@ -153,3 +153,64 @@ def rolling_hash_fingerprint(df: DataFrame, text_col: str, out_col: str = "finge
         return pd.Series(out)
 
     return df.withColumn(out_col, _rh(F.col(text_col)))
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals per document (public LLM-corpus
+    quality filters, Rae+ 2021 "Scaling Language Models" §A1.1: top
+    n-gram fraction, duplicate-token fraction; Falcon/RefinedWeb use
+    the same family):
+
+    * ``n_tokens`` / ``n_distinct`` — duplicate-word mass (JVM array
+      ops, whole-stage codegen)
+    * ``n_bigrams`` / ``top_bigram_n`` — how much of the text the
+      single most frequent word bigram covers
+    * ``max_run`` — longest same-word run (stutter detection)
+    * ``passes_repetition`` — the filter verdict (integer-exact
+      thresholds so distributed + SQL oracles agree bit-for-bit)
+
+    Scale: everything is per-document, so there is NO shuffle — token
+    stats are Column expressions and the bigram mode / run length ride
+    one Arrow-batched pandas UDF over the existing partitioning. The
+    explode+groupBy(doc, bigram) formulation would shuffle the whole
+    corpus; per-row Counters beat it at any scale.
+    """
+
+    @F.pandas_udf("struct<top_bigram_n: long, max_run: long>")
+    def _rep(s: pd.Series) -> pd.DataFrame:
+        from collections import Counter
+
+        top = np.zeros(len(s), dtype=np.int64)
+        run = np.zeros(len(s), dtype=np.int64)
+        for i, txt in enumerate(s):
+            t = (txt or "").strip().split(" ")
+            if len(t) >= 2:
+                top[i] = max(Counter(zip(t, t[1:])).values())
+            best = cur = 1 if t and t[0] else 0
+            for a, b in zip(t, t[1:]):
+                cur = cur + 1 if a == b else 1
+                best = max(best, cur)
+            run[i] = best
+        return pd.DataFrame({"top_bigram_n": top, "max_run": run})
+
+    t = tokens(F.col(text_col))
+    return (
+        df.select(
+            F.col(id_col),
+            F.size(t).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
+            (F.size(t) - 1).cast("long").alias("n_bigrams"),
+            _rep(F.col(text_col)).alias("_r"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_distinct",
+            "n_bigrams",
+            F.col("_r.top_bigram_n").alias("top_bigram_n"),
+            F.col("_r.max_run").alias("max_run"),
+            ((F.col("_r.top_bigram_n") < 3) & (F.col("_r.max_run") < 3)).alias(
+                "passes_repetition"
+            ),
+        )
+    )

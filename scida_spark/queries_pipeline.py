@@ -222,6 +222,49 @@ def stream_dedup_keys(spark, sf_dir):
     return spark.table(name)
 
 
+@query(
+    "stream_click_purchase_join",
+    """
+    SELECT CAST(p.user_id AS BIGINT) AS user_id,
+           CAST(p.event_id AS BIGINT) AS purchase_id,
+           CAST(c.event_id AS BIGINT) AS click_id
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def stream_click_purchase_join(spark, sf_dir):
+    """TRUE stream-stream inner join under the driver's oracle: both
+    sides replayed from the file stream, watermarked, joined on
+    user + time-bound (streaming/windows.py::clicks_to_purchases_join),
+    drained through the memory sink. Over a bounded replay the emitted
+    pairs equal the batch interval join, which DuckDB recomputes — so a
+    real stateful streaming join is hash-checked end-to-end (SURVEY
+    §2.7; click state is evicted past watermark + max_gap at scale)."""
+    from scida_spark.streaming.windows import clicks_to_purchases_join
+
+    src = _events_stream_copy(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    joined = clicks_to_purchases_join(stream).select(
+        "user_id", "purchase_id", "click_id"
+    )
+    _MEMSINK_SEQ[0] += 1
+    name = f"stream_cpjoin_sink_{_MEMSINK_SEQ[0]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------
@@ -484,6 +527,43 @@ def text_lang_id(spark, sf_dir):
         ).alias("pred_lang"),
     )
     return pred.groupBy("actual_lang", "pred_lang").agg(F.count("*").alias("n"))
+
+
+@query(
+    "text_repetition_filter",
+    """
+    WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+    w AS (SELECT doc_id, t[i] AS w, i
+          FROM tok, UNNEST(generate_series(1, len(t))) AS u(i)),
+    bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+           FROM tok, UNNEST(generate_series(1, len(t)-1)) AS u(i)),
+    bgc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+    bgtop AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n,
+                     CAST(SUM(c) AS BIGINT) AS n_bigrams
+              FROM bgc GROUP BY doc_id),
+    runs AS (SELECT doc_id, w,
+                    i - ROW_NUMBER() OVER (PARTITION BY doc_id, w ORDER BY i) AS g
+             FROM w),
+    rl AS (SELECT doc_id, w, COUNT(*) AS rl FROM runs GROUP BY doc_id, w, g),
+    mr AS (SELECT doc_id, CAST(MAX(rl) AS BIGINT) AS max_run FROM rl GROUP BY doc_id),
+    base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct
+             FROM tok)
+    SELECT b.doc_id, b.n_tokens, b.n_distinct, g.n_bigrams, g.top_bigram_n,
+           m.max_run,
+           (g.top_bigram_n < 3 AND m.max_run < 3) AS passes_repetition
+    FROM base b JOIN bgtop g USING (doc_id) JOIN mr m USING (doc_id)
+    """,
+)
+def text_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition filter (Rae+ 2021 §A1.1: top-bigram
+    fraction, duplicate-token mass, longest same-word run) — the
+    corpus-quality gate every LLM data pipeline runs before training.
+    All counts are integers so the Spark result and the DuckDB oracle
+    hash identically; see functions/text.py::repetition_stats for the
+    no-shuffle scale design."""
+    docs = table(spark, sf_dir, "documents")
+    return TX.repetition_stats(docs, "doc_id", "text")
 
 
 # --------------------------------------------------------------------------

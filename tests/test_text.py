@@ -52,3 +52,23 @@ def test_rolling_hash_matches_python(spark, docs):
 def test_md5_fingerprint(spark, docs):
     out = {r["doc_id"]: r["f"] for r in docs.select("doc_id", TX.md5_fingerprint(F.col("text")).alias("f")).collect()}
     assert out[2] == hashlib.md5(b"one two three").hexdigest()[:16]
+
+
+def test_repetition_stats_kernel(spark):
+    """Gopher-style repetition signals on crafted cases: stutter runs,
+    dominant bigrams, and a clean document."""
+    rows = [
+        (0, "a b c d e f"),                # clean: all runs 1, all bigrams unique
+        (1, "x x x y z w"),                # run of 3 x's
+        (2, "p q p q p q p q"),            # "p q" bigram 4 of 7
+        (3, "solo"),                       # single token: no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in TX.repetition_stats(df, "doc_id", "text").collect()}
+    assert got[0]["top_bigram_n"] == 1 and got[0]["max_run"] == 1
+    assert got[0]["passes_repetition"] is True
+    assert got[1]["max_run"] == 3 and got[1]["passes_repetition"] is False
+    assert got[2]["top_bigram_n"] == 4 and got[2]["n_bigrams"] == 7
+    assert got[2]["passes_repetition"] is False
+    assert got[3]["n_tokens"] == 1 and got[3]["n_bigrams"] == 0
+    assert got[3]["top_bigram_n"] == 0 and got[3]["max_run"] == 1
