@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_signature_pairs",
     "sim_cosine_topk",
     "text_token_stats",
+    "text_repetition_filter",
     "stream_window_counts",
 ]
 

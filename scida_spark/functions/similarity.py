@@ -260,20 +260,37 @@ def ivf_assign(
     )
 
 
+def auto_nlist(n_vectors: int, target_list: int = 64) -> int:
+    """Inverted-list count sized to the corpus: ~``sqrt(N)`` capped so
+    lists hold ≥``target_list`` vectors (the FAISS guideline shape —
+    nlist ~ sqrt(N) — floored for tiny corpora). A fixed nlist is the
+    same scale bug as a fixed LSH width: at 1e9 vectors, 16 lists make
+    every probe a 60M-row scan; at 1k vectors, 4096 lists are empty."""
+    import math
+
+    if n_vectors <= target_list:
+        return 1
+    return max(1, min(int(math.sqrt(n_vectors)), n_vectors // target_list))
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    nlist: int = 16,
+    nlist: int | None = 16,
     nprobe: int = 4,
     seed: int = 42,
     sample_stride: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize candidates into ``nlist``
     inverted lists (k-means centroids from a deterministic driver-side
     sample), probe the query's ``nprobe`` nearest lists only.
+    ``nlist=None`` sizes the index from the corpus via ``auto_nlist``:
+    pass ``n_vectors`` (parquet footer / catalog stats) to avoid the
+    fallback count job, as with ``lsh_topk``.
 
     The scale path complementing :func:`lsh_topk`: candidate vectors
     get ONE list id (narrow map, no shuffle), queries explode to
@@ -282,6 +299,8 @@ def ivf_topk(
     deterministic sample (``id % stride == 0``), so the index build is
     O(sample) on the driver and O(N) distributed assignment.
     """
+    if nlist is None:
+        nlist = auto_nlist(n_vectors if n_vectors is not None else embeddings.count())
     sample = np.stack(
         [
             np.asarray(r["v"], dtype=np.float64)

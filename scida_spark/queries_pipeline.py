@@ -344,13 +344,17 @@ def sim_ann_topk(spark, sf_dir):
     * ``ivf``: coarse k-means quantization → inverted lists → nprobe
       nearest lists only — equi-join on list id.
 
-    Both pytest recall-checked against brute-force ground truth."""
+    Both pytest recall-checked against brute-force ground truth. Both
+    index sizes derive from parquet footer stats (no count job):
+    signature width via ``auto_nbits``, list count via ``auto_nlist``
+    (~sqrt(N), ≥64 vectors/list)."""
     emb = table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    lsh = SIM.lsh_topk(emb, q, k=10, nbits=None, n_vectors=_parquet_rows(sf_dir)).select(
+    n = _parquet_rows(sf_dir)
+    lsh = SIM.lsh_topk(emb, q, k=10, nbits=None, n_vectors=n).select(
         F.lit("lsh").alias("method"), "query_id", "cand_id", "sim", "rank"
     )
-    ivf = SIM.ivf_topk(emb, q, k=10, nlist=16, nprobe=4).select(
+    ivf = SIM.ivf_topk(emb, q, k=10, nlist=None, nprobe=4, n_vectors=n).select(
         F.lit("ivf").alias("method"), "query_id", "cand_id", "sim", "rank"
     )
     return lsh.unionAll(ivf)

@@ -182,3 +182,34 @@ def test_kmeans_guards_zero_rows_and_small_samples():
     cent = S._kmeans_centroids(sample, nlist=10, seed=0)
     assert len(cent) == 3
     assert np.isfinite(cent).all()
+
+
+def test_auto_nlist_sizing():
+    assert S.auto_nlist(10) == 1
+    assert S.auto_nlist(1_000) == 15          # capped by >=64 vectors/list
+    assert S.auto_nlist(1_000_000) == 1000    # sqrt regime
+    assert S.auto_nlist(10**9) < 10**9 // 64  # never exceeds the floor cap
+
+
+def test_ivf_auto_nlist_recall(spark, sf_dir):
+    """nlist=None (auto-sized from footer stats, no count job) must
+    keep recall: every query still surfaces k candidates and the top-1
+    neighbor matches brute force for most queries."""
+    from scida_spark.queries_pipeline import _parquet_rows
+    from scida_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    n = _parquet_rows(sf_dir)
+    emb.count = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("count() must not run when n_vectors is given")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    got = S.ivf_topk(emb, q, k=10, nlist=None, nprobe=4, n_vectors=n)
+    per_q = {r["query_id"]: r["cand_id"] for r in got.filter(F.col("rank") == 1).collect()}
+    assert len(per_q) == 5
+    brute = {
+        r["query_id"]: r["cand_id"]
+        for r in S.cosine_topk_bruteforce(emb, q, k=1).filter(F.col("rank") == 1).collect()
+    }
+    hits = sum(1 for k_ in per_q if per_q[k_] == brute.get(k_))
+    assert hits >= 3  # nprobe=4 of ~15 lists: most top-1s exact
