@@ -264,3 +264,33 @@ class RockstarCatalogType(Hdf5Type):
         return load_hdf5_dataset(
             path, spark, family=cls.family, family_unitfile=cls.unitfile, **kwargs
         )
+
+
+class SimulationDirType(Hdf5Type):
+    """A simulation RUN directory — members ``snapdir_XXX`` /
+    ``snapshot_XXX`` under ``output/`` or directly (reference
+    GadgetStyleSimulation, customs/gadgetstyle/series.py:52-120).
+    ``load()`` on it returns a :class:`DatasetSeries` (the reference's
+    convenience.load returns series for run folders, convenience.py:
+    287-396); member datasets re-enter the ladder individually, so a
+    gizmo run yields gizmo-typed members with gizmo units."""
+
+    family = "simulation"
+
+    @classmethod
+    def validate_path(cls, path: str) -> CandidateStatus:
+        if not os.path.isdir(path):
+            return _NO
+        from scida_spark.series import discover_simulation_members
+
+        if len(discover_simulation_members(path)) >= 2:
+            return CandidateStatus(Confidence.CERTAIN, specificity=3)
+        return _NO
+
+    @classmethod
+    def load_dataset(cls, path: str, spark, units: bool | str = True, **kwargs):
+        from scida_spark.series import DatasetSeries
+
+        return DatasetSeries.from_directory(
+            path, spark=spark, units=units, **kwargs
+        )

@@ -124,3 +124,48 @@ class DatasetSeries:
                 )
             return self._open(best_i)
         raise ValueError("provide index, name, or a metadata key")
+
+
+def discover_simulation_members(path: str, prefixes: tuple[str, ...] = ("snapdir", "snapshot", "snap")) -> list[str]:
+    """Member dataset paths of a simulation directory, numeric-sorted.
+
+    Reference layout (customs/gadgetstyle/series.py:52-120): the run
+    folder usually holds an ``output`` subfolder with per-snapshot
+    members ``snapdir_XXX`` (or single-file ``snapshot_XXX.hdf5``);
+    subbox-style runs keep members directly in the folder. Catalog
+    siblings (``groups_XXX``) are NOT members — each member's own load
+    discovers and merges its catalog (dataset.discover_catalog_path).
+    """
+    base = os.path.join(path, "output")
+    if not os.path.isdir(base):
+        base = path
+    members: list[tuple[int, str]] = []
+    if not os.path.isdir(base):
+        return []
+    for entry in os.listdir(base):
+        stem = entry
+        for ext in (".hdf5", ".h5", ".h5dir", ".zarr"):
+            if stem.endswith(ext):
+                stem = stem[: -len(ext)]
+                break
+        parts = stem.split("_")
+        if len(parts) < 2 or parts[0] not in prefixes or not parts[-1].isdigit():
+            continue
+        members.append((int(parts[-1]), os.path.join(base, entry)))
+    return [p for _, p in sorted(members)]
+
+
+def from_directory(path: str, spark=None, lazy: bool = True,
+                   cache_dir: str | None = None, **load_kwargs) -> "DatasetSeries":
+    """Build a DatasetSeries from a simulation run directory (reference
+    ``DatasetSeries.from_directory`` + GadgetStyleSimulation discovery).
+    Raises if no members are found — a wrong path should fail loudly,
+    not produce an empty series."""
+    members = discover_simulation_members(path)
+    if not members:
+        raise ValueError(f"no snapshot members found under {path!r}")
+    return DatasetSeries(members, spark=spark, lazy=lazy, cache_dir=cache_dir,
+                         **load_kwargs)
+
+
+DatasetSeries.from_directory = staticmethod(from_directory)

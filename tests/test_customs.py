@@ -222,3 +222,29 @@ def test_rockstar_merge_into_gizmo(spark, gizmo_store, rockstar_store):
     assert snap2.data["rockstar_halo"].df.count() == 40
     with pytest.raises(ValueError, match="already present"):
         snap2.merge_data(load(rockstar_store, spark=spark), root_group="rockstar_halo")
+
+
+def test_simulation_dir_load_returns_series(spark, tmp_path):
+    """load() on a simulation RUN directory (output/snapdir_XXX members)
+    returns a DatasetSeries, like the reference's convenience.load on a
+    run folder (GadgetStyleSimulation discovery)."""
+    from scida_spark.dataset import Dataset
+    from scida_spark.fields import FieldContainer
+    from scida_spark.customs import SimulationDirType
+    from scida_spark.series import DatasetSeries
+
+    out = tmp_path / "run42" / "output"
+    for i, z in enumerate([3.0, 1.0, 0.0]):
+        p = str(out / f"snapdir_{i:03d}")
+        root = FieldContainer(name=f"s{i}")
+        root["PartType0"] = FieldContainer(spark.range(10 + i), name="PartType0")
+        Dataset(path=p, data=root, metadata={"redshift": z}).save(p)
+    run = str(tmp_path / "run42")
+    assert determine_type(run) is SimulationDirType
+    series = load(run, spark=spark)
+    assert isinstance(series, DatasetSeries)
+    assert len(series) == 3
+    ds = series.get_dataset(redshift=1.0)
+    assert ds.metadata["redshift"] == 1.0
+    # members numeric-sorted: snapdir_000 first
+    assert series.paths[0].endswith("snapdir_000")
