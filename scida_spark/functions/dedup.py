@@ -770,3 +770,38 @@ def simhash_near_pairs(
         .select("doc_a", "doc_b", "hamming")
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap vs a small reference set)
+# --------------------------------------------------------------------------
+
+
+def ngram_overlap_pairs(
+    corpus_sh: DataFrame, bench_sh: DataFrame, min_shared: int = 1
+) -> DataFrame:
+    """(bench_doc, corpus_doc, n_shared) pairs sharing ≥``min_shared``
+    distinct n-gram shingles — the test-set decontamination primitive
+    every LLM training pipeline runs (drop training docs that overlap
+    the eval benchmarks; the public n-gram protocol from the GPT-3 /
+    PaLM appendices).
+
+    Inputs are ``shingle_hash_table`` results (doc, sh array<long>).
+    Scale: the benchmark side is SMALL by construction (eval suites,
+    not corpora) — its exploded shingle index is broadcast, the corpus
+    side streams through one narrow map + the broadcast hash join and
+    aggregates per pair. No corpus self-join, no shuffle of corpus
+    text; cost is O(corpus shingles) + O(matches).
+    """
+    bench = bench_sh.select(
+        F.col("doc").alias("bench_doc"), F.explode("sh").alias("g")
+    )
+    corpus = corpus_sh.select(
+        F.col("doc").alias("corpus_doc"), F.explode("sh").alias("g")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("bench_doc", "corpus_doc")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

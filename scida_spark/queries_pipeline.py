@@ -137,6 +137,44 @@ def dedup_signature_pairs(spark, sf_dir):
 
 
 @query(
+    "dedup_contamination",
+    """
+    WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gs
+      FROM tok),
+    g AS (SELECT doc_id, UNNEST(gs) AS gram FROM grams),
+    bench AS (SELECT doc_id AS bench_doc, gram FROM g WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id AS corpus_doc, gram FROM g WHERE doc_id % 97 <> 0)
+    SELECT CAST(bench_doc AS BIGINT) AS bench_doc,
+           CAST(corpus_doc AS BIGINT) AS corpus_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           (COUNT(*) >= 2) AS contaminated
+    FROM corpus JOIN bench USING (gram) GROUP BY 1, 2
+    """,
+)
+def dedup_contamination(spark, sf_dir):
+    """Benchmark decontamination: corpus documents sharing word
+    3-grams with a (deterministic) benchmark subset — the GPT-3/PaLM
+    appendix protocol for test-set leakage. The benchmark side's
+    shingle index is broadcast (eval suites are small); the corpus
+    streams through one narrow map + broadcast hash join, no corpus
+    self-join (functions/dedup.py::ngram_overlap_pairs)."""
+    docs = table(spark, sf_dir, "documents")
+    sh = D.shingle_hash_table(docs, "doc_id", "text", n=3)
+    bench = sh.filter(F.col("doc") % 97 == 0)
+    corpus = sh.filter(F.col("doc") % 97 != 0)
+    pairs = D.ngram_overlap_pairs(corpus, bench)
+    return pairs.select(
+        F.col("bench_doc").cast("long"),
+        F.col("corpus_doc").cast("long"),
+        F.col("n_shared").cast("long"),
+        (F.col("n_shared") >= 2).alias("contaminated"),
+    )
+
+
+@query(
     "dedup_keep_first_latest",
     """
     WITH agg AS (

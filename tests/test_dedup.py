@@ -210,3 +210,24 @@ def test_connected_components_long_chain(spark):
     got = {r.node: r.cluster_id for r in connected_components(df).collect()}
     assert set(got.values()) == {0}
     assert set(got.keys()) == set(range(31))
+
+
+def test_ngram_overlap_pairs_decontamination(spark):
+    """Contamination primitive: known overlaps, broadcast-join plan."""
+    from scida_spark.functions.dedup import ngram_overlap_pairs, shingle_hash_table
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon"),       # bench
+        (1, "alpha beta gamma zeta eta"),            # shares 1 3-gram w/ 0
+        (2, "alpha beta gamma delta epsilon theta"), # shares 3 3-grams w/ 0
+        (3, "iota kappa lambda mu nu"),              # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingle_hash_table(df, "doc_id", "text", n=3)
+    bench = sh.filter(F.col("doc") == 0)
+    corpus = sh.filter(F.col("doc") != 0)
+    pairs = ngram_overlap_pairs(corpus, bench)
+    got = {(r["bench_doc"], r["corpus_doc"]): r["n_shared"] for r in pairs.collect()}
+    assert got == {(0, 1): 1, (0, 2): 3}
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
