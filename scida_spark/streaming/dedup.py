@@ -78,3 +78,44 @@ def write_stream_foreach_batch(stream_df: DataFrame, out_dir: str, checkpoint_di
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def running_user_stats_tws(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum) on Spark 4's arbitrary-state API
+    (``transformWithStateInPandas`` + StatefulProcessor) — the
+    successor to ``applyInPandasWithState`` above: typed value state,
+    explicit handle lifecycle, and state-format evolution support.
+    Same semantics as :func:`running_user_stats`; both are kept so the
+    engine runs on either API generation. State remains one tiny tuple
+    per user — bounded at any scale."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("stats", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.groupBy("user_id")
+        .transformWithStateInPandas(
+            _UserStats(),
+            outputStructType=OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

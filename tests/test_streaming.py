@@ -301,3 +301,45 @@ def test_ntz_parquet_event_time_regression(spark, tmp_path):
         nb.groupBy(F.window("ts", "10 minutes"), "event_type").count().count()
     )
     assert len(rows) == expect
+
+
+def test_running_user_stats_transform_with_state(spark, events_stream):
+    """Same running totals via Spark 4's transformWithStateInPandas
+    (StatefulProcessor value state) — the successor API to
+    applyInPandasWithState. The TWS driver worker imports
+    google.protobuf; this sandbox ships a broken protobuf and installs
+    are unavailable, so an initialization failure skips (the
+    applyInPandasWithState twin above covers the semantics)."""
+    stream, batch = events_stream
+    # transformWithState requires the RocksDB state store provider
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    res = SD.running_user_stats_tws(stream)
+    q = (
+        res.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_state_tws")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    except Exception as exc:
+        if ("STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE" in str(exc)
+                or "driver worker exited unexpectedly" in str(exc)):
+            pytest.skip("transformWithState driver worker needs protobuf "
+                        "(broken in this sandbox)")
+        raise
+    finally:
+        q.stop()
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    rows = spark.sql("SELECT * FROM t_state_tws").collect()
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in rows}
+    expect = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == expect
