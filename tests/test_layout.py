@@ -74,3 +74,14 @@ def test_cluster_by_key_sorts_within_partitions(spark):
 
     sizes = c.rdd.mapPartitions(lambda it: check(it)).collect()
     assert sum(sizes) == 1000
+
+
+def test_registry_bucketed_query_no_exchange(spark, sf_dir):
+    """The scida_grouped_bucketed registry query must aggregate over
+    the bucketed table WITHOUT a shuffle exchange."""
+    from scida_spark.queries import registry
+
+    df = registry()["scida_grouped_bucketed"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert df.count() > 0
