@@ -155,6 +155,26 @@ def rolling_hash_fingerprint(df: DataFrame, text_col: str, out_col: str = "finge
     return df.withColumn(out_col, _rh(F.col(text_col)))
 
 
+def repetition_kernel(texts) -> "tuple[np.ndarray, np.ndarray]":
+    """Pure-Python core of :func:`repetition_stats` (exposed for
+    property tests): per text, (count of the most frequent word bigram,
+    longest same-word run)."""
+    from collections import Counter
+
+    top = np.zeros(len(texts), dtype=np.int64)
+    run = np.zeros(len(texts), dtype=np.int64)
+    for i, txt in enumerate(texts):
+        t = (txt or "").strip().split(" ")
+        if len(t) >= 2:
+            top[i] = max(Counter(zip(t, t[1:])).values())
+        best = cur = 1 if t and t[0] else 0
+        for a, b in zip(t, t[1:]):
+            cur = cur + 1 if a == b else 1
+            best = max(best, cur)
+        run[i] = best
+    return top, run
+
+
 def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Gopher-style repetition signals per document (public LLM-corpus
     quality filters, Rae+ 2021 "Scaling Language Models" §A1.1: top
@@ -178,19 +198,7 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     @F.pandas_udf("struct<top_bigram_n: long, max_run: long>")
     def _rep(s: pd.Series) -> pd.DataFrame:
-        from collections import Counter
-
-        top = np.zeros(len(s), dtype=np.int64)
-        run = np.zeros(len(s), dtype=np.int64)
-        for i, txt in enumerate(s):
-            t = (txt or "").strip().split(" ")
-            if len(t) >= 2:
-                top[i] = max(Counter(zip(t, t[1:])).values())
-            best = cur = 1 if t and t[0] else 0
-            for a, b in zip(t, t[1:]):
-                cur = cur + 1 if a == b else 1
-                best = max(best, cur)
-            run[i] = best
+        top, run = repetition_kernel(s)
         return pd.DataFrame({"top_bigram_n": top, "max_run": run})
 
     t = tokens(F.col(text_col))

@@ -101,3 +101,27 @@ def test_conversion_roundtrip(a, b):
     f = ua.conversion_factor(ub)
     g = ub.conversion_factor(ua)
     assert abs(f * g - 1.0) < 1e-12
+
+
+# --- Gopher repetition kernel vs an independent quadratic oracle -----------
+
+
+@given(
+    toks=st.lists(
+        st.sampled_from(["a", "b", "c", "aa", "x"]), min_size=1, max_size=40
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_repetition_kernel_matches_naive_oracle(toks):
+    from itertools import groupby
+
+    from scida_spark.functions.text import repetition_kernel
+
+    text = " ".join(toks)
+    top, run = repetition_kernel([text])
+    # independent oracle: quadratic bigram count / groupby run lengths
+    bigrams = [(toks[i], toks[i + 1]) for i in range(len(toks) - 1)]
+    exp_top = max((bigrams.count(b) for b in bigrams), default=0)
+    exp_run = max(len(list(g)) for _, g in groupby(toks))
+    assert top[0] == exp_top
+    assert run[0] == exp_run
