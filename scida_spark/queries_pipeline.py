@@ -261,6 +261,52 @@ def stream_dedup_keys(spark, sf_dir):
 
 
 @query(
+    "stream_session_native",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def stream_session_native(spark, sf_dir):
+    """Spark's NATIVE ``session_window`` operator run as a TRUE
+    streaming query (file replay → watermarked gap-merge state →
+    complete-mode memory sink) under the driver's oracle: over a
+    bounded replay the merged sessions equal the batch lag+cumsum
+    sessionization, which DuckDB recomputes — the stateful
+    session-merge operator itself is hash-checked, not just its batch
+    twin (``stream_session_windows``)."""
+    from scida_spark.streaming.windows import run_to_completion, session_windows
+
+    src = _events_stream_copy(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    _MEMSINK_SEQ[0] += 1
+    res = run_to_completion(
+        session_windows(stream, gap="30 minutes"),
+        f"stream_session_native_{_MEMSINK_SEQ[0]}",
+    )
+    return res.select(
+        "user_id",
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.col("n_events").cast("long"),
+    )
+
+
+@query(
     "stream_click_purchase_join",
     """
     SELECT CAST(p.user_id AS BIGINT) AS user_id,
