@@ -260,6 +260,51 @@ def ivf_assign(
     )
 
 
+def build_ivf_index(
+    embeddings: DataFrame,
+    nlist: int | None = None,
+    seed: int = 42,
+    sample_stride: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_vectors: int | None = None,
+) -> np.ndarray:
+    """Train the IVF coarse quantizer once and return the unit-norm
+    centroid matrix — the persistable index artifact. At 100 TB the
+    k-means training (driver-side, bounded sample) and the full-corpus
+    list assignment are paid at INGEST; query batches then call
+    :func:`ivf_topk` with ``centroids=`` and skip retraining entirely.
+    Persist with :func:`save_ivf_index` / :func:`load_ivf_index`
+    (plain parquet — any executor count can broadcast it back)."""
+    if nlist is None:
+        nlist = auto_nlist(n_vectors if n_vectors is not None else embeddings.count())
+    sample = np.stack(
+        [
+            np.asarray(r["v"], dtype=np.float64)
+            for r in embeddings.select(
+                F.col(vec_col).cast("array<double>").alias("v")
+            )
+            .filter(F.col(id_col) % sample_stride == 0)
+            .limit(max(nlist * 64, 1024))
+            .collect()
+        ]
+    )
+    return _kmeans_centroids(sample, nlist, seed)
+
+
+def save_ivf_index(spark, centroids: np.ndarray, path: str) -> None:
+    """Centroids → parquet (list_id, centroid array<double>)."""
+    rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(rows, "list_id int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_ivf_index(spark, path: str) -> np.ndarray:
+    rows = spark.read.parquet(path).orderBy("list_id").collect()
+    return np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+
+
 def auto_nlist(n_vectors: int, target_list: int = 64) -> int:
     """Inverted-list count sized to the corpus: ~``sqrt(N)`` capped so
     lists hold ≥``target_list`` vectors (the FAISS guideline shape —
@@ -284,13 +329,16 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_vectors: int | None = None,
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize candidates into ``nlist``
     inverted lists (k-means centroids from a deterministic driver-side
     sample), probe the query's ``nprobe`` nearest lists only.
     ``nlist=None`` sizes the index from the corpus via ``auto_nlist``:
     pass ``n_vectors`` (parquet footer / catalog stats) to avoid the
-    fallback count job, as with ``lsh_topk``.
+    fallback count job, as with ``lsh_topk``. Pass ``centroids=`` (a
+    :func:`build_ivf_index` / :func:`load_ivf_index` result) to reuse a
+    persisted index and skip training — the steady-state query path.
 
     The scale path complementing :func:`lsh_topk`: candidate vectors
     get ONE list id (narrow map, no shuffle), queries explode to
@@ -299,20 +347,13 @@ def ivf_topk(
     deterministic sample (``id % stride == 0``), so the index build is
     O(sample) on the driver and O(N) distributed assignment.
     """
-    if nlist is None:
-        nlist = auto_nlist(n_vectors if n_vectors is not None else embeddings.count())
-    sample = np.stack(
-        [
-            np.asarray(r["v"], dtype=np.float64)
-            for r in embeddings.select(
-                F.col(vec_col).cast("array<double>").alias("v")
-            )
-            .filter(F.col(id_col) % sample_stride == 0)
-            .limit(max(nlist * 64, 1024))
-            .collect()
-        ]
-    )
-    cent = _kmeans_centroids(sample, nlist, seed)
+    if centroids is not None:
+        cent = centroids
+    else:
+        cent = build_ivf_index(
+            embeddings, nlist=nlist, seed=seed, sample_stride=sample_stride,
+            id_col=id_col, vec_col=vec_col, n_vectors=n_vectors,
+        )
     cands = ivf_assign(embeddings, cent, 1, id_col, vec_col, out_id="cand_id").select(
         "cand_id", F.col("v").alias("cv"), F.element_at("lists", 1).alias("list_id")
     )

@@ -213,3 +213,26 @@ def test_ivf_auto_nlist_recall(spark, sf_dir):
     }
     hits = sum(1 for k_ in per_q if per_q[k_] == brute.get(k_))
     assert hits >= 3  # nprobe=4 of ~15 lists: most top-1s exact
+
+
+def test_ivf_index_persistence_roundtrip(spark, sf_dir, tmp_path):
+    """Build the IVF index once, persist it, reload it, and get
+    IDENTICAL results to the train-inline path — the ingest-time
+    amortization contract for the 100 TB query path."""
+    import numpy as np
+    from scida_spark.queries_pipeline import _parquet_rows
+    from scida_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    n = _parquet_rows(sf_dir)
+    cent = S.build_ivf_index(emb, nlist=None, n_vectors=n)
+    path = str(tmp_path / "ivf_index")
+    S.save_ivf_index(spark, cent, path)
+    loaded = S.load_ivf_index(spark, path)
+    assert np.allclose(cent, loaded)
+    q = emb.filter(F.col("vec_id") < 5)
+    inline = sorted(map(tuple, S.ivf_topk(emb, q, k=10, nlist=None, n_vectors=n)
+                        .select("query_id", "cand_id", "rank").collect()))
+    reused = sorted(map(tuple, S.ivf_topk(emb, q, k=10, centroids=loaded)
+                        .select("query_id", "cand_id", "rank").collect()))
+    assert inline == reused and len(reused) > 0
