@@ -248,3 +248,18 @@ def test_simulation_dir_load_returns_series(spark, tmp_path):
     assert ds.metadata["redshift"] == 1.0
     # members numeric-sorted: snapdir_000 first
     assert series.paths[0].endswith("snapdir_000")
+
+
+def test_gizmo_save_load_roundtrip_units(spark, gizmo_store, tmp_path):
+    """Family-loaded dataset → engine-native save → reload: the
+    resolved unit strings survive the parquet round trip (column
+    metadata), so downstream sessions need neither the family voter
+    nor the curated unit file."""
+    ds = load(gizmo_store, spark=spark)
+    out = str(tmp_path / "native_copy")
+    ds.save(out)
+    back = load(out, spark=spark)
+    cont = back.containers["PartType0"]
+    assert cont.df.count() == 50
+    assert cont.field_units.get("Masses") == "code_mass"
+    assert cont.field_units.get("Coordinates") == "code_length"
