@@ -261,6 +261,52 @@ def stream_dedup_keys(spark, sf_dir):
 
 
 @query(
+    "sketch_distinct_rollup",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS within_tol
+    FROM events GROUP BY event_type
+    """,
+)
+def sketch_distinct_rollup(spark, sf_dir):
+    """Mergeable-sketch distinct rollup (functions/sketches.py): HLL
+    sketches built per (event_type, user-bucket) fine grain, then
+    UNIONED to per-type estimates — the persist-once / re-aggregate-
+    forever pattern for 100 TB dashboards. DuckDB cannot reproduce the
+    DataSketches estimate, so the oracle verifies the ACCURACY
+    CONTRACT instead: the query emits ``within_tol`` = |estimate −
+    exact| ≤ 5 % and the oracle pins it TRUE alongside the exact
+    counts — a hash match means every rollup estimate honored the
+    bound. (The exact countDistinct here is the verification harness,
+    not the production path.)"""
+    from scida_spark.functions import sketches as SK
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "bucket", (F.col("user_id") % 8).cast("int")
+    )
+    fine = SK.sketch_table(ev, ["event_type", "bucket"], "user_id")
+    rolled = SK.rollup_distinct(fine, ["event_type"]).withColumnRenamed(
+        "n_rows", "n_rows_r"
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct"),
+        F.count("*").alias("n_rows"),
+    )
+    j = exact.join(rolled, "event_type")
+    tol = F.greatest(F.lit(2.0), F.col("exact_distinct") * 0.05)
+    return j.select(
+        "event_type",
+        "exact_distinct",
+        "n_rows",
+        (F.abs(F.col("approx_distinct") - F.col("exact_distinct")) <= tol).alias(
+            "within_tol"
+        ),
+    )
+
+
+@query(
     "stream_session_native",
     """
     WITH g AS (
