@@ -160,3 +160,60 @@ def rect_cutout_pruned(
     return df.filter(box_mask(coords, center, widths, box_size)).drop(
         *[f"cell_{i}" for i in range(len(coord_cols))]
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) sort: row-group-level skipping inside each cell
+# --------------------------------------------------------------------------
+
+
+def zorder_key(cells: list[Column], bits: int = 16) -> Column:
+    """Morton code of per-axis cell ids (bit interleave, JVM-side
+    shift/or expressions — whole-stage codegen, no UDF).
+
+    The layout story has two levels: directory-level pruning from the
+    coarse ``save_spatial_partitioned`` cells (PartitionFilters), then
+    WITHIN each parquet file, rows sorted by the Morton code of a
+    finer grid cluster spatially-adjacent points into the same row
+    groups, so the scan's min/max row-group statistics skip most of a
+    cell for small cutouts. This is the open-Spark equivalent of
+    Delta/Iceberg Z-ORDER clustering, expressed as a sort key.
+    """
+    d = len(cells)
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cells):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            out = out.bitwiseOR(F.shiftleft(bit, b * d + i))
+    return out
+
+
+def save_spatial_partitioned_zordered(
+    df: DataFrame,
+    coord_cols: list[str],
+    box_size: float,
+    ncells: int,
+    path: str,
+    fine_bits: int = 10,
+) -> None:
+    """``save_spatial_partitioned`` + Morton-sorted rows within each
+    cell file: coarse cells drive partition pruning, the fine
+    (``2^fine_bits`` per axis) Morton order drives parquet row-group
+    min/max skipping on the coordinate columns inside each cell."""
+    fine_n = 1 << fine_bits
+    cells = [
+        spatial_cell(F.col(c), box_size, ncells).alias(f"cell_{i}")
+        for i, c in enumerate(coord_cols)
+    ]
+    fine = [
+        spatial_cell(F.col(c), box_size, fine_n) for c in coord_cols
+    ]
+    (
+        df.select("*", *cells, zorder_key(fine, bits=fine_bits).alias("_z"))
+        .repartition(*[F.col(f"cell_{i}") for i in range(len(coord_cols))])
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .partitionBy(*[f"cell_{i}" for i in range(len(coord_cols))])
+        .parquet(path)
+    )
