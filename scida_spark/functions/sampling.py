@@ -1,0 +1,61 @@
+"""Deterministic content-hash sampling and splits.
+
+Training pipelines need REPRODUCIBLE train/eval/test assignment and
+subsampling: independent of row order, partitioning, engine version,
+and re-runs — which rules out ``rand()``. The standard trick is a
+cryptographic hash of the record id + salt mapped to a bucket in
+[0, 2^32): assignment is a pure function of (id, salt), so any engine
+(and the DuckDB oracle) reproduces it bit-for-bit, late-arriving data
+lands consistently, and changing the salt re-rolls every split at
+once. All JVM-side (md5/conv/substring — whole-stage codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKET_SPACE = 1 << 32
+
+
+def hash_bucket(id_col: Column, salt: str = "") -> Column:
+    """Deterministic bucket in [0, 2^32): first 8 md5 hex chars of
+    ``id || salt``. DuckDB equivalent (oracle-portable):
+    ``CAST('0x' || substr(md5(id || salt), 1, 8) AS UBIGINT)``."""
+    return F.conv(
+        F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(salt))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row a split label by cumulative weight thresholds
+    over the hash-bucket space. Weights must sum to ≤ 1 (any
+    remainder falls into the LAST split)."""
+    weights = weights or {"train": 0.8, "eval": 0.1, "test": 0.1}
+    b = hash_bucket(F.col(id_col), salt)
+    names = list(weights)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += weights[name]
+        thresh = int(cum * BUCKET_SPACE)
+        cond = b < F.lit(thresh)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(out_col, expr)
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float, salt: str = "") -> DataFrame:
+    """Deterministic ~``fraction`` subsample: keep rows whose bucket
+    falls below ``fraction`` of the space. Consistent across runs,
+    engines, and partitionings; nested samples compose (a 1 % sample
+    is a subset of the 10 % sample at the same salt)."""
+    return df.filter(hash_bucket(F.col(id_col), salt) < int(fraction * BUCKET_SPACE))

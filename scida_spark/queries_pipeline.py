@@ -261,6 +261,34 @@ def stream_dedup_keys(spark, sf_dir):
 
 
 @query(
+    "text_train_eval_split",
+    f"""
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'r6'), 1, 8)) AS UBIGINT) AS bucket
+      FROM documents)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+           CASE WHEN bucket < {int(0.8 * (1 << 32))} THEN 'train'
+                WHEN bucket < {int(0.9 * (1 << 32))} THEN 'eval'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def text_train_eval_split(spark, sf_dir):
+    """Reproducible train/eval/test assignment by content hash
+    (functions/sampling.py): a pure function of (doc_id, salt), so the
+    split survives re-runs, repartitioning, engine changes, and late
+    data — the DuckDB oracle recomputes the identical md5 buckets and
+    the hash match proves bit-for-bit reproducibility. All JVM-side
+    expressions; no rand(), no shuffle."""
+    from scida_spark.functions.sampling import hash_split
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_split(docs, "doc_id", {"train": 0.8, "eval": 0.1, "test": 0.1},
+                      salt="r6")
+
+
+@query(
     "sketch_distinct_rollup",
     """
     SELECT event_type,

@@ -72,3 +72,30 @@ def test_repetition_stats_kernel(spark):
     assert got[2]["passes_repetition"] is False
     assert got[3]["n_tokens"] == 1 and got[3]["n_bigrams"] == 0
     assert got[3]["top_bigram_n"] == 0 and got[3]["max_run"] == 1
+
+
+def test_hash_sampling_properties(spark):
+    """Deterministic sampling: order/partitioning-invariant, nested
+    fractions compose, split labels partition the id space."""
+    from scida_spark.functions.sampling import hash_sample, hash_split
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    s10 = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.10, salt="s").collect()}
+    s01 = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.01, salt="s").collect()}
+    assert s01 <= s10                      # nested samples compose
+    assert 120 <= len(s10) <= 280          # ~10% of 2000
+    # repartitioned input → identical sample
+    s10b = {
+        r["doc_id"]
+        for r in hash_sample(df.repartition(7), "doc_id", 0.10, salt="s").collect()
+    }
+    assert s10 == s10b
+    # splits cover every row exactly once with roughly right masses
+    sp = hash_split(df, "doc_id", {"train": 0.8, "eval": 0.1, "test": 0.1}, salt="s")
+    counts = {r["split"]: r["count"] for r in sp.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 2000
+    assert counts["train"] > counts["eval"] and counts["train"] > counts["test"]
+    # different salt re-rolls the assignment
+    sp2 = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id", salt="other").collect()}
+    sp1 = {r["doc_id"]: r["split"] for r in sp.collect()}
+    assert any(sp1[k] != sp2[k] for k in sp1)
