@@ -930,3 +930,63 @@ def dedup_cc_clusters(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_cleaned_corpus",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id AS doc,
+             list_distinct(list_transform(
+               generate_series(1, len(string_split(trim(text), ' ')) - 2),
+               i -> string_split(trim(text), ' ')[i] || ' ' ||
+                    string_split(trim(text), ' ')[i+1] || ' ' ||
+                    string_split(trim(text), ' ')[i+2])) AS grams
+      FROM documents),
+    sizes AS (SELECT doc, len(grams) AS nsh FROM sh),
+    ex AS (SELECT doc, unnest(grams) AS g FROM sh),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc < b.doc
+      GROUP BY a.doc, b.doc),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / CAST(sa.nsh + sb.nsh - n_inter AS DOUBLE) >= 0.2),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+    labels AS (
+      SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node)
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM labels WHERE cluster_id <> node)
+    """,
+)
+def dedup_cleaned_corpus(spark, sf_dir):
+    """END-TO-END near-dup dedup: pair graph (3-gram Jaccard ≥0.2) →
+    connected components → keep each cluster's canonical (min-id)
+    member → anti-join the corpus. This is the query a pipeline
+    actually materializes — the cleaned training corpus — and the
+    oracle recomputes the full transitive closure, so survivors are
+    value-checked doc-for-doc.
+
+    Scale: the pair graph and CC are the bucketed/log-round machinery
+    above; the final filter is one anti-join of the non-canonical node
+    list against the corpus — left to AQE, which broadcasts it when
+    small (the usual case) and falls back to a shuffle join on
+    dup-heavy corpora where the list itself is big."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    cc = D.connected_components(pairs.select("doc_a", "doc_b"))
+    dupes = cc.filter(F.col("cluster_id") != F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(dupes, "doc_id", "left_anti").select(
+        F.col("doc_id").cast("long"), "lang"
+    )
+
+
