@@ -805,3 +805,69 @@ def ngram_overlap_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental MinHash dedup: new batch vs a persisted signature index
+# --------------------------------------------------------------------------
+
+
+def _band_signatures(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(doc, bucket) banded form of a signature table (shared by the
+    self-join and incremental paths)."""
+    band_cols = []
+    for bi in range(bands):
+        lo = bi * rows_per_band + 1
+        band_cols.append(
+            F.xxhash64(
+                F.lit(bi), *[F.element_at("signature", lo + k) for k in range(rows_per_band)]
+            ).alias(f"b{bi}")
+        )
+    return sig.select("doc", F.explode(F.array(*band_cols)).alias("bucket"))
+
+
+def minhash_incremental_pairs(
+    existing_sh: DataFrame,
+    new_sh: DataFrame,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs BETWEEN a new batch and the existing corpus —
+    the daily-ingest dedup path: signatures for the (small) new batch
+    only, banded equi-join against the persisted historical banding,
+    exact-Jaccard verify of the candidates. Cost is O(new × bands) +
+    O(matches) — the history is never re-signed, never self-joined,
+    and at 100 TB the banded history is the ingest-time index you keep
+    next to the corpus (same seed/num_perm/bands must be used for both
+    sides; mismatched parameters silently produce disjoint buckets).
+
+    Inputs are (doc, sh) shingle tables (``shingle_hash_table`` /
+    ``signature_table``); returns (new_doc, old_doc, jaccard).
+    """
+    rows_per_band = num_perm // bands
+    old_sig = minhash_signatures_from_shingles(existing_sh, num_perm, seed)
+    new_sig = minhash_signatures_from_shingles(new_sh, num_perm, seed)
+    old_b = _band_signatures(old_sig, bands, rows_per_band)
+    new_b = _band_signatures(new_sig, bands, rows_per_band)
+    cands = (
+        new_b.alias("n")
+        .join(old_b.alias("o"), F.col("n.bucket") == F.col("o.bucket"))
+        .select(F.col("n.doc").alias("new_doc"), F.col("o.doc").alias("old_doc"))
+        .distinct()
+    )
+    a = new_sh.select(F.col("doc").alias("new_doc"), F.col("sh").alias("sh_a"))
+    b = existing_sh.select(F.col("doc").alias("old_doc"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(a, "new_doc")
+        .join(b, "old_doc")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("n_union", F.size("sh_a") + F.size("sh_b") - F.col("n_inter"))
+        .withColumn(
+            "jaccard", F.col("n_inter").cast("double") / F.col("n_union").cast("double")
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_doc", "old_doc", "jaccard")
+    )

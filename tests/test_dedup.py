@@ -231,3 +231,36 @@ def test_ngram_overlap_pairs_decontamination(spark):
     assert got == {(0, 1): 1, (0, 2): 3}
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+
+def test_minhash_incremental_vs_full(spark, sf_dir):
+    """Incremental (new-vs-history) minhash pairs must equal the
+    cross-set subset of the full self-join pairs at the same
+    parameters — the daily-ingest path loses nothing."""
+    from scida_spark.functions.dedup import (
+        minhash_dedup_pairs_from_shingles,
+        minhash_incremental_pairs,
+        shingle_hash_table,
+    )
+    from scida_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    sh = shingle_hash_table(docs, "doc_id", "text", n=3).localCheckpoint(eager=True)
+    new = sh.filter(F.col("doc") % 5 == 0)
+    old = sh.filter(F.col("doc") % 5 != 0)
+    inc = {
+        (r["new_doc"], r["old_doc"]): round(r["jaccard"], 9)
+        for r in minhash_incremental_pairs(
+            old, new, num_perm=128, bands=64, threshold=0.2
+        ).collect()
+    }
+    full = minhash_dedup_pairs_from_shingles(
+        sh, num_perm=128, bands=64, threshold=0.2
+    ).collect()
+    cross = {}
+    for r in full:
+        a, b = r["doc_a"], r["doc_b"]
+        if (a % 5 == 0) != (b % 5 == 0):
+            new_d, old_d = (a, b) if a % 5 == 0 else (b, a)
+            cross[(new_d, old_d)] = round(r["jaccard"], 9)
+    assert inc == cross and len(inc) > 0
