@@ -43,6 +43,8 @@ HEADLINE = [
     "sim_cosine_topk",
     "text_token_stats",
     "text_repetition_filter",
+    "text_train_eval_split",
+    "sketch_distinct_rollup",
     "stream_window_counts",
 ]
 
