@@ -125,3 +125,27 @@ def test_repetition_kernel_matches_naive_oracle(toks):
     exp_run = max(len(list(g)) for _, g in groupby(toks))
     assert top[0] == exp_top
     assert run[0] == exp_run
+
+
+# --- spatial cell pruning: conservative completeness -----------------------
+
+
+@given(
+    center=st.floats(min_value=0.0, max_value=100.0, allow_nan=False),
+    width=st.floats(min_value=0.1, max_value=99.0, allow_nan=False),
+    x=st.floats(min_value=0.0, max_value=99.999, allow_nan=False),
+)
+@settings(max_examples=500, deadline=None)
+def test_cells_overlapping_never_drops_an_inside_point(center, width, x):
+    """Completeness: any point strictly inside the periodic slab must
+    land in a cell that cells_overlapping keeps — pruning may read
+    extra cells, never fewer."""
+    from scida_spark.operators.spatial import cells_overlapping
+
+    box, ncells = 100.0, 8
+    d = abs(x - center)
+    d = box - d if d > box / 2 else d
+    if d >= width / 2:  # not inside the slab
+        return
+    cell = min(ncells - 1, int(x / (box / ncells)))
+    assert cell in cells_overlapping(center, width, box, ncells)
