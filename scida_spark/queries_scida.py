@@ -702,8 +702,8 @@ _MSUN_FACTOR = _code_mass_to_msun()
     "scida_units_mass",
     f"""
     SELECT l_returnflag,
-           CAST(SUM(CAST(l_quantity * {_MSUN_FACTOR!r} AS DECIMAL(38,6))) AS DOUBLE)
-             AS total_mass_msun,
+           CAST(SUM(CAST(l_quantity * {_MSUN_FACTOR!r} / 1e10 AS DECIMAL(38,6))) AS DOUBLE)
+             AS total_mass_1e10msun,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -711,11 +711,18 @@ _MSUN_FACTOR = _code_mass_to_msun()
 def scida_units_mass(spark, sf_dir):
     """Curated-unit conversion in a query: treat l_quantity as Masses in
     ``code_mass`` (resolved from units/gadget_cosmological.yaml with
-    h = 0.6774, reference mixins/units.py:122-203) and convert to Msun
-    via ``UnitColumn.to()`` — the multiply-by-exact-factor path
+    h = 0.6774, reference mixins/units.py:122-203) and convert via
+    ``UnitColumn.to()`` — the multiply-by-exact-factor path
     (docs/units.md:69-80). The oracle embeds the factor the unit layer
     computed, so a hash match proves the conversion chain
     (YAML parse → registry → conversion_factor) end-to-end.
+
+    Totals are reported in 1e10 Msun: at Msun scale (values ~1e12) a
+    DECIMAL(38,6) cast needs >17 significant digits, where Spark
+    (shortest-repr BigDecimal) and DuckDB (exact binary expansion)
+    legitimately disagree in the last ulp — found as a 0.125 diff at
+    sf0.001. Scaling keeps the decimal inside the exact-agreement
+    range of IEEE doubles, so the check stays bit-stable at any SF.
 
     Scale: the conversion is one Column multiply inside whole-stage
     codegen — units never touch Catalyst."""
@@ -728,9 +735,10 @@ def scida_units_mass(spark, sf_dir):
     apply_unitfile(ureg, "units/gadget_cosmological.yaml")
     li = table(spark, sf_dir, "lineitem")
     mass_msun = UnitColumn(F.col("l_quantity"), ureg["code_mass"], ureg).to("Msun")
-    return li.select("l_returnflag", mass_msun.magnitude.alias("m")).groupBy(
+    m_1e10 = mass_msun.magnitude / F.lit(1e10)
+    return li.select("l_returnflag", m_1e10.alias("m")).groupBy(
         "l_returnflag"
-    ).agg(dsum(F.col("m"), "total_mass_msun"), F.count("*").alias("n"))
+    ).agg(dsum(F.col("m"), "total_mass_1e10msun"), F.count("*").alias("n"))
 
 
 @query(
