@@ -111,3 +111,28 @@ def test_cc_clusters_df_capped_join_no_cartesian(spark, sf_dir, reg):
     p = _plan(spark, reg["dedup_cc_clusters"](spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_train_eval_split_no_shuffle(spark, sf_dir, reg):
+    """Hash-split assignment is a pure projection: md5 bucket + CASE —
+    no Exchange anywhere (the whole point of content-hash splits: no
+    rand(), no shuffle, order-invariant)."""
+    p = _plan(spark, reg["text_train_eval_split"](spark, sf_dir))
+    assert "Exchange" not in p
+    assert "* Project" in p  # codegen'd projection (formatted-mode marker)
+
+
+def test_repetition_filter_no_shuffle(spark, sf_dir, reg):
+    """Per-document repetition stats never shuffle: JVM array ops + one
+    Arrow-batched pandas stage over the scan partitioning."""
+    p = _plan(spark, reg["text_repetition_filter"](spark, sf_dir))
+    assert "Exchange" not in p
+
+
+def test_contamination_broadcasts_bench_side(spark, sf_dir, reg):
+    """Decontamination joins the corpus against a BROADCAST benchmark
+    shingle index — no shuffle of the corpus for candidate generation,
+    no cartesian."""
+    p = _plan(spark, reg["dedup_contamination"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
