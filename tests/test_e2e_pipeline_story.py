@@ -1,0 +1,84 @@
+"""The full TRAINING-DATA-PIPELINE story, end to end, on this engine:
+
+raw corpus → quality + repetition filters → exact dedup → near-dup
+cleaned corpus (pairs → CC → canonical) → benchmark decontamination →
+deterministic train/eval/test split → per-split sketch rollup. Every
+stage is an operator the registry exposes individually; this test pins
+that they COMPOSE — the "a user could run their whole pipeline here"
+contract — with planted documents whose fate is known at every stage.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scida_spark.functions import dedup as D
+from scida_spark.functions import sketches as SK
+from scida_spark.functions import text as TX
+from scida_spark.functions.sampling import hash_split
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    for i in range(40):  # clean docs: mostly-distinct bodies, tiny shared tail
+        body = " ".join(f"w{i}x{j}" for j in range(12))
+        rows.append((i, f"{body} common tail marker"))
+    rows.append((100, rows[0][1]))                  # exact dup of doc 0
+    rows.append((101, rows[1][1] + " extra"))       # near-dup of doc 1
+    rows.append((102, "spam spam spam spam spam spam spam spam spam spam"))  # stutter
+    rows.append((103, "ok " * 2))                   # too short / low quality
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pipeline_composes_end_to_end(spark, corpus):
+    # 1) repetition filter drops the stutter doc, keeps clean docs
+    rep = TX.repetition_stats(corpus, "doc_id", "text")
+    keep_rep = rep.filter(F.col("passes_repetition")).select("doc_id")
+    kept1 = corpus.join(keep_rep, "doc_id", "left_semi")
+    ids1 = {r["doc_id"] for r in kept1.select("doc_id").collect()}
+    assert 102 not in ids1 and 0 in ids1 and 100 in ids1
+
+    # 2) exact dedup keeps the min-id copy of identical texts
+    kept2 = D.exact_dedup(kept1, "doc_id", "text")
+    ids2 = {r["doc_id"] for r in kept2.select("doc_id").collect()}
+    assert 100 not in ids2 and 0 in ids2
+
+    # 3) near-dup pairs → CC → drop non-canonical members
+    pairs = D.ngram_jaccard_pairs(kept2, "doc_id", "text", n=3, threshold=0.5)
+    cc = D.connected_components(pairs.select("doc_a", "doc_b"))
+    dupes = cc.filter(F.col("cluster_id") != F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept3 = kept2.join(dupes, "doc_id", "left_anti")
+    ids3 = {r["doc_id"] for r in kept3.select("doc_id").collect()}
+    assert 101 not in ids3 and 1 in ids3  # canonical (min id) survives
+
+    # 4) decontamination vs a "benchmark" = doc 5's text: only doc 5's
+    # planted leak (a corpus doc carrying doc 5's distinct body) hits
+    leak = kept3.filter(F.col("doc_id") == 6).select(
+        F.lit(999).alias("doc_id"),
+        F.concat(F.lit("w5x0 w5x1 w5x2 w5x3 prefix "), F.col("text")).alias("text"),
+    )
+    sh = D.shingle_hash_table(kept3.unionByName(leak), "doc_id", "text", n=3)
+    bench = sh.filter(F.col("doc") == 5)
+    corpus_sh = sh.filter(F.col("doc") != 5)
+    hits = {
+        r["corpus_doc"]
+        for r in D.ngram_overlap_pairs(corpus_sh, bench, min_shared=2).collect()
+    }
+    assert 999 in hits
+
+    # 5) deterministic split: stable across repartitionings
+    split = hash_split(kept3, "doc_id", salt="story")
+    a = {(r["doc_id"], r["split"]) for r in split.collect()}
+    b = {(r["doc_id"], r["split"]) for r in hash_split(kept3.repartition(5), "doc_id", salt="story").collect()}
+    assert a == b and len({s for _, s in a}) >= 2
+
+    # 6) per-split sketch rollup reconciles with exact counts
+    sk = SK.sketch_table(split, ["split"], "doc_id")
+    total = SK.rollup_distinct(sk, []).collect()[0]
+    assert total["n_rows"] == kept3.count()
+    exact = kept3.select(F.countDistinct("doc_id").alias("d")).collect()[0]["d"]
+    assert abs(total["approx_distinct"] - exact) <= max(2, 0.05 * exact)
