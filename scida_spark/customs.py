@@ -164,9 +164,11 @@ class ArepoType(GadgetStyleType):
     @classmethod
     def _family_vote(cls, probe: Hdf5Probe) -> CandidateStatus:
         if "Git_commit" in probe.header():
-            return CandidateStatus(Confidence.CERTAIN, specificity=4)
+            return CandidateStatus(Confidence.CERTAIN, specificity=4,
+                                   evidence=("Header.Git_commit",))
         if {"Config", "Parameters"} <= probe.groups:
-            return CandidateStatus(Confidence.CERTAIN, specificity=3)
+            return CandidateStatus(Confidence.CERTAIN, specificity=3,
+                                   evidence=("/Config+/Parameters groups",))
         return _NO
 
 
@@ -196,7 +198,8 @@ class GizmoType(GadgetStyleType):
     def _family_vote(cls, probe: Hdf5Probe) -> CandidateStatus:
         header = probe.header()
         if "GIZMO_version" in header:
-            return CandidateStatus(Confidence.CERTAIN, specificity=4)
+            return CandidateStatus(Confidence.CERTAIN, specificity=4,
+                                   evidence=("Header.GIZMO_version",))
         # Elimination: gadget-ish header without arepo's fingerprints.
         if (
             "Flag_IC_Info" in header
@@ -204,7 +207,8 @@ class GizmoType(GadgetStyleType):
             and "Config" not in probe.groups
             and "Parameters" not in probe.groups
         ):
-            return CandidateStatus(Confidence.CERTAIN, specificity=3)
+            return CandidateStatus(Confidence.CERTAIN, specificity=3,
+                                   evidence=("Flag_IC_Info w/o arepo fingerprints",))
         return _NO
 
 
@@ -218,7 +222,8 @@ class SwiftType(GadgetStyleType):
         if isinstance(code, bytes):
             code = code.decode("utf-8", "replace")
         if "SWIFT" in str(code):
-            return CandidateStatus(Confidence.CERTAIN, specificity=4)
+            return CandidateStatus(Confidence.CERTAIN, specificity=4,
+                                   evidence=("Code.Code contains SWIFT",))
         return _NO
 
 
@@ -232,7 +237,8 @@ class EagleType(GadgetStyleType):
         if isinstance(run, bytes):
             run = run.decode("utf-8", "replace")
         if "Eagle" in str(run):
-            return CandidateStatus(Confidence.CERTAIN, specificity=4)
+            return CandidateStatus(Confidence.CERTAIN, specificity=4,
+                                   evidence=("Header.RunLabel contains Eagle",))
         return _NO
 
 
@@ -252,7 +258,8 @@ class RockstarCatalogType(Hdf5Type):
         if probe is None:
             return _NO
         if "cosmology:omega_dm" in probe.datasets:
-            return CandidateStatus(Confidence.CERTAIN, specificity=2)
+            return CandidateStatus(Confidence.CERTAIN, specificity=2,
+                                   evidence=("root dataset cosmology:omega_dm",))
         return _NO
 
     @classmethod
@@ -283,8 +290,10 @@ class SimulationDirType(Hdf5Type):
             return _NO
         from scida_spark.series import discover_simulation_members
 
-        if len(discover_simulation_members(path)) >= 2:
-            return CandidateStatus(Confidence.CERTAIN, specificity=3)
+        n = len(discover_simulation_members(path))
+        if n >= 2:
+            return CandidateStatus(Confidence.CERTAIN, specificity=3,
+                                   evidence=(f"{n} snapdir/snapshot members",))
         return _NO
 
     @classmethod

@@ -40,10 +40,14 @@ class Confidence(IntEnum):
 
 @dataclass(frozen=True)
 class CandidateStatus:
-    """A dataset class's vote for a path (reference discovertypes.py:59-155)."""
+    """A dataset class's vote for a path (reference discovertypes.py:59-155;
+    ``evidence`` mirrors DetectionResult.match(..., evidence=...) — the
+    human-readable markers the vote rests on, surfaced by
+    ``explain_detection``)."""
 
     confidence: Confidence
     specificity: int = 0
+    evidence: tuple = ()
 
 
 class DatasetType:
@@ -83,6 +87,26 @@ def determine_type(path: str) -> type["DatasetType"]:
         reverse=True,
     )
     return votes[0][1]
+
+
+def explain_detection(path: str) -> list[str]:
+    """Human-readable ranking of every non-UNSUPPORTED vote for a path
+    (winner first) with each vote's evidence — the diagnosability
+    surface of the reference's DetectionResult (discovertypes.py)."""
+    votes = [
+        (c.validate_path(path), c)
+        for c in DatasetType.registry
+    ]
+    votes = [(s, c) for s, c in votes if s.confidence > Confidence.UNSUPPORTED]
+    votes.sort(
+        key=lambda t: (int(t[0].confidence), t[1].mro_depth(), t[0].specificity),
+        reverse=True,
+    )
+    return [
+        f"{c.__name__}: {s.confidence.name} (specificity {s.specificity})"
+        + (f" — {', '.join(s.evidence)}" if s.evidence else "")
+        for s, c in votes
+    ]
 
 
 class ParquetDirType(DatasetType):

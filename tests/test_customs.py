@@ -263,3 +263,14 @@ def test_gizmo_save_load_roundtrip_units(spark, gizmo_store, tmp_path):
     assert cont.df.count() == 50
     assert cont.field_units.get("Masses") == "code_mass"
     assert cont.field_units.get("Coordinates") == "code_length"
+
+
+def test_explain_detection_surfaces_evidence(gizmo_store):
+    """explain_detection ranks votes winner-first with the marker each
+    vote rests on (reference DetectionResult evidence)."""
+    from scida_spark.dataset import explain_detection
+
+    lines = explain_detection(gizmo_store)
+    assert lines and lines[0].startswith("GizmoType: CERTAIN")
+    assert "GIZMO_version" in lines[0]
+    assert any(line.startswith("GadgetStyleType") for line in lines[1:])
