@@ -29,6 +29,27 @@ def hash_bucket(id_col: Column, salt: str = "") -> Column:
     ).cast("long")
 
 
+def split_thresholds(weights: dict[str, float]) -> list[int]:
+    """Exact cumulative bucket thresholds for ``hash_split``: one per
+    non-final split, computed with EXACT rational accumulation
+    (``Fraction``, not float ``+=``): float accumulation can round
+    ``int(cum * 2^32)`` one bucket away from an independently-computed
+    sum, silently mis-assigning the boundary id. Any oracle comparing
+    against ``hash_split`` must embed THESE integers (call this
+    function), not recompute thresholds from its own literals —
+    ``int(0.9 * 2^32)`` and ``int((0.8 + 0.1) * 2^32)`` are not
+    guaranteed equal."""
+    from fractions import Fraction
+
+    names = list(weights)
+    cum = Fraction(0)
+    out = []
+    for name in names[:-1]:
+        cum += Fraction(weights[name])
+        out.append(int(cum * BUCKET_SPACE))
+    return out
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,
@@ -37,16 +58,14 @@ def hash_split(
     out_col: str = "split",
 ) -> DataFrame:
     """Assign each row a split label by cumulative weight thresholds
-    over the hash-bucket space. Weights must sum to ≤ 1 (any
-    remainder falls into the LAST split)."""
+    over the hash-bucket space (``split_thresholds`` — exact rational
+    accumulation). Weights must sum to ≤ 1 (any remainder falls into
+    the LAST split)."""
     weights = weights or {"train": 0.8, "eval": 0.1, "test": 0.1}
     b = hash_bucket(F.col(id_col), salt)
     names = list(weights)
-    cum = 0.0
     expr = None
-    for name in names[:-1]:
-        cum += weights[name]
-        thresh = int(cum * BUCKET_SPACE)
+    for name, thresh in zip(names[:-1], split_thresholds(weights)):
         cond = b < F.lit(thresh)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))

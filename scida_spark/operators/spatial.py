@@ -208,12 +208,22 @@ def save_spatial_partitioned_zordered(
     fine = [
         spatial_cell(F.col(c), box_size, fine_n) for c in coord_cols
     ]
+    cell_names = [f"cell_{i}" for i in range(len(coord_cols))]
     (
         df.select("*", *cells, zorder_key(fine, bits=fine_bits).alias("_z"))
-        .repartition(*[F.col(f"cell_{i}") for i in range(len(coord_cols))])
-        .sortWithinPartitions("_z")
+        .repartition(*[F.col(c) for c in cell_names])
+        # Sort by the PARTITION columns first, then the Morton code: the
+        # parquet writer requires an ordering on the partition columns
+        # and would otherwise inject its own SortExec on (cell_i) alone
+        # — a sort that is not guaranteed stable (spill merges break
+        # ties arbitrarily), silently destroying the within-file Morton
+        # clustering this layout exists for. With the cells as a sort
+        # prefix the writer's requirement is already satisfied and no
+        # extra sort is inserted (tests/test_spatial_layout.py pins
+        # monotone Morton codes within each written file).
+        .sortWithinPartitions(*cell_names, "_z")
         .drop("_z")
         .write.mode("overwrite")
-        .partitionBy(*[f"cell_{i}" for i in range(len(coord_cols))])
+        .partitionBy(*cell_names)
         .parquet(path)
     )

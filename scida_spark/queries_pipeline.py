@@ -232,16 +232,27 @@ def dedup_keep_first_latest(spark, sf_dir):
 def stream_dedup_keys(spark, sf_dir):
     """TRUE Structured-Streaming execution under the driver's oracle:
     events replayed as a file stream → ``dropDuplicatesWithinWatermark``
-    on (user_id, event_type) → drained through the memory sink. Over a
-    bounded replay the within-watermark dedup emits each key once, so
-    the key set equals batch DISTINCT and DuckDB can hash-check a real
-    streaming pipeline end-to-end (SURVEY §2.7; state is bounded by the
-    watermark horizon at scale, streaming/dedup.py)."""
+    on (user_id, event_type) → drained through the memory sink.
+
+    The batch-DISTINCT equivalence REQUIRES the bounded replay to land
+    in one micro-batch: split across triggers with event times spanning
+    past the watermark horizon, ``dropDuplicatesWithinWatermark`` may
+    legally re-emit a key whose first occurrence aged out of state. The
+    single-batch precondition is pinned explicitly — ``maxFilesPerTrigger``
+    covers every replay file, and the run asserts exactly one non-empty
+    input batch — so the oracle equivalence is a checked contract, not
+    an accident of file layout (SURVEY §2.7; at scale state is bounded
+    by the watermark horizon and exactly-once comes from the sink,
+    streaming/dedup.py)."""
     from scida_spark.streaming.dedup import dedup_stream
 
     src = _events_stream_copy(spark, sf_dir)
     schema = spark.read.parquet(src).schema
-    stream = spark.readStream.schema(schema).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1_000_000)  # whole replay in ONE batch
+        .parquet(src)
+    )
     deduped = dedup_stream(stream, ["user_id", "event_type"]).select(
         "user_id", "event_type"
     )
@@ -255,9 +266,29 @@ def stream_dedup_keys(spark, sf_dir):
     )
     try:
         q.processAllAvailable()
+        fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        if len(fed) > 1:  # pragma: no cover - layout regression guard
+            raise AssertionError(
+                f"stream_dedup_keys: replay split across {len(fed)} batches; "
+                "single-batch precondition for the DISTINCT oracle violated"
+            )
     finally:
         q.stop()
     return spark.table(name)
+
+
+def _split_thresholds_r6() -> list[int]:
+    """The EXACT bucket thresholds hash_split uses for the 0.8/0.1/0.1
+    weights — embedded in the oracle SQL so both engines compare the
+    identical integers (see functions/sampling.py::split_thresholds:
+    an oracle recomputing int(0.9 * 2^32) from its own literal is not
+    guaranteed to match the accumulated sum)."""
+    from scida_spark.functions.sampling import split_thresholds
+
+    return split_thresholds({"train": 0.8, "eval": 0.1, "test": 0.1})
+
+
+_SPLIT_T = _split_thresholds_r6()
 
 
 @query(
@@ -268,8 +299,8 @@ def stream_dedup_keys(spark, sf_dir):
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'r6'), 1, 8)) AS UBIGINT) AS bucket
       FROM documents)
     SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
-           CASE WHEN bucket < {int(0.8 * (1 << 32))} THEN 'train'
-                WHEN bucket < {int(0.9 * (1 << 32))} THEN 'eval'
+           CASE WHEN bucket < {_SPLIT_T[0]} THEN 'train'
+                WHEN bucket < {_SPLIT_T[1]} THEN 'eval'
                 ELSE 'test' END AS split
     FROM b
     """,
@@ -339,8 +370,12 @@ def sketch_distinct_rollup(spark, sf_dir):
     """
     WITH g AS (
       SELECT user_id, ts, event_id,
+             -- >= (not >): Spark's session_window is the half-open
+             -- [ts, ts + gap), so an event at EXACTLY start + gap opens
+             -- a NEW session; a strict > would keep it in the old one
+             -- and silently diverge on exact-gap data.
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 30 MINUTE
+                       >= INTERVAL 30 MINUTE
                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events),
@@ -711,10 +746,18 @@ def text_lang_id(spark, sf_dir):
     base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
                     CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct
              FROM tok)
-    SELECT b.doc_id, b.n_tokens, b.n_distinct, g.n_bigrams, g.top_bigram_n,
-           m.max_run,
-           (g.top_bigram_n < 3 AND m.max_run < 3) AS passes_repetition
-    FROM base b JOIN bgtop g USING (doc_id) JOIN mr m USING (doc_id)
+    -- LEFT joins + COALESCE: a document with < 2 tokens has an empty
+    -- bigram CTE (and an empty run CTE when it has 0 tokens); an inner
+    -- join would drop it while the Spark side emits it with
+    -- top_bigram_n = 0 — a latent hash mismatch on short-doc corpora.
+    SELECT b.doc_id, b.n_tokens, b.n_distinct,
+           COALESCE(g.n_bigrams, b.n_tokens - 1) AS n_bigrams,
+           COALESCE(g.top_bigram_n, 0) AS top_bigram_n,
+           COALESCE(m.max_run, CASE b.n_tokens WHEN 0 THEN 0 ELSE 1 END) AS max_run,
+           (COALESCE(g.top_bigram_n, 0) < 3
+            AND COALESCE(m.max_run, CASE b.n_tokens WHEN 0 THEN 0 ELSE 1 END) < 3)
+             AS passes_repetition
+    FROM base b LEFT JOIN bgtop g USING (doc_id) LEFT JOIN mr m USING (doc_id)
     """,
 )
 def text_repetition_filter(spark, sf_dir):
