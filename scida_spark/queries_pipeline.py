@@ -629,27 +629,6 @@ def text_token_stats(spark, sf_dir):
     )
 
 
-@query(
-    "text_quality_scores",
-    """
-    WITH t AS (
-      SELECT doc_id,
-             CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS n,
-             CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE) AS nd,
-             CAST(list_reduce(list_transform(string_split(trim(text), ' '),
-                  x -> CAST(length(x) AS BIGINT)), (acc, x) -> acc + x) AS DOUBLE) AS totlen
-      FROM documents),
-    s AS (
-      SELECT doc_id,
-             LEAST(LOG10(n + 1) / 3.0, 1.0) + (nd / n) * 0.5 +
-             CASE WHEN totlen / n >= 3 AND totlen / n <= 8 THEN 0.5 ELSE 0.0 END AS score
-      FROM t)
-    SELECT CAST(FLOOR(score * 10) AS BIGINT) AS score_decile,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(CAST(score AS DECIMAL(38,6))) AS DOUBLE) AS sum_score
-    FROM s GROUP BY 1
-    """,
-)
 def text_quality_scores(spark, sf_dir):
     """Quality scoring (length/diversity/token-length heuristic),
     histogrammed into deciles. Pure Column arithmetic."""
@@ -677,9 +656,7 @@ def text_quality_scores(spark, sf_dir):
     ).agg(F.count("*").alias("n_docs"), dsum(F.col("score"), "sum_score"))
 
 
-@query(
-    "text_lang_id",
-    """
+_LANG_ID_SQL = """
     WITH sc AS (
       SELECT doc_id, lang AS actual_lang,
              len(list_filter(string_split(trim(text), ' '),
@@ -703,8 +680,9 @@ def text_quality_scores(spark, sf_dir):
       FROM sc)
     SELECT actual_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
     FROM pred GROUP BY 1, 2
-    """,
-)
+    """
+
+
 def text_lang_id(spark, sf_dir):
     """Language-ID heuristic: stopword-set hit counts, argmax with fixed
     tie-break (en>de>es>fr>zh) — confusion matrix vs the labeled lang."""
@@ -724,6 +702,69 @@ def text_lang_id(spark, sf_dir):
         ).alias("pred_lang"),
     )
     return pred.groupBy("actual_lang", "pred_lang").agg(F.count("*").alias("n"))
+
+
+@query(
+    "text_quality_lang",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS n,
+             CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE) AS nd,
+             CAST(list_reduce(list_transform(string_split(trim(text), ' '),
+                  x -> CAST(length(x) AS BIGINT)), (acc, x) -> acc + x) AS DOUBLE) AS totlen
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             LEAST(LOG10(n + 1) / 3.0, 1.0) + (nd / n) * 0.5 +
+             CASE WHEN totlen / n >= 3 AND totlen / n <= 8 THEN 0.5 ELSE 0.0 END AS score
+      FROM t),
+    quality AS (
+      SELECT CAST(FLOOR(score * 10) AS BIGINT) AS score_decile,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(score AS DECIMAL(38,6))) AS DOUBLE) AS sum_score
+      FROM s GROUP BY 1),
+    lang AS ({_LANG_ID_SQL})
+    SELECT 'quality' AS section, CAST(score_decile AS VARCHAR) AS k1, '<>' AS k2,
+           n_docs AS n, sum_score
+    FROM quality
+    UNION ALL
+    SELECT 'lang_id' AS section, actual_lang AS k1, pred_lang AS k2,
+           n, CAST(0.0 AS DOUBLE) AS sum_score
+    FROM lang
+    """,
+)
+def text_quality_lang(spark, sf_dir):
+    """Quality scoring + language-ID confusion matrix in one
+    driver-attested result (merged r6 slots text_quality_scores +
+    text_lang_id, distinguished by ``section`` — registry consolidation
+    for the driver's 50-query correctness window):
+
+    * ``quality``: length/diversity/token-length heuristic score,
+      histogrammed into deciles — k1 = decile, k2 = '<>' pad, n =
+      n_docs, sum_score = decimal-exact score sum.
+    * ``lang_id``: stopword-hit argmax with fixed tie-break
+      (en>de>es>fr>zh) — k1 = actual lang, k2 = predicted, n = count,
+      sum_score = 0.0 pad.
+
+    Both halves are pure JVM Column expressions over one documents
+    scan each — no UDF, no shuffle beyond the final tiny aggregations.
+    """
+    q = text_quality_scores(spark, sf_dir).select(
+        F.lit("quality").alias("section"),
+        F.col("score_decile").cast("string").alias("k1"),
+        F.lit("<>").alias("k2"),
+        F.col("n_docs").alias("n"),
+        "sum_score",
+    )
+    lid = text_lang_id(spark, sf_dir).select(
+        F.lit("lang_id").alias("section"),
+        F.col("actual_lang").alias("k1"),
+        F.col("pred_lang").alias("k2"),
+        "n",
+        F.lit(0.0).alias("sum_score"),
+    )
+    return q.unionAll(lid)
 
 
 @query(
@@ -806,16 +847,42 @@ def multimodal_features(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+def stream_session_windows(spark, sf_dir):
+    """Session windows (30-min gap) in batch — semantics mirror
+    streaming ``session_window(ts, '30 minutes')``: the window is the
+    half-open [ts, ts + gap), so an event at EXACTLY start + gap opens
+    a new session (``>=``, not ``>``); computed via lag + gap-flag
+    prefix sum so the oracle is exact. Returns (user_id, session_id,
+    n_events, sum_value, session_start)."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag(F.col("ts")).over(w))
+    g = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap >= 1800), F.lit(1)).otherwise(F.lit(0))
+    )
+    ws = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    s = g.withColumn("session_id", F.sum("new_session").over(ws))
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        dsum(F.col("value"), "sum_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+    )
+
+
 @query(
-    "stream_window_counts",
+    "stream_batch_windows",
     """
     SELECT 'tumbling' AS kind,
            strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-           event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           event_type AS grp, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 2, 3
     UNION ALL
-    SELECT 'sliding' AS kind, window_start, '<all>' AS event_type,
+    SELECT 'sliding' AS kind, window_start, '<all>' AS grp,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
     FROM (
@@ -826,17 +893,49 @@ def multimodal_features(spark, sf_dir):
              value
       FROM events) w
     GROUP BY window_start
+    UNION ALL
+    SELECT 'session' AS kind, session_start AS window_start,
+           CAST(user_id AS VARCHAR) || ':' || CAST(session_id AS VARCHAR) AS grp,
+           n, sum_value
+    FROM (
+      WITH g AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL 30 MINUTE
+                      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+      s AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM g)
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+             strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+      FROM s GROUP BY user_id, session_id) sess
     """,
 )
-def stream_window_counts(spark, sf_dir):
-    """Tumbling (1 h) + sliding (1 h length / 30 min slide) window
-    aggregations in one result (merged r1 queries stream_tumbling_counts
-    + stream_sliding_counts into one registry slot, distinguished by
-    ``kind``) — identical semantics to the Structured Streaming versions
-    in scida_spark.streaming (same F.window calls), run here on the
-    bounded table for the oracle. Every event lands in exactly two
-    epoch-aligned sliding windows — the oracle materializes both starts
-    per event."""
+def stream_batch_windows(spark, sf_dir):
+    """ALL three window families in one driver-attested result (merged
+    r6 slots stream_window_counts + stream_session_windows,
+    distinguished by ``kind`` — registry consolidation for the driver's
+    50-query correctness window):
+
+    * ``tumbling``: 1 h fixed windows per event_type (grp = type).
+    * ``sliding``: 1 h length / 30 min slide (grp = '<all>'); every
+      event lands in exactly two epoch-aligned windows — the oracle
+      materializes both starts per event.
+    * ``session``: 30-min-gap sessionization via lag + gap-flag prefix
+      sum (grp = user_id:session_id), with the half-open [ts, ts+gap)
+      boundary of native ``session_window`` (``>=``, matching
+      ``stream_session_native``).
+
+    Identical window semantics to the Structured Streaming versions in
+    scida_spark.streaming (same F.window / session merge rules), run
+    on the bounded table so DuckDB can hash-check them; the TRUE
+    streaming executions are the stream_* queries above."""
     ev = table(spark, sf_dir, "events")
     tum = (
         ev.groupBy(F.window("ts", "1 hour"), "event_type")
@@ -844,7 +943,7 @@ def stream_window_counts(spark, sf_dir):
         .select(
             F.lit("tumbling").alias("kind"),
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            "event_type",
+            F.col("event_type").alias("grp"),
             "n",
             "sum_value",
         )
@@ -855,55 +954,20 @@ def stream_window_counts(spark, sf_dir):
         .select(
             F.lit("sliding").alias("kind"),
             F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            F.lit("<all>").alias("event_type"),
+            F.lit("<all>").alias("grp"),
             "n",
             "sum_value",
         )
     )
-    return tum.unionAll(sli)
-
-
-@query(
-    "stream_session_windows",
-    """
-    WITH g AS (
-      SELECT user_id, ts, value, event_id,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 30 MINUTE
-                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events),
-    s AS (
-      SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-      FROM g)
-    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start
-    FROM s GROUP BY user_id, session_id
-    """,
-)
-def stream_session_windows(spark, sf_dir):
-    """Session windows (30-min gap) in batch — semantics mirror
-    streaming ``session_window(ts, '30 minutes')``; computed via
-    lag + gap-flag prefix sum so the oracle is exact."""
-    ev = table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag(F.col("ts")).over(w))
-    g = ev.withColumn(
-        "new_session", F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+    ses = stream_session_windows(spark, sf_dir).select(
+        F.lit("session").alias("kind"),
+        F.col("session_start").alias("window_start"),
+        F.concat_ws(":", F.col("user_id").cast("string"),
+                    F.col("session_id").cast("string")).alias("grp"),
+        F.col("n_events").alias("n"),
+        "sum_value",
     )
-    ws = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    s = g.withColumn("session_id", F.sum("new_session").over(ws))
-    return s.groupBy("user_id", "session_id").agg(
-        F.count("*").alias("n_events"),
-        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-    )
+    return tum.unionAll(sli).unionAll(ses)
 
 
 @query(

@@ -45,7 +45,10 @@ def test_q3_q5_broadcast_dims_no_smj_of_dims(spark, sf_dir, reg):
 
 
 def test_top3_single_window_shuffle(spark, sf_dir, reg):
-    p = _plan(spark, reg["q_top3_per_order"](spark, sf_dir))
+    # The per-group half of the merged q_topn registry slot.
+    from scida_spark.queries import q_top3_per_order
+
+    p = _plan(spark, q_top3_per_order(spark, sf_dir))
     assert "Window" in p
     assert "CartesianProduct" not in p
     # The rank filter must run *inside* the window stage, not after a
@@ -57,8 +60,13 @@ def test_top3_single_window_shuffle(spark, sf_dir, reg):
 def test_groupid_searchsorted_no_particle_shuffle_for_join(spark, sf_dir, reg):
     """The catalog-ID kernel maps particles over a broadcast array —
     the plan must contain the Arrow-evaluated Python stage and no
-    sort-merge join of the particle side."""
-    p = _plan(spark, reg["scida_groupid_searchsorted"](spark, sf_dir))
+    sort-merge join of the particle side. (The searchsorted half of the
+    merged scida_groupid_assign registry slot — the rangejoin half
+    legitimately plans a broadcast non-equi join, so the pin targets
+    the half, not the union.)"""
+    from scida_spark.queries_scida import scida_groupid_searchsorted
+
+    p = _plan(spark, scida_groupid_searchsorted(spark, sf_dir))
     assert "ArrowEvalPython" in p
     assert "SortMergeJoin" not in p
 
@@ -77,10 +85,17 @@ def test_sum_masses_is_scan_plus_agg_only(spark, sf_dir, reg):
 
 def test_global_topn_is_take_ordered(spark, sf_dir, reg):
     """orderBy+limit must plan as TakeOrderedAndProject (per-partition
-    heaps + driver merge of N rows), never a full global sort."""
-    p = _plan(spark, reg["q_global_topn"](spark, sf_dir))
+    heaps + driver merge of N rows), never a full global sort. (The
+    global half of the merged q_topn registry slot; also pinned on the
+    union plan itself.)"""
+    from scida_spark.queries import q_global_topn
+
+    p = _plan(spark, q_global_topn(spark, sf_dir))
     assert "TakeOrderedAndProject" in p
     assert "Sort " not in p.split("TakeOrderedAndProject")[0]
+    merged = _plan(spark, reg["q_topn"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in merged
+    assert "CartesianProduct" not in merged
 
 
 def test_neardup_pairs_no_cartesian(spark, sf_dir, reg):

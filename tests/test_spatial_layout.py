@@ -99,19 +99,24 @@ def test_rect_cutout_coord_list_form(spark, sf_dir):
 
 
 def test_registry_pruned_query_matches_full_scan(spark, sf_dir):
-    """The scida_pbc_cutout_pruned registry query (driver-oracled) must
-    equal the full-scan scida_pbc_cutout AND carry PartitionFilters —
-    the driver's hash match then proves pruning loses no rows."""
+    """The scida_pbc_cutout_pruned and scida_zorder_cutout registry
+    queries (driver-oracled) must equal the full-scan scida_pbc_cutout
+    (retired from the registry in r7, kept as the comparison baseline)
+    AND carry PartitionFilters — the driver's hash match then proves
+    neither layout loses rows."""
     from scida_spark.queries import registry
+    from scida_spark.queries_scida import _PBC_ORACLE, scida_pbc_cutout
 
     reg = registry()
-    full = reg["scida_pbc_cutout"].fn(spark, sf_dir).collect()
-    pruned_df = reg["scida_pbc_cutout_pruned"].fn(spark, sf_dir)
-    pruned = pruned_df.collect()
-    assert [tuple(r) for r in pruned] == [tuple(r) for r in full]
-    assert reg["scida_pbc_cutout_pruned"].oracle == reg["scida_pbc_cutout"].oracle
-    plan = pruned_df._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "cell_0" in plan
+    assert "scida_pbc_cutout" not in reg  # retired slot stays retired
+    full = scida_pbc_cutout(spark, sf_dir).collect()
+    for name in ("scida_pbc_cutout_pruned", "scida_zorder_cutout"):
+        pruned_df = reg[name].fn(spark, sf_dir)
+        pruned = pruned_df.collect()
+        assert [tuple(r) for r in pruned] == [tuple(r) for r in full], name
+        assert reg[name].oracle == _PBC_ORACLE
+        plan = pruned_df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "cell_0" in plan, name
 
 
 def test_zorder_key_interleave_property():
