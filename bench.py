@@ -24,28 +24,37 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 RUNS = 5
 
+# r7 note: several entries are CONSOLIDATED registry slots (the r6
+# names live on as halves of a union query): q_top3_per_order →
+# q_topn, scida_histogram2d → scida_histograms, stream_session_windows
+# + stream_window_counts → stream_batch_windows, scida_groupid_
+# searchsorted → scida_groupid_assign, scida_grouped_fluent →
+# scida_grouped, sim_cosine_topk → sim_topk (now also runs both ANN
+# paths + recall certification), dedup_signature_pairs now also runs
+# the exact-pairs baseline for its recall certification — r6-to-r7
+# per-query timings are therefore not 1:1 comparable for those slots.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
     "q_part_brand_stats",
-    "q_top3_per_order",
-    "scida_histogram2d",
-    "stream_session_windows",
+    "q_topn",
+    "scida_histograms",
+    "stream_batch_windows",
     "q18_large_orders",
     "q_percentiles",
     "scida_sum_masses",
-    "scida_groupid_searchsorted",
-    "scida_grouped_fluent",
+    "scida_groupid_assign",
+    "scida_grouped",
     "scida_global_running_sum",
     "dedup_exact_clusters",
     "dedup_signature_pairs",
-    "sim_cosine_topk",
+    "sim_topk",
     "text_token_stats",
     "text_repetition_filter",
     "text_train_eval_split",
     "sketch_distinct_rollup",
-    "stream_window_counts",
+    "scida_pbc_cutout_layouts",
 ]
 
 

@@ -224,6 +224,18 @@ def ngram_jaccard_pairs(
     # One shingle scan, three consumers (inverted index + both verify
     # sides): materialize the Pandas-UDF kernel exactly once.
     sh = shingle_hash_table(df, id_col, text_col, n).localCheckpoint(eager=True)
+    return ngram_jaccard_pairs_from_shingles(sh, threshold=threshold, max_df=max_df)
+
+
+def ngram_jaccard_pairs_from_shingles(
+    sh: DataFrame, threshold: float = 0.5, max_df: int | None = 256
+) -> DataFrame:
+    """Exact pairwise Jaccard from an ALREADY-MATERIALIZED (doc, sh)
+    shingle table (``shingle_hash_table`` / ``signature_table``) —
+    lets a pipeline that computed the corpus scan once reuse it for the
+    exact baseline too (e.g. the minhash recall certification in
+    queries_pipeline). The caller must have localCheckpointed ``sh``;
+    semantics and the completeness contract are ``ngram_jaccard_pairs``'s."""
     cand = ngram_candidate_pairs(sh, max_df, warn_hot=True)
     sha = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     shb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -282,41 +294,51 @@ def _fmix64(z: np.ndarray) -> np.ndarray:
     return z
 
 
-def _tokenize_batch(texts: pd.Series):
+def _hash_vocab(uniq, hash_name: str = "blake2b") -> np.ndarray:
+    """64-bit hash per unique token (Zipfian corpus ⇒ vocabulary ≪
+    token instances — hashing the vocabulary once is the win).
+
+    ``blake2b`` (default) is the production hash; ``md5`` takes the
+    FIRST 8 big-endian bytes of the md5 digest, which a SQL oracle can
+    reproduce exactly (DuckDB: ``CAST('0x' || substr(md5(tok), 1, 16)
+    AS UBIGINT)`` — same bits, unsigned view), making every downstream
+    signature SQL-checkable."""
+    import hashlib
+
+    fn = (
+        (lambda u: hashlib.blake2b(u, digest_size=8).digest())
+        if hash_name == "blake2b"
+        else (lambda u: hashlib.md5(u).digest()[:8])
+    )
+    return np.fromiter(
+        (int.from_bytes(fn(u.encode()), "big", signed=True) for u in uniq),
+        dtype=np.int64,
+        count=len(uniq),
+    )
+
+
+def _tokenize_batch(texts: pd.Series, hash_name: str = "blake2b"):
     """Vectorized batch tokenization + vocabulary hashing, shared by the
     simhash and combined-signature kernels.
 
-    Returns ``(lens, codes, uniq_hashes, doc_ids)``: per-doc token
-    counts, per-token vocabulary codes over the flattened corpus, one
-    blake2b-64 hash per UNIQUE token (Zipfian corpus ⇒ vocabulary ≪
-    token instances — hashing the vocabulary once is the win), and the
-    owning doc index per flat token. ``codes`` is None when the batch
-    has no tokens at all."""
-    import hashlib
-
+    Returns ``(lens, codes, uniq_hashes, doc_ids, uniq)``: per-doc
+    token counts, per-token vocabulary codes over the flattened corpus,
+    one 64-bit hash per UNIQUE token (``_hash_vocab``), the owning doc
+    index per flat token, and the unique-token array itself (so callers
+    can derive a second hash family without re-tokenizing). ``codes``
+    is None when the batch has no tokens at all."""
     tok_lists = texts.fillna("").str.strip().str.split(" ")
     lens = np.array(
         [0 if (len(t) == 1 and t[0] == "") else len(t) for t in tok_lists],
         dtype=np.int64,
     )
     if lens.sum() == 0:
-        return lens, None, None, None
+        return lens, None, None, None, None
     flat_toks = np.concatenate([t for t, l in zip(tok_lists, lens) if l > 0])
     codes, uniq = pd.factorize(flat_toks)
-    uh = np.fromiter(
-        (
-            int.from_bytes(
-                hashlib.blake2b(u.encode(), digest_size=8).digest(),
-                "big",
-                signed=True,
-            )
-            for u in uniq
-        ),
-        dtype=np.int64,
-        count=len(uniq),
-    )
+    uh = _hash_vocab(uniq, hash_name)
     doc_ids = np.repeat(np.arange(len(texts)), lens)
-    return lens, codes, uh, doc_ids
+    return lens, codes, uh, doc_ids, uniq
 
 
 def _simhash_from_tokens(
@@ -347,10 +369,19 @@ def _simhash_from_tokens(
 
 
 def signature_table(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    simhash_hash: str = "blake2b",
 ) -> DataFrame:
     """(doc, sh: array<long>, simhash: long) — BOTH dedup signatures in
     ONE Arrow-batched scan of the corpus.
+
+    ``simhash_hash="md5"`` computes the simhash over md5-prefix token
+    hashes instead of blake2b — bit-identical to what a SQL engine can
+    recompute (see ``_hash_vocab``), so the ENTIRE simhash pipeline
+    (token hash → majority-bit fold → Hamming blocking) becomes
+    hash-checkable against a DuckDB oracle; the shingle hashes (minhash
+    side) are unaffected. Same blocking/banding machinery either way —
+    the hash family is the only difference.
 
     ``minhash_dedup_pairs`` and ``simhash_near_pairs`` each need a
     full-text kernel pass (shingle hashing resp. token hashing); run
@@ -380,7 +411,7 @@ def signature_table(
         ntexts = len(texts)
         if ntexts == 0:
             return pd.DataFrame({"sh": [], "simhash": []})
-        lens, codes, uh, doc_ids = _tokenize_batch(texts)
+        lens, codes, uh, doc_ids, uniq = _tokenize_batch(texts)
         if codes is None:
             return pd.DataFrame(
                 {
@@ -388,7 +419,8 @@ def signature_table(
                     "simhash": np.zeros(ntexts, dtype=np.int64),
                 }
             )
-        simhash = _simhash_from_tokens(ntexts, lens, codes, uh, doc_ids)
+        sim_uh = uh if simhash_hash == "blake2b" else _hash_vocab(uniq, simhash_hash)
+        simhash = _simhash_from_tokens(ntexts, lens, codes, sim_uh, doc_ids)
         # Flat shingle mix over the whole batch: position i combines
         # token hashes i..i+n-1; positions whose window crosses a doc
         # boundary are masked out, then each doc's slice is dedup'd.
@@ -644,7 +676,10 @@ def connected_components(
 # --------------------------------------------------------------------------
 
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64,
+    hash_name: str = "blake2b",
+) -> DataFrame:
     """64-bit SimHash over token blake2b-64 values (vectorized bit-count).
 
     Tokenization AND token hashing happen inside the Arrow-batched
@@ -670,7 +705,7 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str, bits: int = 64
         # on. See _simhash_from_tokens.
         if len(texts) == 0:
             return pd.Series(np.empty(0, dtype=np.int64))
-        lens, codes, uh, doc_ids = _tokenize_batch(texts)
+        lens, codes, uh, doc_ids, _ = _tokenize_batch(texts, hash_name)
         if codes is None:
             return pd.Series(np.zeros(len(texts), dtype=np.int64))
         return pd.Series(_simhash_from_tokens(len(texts), lens, codes, uh, doc_ids))

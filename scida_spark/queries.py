@@ -71,8 +71,7 @@ _EARLY = [
     "scida_group_quantity_broadcast",
     "scida_grouped",
     "scida_selector_uid_range",
-    "scida_pbc_cutout_pruned",
-    "scida_zorder_cutout",
+    "scida_pbc_cutout_layouts",
     "scida_histograms",
     "scida_sum_masses",
     "scida_radial_profile",

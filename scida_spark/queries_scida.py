@@ -456,7 +456,6 @@ def scida_grouped_bucketed(spark, sf_dir):
     )
 
 
-@query("scida_pbc_cutout_pruned", _PBC_ORACLE)
 def scida_pbc_cutout_pruned(spark, sf_dir):
     """The same PBC cutout as ``scida_pbc_cutout``, but over the
     cell-partitioned layout via ``rect_cutout_pruned`` — the predicate
@@ -501,16 +500,12 @@ def _spatial_zordered_pts(spark, sf_dir, ncells=10):
     return path
 
 
-@query("scida_zorder_cutout", _PBC_ORACLE)
 def scida_zorder_cutout(spark, sf_dir):
     """The PBC cutout over the Z-ORDERED cell-partitioned layout
     (``save_spatial_partitioned_zordered``): directory-level partition
     pruning from the coarse cells PLUS within-file Morton clustering so
     the coordinate predicates skip parquet row groups via min/max stats
-    — the second tier of the spatial layout story. The oracle SQL is
-    identical to the full-scan cutout's, so the driver's hash match
-    proves the Z-ordered layout (repartition + within-partition Morton
-    sort + write) loses or duplicates no rows. Within-file monotone
+    — the second tier of the spatial layout story. Within-file monotone
     Morton order is separately pinned in tests/test_spatial_layout.py."""
     path = _spatial_zordered_pts(spark, sf_dir)
     cut = S.rect_cutout_pruned(
@@ -519,6 +514,40 @@ def scida_zorder_cutout(spark, sf_dir):
     return cut.agg(
         F.count("*").alias("n_inside"), dsum(F.col("x"), "sum_x"), dsum(F.col("y"), "sum_y")
     )
+
+
+_PBC_LAYOUT_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{layout}' AS layout, n_inside, sum_x, sum_y FROM ({_PBC_ORACLE})"
+    for layout in ("cells", "zorder")
+)
+
+
+@query("scida_pbc_cutout_layouts", _PBC_LAYOUT_ORACLE)
+def scida_pbc_cutout_layouts(spark, sf_dir):
+    """The PBC cutout over BOTH ingest-time spatial layouts in one
+    driver-attested result (merged r7 slots scida_pbc_cutout_pruned +
+    scida_zorder_cutout, distinguished by ``layout`` — they share the
+    full-scan oracle, so one row set certifies both):
+
+    * ``cells``: cell-partitioned layout — the cutout box becomes
+      ``PartitionFilters`` on the cell directories (plan-pinned in
+      tests/test_plans.py via the pruned half).
+    * ``zorder``: the same cells with within-file Morton clustering —
+      row-group min/max skipping on the coordinates inside each
+      surviving cell (monotone order pinned in
+      tests/test_spatial_layout.py).
+
+    The oracle recomputes the cutout from the UNPARTITIONED table once
+    per layout label, so a hash match proves neither layout transform
+    (partitioned write resp. repartition + Morton sort + write) loses
+    or duplicates rows."""
+    cells = scida_pbc_cutout_pruned(spark, sf_dir).select(
+        F.lit("cells").alias("layout"), "n_inside", "sum_x", "sum_y"
+    )
+    zorder = scida_zorder_cutout(spark, sf_dir).select(
+        F.lit("zorder").alias("layout"), "n_inside", "sum_x", "sum_y"
+    )
+    return cells.unionAll(zorder)
 
 
 @query(

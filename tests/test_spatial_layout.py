@@ -99,24 +99,28 @@ def test_rect_cutout_coord_list_form(spark, sf_dir):
 
 
 def test_registry_pruned_query_matches_full_scan(spark, sf_dir):
-    """The scida_pbc_cutout_pruned and scida_zorder_cutout registry
-    queries (driver-oracled) must equal the full-scan scida_pbc_cutout
-    (retired from the registry in r7, kept as the comparison baseline)
-    AND carry PartitionFilters — the driver's hash match then proves
-    neither layout loses rows."""
+    """Both layout halves of the merged scida_pbc_cutout_layouts
+    registry query (driver-oracled) must equal the full-scan
+    scida_pbc_cutout (retired from the registry in r7, kept as the
+    comparison baseline) AND carry PartitionFilters — the driver's
+    hash match then proves neither layout loses rows."""
     from scida_spark.queries import registry
-    from scida_spark.queries_scida import _PBC_ORACLE, scida_pbc_cutout
+    from scida_spark.queries_scida import (
+        scida_pbc_cutout,
+        scida_pbc_cutout_pruned,
+        scida_zorder_cutout,
+    )
 
     reg = registry()
     assert "scida_pbc_cutout" not in reg  # retired slot stays retired
+    assert "scida_pbc_cutout_layouts" in reg
     full = scida_pbc_cutout(spark, sf_dir).collect()
-    for name in ("scida_pbc_cutout_pruned", "scida_zorder_cutout"):
-        pruned_df = reg[name].fn(spark, sf_dir)
+    for fn in (scida_pbc_cutout_pruned, scida_zorder_cutout):
+        pruned_df = fn(spark, sf_dir)
         pruned = pruned_df.collect()
-        assert [tuple(r) for r in pruned] == [tuple(r) for r in full], name
-        assert reg[name].oracle == _PBC_ORACLE
+        assert [tuple(r) for r in pruned] == [tuple(r) for r in full], fn.__name__
         plan = pruned_df._jdf.queryExecution().executedPlan().toString()
-        assert "PartitionFilters" in plan and "cell_0" in plan, name
+        assert "PartitionFilters" in plan and "cell_0" in plan, fn.__name__
 
 
 def test_zorder_key_interleave_property():
