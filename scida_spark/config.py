@@ -110,7 +110,9 @@ def simulation_properties(name: str) -> dict:
     return (get_simulationconfig().get("simulations") or {}).get(name) or {}
 
 
-def apply_unitfile(ureg, unitfile: str | dict) -> dict:
+def apply_unitfile(
+    ureg, unitfile: str | dict, expected_missing: tuple[str, ...] = ()
+) -> dict:
     """Define the unit file's ``units:`` entries into the registry (in
     file order — later definitions may reference earlier ones, e.g.
     ``code_length: ckpc / h`` after ``ckpc: a * kpc``) and return the
@@ -118,14 +120,21 @@ def apply_unitfile(ureg, unitfile: str | dict) -> dict:
     ``update_unitregistry_fromdict`` (mixins/units.py:280-325).
 
     A curated definition that references units NOT yet in the registry
-    (e.g. ``a``/``h`` on a non-cosmological dataset that matched a
-    path-based entry) is SKIPPED with a warning instead of being
-    silently defined against the scale-1 'unknown' unit — a wrong
-    conversion factor (e.g. a dropped 1/h) is far worse than a missing
-    unit name."""
+    is SKIPPED with a warning instead of being silently defined against
+    the scale-1 'unknown' unit — a wrong conversion factor (e.g. a
+    dropped 1/h) is far worse than a missing unit name. Callers that
+    KNOW some units are legitimately absent pass ``expected_missing``
+    (e.g. ``("a", "h")`` for a non-cosmological dataset that matched a
+    path-based curated entry): those skips are silent — they are the
+    policy working, not a config defect worth a UserWarning per load."""
     import warnings
 
     hints = get_config_fromfile(unitfile) if isinstance(unitfile, str) else unitfile
+    # Skips cascade (ckpc needs a; code_length needs ckpc): a definition
+    # skipped because of an expected-missing unit becomes expected-
+    # missing itself, so only the true ROOT of an unexpected failure
+    # warns, once.
+    missing = set(expected_missing)
     for uname, expr in (hints.get("units") or {}).items():
         if expr is None:
             continue
@@ -134,12 +143,14 @@ def apply_unitfile(ureg, unitfile: str | dict) -> dict:
         try:
             val = ureg.parse(str(expr))
         except (KeyError, ValueError) as e:
-            warnings.warn(
-                f"unit file defines {uname!r} = {expr!r} referencing an "
-                f"unknown unit or malformed expression ({e}); skipping "
-                "the definition",
-                stacklevel=2,
-            )
+            if not any(f"unknown unit: '{m}'" in str(e) for m in missing):
+                warnings.warn(
+                    f"unit file defines {uname!r} = {expr!r} referencing an "
+                    f"unknown unit or malformed expression ({e}); skipping "
+                    "the definition",
+                    stacklevel=2,
+                )
+            missing.add(uname)
             continue
         finally:
             ureg.missing_units = prev

@@ -513,7 +513,11 @@ def apply_simulation_config(ds: Dataset, units: bool | str = True,
     if not unitfile:
         unitfile = fallback_unitfile
     if unitfile:
-        hints = apply_unitfile(ds.ureg, unitfile)
+        # On a cosmology-less dataset the curated file's a/h-based
+        # definitions are EXPECTED to be absent — skip them silently
+        # (the skip-and-warn policy stays for genuinely broken files).
+        expected = () if cosmo is not None else ("a", "h")
+        hints = apply_unitfile(ds.ureg, unitfile, expected_missing=expected)
         for cname, cont in ds.containers.items():
             detailed = field_unit_hints(hints, cname, detailed=True)
             for fname, (ustr, override) in detailed.items():
