@@ -405,37 +405,75 @@ def _spatial_partitioned_pts(spark, sf_dir, ncells=10):
     SELECT CAST(l_orderkey AS BIGINT) AS groupid,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-           CAST(MIN(l_linenumber) AS BIGINT) AS min_line
-    FROM lineitem GROUP BY l_orderkey
+           CAST(MIN(l_linenumber) AS BIGINT) AS min_line,
+           CAST(ANY_VALUE(o.o_totalprice) AS DOUBLE) AS order_total
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY l_orderkey
     """,
 )
 def scida_grouped_bucketed(spark, sf_dir):
-    """Per-group aggregation over the BUCKETED ingest layout
-    (operators/layout.py::save_bucketed — the Spark form of the
-    reference's contiguous-by-halo file layout): the table is written
-    once clustered by the group key, and the groupBy then runs with NO
-    shuffle exchange (bucketing metadata proves co-location to the
-    planner; plan-pinned in tests/test_layout.py). The oracle recomputes
-    the same aggregate from the unbucketed table, so the hash match
-    proves the layout path loses nothing. Write cost is paid once at
-    ingest and amortized over every later group operation — the 100 TB
-    posture for catalog-keyed analytics."""
+    """Per-group aggregation AND fact-fact join over the BUCKETED
+    ingest layout (operators/layout.py::save_bucketed — the Spark form
+    of the reference's contiguous-by-halo file layout): lineitem and
+    orders are each written once clustered by orderkey, after which
+    BOTH the groupBy and the lineitem⋈orders join run with NO shuffle
+    exchange (bucketing metadata proves co-location to the planner;
+    plan-pinned in tests/test_layout.py, including with broadcast
+    disabled so the zero-exchange sort-merge path itself is attested).
+    The oracle recomputes the same agg+join from the unbucketed tables,
+    so the hash match proves the layout path loses nothing. Write cost
+    is paid once at ingest and amortized over every later group
+    operation or co-keyed join — the 100 TB posture for catalog-keyed
+    analytics, where the orders-side shuffle of a repeated fact-fact
+    join is the dominant avoidable cost."""
+    from scida_spark.operators.layout import read_bucketed
+
+    ltbl = _bucketed_cached(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity"],
+        "l_orderkey", ["l_orderkey", "l_linenumber"],
+    )
+    otbl = _bucketed_cached(
+        spark, sf_dir, "orders", ["o_orderkey", "o_totalprice"],
+        "o_orderkey", ["o_orderkey"],
+    )
+    b = read_bucketed(spark, ltbl)
+    agg = b.groupBy(F.col("l_orderkey").alias("groupid")).agg(
+        F.count("*").alias("n"),
+        dsum(F.col("l_quantity"), "sum_qty"),
+        F.min("l_linenumber").alias("min_line"),
+    )
+    o = read_bucketed(spark, otbl)
+    return agg.join(
+        o, agg["groupid"] == o["o_orderkey"], "inner"
+    ).select(
+        "groupid", "n", "sum_qty", "min_line",
+        F.col("o_totalprice").cast("double").alias("order_total"),
+    )
+
+
+def _bucketed_cached(
+    spark, sf_dir: str, name: str, cols: list, bucket_col: str, sort_cols: list,
+    num_buckets: int = 16,
+) -> str:
+    """Build (or reuse) a saveAsTable bucketed copy of ``name`` keyed by
+    source path+mtime, returning the table name. A fresh session doesn't
+    know tables a previous one wrote, but the warehouse directory
+    persists — stale locations are cleared and rebuilt (it's a derived
+    cache; rebuilding is the correct recovery)."""
     import hashlib
     import os
 
-    from scida_spark.operators.layout import read_bucketed, save_bucketed
+    from scida_spark.operators.layout import save_bucketed
 
-    src = f"{sf_dir.rstrip('/')}/lineitem.parquet"
+    src = f"{sf_dir.rstrip('/')}/{name}.parquet"
     try:
         mtime = int(os.stat(src).st_mtime)
     except OSError:
         mtime = 0
     tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{mtime}".encode()).hexdigest()[:10]
-    tbl = f"lineitem_bucketed_{tag}"
+    tbl = f"{name}_bucketed_{tag}"
     if not spark.catalog.tableExists(tbl):
-        # A fresh session doesn't know tables a previous one wrote, but
-        # the warehouse directory persists — clear the stale location
-        # (it's a derived cache; rebuilding is the correct recovery).
         import shutil
         from urllib.parse import urlparse
 
@@ -443,17 +481,10 @@ def scida_grouped_bucketed(spark, sf_dir):
         loc = os.path.join(wh.path or wh.netloc or "spark-warehouse", tbl)
         if os.path.isdir(loc):
             shutil.rmtree(loc, ignore_errors=True)
-        li = table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_linenumber", "l_quantity"
-        )
-        save_bucketed(li, tbl, "l_orderkey", num_buckets=16,
-                      sort_cols=["l_orderkey", "l_linenumber"])
-    b = read_bucketed(spark, tbl)
-    return b.groupBy(F.col("l_orderkey").alias("groupid")).agg(
-        F.count("*").alias("n"),
-        dsum(F.col("l_quantity"), "sum_qty"),
-        F.min("l_linenumber").alias("min_line"),
-    )
+        df = table(spark, sf_dir, name).select(*cols)
+        save_bucketed(df, tbl, bucket_col, num_buckets=num_buckets,
+                      sort_cols=sort_cols)
+    return tbl
 
 
 def scida_pbc_cutout_pruned(spark, sf_dir):

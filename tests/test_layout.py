@@ -76,12 +76,50 @@ def test_cluster_by_key_sorts_within_partitions(spark):
     assert sum(sizes) == 1000
 
 
+def test_two_table_bucketed_join_no_exchange(spark, bucketed):
+    """Two DIFFERENT tables bucketed on the same key with the same
+    bucket count join WITHOUT any exchange — the co-located fact-fact
+    join, with broadcast disabled so the sort-merge path itself is the
+    one being attested (at 100 TB neither fact side broadcasts)."""
+    halos = spark.range(0, 500).select(
+        F.col("id").alias("GroupID"), (F.col("id") * 10.0).alias("GroupMass")
+    )
+    save_bucketed(halos, "t_halos_bucketed", "GroupID", num_buckets=8,
+                  sort_cols=["GroupID"])
+    try:
+        t = read_bucketed(spark, bucketed)
+        h = read_bucketed(spark, "t_halos_bucketed")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = t.join(h, "GroupID").groupBy("GroupID").agg(
+                F.sum(F.col("mass") + F.col("GroupMass")).alias("m")
+            )
+            assert j.count() == 500
+            plan = _executed_plan(j)
+            assert "Exchange" not in plan, plan
+            assert "SortMergeJoin" in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_halos_bucketed")
+
+
 def test_registry_bucketed_query_no_exchange(spark, sf_dir):
-    """The scida_grouped_bucketed registry query must aggregate over
-    the bucketed table WITHOUT a shuffle exchange."""
+    """The scida_grouped_bucketed registry query must aggregate AND
+    join over the bucketed tables WITHOUT a shuffle exchange — with
+    broadcast disabled, so the join's zero-exchange property comes from
+    bucket co-location, not from the small-SF orders side fitting in a
+    broadcast."""
     from scida_spark.queries import registry
 
-    df = registry()["scida_grouped_bucketed"].fn(spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange hashpartitioning" not in plan, plan
-    assert df.count() > 0
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = registry()["scida_grouped_bucketed"].fn(spark, sf_dir)
+        assert df.count() > 0
+        plan = _executed_plan(df)
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Exchange rangepartitioning" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
