@@ -1,0 +1,174 @@
+"""Streaming corpus ingest with incremental near-dup filtering.
+
+The production rolling-ingest shape for a growing training corpus:
+new documents land as files; each micro-batch is exact-deduped within
+itself, near-dup-deduped within itself (MinHash+LSH pairs → connected
+components → keep the min-id doc per cluster), then checked AGAINST
+THE PERSISTED SIGNATURE INDEX of everything already accepted — history
+is never re-read in full and never re-signed. Survivors are appended
+to the corpus sink, and their band buckets + shingle sets are appended
+to the index, so the next batch's cross-check sees them.
+
+Cost per batch: O(batch) signing + one banded equi-join against the
+index (bucket key, never all-pairs) + an exact-Jaccard verify that
+touches only the shingle rows of candidate old docs. At 100 TB the
+bands/shingles store is the ingest-time index kept next to the corpus
+(partitioned by batch; the per-batch band join's small side is the new
+batch, which broadcasts), exactly the shape
+``functions/dedup.py::minhash_incremental_pairs`` benchmarks in batch
+form — this module is its Structured Streaming driver.
+
+All foreachBatch writes are keyed by ``batch_id`` subdirectory with
+``mode("overwrite")`` — the standard idempotent exactly-once-to-storage
+pattern: a replayed batch after failure overwrites its own output
+instead of duplicating rows.
+
+Net-new surface (no reference counterpart; the reference is a
+batch-only astrophysics engine — SURVEY §2.7).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scida_spark.functions.dedup import (
+    _band_signatures,
+    connected_components,
+    exact_dedup,
+    minhash_signatures_from_shingles,
+    shingle_hash_table,
+)
+
+
+def _read_index_part(
+    spark: SparkSession, root: str, part: str, before_batch: int
+) -> DataFrame | None:
+    """Read one index component (``bands`` or ``shingles``) if any
+    batch has written it yet; None on the very first batch. Only
+    partitions with ``batch_id < before_batch`` are read (partition
+    pruning on the directory key): a REPLAYED batch must not see its
+    own prior writes, or it would drop every one of its docs as a
+    duplicate of itself."""
+    path = os.path.join(root, part)
+    if not os.path.isdir(path):
+        return None
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        return None
+    return df.filter(F.col("batch_id") < before_batch)
+
+
+def incremental_dedup_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    *,
+    corpus_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+    available_now: bool = True,
+):
+    """Start the streaming ingest; returns the StreamingQuery.
+
+    ``input_dir`` is watched for new parquet files with ``schema``;
+    accepted documents land under ``corpus_dir/batch_id=N/``; the
+    signature index under ``index_dir/{bands,shingles}/batch_id=N/``.
+    Keep-history-first semantics: a new doc near-duplicating an already
+    accepted doc (exact, or Jaccard ≥ ``threshold`` on word
+    ``n``-grams) is dropped; within a batch the min-id doc of each
+    near-dup cluster survives. The same (num_perm, bands, seed) MUST be
+    used for the life of the index — mismatched parameters silently
+    produce disjoint band buckets.
+    """
+    rows_per_band = num_perm // bands
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        # (1) exact within-batch dedup (min-id per identical text).
+        b1 = exact_dedup(batch, id_col, text_col).localCheckpoint(eager=True)
+        # (2) within-batch near-dups: LSH pairs -> CC -> keep min id.
+        sh_new = shingle_hash_table(b1, id_col, text_col, n=n).localCheckpoint(
+            eager=True
+        )
+        from scida_spark.functions.dedup import minhash_dedup_pairs_from_shingles
+
+        pairs_in = minhash_dedup_pairs_from_shingles(
+            sh_new, num_perm=num_perm, bands=bands, threshold=threshold, seed=seed
+        )
+        drop_in = (
+            connected_components(pairs_in)
+            .filter(F.col("node") != F.col("cluster_id"))
+            .select(F.col("node").alias("doc"))
+        )
+        sh_surv = sh_new.join(drop_in, "doc", "left_anti").localCheckpoint(eager=True)
+        # (3) cross-batch: new survivors' bands vs the PERSISTED index.
+        new_sig = minhash_signatures_from_shingles(sh_surv, num_perm, seed)
+        new_bands = _band_signatures(new_sig, bands, rows_per_band).localCheckpoint(
+            eager=True
+        )
+        old_bands = _read_index_part(sess, index_dir, "bands", batch_id)
+        old_sh = _read_index_part(sess, index_dir, "shingles", batch_id)
+        if old_bands is not None and old_sh is not None:
+            cands = (
+                F.broadcast(new_bands.withColumnRenamed("doc", "new_doc"))
+                .join(old_bands.select(F.col("doc").alias("old_doc"), "bucket"),
+                      "bucket")
+                .select("new_doc", "old_doc")
+                .distinct()
+            )
+            a = sh_surv.select(F.col("doc").alias("new_doc"), F.col("sh").alias("sh_a"))
+            b = old_sh.select(F.col("doc").alias("old_doc"), F.col("sh").alias("sh_b"))
+            dup_new = (
+                cands.join(a, "new_doc")
+                .join(b, "old_doc")
+                .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+                .withColumn(
+                    "n_union", F.size("sh_a") + F.size("sh_b") - F.col("n_inter")
+                )
+                .filter(
+                    F.col("n_inter").cast("double")
+                    >= F.lit(threshold) * F.col("n_union").cast("double")
+                )
+                .select(F.col("new_doc").alias("doc"))
+                .distinct()
+            )
+        else:
+            dup_new = None
+        final_sh = sh_surv if dup_new is None else sh_surv.join(
+            dup_new, "doc", "left_anti"
+        )
+        final_ids = final_sh.select(F.col("doc").alias(id_col)).localCheckpoint(
+            eager=True
+        )
+        survivors = b1.join(final_ids, id_col, "left_semi")
+        # (4) idempotent per-batch writes: corpus + index appendices.
+        survivors.write.mode("overwrite").parquet(
+            f"{corpus_dir}/batch_id={batch_id}"
+        )
+        new_bands.join(
+            final_ids.select(F.col(id_col).alias("doc")), "doc", "left_semi"
+        ).write.mode("overwrite").parquet(f"{index_dir}/bands/batch_id={batch_id}")
+        final_sh.write.mode("overwrite").parquet(
+            f"{index_dir}/shingles/batch_id={batch_id}"
+        )
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        input_dir
+    )
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
