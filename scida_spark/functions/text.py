@@ -155,6 +155,79 @@ def rolling_hash_fingerprint(df: DataFrame, text_col: str, out_col: str = "finge
     return df.withColumn(out_col, _rh(F.col(text_col)))
 
 
+# --------------------------------------------------------------------------
+# Text cleaning (pre-training corpus hygiene)
+# --------------------------------------------------------------------------
+# All pure Column expressions: whole-stage codegen, zero shuffle, and
+# they compose — clean_text() is the standard chain. Patterns are Java
+# regex (executed JVM-side by regexp_replace).
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"(?:https?://|www\.)[^\s]+"
+_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+_PHONE_RE = r"\+?\d[\d\s().-]{7,}\d"
+_CONTROL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def strip_control_chars(text: Column) -> Column:
+    """Remove C0/C1 control characters except newline and tab."""
+    return F.regexp_replace(text, _CONTROL_RE, "")
+
+
+def normalize_whitespace(text: Column) -> Column:
+    """Collapse whitespace runs to one space and trim — canonical form
+    for tokenizers and exact-dedup hashing (two docs differing only in
+    spacing hash identically after this)."""
+    return F.trim(F.regexp_replace(text, r"\s+", " "))
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, URLs, IPv4 addresses, and phone-like digit runs
+    with typed placeholder tokens. Order matters: URLs before phones
+    (URLs can contain long digit runs), emails before URLs (an email's
+    domain must not be half-eaten by the URL rule)."""
+    out = F.regexp_replace(text, _EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, _URL_RE, "<URL>")
+    out = F.regexp_replace(out, _IPV4_RE, "<IP>")
+    out = F.regexp_replace(out, _PHONE_RE, "<PHONE>")
+    return out
+
+
+BOILERPLATE_MARKERS = (
+    "all rights reserved",
+    "cookie policy",
+    "terms of service",
+    "subscribe to our newsletter",
+)
+
+
+def remove_boilerplate_lines(
+    text: Column, markers: tuple[str, ...] = BOILERPLATE_MARKERS
+) -> Column:
+    """Drop lines containing any boilerplate marker (case-insensitive
+    substring match) — the line-level filter CCNet/RefinedWeb-style
+    pipelines apply before document-level dedup. ONE multiline
+    case-insensitive regexp_replace, not split→filter(lambda)→join:
+    higher-order functions run interpreted and break the codegen span
+    (measured in SCALE.md), while this stays a single whole-stage-
+    codegen'd projection."""
+    import re as _re
+
+    alternation = "|".join(_re.escape(m) for m in markers)
+    return F.regexp_replace(
+        text, f"(?im)^.*(?:{alternation}).*(?:\n|$)", ""
+    )
+
+
+def clean_text(text: Column) -> Column:
+    """Standard cleaning chain: strip control chars → drop boilerplate
+    lines → redact PII → normalize whitespace. One projection, fully
+    codegen'd — cleaning 100 TB is a map-only scan."""
+    return normalize_whitespace(
+        redact_pii(remove_boilerplate_lines(strip_control_chars(text)))
+    )
+
+
 def repetition_kernel(texts) -> "tuple[np.ndarray, np.ndarray]":
     """Pure-Python core of :func:`repetition_stats` (exposed for
     property tests): per text, (count of the most frequent word bigram,
