@@ -78,3 +78,68 @@ def hash_sample(df: DataFrame, id_col: str, fraction: float, salt: str = "") -> 
     engines, and partitionings; nested samples compose (a 1 % sample
     is a subset of the 10 % sample at the same salt)."""
     return df.filter(hash_bucket(F.col(id_col), salt) < int(fraction * BUCKET_SPACE))
+
+
+# --------------------------------------------------------------------------
+# Domain mixing (corpus composition control)
+# --------------------------------------------------------------------------
+
+
+def mix_thresholds(counts: dict[str, int], weights: dict[str, int]) -> dict[str, int]:
+    """Integer-exact per-domain keep thresholds realizing a target
+    mixture ``weights`` (integer proportions, e.g. en:4, de:2, zh:1)
+    by DOWNSAMPLING only: the output is scaled so the most constrained
+    domain (argmin of count/weight, ties by name) keeps 100 % of its
+    rows and every other domain is thinned to match the target shares.
+
+    thr_d = floor(w_d * c_m * 2^32 / (w_m * c_d)) with m the
+    constraining domain — pure integer arithmetic, so ANY engine
+    (including a SQL oracle with 64-bit integer division) reproduces
+    the exact same thresholds; no float accumulation anywhere
+    (the ``split_thresholds`` lesson)."""
+    from fractions import Fraction
+
+    missing = sorted(set(counts) - set(weights))
+    if missing:
+        raise ValueError(f"domains without a mix weight: {missing}")
+    m = min(counts, key=lambda d: (Fraction(counts[d], weights[d]), d))
+    return {
+        d: (weights[d] * counts[m] * BUCKET_SPACE) // (weights[m] * counts[d])
+        for d in counts
+    }
+
+
+def in_mix_column(
+    id_col: Column, strata_col: Column, thresholds: dict[str, int], salt: str = ""
+) -> Column:
+    """Boolean membership column for a stratified hash sample with
+    per-stratum bucket ``thresholds`` (see ``mix_thresholds``).
+    Unlisted strata get threshold 0 (excluded). Pure JVM expressions."""
+    b = hash_bucket(id_col, salt)
+    thr = None
+    for stratum, t in thresholds.items():
+        cond = strata_col == stratum
+        thr = F.when(cond, F.lit(t)) if thr is None else thr.when(cond, F.lit(t))
+    thr = F.lit(0) if thr is None else thr.otherwise(F.lit(0))
+    return b < thr
+
+
+def domain_mix(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    weights: dict[str, int],
+    salt: str = "",
+) -> DataFrame:
+    """Deterministically thin a corpus to a target domain mixture
+    (the Pile/RedPajama-style composition step): one tiny count
+    aggregation (rows = domain cardinality — the ONLY driver-side
+    materialization, safe for any realistic domain count), then a
+    map-only hash filter. Reproducible: membership is a pure function
+    of (id, salt, counts) — re-runs, repartitioning, and engine
+    changes cannot change the selected set."""
+    counts = {r[0]: r[1] for r in df.groupBy(domain_col).count().collect()}
+    thresholds = mix_thresholds(counts, weights)
+    return df.filter(
+        in_mix_column(F.col(id_col), F.col(domain_col), thresholds, salt)
+    )

@@ -374,27 +374,55 @@ _SPLIT_T = _split_thresholds_r6()
     f"""
     WITH b AS (
       SELECT doc_id, lang,
-             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'r6'), 1, 8)) AS UBIGINT) AS bucket
-      FROM documents)
-    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
-           CASE WHEN bucket < {_SPLIT_T[0]} THEN 'train'
-                WHEN bucket < {_SPLIT_T[1]} THEN 'eval'
-                ELSE 'test' END AS split
-    FROM b
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'r6'), 1, 8)) AS UBIGINT) AS bucket,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix7'), 1, 8)) AS UBIGINT) AS mbucket
+      FROM documents),
+    c AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+    w AS (SELECT * FROM (VALUES ('en', 4), ('de', 2), ('es', 2), ('fr', 1), ('zh', 1))
+          AS t(lang, w)),
+    cw AS (SELECT c.lang, c.c, w.w FROM c JOIN w USING (lang)),
+    m AS (SELECT c AS mc, w AS mw FROM cw
+          ORDER BY CAST(c AS DOUBLE) / w, lang LIMIT 1),
+    thr AS (SELECT cw.lang,
+                   (cw.w * m.mc * 4294967296) // (m.mw * cw.c) AS thr
+            FROM cw, m)
+    SELECT CAST(b.doc_id AS BIGINT) AS doc_id, b.lang,
+           CASE WHEN b.bucket < {_SPLIT_T[0]} THEN 'train'
+                WHEN b.bucket < {_SPLIT_T[1]} THEN 'eval'
+                ELSE 'test' END AS split,
+           b.mbucket < thr.thr AS in_mix
+    FROM b JOIN thr USING (lang)
     """,
 )
 def text_train_eval_split(spark, sf_dir):
-    """Reproducible train/eval/test assignment by content hash
-    (functions/sampling.py): a pure function of (doc_id, salt), so the
-    split survives re-runs, repartitioning, engine changes, and late
-    data — the DuckDB oracle recomputes the identical md5 buckets and
-    the hash match proves bit-for-bit reproducibility. All JVM-side
-    expressions; no rand(), no shuffle."""
-    from scida_spark.functions.sampling import hash_split
+    """Reproducible train/eval/test assignment by content hash PLUS
+    domain-mix membership (functions/sampling.py) — both pure functions
+    of (doc_id, salt), so they survive re-runs, repartitioning, engine
+    changes, and late data; the DuckDB oracle recomputes the identical
+    md5 buckets and the hash match proves bit-for-bit reproducibility.
+
+    ``in_mix`` certifies the corpus-composition operator
+    (``domain_mix``): documents are thinned toward the target language
+    mixture en:4 de:2 es:2 fr:1 zh:1 (downsample-only, scaled so the
+    most constrained language keeps 100 %). Thresholds are INTEGER
+    arithmetic — floor(w_d*c_m*2^32/(w_m*c_d)) — so the oracle's
+    64-bit integer division reproduces them exactly; per-language
+    counts are the one tiny driver-side aggregate (5 rows). All
+    assignment expressions are JVM-side; no rand(), no shuffle."""
+    from scida_spark.functions.sampling import (
+        hash_split,
+        in_mix_column,
+        mix_thresholds,
+    )
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
-    return hash_split(docs, "doc_id", {"train": 0.8, "eval": 0.1, "test": 0.1},
-                      salt="r6")
+    split_df = hash_split(docs, "doc_id", {"train": 0.8, "eval": 0.1, "test": 0.1},
+                          salt="r6")
+    counts = {r[0]: r[1] for r in docs.groupBy("lang").count().collect()}
+    thr = mix_thresholds(counts, {"en": 4, "de": 2, "es": 2, "fr": 1, "zh": 1})
+    return split_df.withColumn(
+        "in_mix", in_mix_column(F.col("doc_id"), F.col("lang"), thr, salt="mix7")
+    )
 
 
 @query(
