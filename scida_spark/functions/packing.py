@@ -29,6 +29,58 @@ PACK_SCHEMA = (
 )
 
 
+def greedy_pack_frames(
+    batches: Iterator[pd.DataFrame], budget: int
+) -> Iterator[pd.DataFrame]:
+    """The partition-local greedy first-fit kernel ``pack_sequences``
+    runs under ``mapInPandas`` — module-level so property tests drive
+    the exact production code path without a SparkSession. Input frames
+    carry (_id, _tok); output frames match ``PACK_SCHEMA``."""
+    parts_list = list(batches)
+    pdf = pd.concat(parts_list, ignore_index=True) if parts_list else None
+    if pdf is None or len(pdf) == 0:
+        yield pd.DataFrame(
+            {
+                "seq_id": pd.Series([], dtype=object),
+                "doc_ids": pd.Series([], dtype=object),
+                "n_docs": pd.Series([], dtype="int32"),
+                "total_tokens": pd.Series([], dtype="int64"),
+                "oversize": pd.Series([], dtype=bool),
+            }
+        )
+        return
+    pdf = pdf.sort_values("_id", kind="mergesort").reset_index(drop=True)
+    first = int(pdf["_id"].iloc[0])
+    cur_ids: list[int] = []
+    cur_tok = 0
+    out_rows: list[tuple] = []
+
+    def _seal(ids: list[int], tok: int) -> None:
+        out_rows.append(
+            (f"{first}:{len(out_rows)}", list(ids), len(ids), tok, tok > budget)
+        )
+
+    for did, ntok in zip(pdf["_id"].to_numpy(), pdf["_tok"].to_numpy()):
+        ntok = int(ntok)
+        if ntok > budget:
+            # Oversize doc: seal current, emit singleton.
+            if cur_ids:
+                _seal(cur_ids, cur_tok)
+                cur_ids, cur_tok = [], 0
+            _seal([int(did)], ntok)
+            continue
+        if cur_tok + ntok > budget and cur_ids:
+            _seal(cur_ids, cur_tok)
+            cur_ids, cur_tok = [], 0
+        cur_ids.append(int(did))
+        cur_tok += ntok
+    if cur_ids:
+        _seal(cur_ids, cur_tok)
+    yield pd.DataFrame(
+        out_rows, columns=["seq_id", "doc_ids", "n_docs", "total_tokens", "oversize"]
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
@@ -51,55 +103,7 @@ def pack_sequences(
     """
 
     def _pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        parts_list = list(batches)
-        pdf = pd.concat(parts_list, ignore_index=True) if parts_list else None
-        if pdf is None or len(pdf) == 0:
-            yield pd.DataFrame(
-                {
-                    "seq_id": pd.Series([], dtype=object),
-                    "doc_ids": pd.Series([], dtype=object),
-                    "n_docs": pd.Series([], dtype="int32"),
-                    "total_tokens": pd.Series([], dtype="int64"),
-                    "oversize": pd.Series([], dtype=bool),
-                }
-            )
-            return
-        pdf = pdf.sort_values("_id", kind="mergesort").reset_index(drop=True)
-        first = int(pdf["_id"].iloc[0])
-        cur_ids: list[int] = []
-        cur_tok = 0
-        out_rows = []
-
-        def _seal(ids: list[int], tok: int) -> None:
-            out_rows.append(
-                (
-                    f"{first}:{len(out_rows)}",
-                    list(ids),
-                    len(ids),
-                    tok,
-                    tok > budget,
-                )
-            )
-
-        for did, ntok in zip(pdf["_id"].to_numpy(), pdf["_tok"].to_numpy()):
-            ntok = int(ntok)
-            if ntok > budget:
-                # Oversize doc: seal current, emit singleton.
-                if cur_ids:
-                    _seal(cur_ids, cur_tok)
-                    cur_ids, cur_tok = [], 0
-                _seal([int(did)], ntok)
-                continue
-            if cur_tok + ntok > budget and cur_ids:
-                _seal(cur_ids, cur_tok)
-                cur_ids, cur_tok = [], 0
-            cur_ids.append(int(did))
-            cur_tok += ntok
-        if cur_ids:
-            _seal(cur_ids, cur_tok)
-        yield pd.DataFrame(
-            out_rows, columns=["seq_id", "doc_ids", "n_docs", "total_tokens", "oversize"]
-        )
+        yield from greedy_pack_frames(batches, budget)
 
     sel = df.select(
         F.col(id_col).cast("long").alias("_id"),

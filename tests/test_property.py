@@ -149,3 +149,70 @@ def test_cells_overlapping_never_drops_an_inside_point(center, width, x):
         return
     cell = min(ncells - 1, int(x / (box / ncells)))
     assert cell in cells_overlapping(center, width, box, ncells)
+
+
+# --- domain-mix thresholds: integer-exact invariants -----------------------
+
+
+@given(
+    counts=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(min_value=1, max_value=10**9),
+        min_size=1,
+        max_size=4,
+    ),
+    weights=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(min_value=1, max_value=100),
+        min_size=4,
+        max_size=4,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_mix_thresholds_invariants(counts, weights):
+    from fractions import Fraction
+
+    from scida_spark.functions.sampling import BUCKET_SPACE, mix_thresholds
+
+    thr = mix_thresholds(counts, weights)
+    assert set(thr) == set(counts)
+    m = min(counts, key=lambda d: (Fraction(counts[d], weights[d]), d))
+    # The constraining domain keeps everything; no threshold exceeds
+    # the bucket space; expected kept mass tracks the target shares.
+    assert thr[m] == BUCKET_SPACE
+    for d in thr:
+        assert 0 <= thr[d] <= BUCKET_SPACE
+        # floor identity: thr_d = floor(w_d*c_m*S / (w_m*c_d))
+        assert thr[d] == (weights[d] * counts[m] * BUCKET_SPACE) // (
+            weights[m] * counts[d]
+        )
+
+
+# --- sequence packing kernel: conservation + budget ------------------------
+
+
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=700), min_size=0, max_size=60),
+    budget=st.integers(min_value=8, max_value=512),
+)
+@settings(max_examples=150, deadline=None)
+def test_packing_kernel_conserves_tokens_and_respects_budget(toks, budget):
+    import pandas as pd
+
+    from scida_spark.functions.packing import greedy_pack_frames
+
+    pdf = pd.DataFrame({"_id": list(range(len(toks))), "_tok": toks})
+    out = pd.concat(list(greedy_pack_frames(iter([pdf]), budget)), ignore_index=True)
+    if not toks:
+        assert len(out) == 0
+        return
+    packed_ids = [i for ids in out["doc_ids"] for i in ids]
+    assert sorted(packed_ids) == list(range(len(toks)))
+    assert list(out["total_tokens"]) == [
+        sum(toks[i] for i in ids) for ids in out["doc_ids"]
+    ]
+    ok = out[~out["oversize"]]
+    over = out[out["oversize"]]
+    assert (ok["total_tokens"] <= budget).all()
+    assert all(len(ids) == 1 for ids in over["doc_ids"])
+    assert (over["total_tokens"] > budget).all()
