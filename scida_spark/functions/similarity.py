@@ -556,3 +556,231 @@ def embedding_neardup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ): compressed ANN with asymmetric-distance scan
+# --------------------------------------------------------------------------
+# The storage-scale path (Jegou+ 2011 "Product Quantization for Nearest
+# Neighbor Search"): vectors are unit-normalized, chopped into m
+# subspaces, and each subvector replaced by the id of its nearest
+# per-subspace centroid — m*nbits bits per vector (64 dims of float32 →
+# 8 bytes at m=8, nbits=4: 32x). Queries never decompress the corpus:
+# an (m × 2^nbits) look-up table of subspace inner products turns each
+# approximate similarity into m table reads (ADC). The ADC scan emits a
+# per-partition shortlist, only the shortlist shuffles, and an exact
+# re-rank against the TRUE vectors of shortlist members restores
+# precision — the standard IVF-PQ serving shape.
+
+
+def _kmeans_l2(sample: np.ndarray, k: int, seed: int, iters: int = 15) -> np.ndarray:
+    """Plain-L2 mini k-means for PQ subquantizers (deterministic)."""
+    k = min(k, len(sample))
+    rng = np.random.RandomState(seed)
+    cent = sample[rng.choice(len(sample), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = sample[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+    return cent
+
+
+def train_pq_codebooks(
+    sample: np.ndarray, m: int = 8, nbits: int = 4, seed: int = 42
+) -> np.ndarray:
+    """(m, 2^nbits, d/m) codebooks from a driver-side sample (trained
+    once at ingest, persisted like the IVF centroids). Vectors are
+    unit-normalized first so PQ inner products approximate cosine."""
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    s = sample[norms[:, 0] > 0] / norms[norms[:, 0] > 0]
+    if len(s) == 0:
+        raise ValueError("PQ training sample contains no non-zero vectors")
+    return np.stack(
+        [
+            _kmeans_l2(
+                np.ascontiguousarray(s[:, i * dsub : (i + 1) * dsub]), 1 << nbits,
+                seed + i,
+            )
+            for i in range(m)
+        ]
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, code binary) — each vector compressed to m bytes (one
+    subquantizer id per byte; nbits ≤ 8). One narrow Pandas-UDF pass
+    over broadcast codebooks; no shuffle."""
+    m, ksub, dsub = codebooks.shape
+    bcast = embeddings.sparkSession.sparkContext.broadcast(codebooks)
+
+    @F.pandas_udf("binary")
+    def _enc(vecs: pd.Series) -> pd.Series:
+        cb = bcast.value
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+        n = len(mat)
+        codes = np.empty((n, m), dtype=np.uint8)
+        for i in range(m):
+            sub = mat[:, i * dsub : (i + 1) * dsub]
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 → argmin over c
+            d2 = (
+                -2.0 * (sub @ cb[i].T)
+                + (cb[i] ** 2).sum(axis=1)[None, :]
+            )
+            codes[:, i] = d2.argmin(axis=1).astype(np.uint8)
+        return pd.Series([c.tobytes() for c in codes])
+
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        _enc(F.col(vec_col).cast("array<double>")).alias("code"),
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    nbits: int = 4,
+    refine: int = 4,
+    seed: int = 42,
+    sample_stride: int = 7,
+    codebooks: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by PQ ADC scan + exact re-rank.
+
+    The compressed corpus is scanned with a per-query LUT; each
+    partition emits only its local top ``k*refine`` per query (the
+    shuffle carries partitions × queries × k·refine rows, never the
+    corpus), the global shortlist is cut with a window over that small
+    set, and shortlist members are re-ranked by exact cosine against
+    their true vectors (a semi-join pulls just those rows). Returns
+    (query_id, cand_id, sim, rank) with EXACT sims for the final k.
+    """
+    from pyspark.sql import Window
+
+    spark = embeddings.sparkSession
+    if codebooks is None:
+        sample = np.stack(
+            [
+                np.asarray(r["v"], dtype=np.float64)
+                for r in embeddings.select(
+                    F.col(vec_col).cast("array<double>").alias("v")
+                )
+                .filter(F.col(id_col) % sample_stride == 0)
+                .limit(max((1 << nbits) * 64, 1024))
+                .collect()
+            ]
+        )
+        codebooks = train_pq_codebooks(sample, m=m, nbits=nbits, seed=seed)
+    mq, ksub, dsub = codebooks.shape
+    encoded = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("v")
+    ).collect()
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    qmat = qmat / qn
+    # LUT[q, i, c] = <q_sub_i, codebook[i, c]> ; approx sim = sum_i LUT[q, i, code_i]
+    lut = np.einsum(
+        "qid,icd->qic", qmat.reshape(len(qmat), mq, dsub), codebooks
+    )
+    b_lut = spark.sparkContext.broadcast((qids, lut))
+    shortlist_n = k * refine
+
+    def _scan(batches):
+        qids_l, lut_l = b_lut.value
+        nq = len(qids_l)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["code"].to_numpy()), dtype=np.uint8
+            ).reshape(len(pdf), mq)
+            # asim[n, q] = sum over subspaces of LUT[q, i, codes[n, i]]
+            asim = np.zeros((len(pdf), nq))
+            for i in range(mq):
+                asim += lut_l[:, i, codes[:, i]].T
+            ids = pdf["vec_id"].to_numpy()
+            top = min(len(pdf), shortlist_n)
+            out_q, out_c, out_s = [], [], []
+            for qi in range(nq):
+                part = np.argpartition(-asim[:, qi], top - 1)[:top]
+                out_q.extend([qids_l[qi]] * top)
+                out_c.extend(ids[part])
+                out_s.extend(asim[part, qi])
+            yield pd.DataFrame(
+                {"query_id": out_q, "cand_id": out_c, "asim": out_s}
+            )
+
+    local_top = encoded.mapInPandas(
+        _scan, schema="query_id long, cand_id long, asim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("asim"), F.asc("cand_id"))
+    shortlist = (
+        local_top.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= shortlist_n)
+        .select("query_id", "cand_id")
+    )
+    # Exact re-rank: pull only shortlist members' true vectors.
+    cand_vecs = embeddings.join(
+        shortlist.select(F.col("cand_id").alias(id_col)).distinct(), id_col, "left_semi"
+    ).select(F.col(id_col).alias("cand_id"), F.col(vec_col).cast("array<double>").alias("cv"))
+    qdf = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    rer = (
+        shortlist.join(F.broadcast(qdf), "query_id")
+        .join(cand_vecs, "cand_id")
+        .withColumn("sim", cosine_batch(F.col("qv"), F.col("cv")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "sim", "rank")
+    )
+
+
+def save_pq_codebooks(spark, codebooks: np.ndarray, path: str) -> None:
+    """Codebooks → parquet (subspace, centroid_id, centroid) — the
+    persistable PQ index artifact (train once at ingest, load for
+    every query batch; same lifecycle as the IVF centroids)."""
+    m, ksub, dsub = codebooks.shape
+    rows = [
+        (int(i), int(c), [float(x) for x in codebooks[i, c]])
+        for i in range(m)
+        for c in range(ksub)
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, centroid_id int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_pq_codebooks(spark, path: str) -> np.ndarray:
+    rows = spark.read.parquet(path).orderBy("subspace", "centroid_id").collect()
+    m = rows[-1]["subspace"] + 1
+    ksub = rows[-1]["centroid_id"] + 1
+    dsub = len(rows[0]["centroid"])
+    out = np.empty((m, ksub, dsub))
+    for r in rows:
+        out[r["subspace"], r["centroid_id"]] = np.asarray(r["centroid"])
+    return out

@@ -628,11 +628,12 @@ def sim_neardup_pairs(spark, sf_dir):
 
 
 # Mean-recall floors for the ANN certification rows: conservative
-# margins under the measured values (lsh ~0.44-0.52, ivf ~0.76-0.84 at
-# sf0.001/sf0.01 with the seeded planes/centroids), so the contract
-# survives a regenerated testdata seed while still catching a broken
-# index (a degenerate bucketing measures recall ~0.02-0.1).
-_ANN_RECALL_FLOORS = {"lsh": 0.25, "ivf": 0.5}
+# margins under the measured values (lsh ~0.44-0.52, ivf ~0.76-0.84,
+# pq ~0.88 at sf0.001/sf0.01 with the seeded planes/centroids/
+# codebooks), so the contract survives a regenerated testdata seed
+# while still catching a broken index (a degenerate bucketing measures
+# recall ~0.02-0.1).
+_ANN_RECALL_FLOORS = {"lsh": 0.25, "ivf": 0.5, "pq": 0.5}
 
 
 @query(
@@ -651,6 +652,10 @@ _ANN_RECALL_FLOORS = {"lsh": 0.25, "ivf": 0.5}
     SELECT 'ivf' AS method, CAST(-1 AS BIGINT) AS query_id,
            CAST(-1 AS BIGINT) AS cand_id, CAST(0.0 AS DOUBLE) AS sim_r,
            CAST(0 AS INT) AS rank, TRUE AS ok
+    UNION ALL
+    SELECT 'pq' AS method, CAST(-1 AS BIGINT) AS query_id,
+           CAST(-1 AS BIGINT) AS cand_id, CAST(0.0 AS DOUBLE) AS sim_r,
+           CAST(0 AS INT) AS rank, TRUE AS ok
     """,
 )
 def sim_topk(spark, sf_dir):
@@ -663,11 +668,13 @@ def sim_topk(spark, sf_dir):
       — broadcast queries × streamed candidates, JVM-side fold; the
       oracle recomputes every (query, cand, sim, rank) value, hash-
       checked per pair.
-    * ``lsh`` / ``ivf`` certification rows: the ANN path (hyperplane
-      multi-probe LSH resp. IVF inverted lists, both sized from parquet
-      footer stats — no count job) is run against the SAME exact top-10
-      and its mean recall@10 across the query set is compared to the
-      pinned floor (lsh ≥ 0.25, ivf ≥ 0.5 — see _ANN_RECALL_FLOORS);
+    * ``lsh`` / ``ivf`` / ``pq`` certification rows: each ANN path
+      (hyperplane multi-probe LSH; IVF inverted lists — both sized from
+      parquet footer stats, no count job; PQ compressed ADC scan with
+      exact re-rank, 32x compression at m=8) is run against the SAME
+      exact top-10 and its mean recall@10 across the query set is
+      compared to the pinned floor (lsh ≥ 0.25, ivf ≥ 0.5, pq ≥ 0.5 —
+      see _ANN_RECALL_FLOORS);
       ``ok`` carries the verdict and the oracle pins it TRUE, the same
       accuracy-contract pattern as sketch_distinct_rollup. Approximate
       candidate ids themselves are NOT value-checked (they are the
@@ -692,6 +699,7 @@ def sim_topk(spark, sf_dir):
     ann = {
         "lsh": SIM.lsh_topk(emb, q, k=10, nbits=None, n_vectors=n),
         "ivf": SIM.ivf_topk(emb, q, k=10, nlist=None, nprobe=4, n_vectors=n),
+        "pq": SIM.pq_topk(emb, q, k=10, nbits=6, refine=8),
     }
     certs = []
     ex_pairs = exact.select("query_id", "cand_id")

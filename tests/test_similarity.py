@@ -236,3 +236,87 @@ def test_ivf_index_persistence_roundtrip(spark, sf_dir, tmp_path):
     reused = sorted(map(tuple, S.ivf_topk(emb, q, k=10, centroids=loaded)
                         .select("query_id", "cand_id", "rank").collect()))
     assert inline == reused and len(reused) > 0
+
+
+# --------------------------------------------------------------------------
+# Product quantization
+# --------------------------------------------------------------------------
+
+
+def test_pq_encode_compression_and_range(spark, sf_dir):
+    import numpy as np
+
+    from scida_spark.functions.similarity import pq_encode, train_pq_codebooks
+    from scida_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    sample = np.stack(
+        [np.asarray(r["v"]) for r in emb.selectExpr(
+            "cast(embedding as array<double>) as v").limit(256).collect()]
+    )
+    cb = train_pq_codebooks(sample, m=8, nbits=6)
+    assert cb.shape == (8, 64, 8)
+    enc = pq_encode(emb, cb).collect()
+    # m bytes per vector (vs 64 floats): the 32x compression claim.
+    assert all(len(r["code"]) == 8 for r in enc)
+    assert all(b < 64 for r in enc for b in r["code"])
+
+
+def test_pq_topk_recall_and_determinism(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from scida_spark.functions.similarity import cosine_topk_bruteforce, pq_topk
+    from scida_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in cosine_topk_bruteforce(emb, q, k=10).collect()
+    }
+    a = pq_topk(emb, q, k=10, nbits=6, refine=8)
+    got = {(r["query_id"], r["cand_id"]) for r in a.collect()}
+    assert len(got & exact) / len(exact) >= 0.6
+    b = {(r["query_id"], r["cand_id"]) for r in
+         pq_topk(emb, q, k=10, nbits=6, refine=8).collect()}
+    assert got == b
+    # Final sims are EXACT (re-ranked): every returned (q,c) sim must
+    # equal the brute-force cosine for that pair.
+    bf = {
+        (r["query_id"], r["cand_id"]): r["sim"]
+        for r in cosine_topk_bruteforce(emb, q, k=10_000).collect()
+    }
+    for r in a.collect():
+        key = (r["query_id"], r["cand_id"])
+        if key in bf:
+            assert abs(r["sim"] - bf[key]) < 1e-9
+
+
+def test_pq_codebooks_roundtrip(spark, sf_dir, tmp_path):
+    import numpy as np
+
+    from scida_spark.functions.similarity import (
+        load_pq_codebooks,
+        pq_topk,
+        save_pq_codebooks,
+        train_pq_codebooks,
+    )
+    from scida_spark.tables import table
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    sample = np.stack(
+        [np.asarray(r["v"]) for r in emb.selectExpr(
+            "cast(embedding as array<double>) as v").limit(256).collect()]
+    )
+    cb = train_pq_codebooks(sample, m=8, nbits=4)
+    path = str(tmp_path / "pq_index")
+    save_pq_codebooks(spark, cb, path)
+    cb2 = load_pq_codebooks(spark, path)
+    assert np.array_equal(cb, cb2)
+    q = emb.filter(F.col("vec_id") < 3)
+    r1 = sorted((r["query_id"], r["cand_id"]) for r in
+                pq_topk(emb, q, k=5, codebooks=cb).collect())
+    r2 = sorted((r["query_id"], r["cand_id"]) for r in
+                pq_topk(emb, q, k=5, codebooks=cb2).collect())
+    assert r1 == r2
