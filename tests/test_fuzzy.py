@@ -1,0 +1,102 @@
+"""Fuzzy edit-distance pairs: completeness vs a brute-force oracle,
+exact distances, short-string path coverage."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from scida_spark.functions.fuzzy import fuzzy_pairs
+
+
+def _brute(spark, df, d):
+    a = df.select(F.col("id").alias("id_a"), F.col("t").alias("ta"))
+    b = df.select(F.col("id").alias("id_b"), F.col("t").alias("tb"))
+    return {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("ta", "tb"))
+        .filter(F.col("dist") <= d)
+        .collect()
+    }
+
+
+def _corpus(seed=7, n=120):
+    rng = random.Random(seed)
+    words = [
+        "".join(rng.choice("abcdefg") for _ in range(rng.randint(1, 14)))
+        for _ in range(n // 2)
+    ]
+    out = []
+    for w in words:
+        out.append(w)
+        mode = rng.random()
+        if mode < 0.4 and len(w) > 1:  # near-dup by one deletion
+            i = rng.randrange(len(w))
+            out.append(w[:i] + w[i + 1 :])
+        elif mode < 0.7:  # substitution
+            i = rng.randrange(len(w))
+            out.append(w[:i] + rng.choice("abcdefg") + w[i + 1 :])
+        else:  # insertion
+            i = rng.randrange(len(w) + 1)
+            out.append(w[:i] + rng.choice("abcdefg") + w[i:])
+    return [(i, t) for i, t in enumerate(out)]
+
+
+@pytest.mark.parametrize("d", [1, 2])
+def test_fuzzy_pairs_complete_vs_bruteforce(spark, d):
+    df = spark.createDataFrame(_corpus(), "id long, t string")
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in fuzzy_pairs(df, "id", "t", max_distance=d).collect()
+    }
+    assert got == _brute(spark, df, d)
+
+
+def test_fuzzy_pairs_short_strings_covered(spark):
+    # All-short corpus (len <= q-1+d*q+d): exercises the length-window
+    # path exclusively, including len < q strings.
+    rows = [(1, "a"), (2, "b"), (3, "ab"), (4, "ba"), (5, "abc"), (6, "abcd"), (7, "")]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in fuzzy_pairs(df, "id", "t", max_distance=2).collect()
+    }
+    assert got == _brute(spark, df, 2)
+
+
+def test_fuzzy_pairs_mixed_lengths_cross_boundary(spark):
+    # A long string paired with a short one across the short_cut
+    # boundary must be found via the short side's upward window.
+    rows = [(1, "abcdefgh"), (2, "abcdefg"), (3, "abcdefghij"), (4, "zzzzzzzz")]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_pairs(df, "id", "t", max_distance=2, q=3).collect()
+    }
+    assert (1, 2) in got and (1, 3) in got
+    assert not any(4 in p for p in got)
+
+
+def test_fuzzy_pairs_no_cartesian_in_long_path(spark):
+    df = spark.createDataFrame(
+        [(i, f"abcdefghij{i:04d}") for i in range(200)], "id long, t string"
+    )
+    out = fuzzy_pairs(df, "id", "t", max_distance=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    # Numeric suffixes differing in one digit ARE distance-1 pairs;
+    # the blocked result must match brute force exactly.
+    dfb = df.select("id", F.col("t"))
+    n_brute = len(
+        _brute(
+            spark,
+            dfb.select(F.col("id"), F.col("t").alias("t")),
+            1,
+        )
+    )
+    assert out.count() == n_brute
