@@ -707,8 +707,34 @@ def pq_topk(
             ]
         )
         codebooks = train_pq_codebooks(sample, m=m, nbits=nbits, seed=seed)
-    mq, ksub, dsub = codebooks.shape
     encoded = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
+    return pq_topk_from_encoded(
+        encoded, embeddings, codebooks, queries, k=k, refine=refine,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def pq_topk_from_encoded(
+    encoded: DataFrame,
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC scan + exact re-rank over an ALREADY-ENCODED corpus — the
+    steady-state query path when codes are built once at ingest and
+    persisted (``streaming/ingest.py::vector_index_ingest``):
+    encoding cost is never re-paid per query batch. ``encoded`` is a
+    (vec_id, code binary) table matching ``pq_encode``'s output;
+    ``embeddings`` supplies true vectors for the shortlist re-rank
+    (only shortlist members are read — semi-join)."""
+    from pyspark.sql import Window
+
+    spark = encoded.sparkSession
+    mq, ksub, dsub = codebooks.shape
     qrows = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("v")
     ).collect()

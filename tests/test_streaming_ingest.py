@@ -133,3 +133,68 @@ def test_ingest_batch_writes_idempotent(spark, dirs):
     got = spark.read.parquet(dirs["corpus"])
     assert got.count() == n1
     assert got.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+
+
+# --------------------------------------------------------------------------
+# Vector index ingest
+# --------------------------------------------------------------------------
+
+
+def test_vector_index_ingest_accumulates_and_queries(spark, tmp_path):
+    import numpy as np
+
+    from scida_spark.functions.similarity import (
+        load_pq_codebooks,
+        pq_topk_from_encoded,
+    )
+    from scida_spark.streaming.ingest import vector_index_ingest
+
+    rng = np.random.RandomState(3)
+    in_dir = tmp_path / "vin"
+    in_dir.mkdir()
+    idx = str(tmp_path / "vidx")
+    ck = str(tmp_path / "vck")
+    schema = "vec_id long, embedding array<double>"
+
+    def wave(path, ids):
+        vecs = rng.standard_normal((len(ids), 16))
+        pd.DataFrame(
+            {"vec_id": ids, "embedding": [list(map(float, v)) for v in vecs]}
+        ).to_parquet(path)
+
+    wave(f"{in_dir}/w1.parquet", list(range(0, 120)))
+    q = vector_index_ingest(
+        spark, str(in_dir), schema, index_dir=idx, checkpoint_dir=ck,
+        m=4, nbits=4,
+    )
+    q.awaitTermination(120)
+    wave(f"{in_dir}/w2.parquet", list(range(120, 260)))
+    q = vector_index_ingest(
+        spark, str(in_dir), schema, index_dir=idx, checkpoint_dir=ck,
+        m=4, nbits=4,
+    )
+    q.awaitTermination(120)
+
+    codes = spark.read.parquet(f"{idx}/codes")
+    vecs = spark.read.parquet(f"{idx}/vectors")
+    # Every ingested vector encoded exactly once, m bytes each.
+    assert codes.count() == 260
+    assert codes.select("vec_id").distinct().count() == 260
+    assert all(len(r["code"]) == 4 for r in codes.limit(10).collect())
+    # Query the ACCUMULATED index: results must equal encoding the full
+    # corpus fresh with the SAME persisted codebooks (cross-batch
+    # consistency — codebooks were trained once, on wave 1).
+    cb = load_pq_codebooks(spark, f"{idx}/codebooks")
+    queries = vecs.filter(F.col("vec_id") < 3)
+    got = sorted(
+        (r["query_id"], r["cand_id"])
+        for r in pq_topk_from_encoded(codes, vecs, cb, queries, k=5).collect()
+    )
+    from scida_spark.functions.similarity import pq_encode
+
+    fresh = pq_encode(vecs, cb)
+    want = sorted(
+        (r["query_id"], r["cand_id"])
+        for r in pq_topk_from_encoded(fresh, vecs, cb, queries, k=5).collect()
+    )
+    assert got == want and len(got) == 15
