@@ -95,8 +95,23 @@ def incremental_dedup_ingest(
 
     def process(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
-        # (1) exact within-batch dedup (min-id per identical text).
-        b1 = exact_dedup(batch, id_col, text_col).localCheckpoint(eager=True)
+        # (1) exact dedup: within-batch (min-id per identical text) AND
+        # against the persisted digest index — MinHash alone cannot
+        # catch an exact duplicate of a sub-n-token document (its
+        # shingle set is empty, so it produces no bands), so exact
+        # history membership needs its own tiny index: one md5 per
+        # accepted doc, equi-joined.
+        b0 = exact_dedup(batch, id_col, text_col)
+        old_dig = _read_index_part(sess, index_dir, "digests", batch_id)
+        if old_dig is not None:
+            b0 = b0.join(
+                old_dig.select("digest").distinct().withColumnRenamed(
+                    "digest", "_hist_digest"
+                ),
+                F.md5(F.col(text_col)) == F.col("_hist_digest"),
+                "left_anti",
+            )
+        b1 = b0.localCheckpoint(eager=True)
         # (2) within-batch near-dups: LSH pairs -> CC -> keep min id.
         sh_new = shingle_hash_table(b1, id_col, text_col, n=n).localCheckpoint(
             eager=True
@@ -162,6 +177,9 @@ def incremental_dedup_ingest(
         final_sh.write.mode("overwrite").parquet(
             f"{index_dir}/shingles/batch_id={batch_id}"
         )
+        survivors.select(F.md5(F.col(text_col)).alias("digest")).write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/digests/batch_id={batch_id}")
 
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
         input_dir

@@ -91,31 +91,45 @@ def test_incremental_dedup_ingest(spark, dirs):
     assert got2 == {1, 2, 3, 4, 5, 13, 14}
 
     # Wave 3: 17 near-duplicates 13 — a WAVE-2 survivor — proving the
-    # index was extended with wave-2 acceptances; 18 is new.
+    # index was extended with wave-2 acceptances; 18 is new; 19 is a
+    # SHORT new doc (2 tokens → empty 3-gram shingle set).
     _write_wave(
         f"{dirs['input']}/w3.parquet",
         [
             (17, _near("benchmark decontamination removes training documents overlapping the evaluation suites from the final corpus before release")),
             (18, "vectorized arrow batches move columnar data between the jvm and python workers"),
+            (19, "short doc"),
         ],
     )
     _run(spark, dirs)
     got3 = {
         r.doc_id for r in spark.read.parquet(dirs["corpus"]).select("doc_id").collect()
     }
-    assert got3 == {1, 2, 3, 4, 5, 13, 14, 18}
+    assert got3 == {1, 2, 3, 4, 5, 13, 14, 18, 19}
 
-    # The index holds bands/shingles ONLY for accepted documents.
+    # Wave 4: 20 exactly duplicates the SHORT doc 19 — invisible to
+    # MinHash (no shingles, no bands), caught only by the digest index.
+    _write_wave(f"{dirs['input']}/w4.parquet", [(20, "short doc")])
+    _run(spark, dirs)
+    got4 = {
+        r.doc_id for r in spark.read.parquet(dirs["corpus"]).select("doc_id").collect()
+    }
+    assert got4 == {1, 2, 3, 4, 5, 13, 14, 18, 19}
+
+    # The index holds bands/shingles ONLY for accepted documents with
+    # shingles (the short doc 19 has none), and one digest per
+    # accepted doc.
     idx_docs = {
         r.doc
         for r in spark.read.parquet(f"{dirs['index']}/bands").select("doc").collect()
     }
-    assert idx_docs == got3
+    assert idx_docs == got4 - {19}
     sh_docs = {
         r.doc
         for r in spark.read.parquet(f"{dirs['index']}/shingles").select("doc").collect()
     }
-    assert sh_docs == got3
+    assert sh_docs == got4
+    assert spark.read.parquet(f"{dirs['index']}/digests").count() == len(got4)
 
 
 def test_ingest_batch_writes_idempotent(spark, dirs):
