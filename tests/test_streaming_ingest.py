@@ -212,3 +212,60 @@ def test_vector_index_ingest_accumulates_and_queries(spark, tmp_path):
         for r in pq_topk_from_encoded(fresh, vecs, cb, queries, k=5).collect()
     )
     assert got == want and len(got) == 15
+
+
+def test_vector_index_compaction_preserves_query_results(spark, tmp_path):
+    """The full index lifecycle: stream waves in, COMPACT the
+    batch-fragmented code/vector dirs (operators/maintenance.py), and
+    query the compacted index — results must be identical to querying
+    the fragmented one."""
+    import numpy as np
+
+    from scida_spark.functions.similarity import (
+        load_pq_codebooks,
+        pq_topk_from_encoded,
+    )
+    from scida_spark.operators.maintenance import compact_parquet, dir_stats
+    from scida_spark.streaming.ingest import vector_index_ingest
+
+    rng = np.random.RandomState(11)
+    in_dir = tmp_path / "vin"
+    in_dir.mkdir()
+    idx = str(tmp_path / "vidx")
+    ck = str(tmp_path / "vck")
+    schema = "vec_id long, embedding array<double>"
+    for w in range(3):
+        ids = list(range(w * 80, (w + 1) * 80))
+        vecs = rng.standard_normal((len(ids), 16))
+        pd.DataFrame(
+            {"vec_id": ids, "embedding": [list(map(float, v)) for v in vecs]}
+        ).to_parquet(f"{in_dir}/w{w}.parquet")
+        q = vector_index_ingest(
+            spark, str(in_dir), schema, index_dir=idx, checkpoint_dir=ck,
+            m=4, nbits=4,
+        )
+        q.awaitTermination(120)
+
+    cb = load_pq_codebooks(spark, f"{idx}/codebooks")
+    codes = spark.read.parquet(f"{idx}/codes").select("vec_id", "code")
+    vecs_df = spark.read.parquet(f"{idx}/vectors").select("vec_id", "embedding")
+    queries = vecs_df.filter(F.col("vec_id") < 3)
+    before = sorted(
+        (r["query_id"], r["cand_id"], r["rank"])
+        for r in pq_topk_from_encoded(codes, vecs_df, cb, queries, k=5).collect()
+    )
+
+    n_frag, total = dir_stats(f"{idx}/codes")
+    assert n_frag >= 3
+    rep = compact_parquet(spark, f"{idx}/codes", str(tmp_path / "codes_c"),
+                          target_bytes=total)
+    assert rep["files_after"] < n_frag
+    compact_parquet(spark, f"{idx}/vectors", str(tmp_path / "vecs_c"),
+                    target_bytes=1 << 30)
+    codes_c = spark.read.parquet(str(tmp_path / "codes_c")).select("vec_id", "code")
+    vecs_c = spark.read.parquet(str(tmp_path / "vecs_c")).select("vec_id", "embedding")
+    after = sorted(
+        (r["query_id"], r["cand_id"], r["rank"])
+        for r in pq_topk_from_encoded(codes_c, vecs_c, cb, queries, k=5).collect()
+    )
+    assert before == after and len(after) == 15
