@@ -55,6 +55,11 @@ HEADLINE = [
     "text_train_eval_split",
     "sketch_distinct_rollup",
     "scida_pbc_cutout_layouts",
+    # r7: the bucketed-layout slot (zero-shuffle groupBy + fact-fact
+    # join over saveAsTable bucketing). First sample pays the one-time
+    # bucketed-table build; the median of 5 reports the steady state,
+    # which is the number that matters (the build is ingest-time cost).
+    "scida_grouped_bucketed",
 ]
 
 
