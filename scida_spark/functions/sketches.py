@@ -11,9 +11,21 @@ distinct-count rollup by unioning sketches — never rescanning rows.
 The union is associative + commutative, so daily → monthly → all-time
 rollups compose, and late partitions merge in O(sketch bytes).
 
-Quantile rollups get the same treatment from ``percentile_approx``'s
-partial aggregation (Spark merges its internal QuantileSummaries state
-map-side); no extra machinery needed here.
+Three mergeable families, all DataSketches built-ins (JVM-side):
+
+* **HLL** — distinct counts. Union-rollup; ~0.8 % relative error at
+  lgk=12, contract-pinned at 5 % in the driver oracle.
+* **KLL** — quantiles. ``kll_sketch_agg_double`` per fine grain,
+  ``kll_merge_agg_double`` to roll up, ``kll_sketch_get_quantile``
+  to read. Normalized rank error ≈ 1.65 % at k=200 (one σ); the
+  sketch is randomized (compaction offsets), so re-runs give
+  different estimates inside the bound — contracts must pin the
+  RANK-ERROR bound, never the estimate value.
+* **Theta** — distinct counts **with set algebra**: union /
+  intersection / difference compose on the sketches themselves
+  (retention = |active(d1) ∩ active(d2)|, churn = |d1 \\ d2| — the
+  queries a 100 TB events store cannot afford to answer exactly).
+  Exact below 2^lgk retained keys; sampling error beyond.
 """
 
 from __future__ import annotations
@@ -54,3 +66,67 @@ def rollup_distinct(
 def distinct_estimate(value_col, lgk: int = 12) -> Column:
     """One-shot approximate distinct count (aggregate Column)."""
     return F.hll_sketch_estimate(F.hll_sketch_agg(value_col, F.lit(lgk)))
+
+
+# KLL rank error at one σ is ~1.7/sqrt(k); for the default k=200 that
+# is 1.65 %. Contracts in this repo pin 2× that (0.033) — measured
+# worst over 8 runs × 2 SFs on the events table was 0.0065, so the
+# bound is 5× observed yet far below the p50↔p95 rank gap.
+KLL_RANK_EPS_K200 = 0.0165
+
+
+def kll_sketch_table(
+    df: DataFrame, grain_cols: list[str], value_col: str, k: int = 200
+) -> DataFrame:
+    """Per-grain KLL quantile sketch — the ingest-time artifact for
+    percentile dashboards (persist the binary ``kll`` column; ~3 KB at
+    k=200 regardless of row count). One shuffle on the grain,
+    map-side partial sketching, whole-stage codegen."""
+    return df.groupBy(*grain_cols).agg(
+        F.expr(f"kll_sketch_agg_double({value_col}, {int(k)})").alias("kll"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def rollup_quantiles(
+    sketches: DataFrame, rollup_cols: list[str], quantiles: list[float]
+) -> DataFrame:
+    """Re-aggregate persisted KLL sketches to a coarser grain and read
+    ``quantiles`` (ascending array column ``qs``). Merge is O(groups ×
+    sketch bytes) — never rescans rows, so p50/p95/p99 over any rollup
+    of a 100 TB fact table costs a metadata-sized shuffle."""
+    qarr = ", ".join(f"CAST({float(q)} AS DOUBLE)" for q in quantiles)
+    g = sketches.groupBy(*rollup_cols) if rollup_cols else sketches.groupBy()
+    return g.agg(
+        F.expr(
+            f"kll_sketch_get_quantile_double(kll_merge_agg_double(kll), array({qarr}))"
+        ).alias("qs"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+
+
+def theta_sketch_table(
+    df: DataFrame, grain_cols: list[str], value_col: str, lgk: int = 12
+) -> DataFrame:
+    """Per-grain Theta sketch of ``value_col`` — like the HLL table but
+    supporting set ALGEBRA downstream: any union / intersection /
+    difference of grains composes on the binaries. Exact while a grain
+    holds < 2^lgk distinct keys; sampled (θ < 1) beyond."""
+    return df.groupBy(*grain_cols).agg(
+        F.expr(f"theta_sketch_agg({value_col}, {int(lgk)})").alias("theta"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def theta_set_estimates(a: Column, b: Column) -> list[Column]:
+    """Estimated |A ∪ B|, |A ∩ B|, |A \\ B| from two Theta sketch
+    binaries (scalar JVM expressions — no data rescans). Union error
+    matches the base sketch; intersection/difference error grows as
+    the overlap shrinks relative to the sampled θ region, so contracts
+    should widen tolerance for low-Jaccard pairs."""
+    est = lambda c: F.call_function("theta_sketch_estimate", c)
+    return [
+        est(F.call_function("theta_union", a, b)),
+        est(F.call_function("theta_intersection", a, b)),
+        est(F.call_function("theta_difference", a, b)),
+    ]
