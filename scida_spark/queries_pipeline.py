@@ -1266,6 +1266,55 @@ def stream_session_windows(spark, sf_dir):
              CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
              strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start
       FROM s GROUP BY user_id, session_id) sess
+    UNION ALL
+    SELECT kind, window_start, grp, n, sum_value FROM (
+      WITH rs AS (
+        SELECT event_type, CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS bkt,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(value AS DECIMAL(38,6))) AS s
+        FROM events GROUP BY 1, 2),
+      bounds AS (SELECT MIN(bkt) AS mn, MAX(bkt) AS mx FROM rs),
+      grid AS (
+        SELECT t.event_type, g.bkt
+        FROM (SELECT DISTINCT event_type FROM events) t,
+             (SELECT unnest(generate_series((SELECT mn FROM bounds),
+                                            (SELECT mx FROM bounds), 300)) AS bkt) g),
+      f AS (
+        SELECT grid.event_type, grid.bkt,
+               COALESCE(rs.n, 0) AS n,
+               CAST(rs.s AS DOUBLE) AS sd
+        FROM grid LEFT JOIN rs
+          ON rs.event_type = grid.event_type AND rs.bkt = grid.bkt),
+      w1 AS (
+        SELECT *,
+               COUNT(sd) OVER (PARTITION BY event_type ORDER BY bkt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pgrp,
+               COUNT(sd) OVER (PARTITION BY event_type ORDER BY bkt
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ngrp
+        FROM f),
+      w2 AS (
+        SELECT *,
+               MAX(sd) OVER (PARTITION BY event_type, pgrp) AS pv,
+               MAX(CASE WHEN sd IS NOT NULL THEN bkt END)
+                 OVER (PARTITION BY event_type, pgrp) AS pb,
+               MAX(sd) OVER (PARTITION BY event_type, ngrp) AS nv,
+               MAX(CASE WHEN sd IS NOT NULL THEN bkt END)
+                 OVER (PARTITION BY event_type, ngrp) AS nb
+        FROM w1)
+      SELECT 'resample' AS kind,
+             strftime(make_timestamp(bkt * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type AS grp, n, COALESCE(sd, 0.0) AS sum_value
+      FROM f
+      UNION ALL
+      SELECT 'ffill', strftime(make_timestamp(bkt * 1000000), '%Y-%m-%d %H:%M:%S'),
+             event_type, CAST(0 AS BIGINT), pv
+      FROM w2 WHERE n = 0 AND pv IS NOT NULL
+      UNION ALL
+      SELECT 'interp', strftime(make_timestamp(bkt * 1000000), '%Y-%m-%d %H:%M:%S'),
+             event_type, CAST(0 AS BIGINT),
+             pv + (nv - pv) * (CAST(bkt - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
+      FROM w2 WHERE n = 0 AND pv IS NOT NULL AND nv IS NOT NULL
+    ) ts_fam
     """,
 )
 def stream_batch_windows(spark, sf_dir):
@@ -1283,10 +1332,30 @@ def stream_batch_windows(spark, sf_dir):
       boundary of native ``session_window`` (``>=``, matching
       ``stream_session_native``).
 
+    plus the TIME-SERIES family (operators/timeseries.py, r7):
+
+    * ``resample``: 5-min fixed-grid aggregation with gaps filled —
+      every (type, grid point) over the global span is present,
+      missing points carry n=0 / sum 0.
+    * ``ffill``: the gap points with the last non-empty bucket's sum
+      carried forward (gaps-and-islands construction — expressible
+      identically in ANSI SQL, so the carry is hash-checked exactly).
+    * ``interp``: the interior gap points linearly interpolated
+      between their nearest non-empty neighbors; both engines
+      evaluate the identical double expression, so even the float
+      arithmetic hash-matches bit-for-bit.
+
     Identical window semantics to the Structured Streaming versions in
     scida_spark.streaming (same F.window / session merge rules), run
     on the bounded table so DuckDB can hash-check them; the TRUE
-    streaming executions are the stream_* queries above."""
+    streaming executions are the stream_* queries above.
+
+    Scale: the fill/ffill/interp windows run over BUCKET-grain rows
+    (span/interval per key — days × 288 at 5 min), not raw events, so
+    they stay metadata-sized at 100 TB; the only event-grain work is
+    the one resample shuffle."""
+    from scida_spark.operators import timeseries as TS
+
     ev = table(spark, sf_dir, "events")
     tum = (
         ev.groupBy(F.window("ts", "1 hour"), "event_type")
@@ -1318,7 +1387,53 @@ def stream_batch_windows(spark, sf_dir):
         F.col("n_events").alias("n"),
         "sum_value",
     )
-    return tum.unionAll(sli).unionAll(ses)
+
+    res = TS.resample(
+        ev,
+        ["event_type"],
+        "ts",
+        300,
+        [F.count("*").alias("n"), F.sum(F.col("value").cast(DEC)).alias("s")],
+    )
+    filled = (
+        TS.fill_gaps(res, ["event_type"], 300)
+        .withColumn("n", F.coalesce("n", F.lit(0)).cast("long"))
+        .withColumn("sd", F.col("s").cast("double"))
+    )
+    ts_all = TS.linear_interp(
+        TS.forward_fill(filled, ["event_type"], "sd", out_col="ffv"),
+        ["event_type"],
+        "sd",
+        out_col="ipv",
+    )
+    ws = F.date_format(F.timestamp_seconds("bkt"), "yyyy-MM-dd HH:mm:ss")
+    rs_rows = ts_all.select(
+        F.lit("resample").alias("kind"),
+        ws.alias("window_start"),
+        F.col("event_type").alias("grp"),
+        "n",
+        F.coalesce("sd", F.lit(0.0)).alias("sum_value"),
+    )
+    ff_rows = ts_all.filter((F.col("n") == 0) & F.col("ffv").isNotNull()).select(
+        F.lit("ffill").alias("kind"),
+        ws.alias("window_start"),
+        F.col("event_type").alias("grp"),
+        F.lit(0).cast("long").alias("n"),
+        F.col("ffv").alias("sum_value"),
+    )
+    ip_rows = ts_all.filter(
+        (F.col("n") == 0) & F.col("ipv").isNotNull()
+    ).select(
+        F.lit("interp").alias("kind"),
+        ws.alias("window_start"),
+        F.col("event_type").alias("grp"),
+        F.lit(0).cast("long").alias("n"),
+        F.col("ipv").alias("sum_value"),
+    )
+
+    return tum.unionAll(sli).unionAll(ses).unionAll(rs_rows).unionAll(
+        ff_rows
+    ).unionAll(ip_rows)
 
 
 @query(
