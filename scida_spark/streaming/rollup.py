@@ -1,0 +1,127 @@
+"""Incremental materialized-aggregate maintenance over a stream.
+
+The 100 TB dashboard shape: the raw event stream is far too large to
+re-aggregate per query, so each micro-batch is reduced to MERGEABLE
+per-key partials — count, DECIMAL sum, and an HLL sketch of the
+distinct-count column — and appended to a partial store keyed by
+``batch_id``. Serving a query merges partials (sum the counts/sums,
+union the sketches): cost O(keys × batches written), never a rescan
+of history. A maintenance compaction periodically folds all partials
+into one base partial, restoring O(keys) serving cost; because every
+component is a commutative monoid, compact-then-merge ≡ merge — the
+same algebra the batch-side sketch rollups (functions/sketches.py)
+rely on.
+
+Exactly-once to storage: each batch writes its OWN
+``batch_id=N`` subdirectory with ``mode("overwrite")`` — a replayed
+batch after failure overwrites its previous output instead of
+double-counting (same idempotence convention as streaming/ingest.py).
+
+Net-new surface (no reference counterpart — SURVEY §2.7); the
+batch-side equivalence contract (merged view ≡ one-shot groupBy over
+all data, exactly for count/sum, within the HLL bound for distincts)
+is pinned in tests/test_streaming_rollup.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEC = "decimal(38,6)"
+
+
+def _partial(batch_df: DataFrame, key_cols: list[str], sum_col: str,
+             distinct_col: str, lgk: int) -> DataFrame:
+    """Reduce one micro-batch to mergeable per-key partials."""
+    return batch_df.groupBy(*key_cols).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col(sum_col).cast(DEC)).alias("sum_val"),
+        F.hll_sketch_agg(distinct_col, F.lit(lgk)).alias("distinct_sketch"),
+    )
+
+
+def incremental_rollup_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    *,
+    store_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    sum_col: str,
+    distinct_col: str,
+    lgk: int = 12,
+    available_now: bool = True,
+):
+    """Watch ``input_dir`` for new parquet files and maintain the
+    partial store; returns the StreamingQuery. Partials land under
+    ``store_dir/batch_id=N/`` (idempotent overwrite per batch)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        part = _partial(batch_df, key_cols, sum_col, distinct_col, lgk)
+        part.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"batch_id={batch_id}")
+        )
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_rollup(
+    spark: SparkSession, store_dir: str, key_cols: list[str]
+) -> DataFrame:
+    """Serve the materialized aggregate: merge all partials into one
+    row per key — counts and sums re-aggregate EXACTLY (monoid),
+    distincts via HLL union (within the sketch bound). Cost is
+    O(keys × partial files), independent of raw history size."""
+    partials = spark.read.option("basePath", store_dir).parquet(store_dir)
+    return partials.groupBy(*key_cols).agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("sum_val").alias("sum_val"),
+        F.hll_sketch_estimate(F.hll_union_agg("distinct_sketch")).alias(
+            "approx_distinct"
+        ),
+    )
+
+
+def compact_rollup(
+    spark: SparkSession, store_dir: str, key_cols: list[str]
+) -> int:
+    """Fold every partial into a single base partial (batch_id=-1 by
+    convention, read like any other partial), then remove the folded
+    batch directories. Serving cost drops back to O(keys); the merged
+    view is unchanged because every component is mergeable. Returns
+    the number of batch directories folded."""
+    import shutil
+
+    batches = [
+        d
+        for d in os.listdir(store_dir)
+        if d.startswith("batch_id=") and d != "batch_id=-1"
+    ]
+    if not batches:
+        return 0
+    partials = spark.read.option("basePath", store_dir).parquet(store_dir)
+    base = partials.groupBy(*key_cols).agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("sum_val").alias("sum_val"),
+        F.hll_union_agg("distinct_sketch").alias("distinct_sketch"),
+    )
+    # leading "_" keeps Spark readers from listing the scratch dir
+    tmp = os.path.join(store_dir, "_compact_tmp")
+    base.write.mode("overwrite").parquet(tmp)
+    for d in batches:
+        shutil.rmtree(os.path.join(store_dir, d))
+    dest = os.path.join(store_dir, "batch_id=-1")
+    if os.path.isdir(dest):
+        shutil.rmtree(dest)
+    os.replace(tmp, dest)
+    return len(batches)

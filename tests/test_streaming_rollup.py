@@ -1,0 +1,122 @@
+"""Incremental materialized-aggregate maintenance: waves of event
+files reduce to mergeable per-key partials; the served view must equal
+the one-shot batch aggregate exactly (count/sum) and within the HLL
+bound (distinct), before AND after compaction, and across multiple
+ingest sessions."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from scida_spark.streaming.rollup import (
+    compact_rollup,
+    incremental_rollup_ingest,
+    read_rollup,
+)
+
+SCHEMA = "event_id long, event_type string, user_id long, value double"
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {"input": tmp_path / "in", "store": tmp_path / "store", "ckpt": tmp_path / "ckpt"}
+    d["input"].mkdir()
+    return {k: str(v) for k, v in d.items()}
+
+
+def _wave(path: str, start: int, n: int, types=("click", "view")) -> None:
+    rows = [
+        (start + i, types[i % len(types)], (start + i) % 7, float(i) + 0.25)
+        for i in range(n)
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "event_type", "user_id", "value"]
+    ).to_parquet(path)
+
+
+def _run(spark, dirs):
+    q = incremental_rollup_ingest(
+        spark,
+        dirs["input"],
+        SCHEMA,
+        store_dir=dirs["store"],
+        checkpoint_dir=dirs["ckpt"],
+        key_cols=["event_type"],
+        sum_col="value",
+        distinct_col="user_id",
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def _served(spark, dirs):
+    return {
+        r["event_type"]: (r["n_rows"], float(r["sum_val"]), r["approx_distinct"])
+        for r in read_rollup(spark, dirs["store"], ["event_type"]).collect()
+    }
+
+
+def _batch_truth(spark, dirs):
+    raw = spark.read.schema(SCHEMA).parquet(dirs["input"])
+    return {
+        r["event_type"]: (r["n"], float(r["s"]), r["d"])
+        for r in raw.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("s"),
+            F.countDistinct("user_id").alias("d"),
+        )
+        .collect()
+    }
+
+
+def _check(served, truth):
+    assert set(served) == set(truth)
+    for k, (n, s, d_est) in served.items():
+        tn, ts, td = truth[k]
+        assert n == tn, (k, n, tn)
+        assert s == ts, (k, s, ts)
+        assert abs(d_est - td) <= max(2, 0.05 * td), (k, d_est, td)
+
+
+def test_rollup_matches_batch_and_survives_compaction(spark, dirs):
+    _wave(os.path.join(dirs["input"], "w1.parquet"), 0, 40)
+    _wave(os.path.join(dirs["input"], "w2.parquet"), 40, 25, types=("click", "purchase"))
+    _run(spark, dirs)
+    truth = _batch_truth(spark, dirs)
+    _check(_served(spark, dirs), truth)
+
+    # compaction folds partials but must not change the served view
+    n_folded = compact_rollup(spark, dirs["store"], ["event_type"])
+    assert n_folded >= 1
+    remaining = [d for d in os.listdir(dirs["store"]) if d.startswith("batch_id=")]
+    assert remaining == ["batch_id=-1"]
+    _check(_served(spark, dirs), truth)
+
+    # a later ingest session appends new partials on top of the base
+    _wave(os.path.join(dirs["input"], "w3.parquet"), 65, 30, types=("view", "signup"))
+    _run(spark, dirs)
+    _check(_served(spark, dirs), _batch_truth(spark, dirs))
+
+
+def test_replayed_batch_is_idempotent(spark, dirs):
+    """Re-running a batch (simulated by rewriting its batch_id dir the
+    way a failure-replay would) must not double-count."""
+    _wave(os.path.join(dirs["input"], "w1.parquet"), 0, 30)
+    _run(spark, dirs)
+    before = _served(spark, dirs)
+    # simulate the replay: foreachBatch writes the SAME batch_id again
+    store = dirs["store"]
+    batch_dirs = [d for d in os.listdir(store) if d.startswith("batch_id=")]
+    assert len(batch_dirs) == 1
+    raw = spark.read.schema(SCHEMA).parquet(dirs["input"])
+    from scida_spark.streaming.rollup import _partial
+
+    _partial(raw, ["event_type"], "value", "user_id", 12).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(store, batch_dirs[0]))
+    assert _served(spark, dirs) == before
