@@ -1,0 +1,184 @@
+"""Unigram language-model quality scoring (CCNet-style perplexity
+filter).
+
+Production LLM-data pipelines score every document with a small
+language model trained on a trusted corpus and drop the
+high-perplexity tail (CCNet, Gopher, Llama data pipelines). The
+reference has no text surface at all; this is net-new engine
+capability built Spark-first:
+
+* **Training** is one explode + groupBy(token) count over the training
+  slice — a single shuffle whose output is O(vocab), then a driver-side
+  top-V truncation (the model artifact is a dict, broadcast to
+  executors). At 100 TB you train on a deterministic hash-sample of
+  the corpus (``sample_fraction``) — the model does not improve past a
+  few GB of training text, so the training scan is bounded while
+  scoring still covers every row.
+* **Scoring** is row-local: the broadcast vocab rides into one
+  Arrow-batched pandas UDF; no explode, no join, no shuffle of the
+  corpus — the same "per-document metrics never shuffle" rule as the
+  repetition filter (SCALE.md).
+
+Bit-stability contract (what makes the DuckDB oracle hash-match): all
+model quantities are integers (add-one smoothing keeps ``count+1``
+integer); per-token log-probs are ``ln(integer)`` computed by libm on
+both engines (bit-identical, verified); the per-document fold is
+strict left-to-right IEEE double addition in token order on both
+sides (Python loop here, ordered ``list_reduce`` in the oracle); the
+single final rounding is one DECIMAL(38,6) cast applied identically in
+both plans.
+
+Model: add-one-smoothed unigram over a top-V vocabulary with one
+shared OOV class::
+
+    D        = N + V + 1          (N = total training tokens)
+    p(tok)   = (c_tok + 1) / D    tok in vocab
+    p(OOV)   = 1 / D
+    nll(doc) = ln(D) - (1/n) * sum_i ln(c_{tok_i} + 1)
+
+(the OOV term contributes ln(1) = 0 to the sum, so skipping OOV
+tokens in the fold is IEEE-exact, not an approximation).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from scida_spark.functions import text as TX
+
+__all__ = ["train_unigram_lm", "score_nll", "UnigramLM"]
+
+
+class UnigramLM:
+    """Trained model artifact: top-V token counts + totals.
+
+    Persistable as a tiny two-column table; ``counts`` is the only
+    state that crosses the driver/executor boundary (broadcast).
+    """
+
+    def __init__(self, counts: dict[str, int], n_total: int, vocab_size: int):
+        self.counts = counts
+        self.n_total = int(n_total)
+        self.vocab_size = int(vocab_size)
+
+    @property
+    def denom(self) -> int:
+        """D = N + V + 1 — integer, so ln(D) is identical on any engine."""
+        return self.n_total + self.vocab_size + 1
+
+
+def train_unigram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 16,
+    sample_fraction: float | None = None,
+    id_col: str = "doc_id",
+) -> UnigramLM:
+    """Count tokens over the (optionally hash-sampled) training slice
+    and keep the top-``vocab_size`` by (count DESC, token ASC) — a
+    deterministic truncation any engine reproduces.
+
+    ``n_total`` is the token count over the WHOLE training slice
+    (vocab + tail), read off the same aggregation. One shuffle total;
+    the collect is O(vocab), not O(corpus).
+    """
+    if sample_fraction is not None:
+        # Deterministic content-hash sample (no rand()): stable across
+        # runs, engines, and partitionings.
+        from scida_spark.functions.sampling import hash_sample
+
+        docs = hash_sample(docs, id_col, sample_fraction, salt="lm_train")
+    counts = (
+        docs.select(F.explode(TX.tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    counts.persist()
+    try:
+        n_total = counts.agg(F.sum("c")).collect()[0][0] or 0
+        top = (
+            counts.orderBy(F.col("c").desc(), F.col("tok").asc())
+            .limit(int(vocab_size))
+            .collect()
+        )
+    finally:
+        counts.unpersist()
+    return UnigramLM({r["tok"]: int(r["c"]) for r in top}, n_total, vocab_size)
+
+
+def score_nll(
+    docs: DataFrame,
+    model: UnigramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean negative log-likelihood in nats (plus token /
+    OOV counts) — row-local scoring, zero shuffle.
+
+    Returns ``(id_col, n_tokens, n_oov, nll)``; ``nll`` is the raw
+    double — callers choose the rounding (the registry query applies
+    one DECIMAL(38,6) cast to match its oracle bit-for-bit).
+    """
+    bcast = docs.sparkSession.sparkContext.broadcast(model.counts)
+    ln_d = math.log(float(model.denom))
+
+    schema = StructType(
+        [
+            StructField("n_tokens", LongType()),
+            StructField("n_oov", LongType()),
+            StructField("nll", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _score(tok_lists: pd.Series) -> pd.DataFrame:
+        counts = bcast.value
+        log = math.log
+        n_out, oov_out, nll_out = [], [], []
+        for toks in tok_lists:
+            # Strict left-to-right accumulation: matches the oracle's
+            # ordered list_reduce fold bit-for-bit. OOV adds ln(1)=0 —
+            # skipping it is IEEE-exact.
+            s = 0.0
+            oov = 0
+            for t in toks:
+                c = counts.get(t)
+                if c is None:
+                    oov += 1
+                else:
+                    s += log(c + 1)
+            n = len(toks)
+            n_out.append(n)
+            oov_out.append(oov)
+            nll_out.append(ln_d - s / n if n else ln_d)
+        return pd.DataFrame({"n_tokens": n_out, "n_oov": oov_out, "nll": nll_out})
+
+    return docs.select(
+        F.col(id_col),
+        _score(TX.tokens(F.col(text_col))).alias("_s"),
+    ).select(
+        id_col,
+        F.col("_s.n_tokens").alias("n_tokens"),
+        F.col("_s.n_oov").alias("n_oov"),
+        F.col("_s.nll").alias("nll"),
+    )
+
+
+def nll_filter(
+    docs: DataFrame,
+    model: UnigramLM,
+    max_nll: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Documents whose mean NLL is at most ``max_nll`` (the keep-side
+    of a perplexity filter) — composition of :func:`score_nll` with a
+    row-local filter; survivors keep their original columns."""
+    scored = score_nll(docs, model, text_col=text_col, id_col=id_col)
+    keep = scored.filter(F.col("nll") <= F.lit(max_nll)).select(id_col)
+    return docs.join(keep, id_col, "left_semi")

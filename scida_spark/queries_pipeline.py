@@ -1069,7 +1069,28 @@ def text_lang_id(spark, sf_dir):
              CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(CAST(score AS DECIMAL(38,6))) AS DOUBLE) AS sum_score
       FROM s GROUP BY 1),
-    lang AS ({_LANG_ID_SQL})
+    lang AS ({_LANG_ID_SQL}),
+    lm_tok AS (SELECT doc_id, string_split(trim(text),' ') AS t FROM documents),
+    lm_toks AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t,1) AS pos
+                FROM lm_tok),
+    lm_counts AS (SELECT tok, COUNT(*) AS c FROM lm_toks GROUP BY tok),
+    lm_tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM lm_counts),
+    lm_vocab AS (SELECT tok, c FROM lm_counts ORDER BY c DESC, tok ASC LIMIT 16),
+    lm_scored AS (SELECT s.doc_id, s.pos,
+                         CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov,
+                         ln(COALESCE(v.c, 0) + 1) AS lnv
+                  FROM lm_toks s LEFT JOIN lm_vocab v ON s.tok = v.tok),
+    -- ordered list + left-to-right fold: the per-doc double sum is
+    -- bit-identical to the engine's sequential accumulation
+    lm_agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                      CAST(SUM(oov) AS BIGINT) AS n_oov,
+                      list(lnv ORDER BY pos) AS lns
+               FROM lm_scored GROUP BY doc_id),
+    lm AS (SELECT doc_id, n_tokens, n_oov,
+                  CAST(CAST(ln((SELECT tot FROM lm_tot) + 17)
+                            - list_reduce(lns, (a,x) -> a + x) / n_tokens
+                       AS DECIMAL(38,6)) AS DOUBLE) AS nll
+           FROM lm_agg)
     SELECT 'quality' AS section, CAST(score_decile AS VARCHAR) AS k1, '<>' AS k2,
            n_docs AS n, sum_score
     FROM quality
@@ -1077,6 +1098,10 @@ def text_lang_id(spark, sf_dir):
     SELECT 'lang_id' AS section, actual_lang AS k1, pred_lang AS k2,
            n, CAST(0.0 AS DOUBLE) AS sum_score
     FROM lang
+    UNION ALL
+    SELECT 'lm_nll' AS section, CAST(doc_id AS VARCHAR) AS k1,
+           CAST(n_oov AS VARCHAR) AS k2, n_tokens AS n, nll AS sum_score
+    FROM lm
     """,
 )
 def text_quality_lang(spark, sf_dir):
@@ -1091,10 +1116,22 @@ def text_quality_lang(spark, sf_dir):
     * ``lang_id``: stopword-hit argmax with fixed tie-break
       (en>de>es>fr>zh) — k1 = actual lang, k2 = predicted, n = count,
       sum_score = 0.0 pad.
+    * ``lm_nll`` (r7): unigram-LM perplexity scoring
+      (``functions/lm.py``, CCNet-style quality signal) — PER-DOCUMENT
+      rows, fully hash-checked: k1 = doc_id, k2 = OOV count, n =
+      token count, sum_score = mean NLL in nats through one
+      DECIMAL(38,6) cast. Train = one explode+groupBy(token) shuffle
+      with O(vocab) driver truncation; score = broadcast vocab into a
+      row-local Arrow pandas UDF (zero corpus shuffle). The oracle
+      rebuilds the identical integer model and folds per-doc log-probs
+      in token order, so the doubles match bit-for-bit (ln-of-integer
+      + left-to-right IEEE addition; see functions/lm.py docstring).
 
-    Both halves are pure JVM Column expressions over one documents
-    scan each — no UDF, no shuffle beyond the final tiny aggregations.
+    The first two halves are pure JVM Column expressions over one
+    documents scan each — no UDF, no shuffle beyond the final tiny
+    aggregations.
     """
+    from scida_spark.functions import lm as LM
     q = text_quality_scores(spark, sf_dir).select(
         F.lit("quality").alias("section"),
         F.col("score_decile").cast("string").alias("k1"),
@@ -1109,7 +1146,16 @@ def text_quality_lang(spark, sf_dir):
         "n",
         F.lit(0.0).alias("sum_score"),
     )
-    return q.unionAll(lid)
+    docs = table(spark, sf_dir, "documents")
+    model = LM.train_unigram_lm(docs, vocab_size=16)
+    lm_rows = LM.score_nll(docs, model).select(
+        F.lit("lm_nll").alias("section"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.col("n_oov").cast("string").alias("k2"),
+        F.col("n_tokens").alias("n"),
+        F.col("nll").cast(DEC).cast("double").alias("sum_score"),
+    )
+    return q.unionAll(lid).unionAll(lm_rows)
 
 
 @query(
