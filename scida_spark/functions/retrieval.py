@@ -1,0 +1,173 @@
+"""BM25 full-text top-k retrieval.
+
+The text-side counterpart of the embedding similarity search in
+``functions/similarity.py``: score documents against a small query set
+with Okapi BM25 and return the top-k per query. No reference
+counterpart (scida has no text surface) — net-new engine capability
+for training-data pipelines (e.g. quality-by-reference retrieval,
+eval-set leakage inspection alongside n-gram decontamination).
+
+Spark-first design, sized for 100 TB:
+
+* The query set is TINY (a handful of strings). Its distinct terms are
+  collected once on the driver; the corpus-side explode is filtered to
+  those terms IMMEDIATELY (`isin` on a literal list — codegen'd), so
+  the only shuffled rows are postings of query terms: O(matching
+  tokens), not O(corpus tokens). Everything else (document length,
+  score arithmetic) is row-local.
+* Corpus statistics (N, avgdl) come from one tiny aggregate; per-term
+  document frequencies come from the already-filtered postings. The
+  idf table is computed ON THE DRIVER with ``math.log`` (libm — the
+  same bits DuckDB's ``ln`` produces, see functions/lm.py) and joined
+  back as a literal DataFrame: no transcendentals inside the JVM plan,
+  which keeps the cross-engine oracle bit-stable (Java's ``Math.log``
+  is allowed 1 ulp of error and is NOT guaranteed to match libm).
+* The per-(query, doc) sum over matched terms folds in sorted-term
+  order (``array_sort`` + ``aggregate``) — deterministic IEEE
+  left-to-right addition an oracle reproduces with an ordered
+  ``list_reduce``.
+
+Scoring (Okapi BM25, Lucene-style non-negative idf)::
+
+    idf(t)        = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+    score(q, d)   = sum_{t in q ∩ d} idf(t) * tf_td * (k1 + 1)
+                    / (tf_td + k1 * (1 - b + b * dl_d / avgdl))
+
+Ranking ties break on ascending doc id.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from scida_spark.functions import text as TX
+
+__all__ = ["bm25_topk"]
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25 score.
+
+    ``queries`` is a list of ``(query_id, query_text)`` — the small
+    side by construction (it is collected and its terms become a
+    literal filter). Returns
+    ``(query_id, doc_id, score, rank)`` with rank 1..k per query,
+    ordered ties broken by ascending doc id. Documents matching no
+    query term are absent (score 0 rows are not emitted).
+    """
+    spark = docs.sparkSession
+
+    # Query terms: deduped per query (BM25 scores the term set; a
+    # term repeated in a query would double-count its contribution).
+    qterm_rows = sorted(
+        {(int(qid), t) for qid, qtext in queries for t in qtext.strip().split(" ")}
+    )
+    all_terms = sorted({t for _, t in qterm_rows})
+
+    # Corpus stats: one aggregate over row-local token counts.
+    dl = docs.select(
+        F.col(id_col), TX.token_count(F.col(text_col)).alias("_dl")
+    )
+    stats = dl.agg(
+        F.count("*").alias("n"), F.sum("_dl").alias("tot")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["tot"]) / int(stats["n"])
+
+    # Postings of query terms only: explode → immediate literal-list
+    # filter → per-(doc, term) tf. The groupBy shuffles only matching
+    # postings.
+    postings = (
+        docs.select(
+            F.col(id_col), F.explode(TX.tokens(F.col(text_col))).alias("tok")
+        )
+        .filter(F.col("tok").isin(all_terms))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("tf"))
+    ).persist()
+    try:
+        # df_t → idf on the driver (math.log = libm; tiny: |terms| rows).
+        df_rows = {
+            r["tok"]: int(r["df"])
+            for r in postings.groupBy("tok")
+            .agg(F.count("*").alias("df"))
+            .collect()
+        }
+        idf = {
+            t: math.log(1.0 + (n_docs - dft + 0.5) / (dft + 0.5))
+            for t, dft in df_rows.items()
+        }
+        matched_qterms = [(qid, t, idf[t]) for qid, t in qterm_rows if t in idf]
+        if not matched_qterms:
+            return spark.createDataFrame(
+                [], f"query_id long, {id_col} long, score double, rank int"
+            )
+        qterms = F.broadcast(
+            spark.createDataFrame(
+                matched_qterms, "query_id long, tok string, idf double"
+            )
+        )
+
+        # Per-(query, doc, term) partial score — pure * / + arithmetic
+        # (deterministic IEEE, no JVM transcendentals), then a
+        # sorted-term ordered fold per (query, doc).
+        contrib = (
+            postings.join(qterms, "tok")
+            .join(dl, id_col)
+            .select(
+                "query_id",
+                id_col,
+                "tok",
+                (
+                    F.col("idf")
+                    * (F.col("tf") * F.lit(k1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (
+                            F.lit(1.0 - b)
+                            + F.lit(b) * F.col("_dl") / F.lit(avgdl)
+                        )
+                    )
+                ).alias("sc"),
+            )
+        )
+        scores = contrib.groupBy("query_id", id_col).agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("tok", "sc"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["sc"],
+            ).alias("score")
+        )
+        # Two-phase top-k: a query whose terms are common can match a
+        # huge candidate set, and a single window partition per query
+        # would funnel it through one task. Phase 1 takes the top-k
+        # within every (query, physical-partition) slice — parallel,
+        # any slicing is a valid pre-prune — phase 2 ranks the
+        # ≤ k × n_partitions survivors exactly.
+        order = (F.col("score").desc(), F.col(id_col).asc())
+        w_part = W.partitionBy("query_id", "_pid").orderBy(*order)
+        w_final = W.partitionBy("query_id").orderBy(*order)
+        out = (
+            scores.withColumn("_pid", F.spark_partition_id())
+            .withColumn("_r", F.row_number().over(w_part))
+            .filter(F.col("_r") <= k)
+            .withColumn("rank", F.row_number().over(w_final))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "score", "rank")
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        postings.unpersist()
+    return out

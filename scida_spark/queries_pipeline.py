@@ -802,6 +802,63 @@ def sim_neardup_pairs(spark, sf_dir):
 _ANN_RECALL_FLOORS = {"lsh": 0.25, "ivf": 0.5, "pq": 0.5}
 
 
+# BM25 registry query set: fixed literal queries over the documents
+# vocabulary — one common-term pair, one three-term query, one with the
+# corpus's rare high-idf token ('dup').
+_BM25_QUERIES = [(0, "hash join"), (1, "stream window agg"), (2, "the dup")]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+# Oracle: full BM25 recomputation (same integer tf/df/N model, idf via
+# ln — libm-bit-identical to the driver-side math.log — and the same
+# left-to-right sorted-term fold; see functions/retrieval.py). Ranked
+# on the RAW double score, rounded only for output, exactly like the
+# Spark side.
+_BM25_ORACLE_SECTION = f"""
+    SELECT 'bm25' AS method, query_id, doc_id AS cand_id, score AS sim_r,
+           rank, TRUE AS ok
+    FROM (
+      WITH q(query_id, tok) AS (VALUES {",".join(
+          f"({q},'{t}')" for q, qt in _BM25_QUERIES for t in sorted(set(qt.split()))
+      )}),
+      bm_dl AS (SELECT doc_id, len(string_split(trim(text),' ')) AS dl
+                FROM documents),
+      bm_stats AS (SELECT CAST(COUNT(*) AS BIGINT) n,
+                          CAST(SUM(dl) AS DOUBLE)/COUNT(*) avgdl FROM bm_dl),
+      bm_toks AS (SELECT doc_id, unnest(string_split(trim(text),' ')) tok
+                  FROM documents),
+      bm_post AS (SELECT doc_id, tok, COUNT(*) tf FROM bm_toks
+                  WHERE tok IN (SELECT DISTINCT tok FROM q)
+                  GROUP BY doc_id, tok),
+      bm_dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) df FROM bm_post
+                   GROUP BY tok),
+      bm_idf AS (SELECT tok,
+                        ln(1 + ((SELECT n FROM bm_stats) - df + 0.5)/(df + 0.5))
+                        AS idf
+                 FROM bm_dfreq),
+      bm_contrib AS (
+        SELECT q.query_id, p.doc_id, p.tok,
+               i.idf * (p.tf * CAST({(_BM25_K1 + 1.0)!r} AS DOUBLE))
+               / (p.tf + CAST({_BM25_K1!r} AS DOUBLE)
+                  * (CAST({(1.0 - _BM25_B)!r} AS DOUBLE)
+                     + CAST({_BM25_B!r} AS DOUBLE) * d.dl
+                       / (SELECT avgdl FROM bm_stats))) AS sc
+        FROM bm_post p JOIN q USING (tok) JOIN bm_dl d USING (doc_id)
+             JOIN bm_idf i USING (tok)),
+      bm_agg AS (SELECT query_id, doc_id,
+                        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                                 list(sc ORDER BY tok)),
+                                    (a,x) -> a + x) AS score
+                 FROM bm_contrib GROUP BY query_id, doc_id),
+      bm_ranked AS (SELECT query_id, doc_id, ROUND(score, 6) AS score,
+                           CAST(ROW_NUMBER() OVER (
+                                PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS INT) AS rank
+                    FROM bm_agg)
+      SELECT query_id, doc_id, score, rank FROM bm_ranked WHERE rank <= 10
+    )
+"""
+
+
 @query(
     "sim_topk",
     _COSINE_ORACLE.replace(
@@ -822,7 +879,9 @@ _ANN_RECALL_FLOORS = {"lsh": 0.25, "ivf": 0.5, "pq": 0.5}
     SELECT 'pq' AS method, CAST(-1 AS BIGINT) AS query_id,
            CAST(-1 AS BIGINT) AS cand_id, CAST(0.0 AS DOUBLE) AS sim_r,
            CAST(0 AS INT) AS rank, TRUE AS ok
-    """,
+    UNION ALL
+    """
+    + _BM25_ORACLE_SECTION,
 )
 def sim_topk(spark, sf_dir):
     """Similarity top-k, EXACT + both ANN scale paths, fully
@@ -847,9 +906,21 @@ def sim_topk(spark, sf_dir):
       approximation); pytest additionally pins per-run recall against
       brute force.
 
+    * ``bm25`` rows (r7): full-text BM25 top-10 per literal query
+      (``functions/retrieval.py``) — the text-side counterpart of the
+      embedding search, fully value-checked: the oracle rebuilds the
+      identical integer tf/df/N model, computes idf with ``ln`` (libm —
+      bit-identical to the driver's ``math.log``), folds per-(query,
+      doc) term scores in sorted-term order, and ranks on the raw
+      double before rounding — every (query, doc, score, rank) row
+      hash-matches (the ``method`` column keeps the bm25 query-id
+      space distinct from the cosine one).
+
     Scale: exact is the O(q×N) baseline (queries broadcast, candidates
     never shuffle); lsh/ivf replace the cross-join with bucket/list
-    equi-joins — the 100 TB path."""
+    equi-joins — the 100 TB path; bm25 shuffles only postings of query
+    terms (literal-list filter straight after the explode) and takes
+    top-k two-phase (per-slice then exact)."""
     emb = table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     n = _parquet_rows(sf_dir)
@@ -895,7 +966,18 @@ def sim_topk(spark, sf_dir):
         certs, "method string, query_id bigint, cand_id bigint, sim_r double, "
                "rank int, ok boolean"
     )
-    return ex_rows.unionAll(cert_rows)
+    from scida_spark.functions.retrieval import bm25_topk
+
+    docs = table(spark, sf_dir, "documents")
+    bm25 = bm25_topk(docs, _BM25_QUERIES, k=10, k1=_BM25_K1, b=_BM25_B).select(
+        F.lit("bm25").alias("method"),
+        F.col("query_id"),
+        F.col("doc_id").alias("cand_id"),
+        F.round("score", 6).alias("sim_r"),
+        "rank",
+        F.lit(True).alias("ok"),
+    )
+    return ex_rows.unionAll(cert_rows).unionAll(bm25)
 
 
 # --------------------------------------------------------------------------

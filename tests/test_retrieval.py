@@ -1,0 +1,88 @@
+"""BM25 top-k retrieval (functions/retrieval.py) vs a naive Python
+oracle, plus ranking/edge semantics."""
+
+import math
+
+import pytest
+
+from scida_spark.functions.retrieval import bm25_topk
+
+
+DOCS = [
+    (0, "spark shuffles the data"),
+    (1, "the quick brown fox"),
+    (2, "spark spark spark streaming"),
+    (3, "a b c d e f g h"),
+    (4, "quick spark"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _naive_bm25(queries, k=10, k1=1.2, b=0.75):
+    toks = {d: t.strip().split(" ") for d, t in DOCS}
+    n = len(DOCS)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    out = {}
+    for qid, qtext in queries:
+        scores = {}
+        for term in sorted(set(qtext.split())):
+            df = sum(1 for t in toks.values() if term in t)
+            if df == 0:
+                continue
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for d, t in toks.items():
+                tf = t.count(term)
+                if tf:
+                    scores[d] = scores.get(d, 0.0) + idf * (tf * (k1 + 1.0)) / (
+                        tf + k1 * ((1.0 - b) + b * len(t) / avgdl)
+                    )
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out[qid] = ranked
+    return out
+
+
+def test_bm25_matches_naive(docs_df):
+    queries = [(0, "spark"), (1, "quick spark"), (2, "the fox")]
+    got = bm25_topk(docs_df, queries, k=10).collect()
+    expect = _naive_bm25(queries)
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    assert set(by_q) == set(expect)
+    for qid in expect:
+        assert [d for d, _ in by_q[qid]] == [d for d, _ in expect[qid]]
+        for (_, s_got), (_, s_exp) in zip(by_q[qid], expect[qid]):
+            assert s_got == pytest.approx(s_exp, rel=1e-12)
+
+
+def test_bm25_tf_saturation(docs_df):
+    """Doc 2 (tf=3 for 'spark') outranks single-tf docs, but its score
+    is < 3x theirs (k1 saturation)."""
+    [(_, ranked)] = _naive_bm25([(0, "spark")]).items()
+    got = {r["doc_id"]: r["score"] for r in bm25_topk(docs_df, [(0, "spark")]).collect()}
+    assert max(got, key=got.get) == 2
+    single = [v for d, v in got.items() if d != 2]
+    assert got[2] < 3 * min(single)
+
+
+def test_bm25_rank_and_k(docs_df):
+    got = bm25_topk(docs_df, [(7, "spark quick")], k=2).collect()
+    assert len(got) == 2
+    assert sorted(r["rank"] for r in got) == [1, 2]
+    assert all(r["query_id"] == 7 for r in got)
+
+
+def test_bm25_no_match_and_empty(docs_df, spark):
+    # query with no corpus hits → no rows for it
+    got = bm25_topk(docs_df, [(0, "zzz qqq")], k=5).collect()
+    assert got == []
+    # duplicate term in query counts once
+    one = bm25_topk(docs_df, [(0, "spark")], k=5).collect()
+    two = bm25_topk(docs_df, [(0, "spark spark")], k=5).collect()
+    assert sorted((r["doc_id"], r["score"]) for r in one) == sorted(
+        (r["doc_id"], r["score"]) for r in two
+    )
