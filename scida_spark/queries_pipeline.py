@@ -1661,19 +1661,53 @@ def dedup_cc_clusters(spark, sf_dir):
       UNION
       SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
     labels AS (
-      SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node)
-    SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang
+      SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+    se AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+    spairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM se a JOIN se b ON a.vec_id < b.vec_id
+      WHERE list_reduce(list_transform(generate_series(1, len(a.v)),
+                        i -> a.v[i] * b.v[i]), (acc, x) -> acc + x)
+            / (SQRT(list_reduce(list_transform(a.v, x -> x * x), (acc, x) -> acc + x))
+               * SQRT(list_reduce(list_transform(b.v, x -> x * x), (acc, x) -> acc + x)))
+            >= 0.35),
+    sedges AS (
+      SELECT id_a AS src, id_b AS dst FROM spairs
+      UNION SELECT id_b, id_a FROM spairs),
+    sreach(node, label) AS (
+      SELECT src, src FROM sedges
+      UNION
+      SELECT e.dst, r.label FROM sreach r JOIN sedges e ON e.src = r.node),
+    slabels AS (
+      SELECT node, MIN(label) AS cluster_id FROM sreach GROUP BY node)
+    SELECT 'text' AS section, CAST(d.doc_id AS BIGINT) AS id, d.lang AS meta
     FROM documents d
     WHERE d.doc_id NOT IN (SELECT node FROM labels WHERE cluster_id <> node)
+    UNION ALL
+    SELECT 'semantic' AS section, CAST(e.vec_id AS BIGINT) AS id,
+           CAST(e.label AS VARCHAR) AS meta
+    FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT node FROM slabels WHERE cluster_id <> node)
     """,
 )
 def dedup_cleaned_corpus(spark, sf_dir):
-    """END-TO-END near-dup dedup: pair graph (3-gram Jaccard ≥0.2) →
-    connected components → keep each cluster's canonical (min-id)
-    member → anti-join the corpus. This is the query a pipeline
-    actually materializes — the cleaned training corpus — and the
-    oracle recomputes the full transitive closure, so survivors are
-    value-checked doc-for-doc.
+    """END-TO-END near-dup dedup, both modalities in one driver-attested
+    result (sections):
+
+    * ``text``: pair graph (3-gram Jaccard ≥0.2) → connected
+      components → keep each cluster's canonical (min-id) member →
+      anti-join the corpus. This is the query a pipeline actually
+      materializes — the cleaned training corpus — and the oracle
+      recomputes the full transitive closure, so survivors are
+      value-checked doc-for-doc.
+    * ``semantic`` (r7): the SemDeDup-style embedding-space variant —
+      exact cosine-≥0.35 pair graph via spherical-cell blocking
+      (triangle-inequality pruning, no cartesian; the same kernel
+      sim_neardup_pairs attests) → the same CC → canonical survivors.
+      The oracle recomputes all-pairs cosine + transitive closure, so
+      a hash match proves the blocked graph and the cluster pruning
+      lose no vector.
 
     Scale: the pair graph and CC are the bucketed/log-round machinery
     above; the final filter is one anti-join of the non-canonical node
@@ -1682,12 +1716,38 @@ def dedup_cleaned_corpus(spark, sf_dir):
     dup-heavy corpora where the list itself is big."""
     docs = table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
-    cc = D.connected_components(pairs.select("doc_a", "doc_b"))
-    dupes = cc.filter(F.col("cluster_id") != F.col("node")).select(
-        F.col("node").alias("doc_id")
+    emb = table(spark, sf_dir, "embeddings")
+    spairs = SIM.embedding_neardup_pairs_blocked(emb, threshold=0.35, ncells=64)
+    # ONE connected-components run over the disjoint union of both pair
+    # graphs (text nodes ↦ 2·doc_id, semantic nodes ↦ 2·vec_id+1 — no
+    # cross-modality edges, and the mapping is monotonic so min-label
+    # canonicals are preserved). CC cost is per-ROUND fixed overhead
+    # (iterative localCheckpoints), so merging the graphs halves the
+    # slot's dominant cost vs two separate runs.
+    tp = pairs.select(
+        (F.col("doc_a") * 2).alias("a"), (F.col("doc_b") * 2).alias("b")
     )
-    return docs.join(dupes, "doc_id", "left_anti").select(
-        F.col("doc_id").cast("long"), "lang"
+    sp = spairs.select(
+        (F.col("id_a") * 2 + 1).alias("a"), (F.col("id_b") * 2 + 1).alias("b")
     )
+    cc = D.connected_components(tp.unionAll(sp), a_col="a", b_col="b")
+    noncanon = cc.filter(F.col("cluster_id") != F.col("node"))
+    dupes = noncanon.filter(F.col("node") % 2 == 0).select(
+        F.expr("node DIV 2").alias("doc_id")
+    )
+    sdupes = noncanon.filter(F.col("node") % 2 == 1).select(
+        F.expr("node DIV 2").alias("vec_id")
+    )
+    text_rows = docs.join(dupes, "doc_id", "left_anti").select(
+        F.lit("text").alias("section"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("lang").alias("meta"),
+    )
+    sem_rows = emb.join(sdupes, "vec_id", "left_anti").select(
+        F.lit("semantic").alias("section"),
+        F.col("vec_id").cast("long").alias("id"),
+        F.col("label").cast("string").alias("meta"),
+    )
+    return text_rows.unionAll(sem_rows)
 
 

@@ -314,3 +314,38 @@ def test_minhash_incremental_vs_full(spark, sf_dir):
             new_d, old_d = (a, b) if a % 5 == 0 else (b, a)
             cross[(new_d, old_d)] = round(r["jaccard"], 9)
     assert inc == cross and len(inc) > 0
+
+
+def test_connected_components_disjoint_union_of_graphs(spark):
+    """The dedup_cleaned_corpus slot merges the text and semantic pair
+    graphs into ONE CC run over a disjoint id space (2*id / 2*id+1).
+    Pin that the merged run reproduces both separate runs exactly."""
+    from pyspark.sql import functions as F
+
+    from scida_spark.functions.dedup import connected_components
+
+    text_pairs = [(0, 1), (1, 2), (5, 6)]
+    sem_pairs = [(0, 3), (3, 7), (2, 1)]
+    tdf = spark.createDataFrame(text_pairs, "doc_a long, doc_b long")
+    sdf = spark.createDataFrame(sem_pairs, "id_a long, id_b long")
+
+    sep_t = {(r.node, r.cluster_id) for r in connected_components(tdf).collect()}
+    sep_s = {
+        (r.node, r.cluster_id)
+        for r in connected_components(sdf, a_col="id_a", b_col="id_b").collect()
+    }
+
+    merged = connected_components(
+        tdf.select((F.col("doc_a") * 2).alias("a"), (F.col("doc_b") * 2).alias("b"))
+        .unionAll(
+            sdf.select(
+                (F.col("id_a") * 2 + 1).alias("a"), (F.col("id_b") * 2 + 1).alias("b")
+            )
+        ),
+        a_col="a",
+        b_col="b",
+    ).collect()
+    got_t = {(r.node // 2, r.cluster_id // 2) for r in merged if r.node % 2 == 0}
+    got_s = {(r.node // 2, r.cluster_id // 2) for r in merged if r.node % 2 == 1}
+    assert got_t == sep_t
+    assert got_s == sep_s
