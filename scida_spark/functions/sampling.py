@@ -143,3 +143,57 @@ def domain_mix(
     return df.filter(
         in_mix_column(F.col(id_col), F.col(domain_col), thresholds, salt)
     )
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    num: int,
+    den: int,
+    salt: str = "",
+    out_col: str = "in_strat",
+) -> DataFrame:
+    """EXACT per-stratum quotas: flag the first ceil(count * num/den)
+    rows of every stratum under the deterministic (hash-bucket, id)
+    total order.
+
+    ``hash_sample``/``in_mix_column`` are map-only but only
+    *approximate* the target fraction (binomial spread around it);
+    evaluation sets and per-domain budget caps often need the quota
+    hit exactly. rank-within-stratum buys that with one shuffle by
+    ``stratum_col``:
+
+    * ``row_number`` and ``count`` share the SAME window partition key
+      → Catalyst plans ONE exchange + sort, the second aggregate rides
+      along.
+    * The quota ``ceil(c*num/den) = (c*num + den - 1) DIV den`` is
+      64-bit integer arithmetic — any SQL engine reproduces it exactly
+      (no float thresholds; the ``split_thresholds`` lesson).
+    * Selection order is (bucket, id) — a stable pseudo-random order
+      that is a pure function of (id, salt), so re-runs and engines
+      agree row-for-row, and quota changes are PREFIX-monotone: the
+      10 % sample is a subset of the 20 % sample at the same salt.
+
+    Scale: one shuffle on the stratum key; a skewed giant stratum
+    streams through row_number (no per-group materialization). If a
+    single stratum outgrows a task's streaming window, pre-thin it
+    with ``hash_sample`` at a safely-larger fraction first, then rank
+    the survivors (composes because selection is prefix-monotone in
+    the bucket order).
+    """
+    from pyspark.sql.window import Window as W
+
+    b = hash_bucket(F.col(id_col), salt)
+    w_rank = W.partitionBy(stratum_col).orderBy(b.asc(), F.col(id_col).asc())
+    w_all = W.partitionBy(stratum_col)
+    return (
+        df.withColumn("_sx_rn", F.row_number().over(w_rank).cast("long"))
+        .withColumn("_sx_cnt", F.count("*").over(w_all))
+        # 64-bit integer ceil-division — no double quotient anywhere.
+        .withColumn(
+            out_col,
+            F.expr(f"_sx_rn <= ((_sx_cnt * {int(num)} + {int(den) - 1}) DIV {int(den)})"),
+        )
+        .drop("_sx_rn", "_sx_cnt")
+    )

@@ -385,13 +385,22 @@ _SPLIT_T = _split_thresholds_r6()
           ORDER BY CAST(c AS DOUBLE) / w, lang LIMIT 1),
     thr AS (SELECT cw.lang,
                    (cw.w * m.mc * 4294967296) // (m.mw * cw.c) AS thr
-            FROM cw, m)
+            FROM cw, m),
+    strat AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'strat1'), 1, 8)) AS UBIGINT),
+                        doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS c
+      FROM documents)
     SELECT CAST(b.doc_id AS BIGINT) AS doc_id, b.lang,
            CASE WHEN b.bucket < {_SPLIT_T[0]} THEN 'train'
                 WHEN b.bucket < {_SPLIT_T[1]} THEN 'eval'
                 ELSE 'test' END AS split,
-           b.mbucket < thr.thr AS in_mix
-    FROM b JOIN thr USING (lang)
+           b.mbucket < thr.thr AS in_mix,
+           strat.rn <= ((strat.c * 1 + 4) // 5) AS in_strat
+    FROM b JOIN thr USING (lang) JOIN strat ON strat.doc_id = b.doc_id
     """,
 )
 def text_train_eval_split(spark, sf_dir):
@@ -408,11 +417,21 @@ def text_train_eval_split(spark, sf_dir):
     arithmetic — floor(w_d*c_m*2^32/(w_m*c_d)) — so the oracle's
     64-bit integer division reproduces them exactly; per-language
     counts are the one tiny driver-side aggregate (5 rows). All
-    assignment expressions are JVM-side; no rand(), no shuffle."""
+    assignment expressions are JVM-side; no rand(), no shuffle.
+
+    ``in_strat`` (r7) certifies the EXACT-quota stratified sample
+    (``stratified_exact_sample``): the first ceil(count/5) rows of
+    every language under the deterministic (hash-bucket, doc_id)
+    order. Quotas are 64-bit integer ceil-division and the rank order
+    is a pure function of (doc_id, salt), so the oracle's ROW_NUMBER
+    reproduces the selection row-for-row — the exact-fraction
+    complement to the approximate map-only ``in_mix`` path (one
+    shuffle on the stratum key buys the exact quota)."""
     from scida_spark.functions.sampling import (
         hash_split,
         in_mix_column,
         mix_thresholds,
+        stratified_exact_sample,
     )
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
@@ -420,8 +439,11 @@ def text_train_eval_split(spark, sf_dir):
                           salt="r6")
     counts = {r[0]: r[1] for r in docs.groupBy("lang").count().collect()}
     thr = mix_thresholds(counts, {"en": 4, "de": 2, "es": 2, "fr": 1, "zh": 1})
-    return split_df.withColumn(
+    flagged = split_df.withColumn(
         "in_mix", in_mix_column(F.col("doc_id"), F.col("lang"), thr, salt="mix7")
+    )
+    return stratified_exact_sample(
+        flagged, "doc_id", "lang", num=1, den=5, salt="strat1"
     )
 
 

@@ -83,3 +83,64 @@ def test_in_mix_column_unknown_stratum_excluded(spark):
     )
     got = {r.domain: r.m for r in out.collect()}
     assert got == {"known": True, "unknown": False}
+
+
+def test_stratified_exact_sample_quotas(spark):
+    """Exact per-stratum quota: ceil(count * num/den) rows flagged in
+    every stratum, bit-for-bit deterministic across calls."""
+    from scida_spark.functions.sampling import stratified_exact_sample
+
+    rows = [(i, "a" if i < 10 else ("b" if i < 17 else "c")) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    # strata sizes: a=10, b=7, c=3; num/den=1/3 → quotas 4, 3, 1
+    out = stratified_exact_sample(df, "id", "s", num=1, den=3, salt="x").collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["s"], []).append(r)
+    assert sum(1 for r in per["a"] if r["in_strat"]) == 4
+    assert sum(1 for r in per["b"] if r["in_strat"]) == 3
+    assert sum(1 for r in per["c"] if r["in_strat"]) == 1
+    again = stratified_exact_sample(df, "id", "s", num=1, den=3, salt="x").collect()
+    assert {(r["id"], r["in_strat"]) for r in again} == {
+        (r["id"], r["in_strat"]) for r in out
+    }
+    # different salt reshuffles the selection (same quota)
+    other = stratified_exact_sample(df, "id", "s", num=1, den=3, salt="y").collect()
+    assert sum(r["in_strat"] for r in other) == 8
+    assert {r["id"] for r in other if r["in_strat"]} != {
+        r["id"] for r in out if r["in_strat"]
+    }
+
+
+def test_stratified_exact_sample_prefix_monotone(spark):
+    """The 1/5 selection is a subset of the 2/5 selection at the same
+    salt (prefix property of the rank order)."""
+    from scida_spark.functions.sampling import stratified_exact_sample
+
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 3)) for i in range(60)], "id long, s string"
+    )
+    small = {
+        r["id"]
+        for r in stratified_exact_sample(df, "id", "s", 1, 5, salt="z").collect()
+        if r["in_strat"]
+    }
+    big = {
+        r["id"]
+        for r in stratified_exact_sample(df, "id", "s", 2, 5, salt="z").collect()
+        if r["in_strat"]
+    }
+    assert small < big
+
+
+def test_stratified_exact_sample_one_exchange(spark):
+    """Both windows share the partition key: the physical plan contains
+    exactly one Exchange (plus the scan), not one per window."""
+    from scida_spark.functions.sampling import stratified_exact_sample
+
+    df = spark.createDataFrame([(i, "s") for i in range(10)], "id long, s string")
+    plan = (
+        stratified_exact_sample(df, "id", "s", 1, 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
