@@ -51,7 +51,14 @@ from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from scida_spark.functions import text as TX
 
-__all__ = ["train_unigram_lm", "score_nll", "UnigramLM"]
+__all__ = [
+    "train_unigram_lm",
+    "score_nll",
+    "nll_filter",
+    "save_unigram_lm",
+    "load_unigram_lm",
+    "UnigramLM",
+]
 
 
 class UnigramLM:
@@ -109,6 +116,34 @@ def train_unigram_lm(
     finally:
         counts.unpersist()
     return UnigramLM({r["tok"]: int(r["c"]) for r in top}, n_total, vocab_size)
+
+
+def save_unigram_lm(spark, model: UnigramLM, path: str) -> None:
+    """Model → parquet (tok, c) + a totals row — the persistable
+    artifact, same pattern as the IVF/PQ index persistence: train once
+    at ingest, reuse across every later scoring pass (the 100 TB shape:
+    the model is a few MB; retraining per query would rescan the
+    training slice)."""
+    rows = [(t, int(c), None, None) for t, c in sorted(model.counts.items())]
+    rows.append((None, None, model.n_total, model.vocab_size))
+    spark.createDataFrame(
+        rows, "tok string, c long, n_total long, vocab_size long"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_unigram_lm(spark, path: str) -> UnigramLM:
+    """Inverse of :func:`save_unigram_lm` — identical scores after a
+    roundtrip (integer state only)."""
+    rows = spark.read.parquet(path).collect()
+    counts, n_total, vocab_size = {}, None, None
+    for r in rows:
+        if r["tok"] is not None:
+            counts[r["tok"]] = int(r["c"])
+        else:
+            n_total, vocab_size = int(r["n_total"]), int(r["vocab_size"])
+    if n_total is None:
+        raise ValueError(f"no totals row in persisted unigram LM at {path}")
+    return UnigramLM(counts, n_total, vocab_size)
 
 
 def score_nll(

@@ -110,3 +110,18 @@ def test_empty_token_edge(spark):
     assert rows[0]["n_tokens"] == 1
     assert rows[0]["n_oov"] == 0  # '' is in-vocab here
     assert math.isfinite(rows[0]["nll"])
+
+
+def test_save_load_roundtrip_identical_scores(docs_df, spark, tmp_path):
+    from scida_spark.functions.lm import load_unigram_lm, save_unigram_lm
+
+    model = lm.train_unigram_lm(docs_df, vocab_size=4)
+    path = str(tmp_path / "lm_model")
+    save_unigram_lm(spark, model, path)
+    loaded = load_unigram_lm(spark, path)
+    assert loaded.counts == model.counts
+    assert loaded.n_total == model.n_total
+    assert loaded.vocab_size == model.vocab_size
+    orig = sorted((r["doc_id"], r["nll"]) for r in lm.score_nll(docs_df, model).collect())
+    re = sorted((r["doc_id"], r["nll"]) for r in lm.score_nll(docs_df, loaded).collect())
+    assert orig == re  # bit-identical: integer state only
