@@ -30,9 +30,12 @@ RUNS = 5
 # + stream_window_counts → stream_batch_windows, scida_groupid_
 # searchsorted → scida_groupid_assign, scida_grouped_fluent →
 # scida_grouped, sim_cosine_topk → sim_topk (now also runs both ANN
-# paths + recall certification), dedup_signature_pairs now also runs
-# the exact-pairs baseline for its recall certification — r6-to-r7
-# per-query timings are therefore not 1:1 comparable for those slots.
+# paths + recall certification AND the BM25 full-text section),
+# dedup_signature_pairs now also runs the exact-pairs baseline for its
+# recall certification, text_train_eval_split now also computes the
+# exact-quota stratified flag (one added stratum-key shuffle) —
+# r6-to-r7 per-query timings are therefore not 1:1 comparable for
+# those slots.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
