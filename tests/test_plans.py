@@ -128,13 +128,22 @@ def test_cc_clusters_df_capped_join_no_cartesian(spark, sf_dir, reg):
     assert "BroadcastNestedLoopJoin" not in p
 
 
-def test_train_eval_split_no_shuffle(spark, sf_dir, reg):
-    """Hash-split assignment is a pure projection: md5 bucket + CASE —
-    no Exchange anywhere (the whole point of content-hash splits: no
-    rand(), no shuffle, order-invariant)."""
+def test_train_eval_split_single_stratum_shuffle(spark, sf_dir, reg):
+    """Hash-split + domain-mix assignment are pure projections (md5
+    bucket + CASE, no rand()) computed MAP-SIDE, below the one
+    Exchange the r7 exact-quota stratified sample pays for: a single
+    hashpartitioning(lang) shuffle shared by BOTH window functions
+    (row_number and the stratum count ride the same partitioning —
+    one Sort, two Window nodes, one Exchange total)."""
     p = _plan(spark, reg["text_train_eval_split"](spark, sf_dir))
-    assert "Exchange" not in p
-    assert "* Project" in p  # codegen'd projection (formatted-mode marker)
+    assert p.count("+- Exchange") == 1, p
+    assert "hashpartitioning(lang" in p
+    assert p.count("Window") >= 2  # rank + count share the one shuffle
+    # split/in_mix are computed in the pre-shuffle Project: the node
+    # list reads Scan → Project(split, in_mix) → Exchange — assert the
+    # split CASE expression appears in a Project that feeds Exchange.
+    pre = p.split("(3) Exchange")[0]
+    assert "AS split" in pre and "AS in_mix" in pre
 
 
 def test_repetition_filter_no_shuffle(spark, sf_dir, reg):
