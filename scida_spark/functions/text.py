@@ -295,3 +295,140 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus-wide line-level dedup (CCNet / RefinedWeb paragraph dedup)
+# --------------------------------------------------------------------------
+# The marker-based remove_boilerplate_lines above needs a curated list;
+# the frequency-based pair below DISCOVERS boilerplate: any line that
+# occurs in >= min_docs distinct documents is removed from every
+# document (nav bars, cookie banners, footers — CCNet, Wenzek+ 2019
+# §4.1 dedups at the paragraph level against corpus-wide hashes).
+
+_LINE_DELIM = "\n"
+
+
+def hot_lines(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int,
+) -> DataFrame:
+    """Lines occurring in >= ``min_docs`` DISTINCT documents →
+    ``(line, n_docs)``. Matching is on the space-trimmed line (Spark
+    ``trim`` / SQL ``TRIM`` semantics: ASCII space only, so any SQL
+    oracle reproduces it); empty-after-trim lines are never counted.
+
+    Scale: the within-doc distinct is MAP-SIDE — ``array_distinct``
+    over the split array before the explode — so a line repeated 1000×
+    inside one doc costs nothing and, crucially, there is no
+    (doc, line) DISTINCT shuffle of the whole corpus. The only
+    exchange is the partial-agg count by line. The transform/
+    array_distinct projection runs interpreted (higher-order
+    functions leave codegen — SCALE.md), but that trade buys the
+    elision of a full-corpus shuffle: strictly the right side of the
+    trade at any scale.
+    """
+    lines = docs.select(
+        F.explode(
+            F.array_distinct(
+                F.transform(F.split(F.col(text_col), _LINE_DELIM), F.trim)
+            )
+        ).alias("line")
+    ).where(F.col("line") != "")
+    return (
+        lines.groupBy("line")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= F.lit(int(min_docs)))
+    )
+
+
+def remove_hot_lines(
+    docs: DataFrame,
+    hot: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_col: str = "cleaned",
+    max_broadcast: int = 2_000_000,
+) -> DataFrame:
+    """Rebuild every document without its hot lines → all input
+    columns plus ``out_col`` (the reassembled text, original line
+    order and spacing preserved) and ``n_removed``.
+
+    Two physical strategies behind one semantics (the size-gated
+    auto-switch pattern of operators/catalog.py):
+
+    * **Broadcast (default)**: boilerplate sets are small by nature —
+      a line must repeat across documents to qualify — so the hot set
+      is collected (bounded by ``max_broadcast``, probed with
+      limit+1), broadcast via ``SparkContext.broadcast``, and removal
+      is ONE Arrow-batched pandas projection over the corpus's
+      existing partitioning: zero shuffle of the 100 TB side.
+      Matching uses ``l.strip(' ')`` — space-only, mirroring the
+      ``trim`` used to build the hot set.
+    * **Join fallback** (hot set above the gate): posexplode lines
+      with ordinals, broadcast-or-shuffle left-anti join on the
+      trimmed line (AQE decides), then one groupBy(doc) reassembly —
+      ``array_sort`` over (pos, line) structs restores order. One
+      corpus shuffle, still no cartesian and no driver materialization.
+
+    Both paths agree row-for-row (pinned by test): empty lines are
+    always kept (the hot set excludes them), a doc whose every line is
+    hot rebuilds to ``''``.
+    """
+    spark = docs.sparkSession
+    probe = hot.select("line").limit(max_broadcast + 1).collect()
+    if len(probe) <= max_broadcast:
+        hot_set = {r[0] for r in probe}
+        bc = spark.sparkContext.broadcast(hot_set)
+
+        @F.pandas_udf(f"struct<{out_col}: string, n_removed: long>")
+        def _strip(s: pd.Series) -> pd.DataFrame:
+            hs = bc.value
+            cleaned, removed = [], []
+            for txt in s:
+                parts = (txt or "").split(_LINE_DELIM)
+                keep = [l for l in parts if l.strip(" ") not in hs]
+                cleaned.append(_LINE_DELIM.join(keep))
+                removed.append(len(parts) - len(keep))
+            return pd.DataFrame({out_col: cleaned, "n_removed": removed})
+
+        r = docs.withColumn("_ld", _strip(F.col(text_col)))
+        return r.select(
+            *docs.columns,
+            F.col(f"_ld.{out_col}").alias(out_col),
+            F.col("_ld.n_removed").alias("n_removed"),
+        )
+
+    ex = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _LINE_DELIM)).alias("pos", "line"),
+    )
+    kept = ex.join(
+        hot.select(F.col("line").alias("_hot_line")),
+        F.trim(ex["line"]) == F.col("_hot_line"),
+        "left_anti",
+    )
+    reb = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            _LINE_DELIM,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias(out_col),
+        F.count("*").alias("_n_kept"),
+    )
+    n_lines = F.size(F.split(F.col(text_col), _LINE_DELIM)).cast("long")
+    return (
+        docs.withColumn("_n_lines", n_lines)
+        .join(reb, on=id_col, how="left")
+        .select(
+            *docs.columns,
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            (F.col("_n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )

@@ -86,3 +86,77 @@ def test_clean_then_dedup_canonicalizes_spacing(spark):
     )
     cleaned = df.withColumn("text", T.clean_text(F.col("text")))
     assert exact_dedup(cleaned, "doc_id", "text").count() == 1
+
+
+# --------------------------------------------------------------------------
+# Corpus-wide frequency-based line dedup (hot_lines / remove_hot_lines)
+# --------------------------------------------------------------------------
+
+_CORPUS = [
+    (1, "alpha one\ncookie banner\nunique to one"),
+    (2, "beta two\n  cookie banner  \nanother line\ncookie banner"),
+    (3, "cookie banner\nshared footer"),
+    (4, "shared footer\ngamma four"),
+    (5, "gamma five\n\n  \nsolo line"),
+]
+
+
+def _corpus(spark):
+    return spark.createDataFrame(_CORPUS, "doc_id long, text string")
+
+
+def test_hot_lines_counts_distinct_docs(spark):
+    """A line repeated inside ONE doc counts once; matching trims
+    spaces; blank lines are never hot."""
+    hot = T.hot_lines(_corpus(spark), "doc_id", "text", min_docs=2)
+    got = {r["line"]: r["n_docs"] for r in hot.collect()}
+    # 'cookie banner' is in docs 1,2,3 (twice in 2 -> still 3);
+    # 'shared footer' in 3,4; everything else unique; ''/'  ' excluded.
+    assert got == {"cookie banner": 3, "shared footer": 2}
+
+
+def test_remove_hot_lines_broadcast_path(spark):
+    docs = _corpus(spark)
+    hot = T.hot_lines(docs, "doc_id", "text", min_docs=2)
+    out = {
+        r["doc_id"]: (r["cleaned"], r["n_removed"])
+        for r in T.remove_hot_lines(docs, hot, "doc_id", "text").collect()
+    }
+    assert out[1] == ("alpha one\nunique to one", 1)
+    # trimmed match removes the padded variant; both in-doc repeats go
+    assert out[2] == ("beta two\nanother line", 2)
+    assert out[3] == ("", 2)  # every line hot -> empty doc
+    assert out[4] == ("gamma four", 1)
+    # blank lines preserved verbatim, nothing removed
+    assert out[5] == ("gamma five\n\n  \nsolo line", 0)
+
+
+def test_remove_hot_lines_join_path_agrees(spark):
+    """max_broadcast=0 forces the join fallback; must agree
+    row-for-row with the broadcast path."""
+    docs = _corpus(spark)
+    hot = T.hot_lines(docs, "doc_id", "text", min_docs=2)
+    a = sorted(
+        T.remove_hot_lines(docs, hot, "doc_id", "text").select(
+            "doc_id", "cleaned", "n_removed"
+        ).collect()
+    )
+    b = sorted(
+        T.remove_hot_lines(
+            docs, hot, "doc_id", "text", max_broadcast=0
+        ).select("doc_id", "cleaned", "n_removed").collect()
+    )
+    assert a == b
+
+
+def test_remove_hot_lines_broadcast_is_map_only(spark):
+    """After the bounded hot-set collect, removal is one Arrow
+    projection over the corpus: no Exchange in the cleaned plan."""
+    docs = _corpus(spark)
+    hot = T.hot_lines(docs, "doc_id", "text", min_docs=2)
+    cleaned = T.remove_hot_lines(docs, hot, "doc_id", "text")
+    plan = cleaned._sc._jvm.PythonSQLUtils.explainString(
+        cleaned._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
