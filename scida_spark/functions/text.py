@@ -330,10 +330,14 @@ def hot_lines(
     elision of a full-corpus shuffle: strictly the right side of the
     trade at any scale.
     """
+    # NB: the lambda must be single-arg — F.transform introspects the
+    # callable's arity, and passing F.trim directly (optional 2nd param)
+    # makes it call the two-parameter trim(x, index), silently trimming
+    # index digits off every line.
     lines = docs.select(
         F.explode(
             F.array_distinct(
-                F.transform(F.split(F.col(text_col), _LINE_DELIM), F.trim)
+                F.transform(F.split(F.col(text_col), _LINE_DELIM), lambda c: F.trim(c))
             )
         ).alias("line")
     ).where(F.col("line") != "")

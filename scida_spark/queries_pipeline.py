@@ -1206,6 +1206,33 @@ def text_lang_id(spark, sf_dir):
     SELECT 'lm_nll' AS section, CAST(doc_id AS VARCHAR) AS k1,
            CAST(n_oov AS VARCHAR) AS k2, n_tokens AS n, nll AS sum_score
     FROM lm
+    UNION ALL
+    SELECT 'line_dedup' AS section, CAST(doc_id AS VARCHAR) AS k1,
+           substr(md5(cleaned), 1, 16) AS k2, CAST(n_removed AS BIGINT) AS n,
+           CAST(0.0 AS DOUBLE) AS sum_score
+    FROM (
+      WITH ld_aug AS (
+        SELECT doc_id,
+               text || chr(10) || 'subscribe to our newsletter'
+                    || chr(10) || 'sig ' || CAST(doc_id AS VARCHAR) AS text
+        FROM documents),
+      ld_ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM ld_aug),
+      ld_lx AS (SELECT doc_id, unnest(ls) AS line,
+                       generate_subscripts(ls, 1) AS pos
+                FROM ld_ls),
+      ld_norm AS (SELECT DISTINCT doc_id, trim(line) AS tl FROM ld_lx
+                  WHERE trim(line) <> ''),
+      ld_hot AS (SELECT tl FROM ld_norm GROUP BY tl HAVING COUNT(*) >= 2),
+      ld_kept AS (SELECT doc_id, line, pos FROM ld_lx
+                  WHERE trim(line) NOT IN (SELECT tl FROM ld_hot)),
+      ld_reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned,
+                        CAST(COUNT(*) AS BIGINT) AS n_kept
+                 FROM ld_kept GROUP BY doc_id),
+      ld_tot AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines FROM ld_ls)
+      SELECT t.doc_id, COALESCE(r.cleaned, '') AS cleaned,
+             t.n_lines - COALESCE(r.n_kept, 0) AS n_removed
+      FROM ld_tot t LEFT JOIN ld_reb r USING (doc_id)
+    )
     """,
 )
 def text_quality_lang(spark, sf_dir):
@@ -1259,7 +1286,34 @@ def text_quality_lang(spark, sf_dir):
         F.col("n_tokens").alias("n"),
         F.col("nll").cast(DEC).cast("double").alias("sum_score"),
     )
-    return q.unionAll(lid).unionAll(lm_rows)
+    from scida_spark.functions.text import hot_lines, remove_hot_lines
+
+    # line_dedup (r7): the testdata corpus is single-line, so the query
+    # appends a shared boilerplate footer (must become hot and be
+    # removed from every doc) and a per-doc unique signature line (must
+    # be kept) — both engines build the identical augmented corpus, so
+    # the per-doc md5 of the rebuilt text attests every keep AND remove
+    # decision. Exact-duplicate documents in the corpus also make their
+    # full-text line hot (min_docs=2) — discovered, not constructed.
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nsubscribe to our newsletter\nsig "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    ld = remove_hot_lines(
+        aug, hot_lines(aug, "doc_id", "text", min_docs=2), "doc_id", "text"
+    )
+    ld_rows = ld.select(
+        F.lit("line_dedup").alias("section"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.substring(F.md5(F.col("cleaned")), 1, 16).alias("k2"),
+        F.col("n_removed").cast("long").alias("n"),
+        F.lit(0.0).alias("sum_score"),
+    )
+    return q.unionAll(lid).unionAll(lm_rows).unionAll(ld_rows)
 
 
 @query(
