@@ -78,3 +78,20 @@ def test_shard_key_is_pure_function(spark):
     a = df.select(shard_key("doc_id", "s").alias("k")).first()["k"]
     b = df.select(shard_key("doc_id", "s").alias("k")).first()["k"]
     assert a == b and len(a) == 32
+
+
+def test_export_plan_single_range_exchange(spark, docs):
+    """The export pays exactly ONE shuffle: rangepartitioning on the
+    hash key (the write + manifest re-read add none on the query side)."""
+    from scida_spark.operators.export import shard_key
+
+    plan_df = (
+        docs.withColumn("_shard_key", shard_key("doc_id"))
+        .repartitionByRange(10, "_shard_key")
+        .sortWithinPartitions("_shard_key")
+    )
+    p = plan_df._sc._jvm.PythonSQLUtils.explainString(
+        plan_df._jdf.queryExecution(), "formatted"
+    )
+    assert p.count("+- Exchange") == 1
+    assert "rangepartitioning(_shard_key" in p
