@@ -160,3 +160,40 @@ def test_remove_hot_lines_broadcast_is_map_only(spark):
     )
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan
+
+
+def test_remove_hot_lines_matches_python_oracle_random_corpus(spark):
+    """Randomized (seeded) corpus from a small line alphabet vs an
+    independent quadratic Python oracle — both physical paths."""
+    import random
+
+    rng = random.Random(1234)
+    alphabet = [f"line {i}" for i in range(12)] + ["", "  ", " padded "]
+    corpus = [
+        (i, "\n".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8))))
+        for i in range(60)
+    ]
+    min_docs = 4
+
+    # independent oracle
+    from collections import Counter
+
+    per_doc = [{l.strip(" ") for l in t.split("\n") if l.strip(" ")} for _, t in corpus]
+    counts = Counter(l for s in per_doc for l in s)
+    hot = {l for l, c in counts.items() if c >= min_docs}
+    expect = {}
+    for doc_id, t in corpus:
+        keep = [l for l in t.split("\n") if l.strip(" ") not in hot]
+        expect[doc_id] = ("\n".join(keep), len(t.split("\n")) - len(keep))
+
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    hot_df = T.hot_lines(docs, "doc_id", "text", min_docs=min_docs)
+    assert {r["line"] for r in hot_df.collect()} == hot
+    for gate in (2_000_000, 0):  # broadcast path, then join fallback
+        got = {
+            r["doc_id"]: (r["cleaned"], r["n_removed"])
+            for r in T.remove_hot_lines(
+                docs, hot_df, "doc_id", "text", max_broadcast=gate
+            ).collect()
+        }
+        assert got == expect, f"gate={gate}"
