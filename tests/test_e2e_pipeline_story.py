@@ -2,10 +2,12 @@
 
 raw corpus → quality + repetition filters → exact dedup → near-dup
 cleaned corpus (pairs → CC → canonical) → benchmark decontamination →
-deterministic train/eval/test split → per-split sketch rollup. Every
-stage is an operator the registry exposes individually; this test pins
-that they COMPOSE — the "a user could run their whole pipeline here"
-contract — with planted documents whose fate is known at every stage.
+deterministic train/eval/test split → per-split sketch rollup →
+corpus-wide line dedup → shard export with audit → dataset card.
+Every stage is an operator the registry exposes individually; this
+test pins that they COMPOSE — the "a user could run their whole
+pipeline here" contract — with planted documents whose fate is known
+at every stage.
 """
 
 from __future__ import annotations
@@ -82,3 +84,38 @@ def test_pipeline_composes_end_to_end(spark, corpus):
     assert total["n_rows"] == kept3.count()
     exact = kept3.select(F.countDistinct("doc_id").alias("d")).collect()[0]["d"]
     assert abs(total["approx_distinct"] - exact) <= max(2, 0.05 * exact)
+
+    # 7) corpus line dedup: a boilerplate footer injected into every doc
+    # is DISCOVERED as hot and stripped, round-tripping the texts exactly
+    with_footer = kept3.withColumn(
+        "text", F.concat(F.col("text"), F.lit("\nGlobal Footer Inc"))
+    )
+    hot = TX.hot_lines(with_footer, "doc_id", "text", min_docs=2)
+    stripped = TX.remove_hot_lines(with_footer, hot, "doc_id", "text")
+    orig = {r["doc_id"]: r["text"] for r in kept3.collect()}
+    got = {r["doc_id"]: r["cleaned"] for r in stripped.collect()}
+    assert got == orig
+
+    # 8) shard export of the train split, with a disk-verified manifest
+    from scida_spark.operators.export import export_training_shards, verify_shards
+    import tempfile
+
+    train = split.filter(F.col("split") == "train").select("doc_id", "text")
+    dst = tempfile.mkdtemp(prefix="scida_story_export_")
+    m = export_training_shards(train, "doc_id", dst, rows_per_shard=10)
+    assert m["n_rows"] == train.count()
+    assert verify_shards(spark, dst)["ok"]
+    back_ids = {
+        r["doc_id"] for r in spark.read.parquet(dst).select("doc_id").collect()
+    }
+    assert back_ids == {r["doc_id"] for r in train.select("doc_id").collect()}
+
+    # 9) the dataset card's totals reconcile with the pipeline output
+    from scida_spark.functions.report import dataset_card
+
+    card = dataset_card(
+        kept3.withColumn("lang", F.lit("en")).withColumn("source", F.lit("story"))
+    )
+    assert card["overall"]["n_docs"] == kept3.count()
+    assert card["duplication"]["n_dup_docs"] == 0  # dedup stages did their job
+    assert set(card["languages"]) == {"en"}
