@@ -1,0 +1,97 @@
+"""BPE learning + encoding: classic textbook example, determinism,
+round-trip invariants, and the zero-shuffle encode plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scida_spark.functions.bpe import (
+    bpe_encode,
+    encode_word,
+    learn_bpe,
+    word_counts,
+)
+
+
+def test_learn_bpe_textbook_sequence():
+    """Sennrich's running example: {low:5, lower:2, newest:6, widest:3}.
+    First merges must combine the most frequent pair (e s -> es, count
+    9), then es t</w>, then l o.
+
+    Note: with the end-of-word marker ATTACHED to the final character
+    (this implementation's convention), ``w`` and ``w</w>`` are
+    distinct symbols, so after (l,o) the best pair is (e,w) from
+    newest (6) — not (lo,w), whose count splits 5 (w</w>) / 2 (w)."""
+    wc = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = learn_bpe(wc, n_merges=4)
+    assert merges[0] == ("e", "s")           # 6 + 3 = 9
+    assert merges[1] == ("es", "t</w>")      # 9
+    assert merges[2] == ("l", "o")           # 5 + 2 = 7
+    assert merges[3] == ("e", "w")           # 6 (newest)
+    # encoding with those merges segments as expected
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert encode_word("lowest", ranks) == ["lo", "w", "est</w>"]
+    assert encode_word("low", ranks) == ["lo", "w</w>"]
+    assert encode_word("newest", ranks) == ["n", "ew", "est</w>"]
+
+
+def test_learn_bpe_deterministic_tiebreak():
+    """Equal-count pairs break lexicographically — same table in any
+    order gives the identical merge sequence."""
+    wc = [("ab", 3), ("cd", 3)]
+    m1 = learn_bpe(wc, 2)
+    m2 = learn_bpe(list(reversed(wc)), 2)
+    assert m1 == m2
+    assert m1[0] == ("a", "b</w>")  # ('a','b</w>') < ('c','d</w>')
+
+
+def test_word_counts_and_learn_from_dataframe(spark):
+    docs = spark.createDataFrame(
+        [(0, "low low low low low lower lower"), (1, "newest " * 6 + "widest " * 3)],
+        "doc_id long, text string",
+    )
+    wc = word_counts(docs)
+    got = {r["word"]: r["n"] for r in wc.collect()}
+    assert got == {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = learn_bpe(wc, 2)
+    assert merges == [("e", "s"), ("es", "t</w>")]
+
+
+def test_encode_invariants(spark):
+    """Concatenating a word's BPE tokens (minus the marker) rebuilds
+    the word; token count <= character count; more merges never
+    produce more tokens."""
+    docs = spark.createDataFrame(
+        [(0, "banana bandana"), (1, "banana banana band")],
+        "doc_id long, text string",
+    )
+    wc = word_counts(docs)
+    for n in (0, 2, 6):
+        merges = learn_bpe(wc, n)
+        enc = bpe_encode(docs, merges)
+        for r in enc.collect():
+            words = r["text"].split()
+            rebuilt = "".join(r["bpe_tokens"]).replace("</w>", " ").rstrip()
+            assert rebuilt == " ".join(words)
+            assert r["n_bpe_tokens"] <= sum(len(w) + 1 for w in words)
+    n0 = bpe_encode(docs, learn_bpe(wc, 0)).agg(F.sum("n_bpe_tokens")).first()[0]
+    n6 = bpe_encode(docs, learn_bpe(wc, 6)).agg(F.sum("n_bpe_tokens")).first()[0]
+    assert n6 < n0
+
+
+def test_encode_plan_is_map_only(spark):
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    enc = bpe_encode(docs, [("a", "b</w>")])
+    p = enc._sc._jvm.PythonSQLUtils.explainString(
+        enc._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" in p
+
+
+def test_max_types_cut_is_deterministic():
+    wc = [("aaa", 2), ("bbb", 2), ("ccc", 2), ("ddd", 1)]
+    # cap keeps (count desc, word) order: aaa, bbb
+    m = learn_bpe(wc, 1, max_types=2)
+    assert m == [("a", "a")]

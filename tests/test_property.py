@@ -216,3 +216,68 @@ def test_packing_kernel_conserves_tokens_and_respects_budget(toks, budget):
     assert (ok["total_tokens"] <= budget).all()
     assert all(len(ids) == 1 for ids in over["doc_ids"])
     assert (over["total_tokens"] > budget).all()
+
+
+# --- BPE incremental pair bookkeeping vs a naive recount oracle ------------
+
+
+def _naive_bpe(wc, n_merges):
+    """Reference implementation: recount ALL pairs every iteration."""
+    from collections import Counter
+
+    from scida_spark.functions.bpe import _segment
+
+    wc = sorted(wc, key=lambda t: (-t[1], t[0]))
+    segs = {w: _segment(w) for w, _ in wc}
+    counts = dict(wc)
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, seg in segs.items():
+            for p in zip(seg, seg[1:]):
+                pc[p] += counts[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        for w, seg in segs.items():
+            out, i = [], 0
+            while i < len(seg):
+                if i + 1 < len(seg) and (seg[i], seg[i + 1]) == best:
+                    out.append(seg[i] + seg[i + 1])
+                    i += 2
+                else:
+                    out.append(seg[i])
+                    i += 1
+            segs[w] = tuple(out)
+    return merges
+
+
+@given(
+    words=st.lists(
+        st.tuples(
+            st.text(alphabet="abc", min_size=1, max_size=6),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    n_merges=st.integers(min_value=0, max_value=12),
+)
+@settings(max_examples=200, deadline=None)
+def test_bpe_incremental_matches_naive_recount(words, n_merges):
+    from scida_spark.functions.bpe import learn_bpe
+
+    assert learn_bpe(words, n_merges) == _naive_bpe(words, n_merges)
+
+
+@given(word=st.text(alphabet="abcd", min_size=1, max_size=10))
+@settings(max_examples=200, deadline=None)
+def test_bpe_encode_rebuilds_word(word):
+    from scida_spark.functions.bpe import encode_word, learn_bpe
+
+    merges = learn_bpe([(word, 3), (word[::-1], 2)], 6)
+    ranks = {p: i for i, p in enumerate(merges)}
+    toks = encode_word(word, ranks)
+    assert "".join(toks) == word + "</w>"
