@@ -196,8 +196,12 @@ def test_ngram_df_cap_bounds_candidates_on_boilerplate(spark):
     capped = D.ngram_candidate_pairs(sh, 16).count()
     assert uncapped == 300 * 299 // 2
     assert capped < 500, capped
-    # and the reported pairs agree (none qualify at 0.5 here)
-    assert D.ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.5, max_df=16).count() == 0
+    # and the reported pairs agree (none qualify at 0.5 here); the cap
+    # WARNS about the excluded hot shingles — assert it, don't leak it
+    with pytest.warns(UserWarning, match="hot shingles"):
+        assert (
+            D.ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.5, max_df=16).count() == 0
+        )
     assert D.ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.5, max_df=None).count() == 0
 
 
