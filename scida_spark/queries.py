@@ -606,25 +606,35 @@ def q15_top_revenue_supplier(spark, sf_dir):
     """,
 )
 def q18_large_orders(spark, sf_dir):
-    """TPC-H Q18 shape: HAVING-subquery semi-join then re-aggregate.
+    """TPC-H Q18: orders whose total lineitem quantity exceeds the
+    threshold, with that total.
 
-    Scale: the HAVING output is a small key list → broadcast semi join;
-    lineitem shuffles once on l_orderkey (reused by both aggregates
-    under AQE)."""
+    Scale (rewritten after the ×30 experiment, SCALE.md): the classic
+    HAVING-subquery-then-rejoin-lineitem formulation re-aggregates
+    lineitem a second time behind an 18M-row shuffle+sort-merge join —
+    9.6× wall-clock at 3× data. But the HAVING aggregate IS the
+    answer: Q18's total_qty has no additional filter, so the query is
+    ONE lineitem aggregation (partial-agg shuffle, O(orders) output)
+    joined to orders for the customer key. AQE broadcasts the
+    threshold-filtered side (rare by construction — the HAVING prunes
+    hard); orders never shuffles. No hint: at extreme SF where the
+    big-order list outgrows broadcast, AQE falls back to a shuffle
+    join of two already-small sides."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("s"))
-        .filter(F.col("s") > 250)
-        .select(F.col("l_orderkey").alias("bk"))
+        .filter(F.col("s") > 250)  # threshold on the EXACT decimal
+        .select("l_orderkey", F.col("s").cast("double").alias("total_qty"))
     )
     return (
-        o.join(F.broadcast(big), o.o_orderkey == F.col("bk"))
-        .join(li, F.col("o_orderkey") == li.l_orderkey)
-        .groupBy("o_orderkey", "o_custkey")
-        .agg(dsum(F.col("l_quantity"), "total_qty"))
-        .select("o_orderkey", F.col("o_custkey").cast("bigint").alias("o_custkey"), "total_qty")
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").cast("bigint").alias("o_custkey"),
+            "total_qty",
+        )
     )
 
 

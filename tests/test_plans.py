@@ -206,3 +206,15 @@ def test_runtime_bloom_semi_join_reduction(spark, sf_dir):
         assert sorted(map(tuple, n_bloom)) == sorted(
             map(tuple, broadcasted.collect())
         )
+
+
+def test_q18_aggregates_lineitem_once(spark, sf_dir, reg):
+    """Q18 is ONE lineitem aggregation joined to orders — the classic
+    rejoin-and-reaggregate formulation scans + shuffles lineitem twice
+    (measured 9.6x wall at 3x data, SCALE.md). Pin: a single lineitem
+    scan, and orders never feeds an aggregate."""
+    p = _plan(spark, reg["q18_large_orders"](spark, sf_dir))
+    tree = p.split("\n\n")[0]
+    assert p.count("lineitem.parquet") == 1, p
+    assert tree.count("HashAggregate") == 2  # partial + final of the one agg
+    assert "BroadcastHashJoin" in tree
