@@ -119,3 +119,16 @@ def test_pipeline_composes_end_to_end(spark, corpus):
     assert card["overall"]["n_docs"] == kept3.count()
     assert card["duplication"]["n_dup_docs"] == 0  # dedup stages did their job
     assert set(card["languages"]) == {"en"}
+
+    # 10) learn a BPE tokenizer ON the cleaned corpus, encode, and pack
+    # sequences by the REAL learned token counts — tokenizer feeds packer
+    from scida_spark.functions.bpe import bpe_encode, learn_bpe, word_counts
+    from scida_spark.functions.packing import pack_sequences
+
+    merges = learn_bpe(word_counts(kept3), n_merges=50)
+    enc = bpe_encode(kept3, merges)
+    packed = pack_sequences(enc, "doc_id", "n_bpe_tokens", budget=64)
+    packed_rows = packed.collect()
+    all_docs = {d for r in packed_rows for d in r["doc_ids"]}
+    assert all_docs == {r["doc_id"] for r in kept3.collect()}  # every doc packed once
+    assert all(r["total_tokens"] <= 64 or r["oversize"] for r in packed_rows)
