@@ -83,10 +83,14 @@ def duplication_stats(docs: DataFrame, text_col: str = "text") -> Row:
     per_text = docs.groupBy(F.md5(F.col(text_col)).alias("_h")).agg(
         F.count("*").alias("c")
     )
+    # coalesce: SUM over zero rows is NULL — an empty corpus must card
+    # as zeros, not crash the report
     return per_text.agg(
-        F.sum("c").cast("long").alias("n_docs"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_docs"),
         F.count("*").cast("long").alias("n_distinct_texts"),
-        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+        F.coalesce(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))), F.lit(0)
+        )
         .cast("long")
         .alias("n_dup_docs"),
     ).first()
@@ -107,13 +111,30 @@ def dataset_card(
         qs = list(r["tok_quantiles"] or [])
         return {
             "n_docs": r["n_docs"],
-            "n_tokens": r["n_tokens"],
-            "mean_quality": round(float(r["mean_quality"]), 6),
+            "n_tokens": r["n_tokens"] or 0,
+            "mean_quality": (
+                round(float(r["mean_quality"]), 6)
+                if r["mean_quality"] is not None
+                else None
+            ),
             "tokens_p50": qs[0] if qs else None,
             "tokens_p95": qs[1] if len(qs) > 1 else None,
         }
 
-    card: dict = {"languages": {}, "sources": {}}
+    # An empty corpus yields ZERO facet rows (grouping sets emit no
+    # groups over empty input, including the global one) — default the
+    # overall entry so the card is still well-formed.
+    card: dict = {
+        "overall": {
+            "n_docs": 0,
+            "n_tokens": 0,
+            "mean_quality": None,
+            "tokens_p50": None,
+            "tokens_p95": None,
+        },
+        "languages": {},
+        "sources": {},
+    }
     for r in facets:
         if r["facet"] == "all":
             card["overall"] = _entry(r)

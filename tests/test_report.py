@@ -79,3 +79,21 @@ def test_null_lang_bucketed_as_question_mark(spark):
     )
     card = dataset_card(df)
     assert card["languages"] == {"?": card["languages"]["?"]}
+
+
+def test_dataset_card_on_empty_corpus(spark):
+    """An empty corpus cards as zeros (NULL-aggregate coalescing), not
+    a crash — pipelines hit empty partitions/filters routinely."""
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string"
+    )
+    card = dataset_card(empty)
+    assert card["overall"]["n_docs"] == 0
+    assert card["overall"]["n_tokens"] == 0
+    assert card["duplication"] == {
+        "n_docs": 0,
+        "n_distinct_texts": 0,
+        "n_dup_docs": 0,
+        "dup_rate": 0.0,
+    }
+    assert card["languages"] == {} and card["sources"] == {}
