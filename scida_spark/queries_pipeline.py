@@ -491,6 +491,22 @@ def text_train_eval_split(spark, sf_dir):
              (SELECT n_rows FROM nr), TRUE FROM fl
     )
     SELECT * FROM hll UNION ALL SELECT * FROM kll UNION ALL SELECT * FROM theta
+    UNION ALL
+    SELECT 'facet:' || facet || ':' || key AS kind,
+           CAST(n_tokens AS DOUBLE) AS exact_metric,
+           CAST(n_docs AS BIGINT) AS n_rows, TRUE AS within_tol
+    FROM (
+      WITH fd AS (SELECT COALESCE(lang, '?') AS lang,
+                         COALESCE(source, '?') AS source,
+                         len(string_split(trim(text), ' ')) AS ntok
+                  FROM documents)
+      SELECT 'all' AS facet, 'all' AS key,
+             COUNT(*) AS n_docs, SUM(ntok) AS n_tokens FROM fd
+      UNION ALL
+      SELECT 'lang', lang, COUNT(*), SUM(ntok) FROM fd GROUP BY lang
+      UNION ALL
+      SELECT 'source', source, COUNT(*), SUM(ntok) FROM fd GROUP BY source
+    )
     """,
 )
 def sketch_distinct_rollup(spark, sf_dir):
@@ -509,6 +525,15 @@ def sketch_distinct_rollup(spark, sf_dir):
       active users over the first two days, composed with sketch-level
       set algebra: union (reach), intersection (retention), difference
       (churn) — the set-algebra queries HLL cannot answer.
+    * ``facet:<axis>:<key>`` (r7) — the dataset-card facet pass
+      (functions/report.py::corpus_facets: ONE grouping-sets
+      Expand+Exchange scan carries overall/per-lang/per-source doc
+      counts, token sums, and merged KLL token-quantile sketches).
+      Anchors (n_docs, n_tokens) hash-check exactly; the randomized
+      quantiles ride the rank contract, TIE-ROBUST for integer token
+      counts: the estimate's rank interval [P(x<est), P(x<=est)] must
+      intersect [q−eps, q+eps] — with heavy ties a point rank can sit
+      past eps while the estimate is exactly an order statistic.
 
     DuckDB cannot reproduce the randomized estimates, so the oracle
     verifies ACCURACY CONTRACTS: each row emits ``within_tol`` and the
@@ -656,7 +681,62 @@ def sketch_distinct_rollup(spark, sf_dir):
         ).alias("within_tol"),
     )
 
-    return hll_rows.unionAll(kll_rows).unionAll(theta_rows)
+    # --- facets (r7): the dataset-card grouping-sets pass -----------
+    # (functions/report.py::corpus_facets — ONE Expand+Exchange scan
+    # carries every facet's counts, token sums, and KLL token-quantile
+    # sketches). Anchors hash-checked exactly: n_docs, n_tokens per
+    # facet. The randomized KLL p50/p95 ride the slot's rank contract,
+    # tie-robust for integer token counts: the estimate's rank interval
+    # [P(x<est), P(x<=est)] must intersect [q−eps, q+eps] (integer
+    # values tie heavily, so a point rank can legitimately sit past
+    # eps while the estimate is exact — the interval check is the
+    # correct contract under ties).
+    from scida_spark.functions.report import corpus_facets
+    from scida_spark.functions.text import token_count
+
+    docs = table(spark, sf_dir, "documents")
+    fac = corpus_facets(docs)
+    mem = docs.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("all").alias("facet"), F.lit("all").alias("key")),
+                F.struct(
+                    F.lit("lang").alias("facet"),
+                    F.coalesce(F.col("lang"), F.lit("?")).alias("key"),
+                ),
+                F.struct(
+                    F.lit("source").alias("facet"),
+                    F.coalesce(F.col("source"), F.lit("?")).alias("key"),
+                ),
+            )
+        ).alias("fk"),
+        token_count(F.col("text")).cast("double").alias("_ntok"),
+    ).select(F.col("fk.facet").alias("facet"), F.col("fk.key").alias("key"), "_ntok")
+    feps = 2 * SK.KLL_RANK_EPS_K200
+    q50, q95 = F.element_at("tok_quantiles", 1), F.element_at("tok_quantiles", 2)
+    frk = (
+        mem.join(F.broadcast(fac.select("facet", "key", "tok_quantiles")), ["facet", "key"])
+        .groupBy("facet", "key")
+        .agg(
+            (F.sum((F.col("_ntok") < q50).cast("int")) / F.count("*")).alias("lo50"),
+            (F.sum((F.col("_ntok") <= q50).cast("int")) / F.count("*")).alias("hi50"),
+            (F.sum((F.col("_ntok") < q95).cast("int")) / F.count("*")).alias("lo95"),
+            (F.sum((F.col("_ntok") <= q95).cast("int")) / F.count("*")).alias("hi95"),
+        )
+    )
+    facet_rows = fac.join(frk, ["facet", "key"]).select(
+        F.concat(F.lit("facet:"), "facet", F.lit(":"), "key").alias("kind"),
+        F.col("n_tokens").cast("double").alias("exact_metric"),
+        F.col("n_docs").cast("long").alias("n_rows"),
+        (
+            (F.col("lo50") <= 0.5 + feps)
+            & (F.col("hi50") >= 0.5 - feps)
+            & (F.col("lo95") <= 0.95 + feps)
+            & (F.col("hi95") >= 0.95 - feps)
+        ).alias("within_tol"),
+    )
+
+    return hll_rows.unionAll(kll_rows).unionAll(theta_rows).unionAll(facet_rows)
 
 
 @query(
