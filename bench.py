@@ -33,7 +33,9 @@ RUNS = 5
 # paths + recall certification AND the BM25 full-text section),
 # dedup_signature_pairs now also runs the exact-pairs baseline for its
 # recall certification, text_train_eval_split now also computes the
-# exact-quota stratified flag (one added stratum-key shuffle) —
+# exact-quota stratified flag (one added stratum-key shuffle),
+# sketch_distinct_rollup now also runs the dataset-card facet section
+# (a grouping-sets documents scan + its rank-contract check) —
 # r6-to-r7 per-query timings are therefore not 1:1 comparable for
 # those slots.
 HEADLINE = [
