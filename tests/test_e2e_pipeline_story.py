@@ -3,7 +3,8 @@
 raw corpus → quality + repetition filters → exact dedup → near-dup
 cleaned corpus (pairs → CC → canonical) → benchmark decontamination →
 deterministic train/eval/test split → per-split sketch rollup →
-corpus-wide line dedup → shard export with audit → dataset card.
+corpus-wide line dedup → shard export with audit → dataset card →
+BPE tokenizer + packing → trained quality filter.
 Every stage is an operator the registry exposes individually; this
 test pins that they COMPOSE — the "a user could run their whole
 pipeline here" contract — with planted documents whose fate is known
@@ -132,3 +133,21 @@ def test_pipeline_composes_end_to_end(spark, corpus):
     all_docs = {d for r in packed_rows for d in r["doc_ids"]}
     assert all_docs == {r["doc_id"] for r in kept3.collect()}  # every doc packed once
     assert all(r["total_tokens"] <= 64 or r["oversize"] for r in packed_rows)
+
+    # 11) the TRAINED quality filter agrees with the heuristic one:
+    # fit on the corpus labeled by the stage-1 outcome, then the model
+    # must keep every clean doc and reject the stutter doc
+    from scida_spark.functions.quality_classifier import (
+        classifier_filter,
+        train_quality_classifier,
+    )
+
+    labeled = corpus.join(
+        kept1.select("doc_id").withColumn("label", F.lit(1.0)), "doc_id", "left"
+    ).withColumn("label", F.coalesce(F.col("label"), F.lit(0.0)))
+    qmodel = train_quality_classifier(labeled, "doc_id", "text", "label")
+    kept_ml = {
+        r["doc_id"]
+        for r in classifier_filter(corpus, qmodel, "doc_id", "text").collect()
+    }
+    assert 0 in kept_ml and 102 not in kept_ml
