@@ -30,6 +30,7 @@ the word-count table.
 
 from __future__ import annotations
 
+import re
 from collections import Counter
 from typing import Iterator
 
@@ -38,6 +39,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _EOW = "</w>"  # end-of-word marker, standard BPE
+
+# Word splitter shared by learning (JVM `\s+`, which in Java regex is
+# the ASCII class below) and encoding (Python, where str.split() would
+# ALSO split on Unicode whitespace like \xa0 — a word learned as one
+# type must never encode as two).
+_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -171,7 +178,9 @@ def bpe_encode(
         toks_out, n_out = [], []
         for txt in s:
             toks: list[str] = []
-            for w in (txt or "").split():
+            for w in _WS_RE.split(txt or ""):
+                if not w:
+                    continue
                 got = cache.get(w)
                 if got is None:
                     got = cache[w] = encode_word(w, ranks)

@@ -83,7 +83,14 @@ def bm25_topk(
     stats = dl.agg(
         F.count("*").alias("n"), F.sum("_dl").alias("tot")
     ).collect()[0]
-    n_docs, avgdl = int(stats["n"]), float(stats["tot"]) / int(stats["n"])
+    n_docs = int(stats["n"])
+    if n_docs == 0:
+        # Empty corpus → empty result (the repo-wide "card zeros, don't
+        # crash" convention); stats['tot'] is NULL here.
+        return spark.createDataFrame(
+            [], f"query_id long, {id_col} long, score double, rank int"
+        )
+    avgdl = float(stats["tot"]) / n_docs
 
     # Postings of query terms only: explode → immediate literal-list
     # filter → per-(doc, term) tf. The groupBy shuffles only matching

@@ -311,14 +311,16 @@ _LINE_DELIM = "\n"
 
 def hot_lines(
     docs: DataFrame,
-    id_col: str,
     text_col: str,
     min_docs: int,
 ) -> DataFrame:
-    """Lines occurring in >= ``min_docs`` DISTINCT documents →
-    ``(line, n_docs)``. Matching is on the space-trimmed line (Spark
-    ``trim`` / SQL ``TRIM`` semantics: ASCII space only, so any SQL
-    oracle reproduces it); empty-after-trim lines are never counted.
+    """Lines occurring in >= ``min_docs`` documents → ``(line,
+    n_docs)``. Each input ROW is one document (the map-side
+    ``array_distinct`` below de-dups lines within a row; rows are
+    assumed unique documents — pre-aggregate first if your ids
+    repeat). Matching is on the space-trimmed line (Spark ``trim`` /
+    SQL ``TRIM`` semantics: ASCII space only, so any SQL oracle
+    reproduces it); empty-after-trim lines are never counted.
 
     Scale: the within-doc distinct is MAP-SIDE — ``array_distinct``
     over the split array before the explode — so a line repeated 1000×

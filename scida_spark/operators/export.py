@@ -12,9 +12,15 @@ Design for 100 TB:
   function of the row id, so the order (and therefore every shard's
   membership) is reproducible across runs, engines, cluster sizes,
   and input layouts. No ``rand()`` anywhere (the sampling.py rule).
-* Shard assignment = ``repartitionByRange`` on that hash: ONE range
-  shuffle; a high-entropy 128-bit-prefix hash key makes range
-  boundaries uniform, so shards come out balanced to within sampling
+* Shard assignment = EXPLICIT equal-width slices of the hash key
+  space: ``shard = floor(prefix32(key) * n_shards / 2**32)`` — a pure
+  function of (id, salt, n_shards), computed per row with integer
+  arithmetic. Deliberately NOT ``repartitionByRange``, whose range
+  boundaries come from sampling the input's partition layout and so
+  can shift with parallelism; here the cut points themselves are
+  deterministic, making shard membership bit-reproducible. The
+  physical shuffle is ONE hash exchange on the shard id; a uniform
+  hash key makes the equal-width slices balanced to within sampling
   error. Rows-per-shard is a target, not a quota — the manifest
   records actuals (an exact quota would cost a second full shuffle
   for no loader-visible benefit).
@@ -49,6 +55,19 @@ def shard_key(id_col: str, salt: str = "") -> F.Column:
     return F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
 
 
+def shard_id(id_col: str, n_shards: int, salt: str = "") -> F.Column:
+    """Deterministic shard index: equal-width slices of the 32-bit
+    prefix of the md5 key space — ``floor(prefix * n_shards / 2**32)``
+    via exact long arithmetic (prefix < 2**32, n_shards < 2**31, so
+    the product never overflows). Monotone in the full hex key, so
+    shards concatenated in index order yield the globally hash-sorted
+    corpus; any SQL engine can recompute the same assignment."""
+    prefix = F.conv(F.substring(shard_key(id_col, salt), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return F.shiftright(prefix * F.lit(int(n_shards)), 32).cast("int")
+
+
 def row_fingerprint(cols: list[str]) -> F.Column:
     """Order-invariant per-row content fingerprint: 56-bit integer
     from md5 over the concatenated column values (null-safe: NULL
@@ -75,25 +94,39 @@ def export_training_shards(
 
     Returns the manifest dict: global totals plus one entry per shard
     file with ``n_rows`` and ``content_hash`` (sum of row
-    fingerprints). Reproducible end-to-end: same input + salt →
-    same shard membership and same hashes, regardless of input
-    partitioning or cluster size.
+    fingerprints). Reproducible end-to-end: same input + salt +
+    rows_per_shard → same shard membership (explicit key-space cut
+    points, not sampled range boundaries) and same hashes, regardless
+    of input partitioning or cluster size.
     """
     n_total = df.count()
     n_shards = max(1, -(-n_total // rows_per_shard))
-    keyed = df.withColumn("_shard_key", shard_key(id_col, salt))
+    keyed = df.withColumn("_shard_key", shard_key(id_col, salt)).withColumn(
+        "_shard", shard_id(id_col, n_shards, salt)
+    )
+    # ONE hash exchange on the deterministic shard id; each shard id
+    # lands in exactly one task, so partitionBy writes exactly one
+    # file per shard directory, internally sorted by the full key.
     (
-        keyed.repartitionByRange(n_shards, "_shard_key")
-        .sortWithinPartitions("_shard_key")
-        .write.mode("overwrite")
+        keyed.repartition(n_shards, "_shard")
+        .sortWithinPartitions("_shard", "_shard_key")
+        .write.partitionBy("_shard")
+        .mode("overwrite")
         .parquet(dst_dir)
     )
 
     spark = df.sparkSession
     back = spark.read.parquet(dst_dir)
-    data_cols = [c for c in back.columns if c != "_shard_key"]
+    data_cols = [c for c in back.columns if c not in ("_shard_key", "_shard")]
     stats = (
-        back.withColumn("_file", F.element_at(F.split(F.input_file_name(), "/"), -1))
+        back.withColumn(
+            "_file",
+            F.concat_ws(
+                "/",
+                F.element_at(F.split(F.input_file_name(), "/"), -2),
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
+            ),
+        )
         .groupBy("_file")
         .agg(
             F.count("*").alias("n_rows"),
@@ -138,11 +171,16 @@ def verify_shards(spark, dst_dir: str) -> dict:
     with open(os.path.join(dst_dir, "_manifest.json")) as f:
         manifest = json.load(f)
     back = spark.read.parquet(dst_dir)
-    data_cols = [c for c in back.columns if c != "_shard_key"]
+    data_cols = [c for c in back.columns if c not in ("_shard_key", "_shard")]
     got = {
         r["_file"]: (r["n_rows"], r["content_hash"])
         for r in back.withColumn(
-            "_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+            "_file",
+            F.concat_ws(
+                "/",
+                F.element_at(F.split(F.input_file_name(), "/"), -2),
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
+            ),
         )
         .groupBy("_file")
         .agg(

@@ -1384,7 +1384,7 @@ def text_quality_lang(spark, sf_dir):
         ).alias("text"),
     )
     ld = remove_hot_lines(
-        aug, hot_lines(aug, "doc_id", "text", min_docs=2), "doc_id", "text"
+        aug, hot_lines(aug, "text", min_docs=2), "doc_id", "text"
     )
     ld_rows = ld.select(
         F.lit("line_dedup").alias("section"),

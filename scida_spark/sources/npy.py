@@ -81,7 +81,10 @@ def discover_schema(path: str) -> tuple[StructType, int, list[str]]:
     names: list[str] = []
     nrows: int | None = None
     for entry in sorted(os.listdir(path)):
-        if not entry.endswith(".npy"):
+        # Skip hidden/tmp files (same convention Spark's file sources
+        # use for `.`/`_` prefixes) so atomic writers can stage
+        # `.field.tmp.npy` in-place before os.replace.
+        if not entry.endswith(".npy") or entry.startswith((".", "_")):
             continue
         name = entry[: -len(".npy")]
         shape, dtype = read_npy_header(os.path.join(path, entry))

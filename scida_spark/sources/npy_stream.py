@@ -30,14 +30,26 @@ class NpyStreamReader(SimpleDataSourceStreamReader):
         self.schema_ = schema
         self.rows_per_batch = rows_per_batch
         self.fields = [f.name for f in schema.fields if f.name != "uid"]
+        # Last row count successfully observed on disk. A torn read
+        # (writer mid-`np.save`, truncated npy header) falls back to
+        # this so the trigger is a no-op instead of killing the query.
+        self._last_rows = 0
 
     def initialOffset(self) -> dict:  # noqa: N802 (Spark API name)
         return {"row": 0}
 
     def _current_rows(self) -> int:
         # Re-discover on every trigger: the array may have grown
-        # (writers replace the .npy files with longer ones).
-        _, nrows, _ = discover_schema(self.path)
+        # (writers replace the .npy files with longer ones). A writer
+        # SHOULD publish atomically (tmp file + os.replace), but a
+        # production tailing source must survive one that doesn't:
+        # any parse/IO error here just means "no new rows this
+        # trigger" — the offset stays put and the next trigger retries.
+        try:
+            _, nrows, _ = discover_schema(self.path)
+        except Exception:
+            return self._last_rows
+        self._last_rows = max(self._last_rows, nrows)
         return nrows
 
     def _read_range(self, lo: int, hi: int):
@@ -46,10 +58,18 @@ class NpyStreamReader(SimpleDataSourceStreamReader):
         if hi <= lo:
             return []
         arrays = {}
-        for name in self.fields:
-            arrays[name] = np.load(
-                os.path.join(self.path, name + ".npy"), mmap_mode="r"
-            )
+        try:
+            for name in self.fields:
+                arrays[name] = np.load(
+                    os.path.join(self.path, name + ".npy"), mmap_mode="r"
+                )
+        except Exception:
+            # Torn header mid-replace: treat as "nothing new yet".
+            # Safe for replay too — committed rows were readable once
+            # and npy-dir writers only ever grow the arrays, so a
+            # transient failure is always a mid-write artifact that the
+            # next trigger (or replay attempt) will see resolved.
+            return []
         # Writers replace field files one at a time (non-atomic): clamp
         # to the shortest field actually on disk so a mid-update trigger
         # reads a consistent prefix instead of crashing; the remainder

@@ -95,3 +95,18 @@ def test_max_types_cut_is_deterministic():
     # cap keeps (count desc, word) order: aaa, bbb
     m = learn_bpe(wc, 1, max_types=2)
     assert m == [("a", "a")]
+
+
+def test_nonascii_whitespace_consistent_with_learning(spark):
+    """Java \\s+ (learning) is ASCII-only; the encode UDF must segment
+    identically, so a NBSP-joined pair learned as ONE word type never
+    encodes as two words (ADVICE r7)."""
+    docs = spark.createDataFrame(
+        [(0, "xy zw xy zw")], "doc_id long, text string"
+    )
+    wc = {r["word"]: r["n"] for r in word_counts(docs).collect()}
+    assert wc == {"xy zw": 2}  # JVM side: NBSP is not a separator
+    merges = learn_bpe(word_counts(docs), 8)
+    enc = bpe_encode(docs, merges).first()
+    rebuilt = "".join(enc["bpe_tokens"]).replace("</w>", " ").rstrip()
+    assert rebuilt == "xy zw xy zw"

@@ -91,7 +91,7 @@ def test_pipeline_composes_end_to_end(spark, corpus):
     with_footer = kept3.withColumn(
         "text", F.concat(F.col("text"), F.lit("\nGlobal Footer Inc"))
     )
-    hot = TX.hot_lines(with_footer, "doc_id", "text", min_docs=2)
+    hot = TX.hot_lines(with_footer, "text", min_docs=2)
     stripped = TX.remove_hot_lines(with_footer, hot, "doc_id", "text")
     orig = {r["doc_id"]: r["text"] for r in kept3.collect()}
     got = {r["doc_id"]: r["cleaned"] for r in stripped.collect()}

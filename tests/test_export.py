@@ -80,18 +80,46 @@ def test_shard_key_is_pure_function(spark):
     assert a == b and len(a) == 32
 
 
-def test_export_plan_single_range_exchange(spark, docs):
-    """The export pays exactly ONE shuffle: rangepartitioning on the
-    hash key (the write + manifest re-read add none on the query side)."""
-    from scida_spark.operators.export import shard_key
+def test_export_plan_single_hash_exchange(spark, docs):
+    """The export pays exactly ONE shuffle: hashpartitioning on the
+    deterministic shard id (the write + manifest re-read add none on
+    the query side)."""
+    from scida_spark.operators.export import shard_id, shard_key
 
     plan_df = (
         docs.withColumn("_shard_key", shard_key("doc_id"))
-        .repartitionByRange(10, "_shard_key")
-        .sortWithinPartitions("_shard_key")
+        .withColumn("_shard", shard_id("doc_id", 10))
+        .repartition(10, "_shard")
+        .sortWithinPartitions("_shard", "_shard_key")
     )
     p = plan_df._sc._jvm.PythonSQLUtils.explainString(
         plan_df._jdf.queryExecution(), "formatted"
     )
     assert p.count("+- Exchange") == 1
-    assert "rangepartitioning(_shard_key" in p
+    assert "hashpartitioning(_shard" in p
+
+
+def test_shard_id_explicit_boundaries(spark):
+    """Shard membership is floor(prefix32 * n / 2^32) — an explicit cut
+    of the key space, independent of input partitioning AND of
+    parallelism (the repartitionByRange sampling gap): recomputable
+    row-by-row with no knowledge of the rest of the data."""
+    from scida_spark.operators.export import shard_id, shard_key
+
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", shard_id("doc_id", 7, "z").alias("s")).collect()
+    }
+    import hashlib
+
+    for doc_id, s in got.items():
+        prefix = int(hashlib.md5(f"{doc_id}z".encode()).hexdigest()[:8], 16)
+        assert s == (prefix * 7) >> 32
+    assert set(got.values()) == set(range(7))
+    # monotone in the full key: shards in index order = global key order
+    keyed = df.select(
+        shard_key("doc_id", "z").alias("k"), shard_id("doc_id", 7, "z").alias("s")
+    ).collect()
+    order_by_key = [r["s"] for r in sorted(keyed, key=lambda r: r["k"])]
+    assert order_by_key == sorted(order_by_key)

@@ -3,6 +3,8 @@ exactly-once offsets, downstream aggregation."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -11,9 +13,13 @@ from scida_spark.sources.npy_stream import register
 
 
 def _write(d, n, start=0):
+    # Publish atomically (tmp + os.replace) like a well-behaved writer;
+    # the torn-read test below covers the ill-behaved one.
     vals = np.arange(start, start + n, dtype=np.float64)
     full = np.concatenate([np.arange(0, start, dtype=np.float64), vals])
-    np.save(d / "Value.npy", full)
+    tmp = d / ".Value.tmp.npy"
+    np.save(tmp, full)
+    os.replace(tmp, d / "Value.npy")
 
 
 def test_stream_reads_all_rows_in_batches(spark, tmp_path):
@@ -69,6 +75,46 @@ def test_stream_picks_up_appended_rows(spark, tmp_path):
         second = spark.sql("SELECT * FROM npys_grow").first()
         assert second.n == 150
         assert second.s == pytest.approx(float(np.arange(150).sum()))
+    finally:
+        q.stop()
+
+
+def test_stream_survives_torn_read(spark, tmp_path):
+    """A writer mid-`np.save` presents a truncated npy header; the
+    stream must treat it as "no new rows yet" (offset holds) instead of
+    dying, then pick up the rows once a consistent file lands."""
+    _write(tmp_path, 100)
+    register(spark)
+    stream = (
+        spark.readStream.format("npystream")
+        .option("path", str(tmp_path))
+        .option("rows_per_batch", 1000)
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("npys_torn")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) n FROM npys_torn").first().n == 100
+
+        # Simulate an ill-behaved writer: clobber the field file with a
+        # truncated npy (valid magic, torn header/data) IN PLACE.
+        full = bytes((tmp_path / "Value.npy").read_bytes())
+        (tmp_path / "Value.npy").write_bytes(full[:40])
+        q.processAllAvailable()  # must not raise; no rows gained/lost
+        assert q.exception() is None
+        assert spark.sql("SELECT count(*) n FROM npys_torn").first().n == 100
+
+        # Writer finishes: consistent 150-row file replaces the torn one.
+        _write(tmp_path, 50, start=100)
+        q.processAllAvailable()
+        assert q.exception() is None
+        rows = spark.sql("SELECT uid FROM npys_torn").collect()
+        assert sorted(r.uid for r in rows) == list(range(150))
     finally:
         q.stop()
 

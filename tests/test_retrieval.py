@@ -86,3 +86,17 @@ def test_bm25_no_match_and_empty(docs_df, spark):
     assert sorted((r["doc_id"], r["score"]) for r in one) == sorted(
         (r["doc_id"], r["score"]) for r in two
     )
+
+
+def test_bm25_empty_corpus_returns_empty(spark):
+    """Empty corpus → empty result, not ZeroDivisionError/float(None)
+    (the repo's 'card zeros, don't crash' convention)."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    got = bm25_topk(empty, [(0, "spark")], k=5)
+    assert got.collect() == []
+    assert [f.name for f in got.schema.fields] == [
+        "query_id",
+        "doc_id",
+        "score",
+        "rank",
+    ]

@@ -108,7 +108,7 @@ def _corpus(spark):
 def test_hot_lines_counts_distinct_docs(spark):
     """A line repeated inside ONE doc counts once; matching trims
     spaces; blank lines are never hot."""
-    hot = T.hot_lines(_corpus(spark), "doc_id", "text", min_docs=2)
+    hot = T.hot_lines(_corpus(spark), "text", min_docs=2)
     got = {r["line"]: r["n_docs"] for r in hot.collect()}
     # 'cookie banner' is in docs 1,2,3 (twice in 2 -> still 3);
     # 'shared footer' in 3,4; everything else unique; ''/'  ' excluded.
@@ -117,7 +117,7 @@ def test_hot_lines_counts_distinct_docs(spark):
 
 def test_remove_hot_lines_broadcast_path(spark):
     docs = _corpus(spark)
-    hot = T.hot_lines(docs, "doc_id", "text", min_docs=2)
+    hot = T.hot_lines(docs, "text", min_docs=2)
     out = {
         r["doc_id"]: (r["cleaned"], r["n_removed"])
         for r in T.remove_hot_lines(docs, hot, "doc_id", "text").collect()
@@ -135,7 +135,7 @@ def test_remove_hot_lines_join_path_agrees(spark):
     """max_broadcast=0 forces the join fallback; must agree
     row-for-row with the broadcast path."""
     docs = _corpus(spark)
-    hot = T.hot_lines(docs, "doc_id", "text", min_docs=2)
+    hot = T.hot_lines(docs, "text", min_docs=2)
     a = sorted(
         T.remove_hot_lines(docs, hot, "doc_id", "text").select(
             "doc_id", "cleaned", "n_removed"
@@ -153,7 +153,7 @@ def test_remove_hot_lines_broadcast_is_map_only(spark):
     """After the bounded hot-set collect, removal is one Arrow
     projection over the corpus: no Exchange in the cleaned plan."""
     docs = _corpus(spark)
-    hot = T.hot_lines(docs, "doc_id", "text", min_docs=2)
+    hot = T.hot_lines(docs, "text", min_docs=2)
     cleaned = T.remove_hot_lines(docs, hot, "doc_id", "text")
     plan = cleaned._sc._jvm.PythonSQLUtils.explainString(
         cleaned._jdf.queryExecution(), "formatted"
@@ -187,7 +187,7 @@ def test_remove_hot_lines_matches_python_oracle_random_corpus(spark):
         expect[doc_id] = ("\n".join(keep), len(t.split("\n")) - len(keep))
 
     docs = spark.createDataFrame(corpus, "doc_id long, text string")
-    hot_df = T.hot_lines(docs, "doc_id", "text", min_docs=min_docs)
+    hot_df = T.hot_lines(docs, "text", min_docs=min_docs)
     assert {r["line"] for r in hot_df.collect()} == hot
     for gate in (2_000_000, 0):  # broadcast path, then join fallback
         got = {
