@@ -68,6 +68,61 @@ HEADLINE = [
 ]
 
 
+# Composite slots (one registry entry = UNION of several attested
+# sections) and their discriminator column. Filtering the slot's
+# DataFrame on a literal section value lets Catalyst push the predicate
+# into every union branch, constant-fold the non-matching branches to
+# Filter(false), and prune them (PropagateEmptyRelation) — so the
+# per-section wall time measures ONLY that branch's subtree, making
+# cross-round regressions attributable per operator instead of per
+# slot (the r7 merged-slot comparability gap). Sections whose values
+# carry a ':'-suffixed instance (e.g. 'hll:click') are grouped by
+# family prefix.
+SECTIONED = {
+    "sim_topk": "method",
+    "stream_batch_windows": "kind",
+    "sketch_distinct_rollup": "kind",
+    "scida_groupid_assign": "method",
+    "dedup_signature_pairs": "method",
+    "scida_grouped": "variant",
+    "scida_histograms": "kind",
+}
+
+
+def _section_timings(spark, reg, sf_dir, names, errors):
+    """One timed pass per section of each composite slot (single run:
+    these are attribution numbers, not the headline medians)."""
+    from pyspark.sql import functions as F
+
+    out: dict[str, dict[str, float]] = {}
+    for name, col in SECTIONED.items():
+        if name not in names or name in errors:
+            continue
+        try:
+            fams = sorted(
+                r["f"]
+                for r in reg[name]
+                .fn(spark, "/root/testdata/sf0.001")
+                .select(F.substring_index(F.col(col), ":", 1).alias("f"))
+                .distinct()
+                .collect()
+            )
+            secs = {}
+            for fam in fams:
+                t0 = time.perf_counter()
+                (
+                    reg[name]
+                    .fn(spark, sf_dir)
+                    .filter(F.substring_index(F.col(col), ":", 1) == fam)
+                    .count()
+                )
+                secs[fam] = round(time.perf_counter() - t0, 4)
+            out[name] = secs
+        except Exception:  # noqa: BLE001 — attribution is best-effort
+            continue
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from scida_spark.session import get_spark
@@ -122,8 +177,15 @@ def main() -> None:
     # shown uniform 2-4x phantom swings across ALL queries (r2/r4/r6
     # judge re-runs) — this one number says whether THIS run hit one,
     # so a slow total can be attributed to the box, not the code.
-    spreads = [max(s) / min(s) for s in samples.values() if s and min(s) > 0]
-    spread = round(statistics.median(spreads), 2) if spreads else None
+    per_spread = {
+        n: round(max(s) / min(s), 2)
+        for n, s in samples.items()
+        if s and min(s) > 0
+    }
+    spread = (
+        round(statistics.median(per_spread.values()), 2) if per_spread else None
+    )
+    sections = _section_timings(spark, reg, sf_dir, names, errors)
     print(
         json.dumps(
             {
@@ -134,7 +196,16 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs": RUNS,
                 "agg": "median",
+                # Runs are interleaved round-robin (pass 1 of every
+                # query, then pass 2, ...) so a contention spike lands
+                # on one run of many queries and the median discards it.
+                "protocol": "interleaved",
                 "contention_spread": spread,
+                "contention_spread_per_query": per_spread,
+                # Single-run per-section wall times for composite slots
+                # (union-branch pruning via the discriminator column) —
+                # attribution only; medians above remain the headline.
+                "sections": sections,
             }
         )
     )
