@@ -7,13 +7,19 @@ the BUCKET-grain rows — a table that is ``days x buckets_per_day``
 per key regardless of raw row count, so the windows stay small at
 100 TB even though the input does not.
 
-Forward fill uses the gaps-and-islands construction (a cumulative
-count of non-null observations forms a group id per carried value)
-instead of ``last(..., ignorenulls=True)`` — the construction is
-expressible identically in ANSI SQL, which keeps the DuckDB oracle
-able to reproduce results bit-for-bit. Linear interpolation carries
-the same property: both engines evaluate the identical
-``prev + (next - prev) * ((t - tp) / (tn - tp))`` double expression.
+Forward fill and interpolation use ``last/first(..., ignorenulls)``
+over ONE per-key ordered window — every neighbor column shares the
+same partitioning and sort, so the whole fill stage costs a single
+exchange + sort regardless of how many neighbor values it derives.
+(r7 shipped a gaps-and-islands construction instead — a cumulative
+count forming a carry-group id, then a max over (key, group) — which
+is value-identical but repartitions by the derived group id: two extra
+exchanges per operator, and the bench's new per-section timings showed
+interp at 5.5 s of its slot's 6 s. An oracle can reproduce either
+construction: the gaps-and-islands SQL remains valid for engines
+without IGNORE NULLS, and both evaluate the identical
+``prev + (next - prev) * ((t - tp) / (tn - tp))`` double expression,
+so results are bit-for-bit unchanged.)
 
 No reference counterpart (scida has no time axis); net-new Spark
 capability like the streaming surface.
@@ -74,17 +80,14 @@ def forward_fill(
     out_col: str | None = None,
 ) -> DataFrame:
     """Carry the last non-null ``value_col`` forward along the bucket
-    order within each key (gaps-and-islands: the running count of
-    non-null observations partitions rows into carry groups, each
-    holding exactly one non-null value at its head). Leading gaps stay
-    NULL. One extra column; no extra shuffle beyond the key window."""
+    order within each key. Leading gaps stay NULL. ONE window over the
+    key partitioning — no derived-group repartition, so the whole
+    operator is one exchange + one sort."""
     out = out_col or f"{value_col}_ffill"
     cum = W.partitionBy(*key_cols).orderBy(bucket_col).rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
-    df = df.withColumn("_ffgrp", F.count(value_col).over(cum))
-    carried = F.max(value_col).over(W.partitionBy(*key_cols, "_ffgrp"))
-    return df.withColumn(out, carried).drop("_ffgrp")
+    return df.withColumn(out, F.last(value_col, ignorenulls=True).over(cum))
 
 
 def linear_interp(
@@ -100,24 +103,28 @@ def linear_interp(
     arithmetic is the canonical
     ``prev + (next - prev) * ((t - tp) / (tn - tp))`` on doubles,
     with that exact association — oracles must mirror it to
-    reproduce results bit-for-bit."""
+    reproduce results bit-for-bit. Both neighbor directions are
+    GROWING frames (unboundedPreceding -> currentRow): the "next"
+    neighbors run over the DESCENDING bucket order, where a growing
+    frame over rows with bucket >= current is exactly "first non-null
+    at-or-after". Growing frames are maintained incrementally by
+    WindowExec (O(rows)); the naive forward-looking frame
+    (currentRow -> unboundedFollowing) is a SHRINKING frame, which
+    ignorenulls aggregates force to re-scan per row — O(rows^2) per
+    key, measurably slower even at bucket grain. One exchange, two
+    local sorts (asc + desc), no derived-group repartitions."""
     out = out_col or f"{value_col}_interp"
     cum = W.partitionBy(*key_cols).orderBy(bucket_col).rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
-    fwd = W.partitionBy(*key_cols).orderBy(bucket_col).rowsBetween(
-        W.currentRow, W.unboundedFollowing
+    rev = W.partitionBy(*key_cols).orderBy(F.col(bucket_col).desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
     )
-    df = (
-        df.withColumn("_pgrp", F.count(value_col).over(cum))
-        .withColumn("_ngrp", F.count(value_col).over(fwd))
-    )
-    wp = W.partitionBy(*key_cols, "_pgrp")
-    wn = W.partitionBy(*key_cols, "_ngrp")
-    prev_v = F.max(value_col).over(wp)
-    prev_b = F.max(F.when(F.col(value_col).isNotNull(), F.col(bucket_col))).over(wp)
-    next_v = F.max(value_col).over(wn)
-    next_b = F.max(F.when(F.col(value_col).isNotNull(), F.col(bucket_col))).over(wn)
+    obs_b = F.when(F.col(value_col).isNotNull(), F.col(bucket_col))
+    prev_v = F.last(value_col, ignorenulls=True).over(cum)
+    prev_b = F.last(obs_b, ignorenulls=True).over(cum)
+    next_v = F.last(value_col, ignorenulls=True).over(rev)
+    next_b = F.last(obs_b, ignorenulls=True).over(rev)
     t, tp, tn = F.col(bucket_col), prev_b, next_b
     interp = prev_v + (next_v - prev_v) * (
         (t - tp).cast("double") / (tn - tp).cast("double")
@@ -125,4 +132,4 @@ def linear_interp(
     filled = F.when(F.col(value_col).isNotNull(), F.col(value_col)).otherwise(
         F.when(prev_v.isNotNull() & next_v.isNotNull(), interp)
     )
-    return df.withColumn(out, filled).drop("_pgrp", "_ngrp")
+    return df.withColumn(out, filled)
