@@ -393,14 +393,34 @@ _SPLIT_T = _split_thresholds_r6()
                ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'strat1'), 1, 8)) AS UBIGINT),
                         doc_id) AS rn,
              COUNT(*) OVER (PARTITION BY lang) AS c
-      FROM documents)
+      FROM documents),
+    qt AS (
+      SELECT doc_id,
+             CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS n,
+             CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE) AS nd,
+             CAST(list_reduce(list_transform(string_split(trim(text), ' '),
+                  x -> CAST(length(x) AS BIGINT)), (acc, x) -> acc + x) AS DOUBLE) AS totlen
+      FROM documents),
+    qs AS (
+      SELECT doc_id,
+             LEAST(LOG10(n + 1) / 3.0, 1.0) + (nd / n) * 0.5 +
+             CASE WHEN totlen / n >= 3 AND totlen / n <= 8 THEN 0.5 ELSE 0.0 END AS score
+      FROM qt),
+    par AS (
+      SELECT doc_id,
+             (qs.score / 2.0) >= (1.0 - (POWER(
+               (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'par8'), 1, 8)) AS UBIGINT) + 0.5)
+               / 4294967296.0, -1.0 / 9.0) - 1.0)) AS keep
+      FROM qs)
     SELECT CAST(b.doc_id AS BIGINT) AS doc_id, b.lang,
            CASE WHEN b.bucket < {_SPLIT_T[0]} THEN 'train'
                 WHEN b.bucket < {_SPLIT_T[1]} THEN 'eval'
                 ELSE 'test' END AS split,
            b.mbucket < thr.thr AS in_mix,
-           strat.rn <= ((strat.c * 1 + 4) // 5) AS in_strat
+           strat.rn <= ((strat.c * 1 + 4) // 5) AS in_strat,
+           par.keep AS in_pareto
     FROM b JOIN thr USING (lang) JOIN strat ON strat.doc_id = b.doc_id
+                                 JOIN par ON par.doc_id = b.doc_id
     """,
 )
 def text_train_eval_split(spark, sf_dir):
@@ -426,7 +446,17 @@ def text_train_eval_split(spark, sf_dir):
     is a pure function of (doc_id, salt), so the oracle's ROW_NUMBER
     reproduces the selection row-for-row — the exact-fraction
     complement to the approximate map-only ``in_mix`` path (one
-    shuffle on the stratum key buys the exact quota)."""
+    shuffle on the stratum key buys the exact quota).
+
+    ``in_pareto`` (r8) certifies the deterministic GPT-3-style
+    stochastic keep (``quality_classifier.pareto_keep``): keep when
+    score >= 1 - (u^(-1/alpha) - 1) with u the md5 hash-uniform of the
+    doc id — here driven by the heuristic quality score (scaled to
+    [0,1]) so the oracle can rebuild the identical score AND the
+    identical Pareto draw; the production path plugs the trained-LR
+    score into the same Column function. Both engines evaluate the
+    same double expression (libm pow + IEEE arithmetic)."""
+    from scida_spark.functions.quality_classifier import pareto_keep
     from scida_spark.functions.sampling import (
         hash_split,
         in_mix_column,
@@ -434,7 +464,25 @@ def text_train_eval_split(spark, sf_dir):
         stratified_exact_sample,
     )
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    raw = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # Two projections: tokens once, then stats (no intra-projection CSE).
+    tokd = raw.select("doc_id", "lang", TX.tokens(F.col("text")).alias("_t"))
+    scored = tokd.select(
+        "doc_id",
+        "lang",
+        TX.quality_score_from_stats(
+            F.size("_t"),
+            F.size(F.array_distinct("_t")),
+            F.aggregate(
+                "_t", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+            ).cast("double")
+            / F.size("_t"),
+        ).alias("_score"),
+    )
+    docs = scored.withColumn(
+        "in_pareto",
+        pareto_keep(F.col("_score") / 2.0, F.col("doc_id"), alpha=9.0, salt="par8"),
+    ).drop("_score")
     split_df = hash_split(docs, "doc_id", {"train": 0.8, "eval": 0.1, "test": 0.1},
                           salt="r6")
     counts = {r[0]: r[1] for r in docs.groupBy("lang").count().collect()}
@@ -442,9 +490,10 @@ def text_train_eval_split(spark, sf_dir):
     flagged = split_df.withColumn(
         "in_mix", in_mix_column(F.col("doc_id"), F.col("lang"), thr, salt="mix7")
     )
-    return stratified_exact_sample(
+    out = stratified_exact_sample(
         flagged, "doc_id", "lang", num=1, den=5, salt="strat1"
     )
+    return out.select("doc_id", "lang", "split", "in_mix", "in_strat", "in_pareto")
 
 
 @query(
@@ -1313,6 +1362,34 @@ def text_lang_id(spark, sf_dir):
              t.n_lines - COALESCE(r.n_kept, 0) AS n_removed
       FROM ld_tot t LEFT JOIN ld_reb r USING (doc_id)
     )
+    UNION ALL
+    SELECT 'bpe' AS section, 'roundtrip' AS k1, '<>' AS k2,
+           CAST(COUNT(*) AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS sum_score
+    FROM documents
+    UNION ALL
+    SELECT 'bpe', 'contract', 'true', CAST(24 AS BIGINT), CAST(0.0 AS DOUBLE)
+    UNION ALL
+    SELECT 'bpe', 'lit:' || w, toks, CAST(nt AS BIGINT), CAST(0.0 AS DOUBLE)
+    FROM (VALUES ('low',    'lo|w</w>',      2),
+                 ('lower',  'lo|w|e|r</w>',  4),
+                 ('lowest', 'lo|w|est</w>',  3),
+                 ('newest', 'n|ew|est</w>',  3),
+                 ('widest', 'w|i|d|est</w>', 4)) AS t(w, toks, nt)
+    UNION ALL
+    SELECT 'export' AS section, 'shard:' || CAST(s AS VARCHAR) AS k1,
+           CAST(SUM(fp) AS VARCHAR) AS k2, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(0.0 AS DOUBLE) AS sum_score
+    FROM (
+      WITH ns AS (SELECT (COUNT(*) + 149) // 150 AS k FROM documents)
+      SELECT (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'exp8'), 1, 8)) AS UBIGINT)
+              * (SELECT k FROM ns)) // 4294967296 AS s,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || lang), 1, 14)) AS UBIGINT)
+                  AS HUGEINT) AS fp
+      FROM documents)
+    GROUP BY s
+    UNION ALL
+    SELECT 'export', 'verify', 'true',
+           (SELECT (COUNT(*) + 149) // 150 FROM documents), CAST(0.0 AS DOUBLE)
     """,
 )
 def text_quality_lang(spark, sf_dir):
@@ -1393,7 +1470,119 @@ def text_quality_lang(spark, sf_dir):
         F.col("n_removed").cast("long").alias("n"),
         F.lit(0.0).alias("sum_score"),
     )
-    return q.unionAll(lid).unionAll(lm_rows).unionAll(ld_rows)
+
+    # bpe (r8): learned tokenization certified three ways.
+    # (1) roundtrip — merges learned from THIS corpus at pinned
+    #     n_merges=24; every doc's encoded tokens must rebuild its
+    #     whitespace-normalized text, so n = total docs iff every
+    #     single tokenization is lossless (oracle: COUNT(*)).
+    # (2) contract — compression holds (learned-BPE token total <=
+    #     the 0-merge character baseline) and exactly 24 merges were
+    #     learned; oracle pins 'true'/24.
+    # (3) pinned literals — Sennrich's textbook corpus {low:5,
+    #     lower:2, newest:6, widest:3} at n_merges=4 encodes five
+    #     probe words through the same distributed learn+encode path;
+    #     the oracle pins the hand-derived token sequences, certifying
+    #     the merge order (count desc, lexicographic ties) and the
+    #     greedy encode exactly.
+    from scida_spark.functions import bpe as BPE
+
+    merges = BPE.learn_bpe(BPE.word_counts(docs), 24)
+    enc = BPE.bpe_encode(docs.select("doc_id", "text"), merges)
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    rebuilt = F.rtrim(
+        F.replace(F.concat_ws("", F.col("bpe_tokens")), F.lit("</w>"), F.lit(" "))
+    )
+    stats = enc.select(
+        (rebuilt == F.array_join(words, " ")).cast("long").alias("rt"),
+        F.col("n_bpe_tokens").alias("nb"),
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("base"),
+    ).agg(
+        F.sum("rt").alias("rt_ok"),
+        F.sum("nb").alias("nb_tot"),
+        F.sum("base").alias("base_tot"),
+    )
+    bpe_rt = stats.select(
+        F.lit("bpe").alias("section"),
+        F.lit("roundtrip").alias("k1"),
+        F.lit("<>").alias("k2"),
+        F.col("rt_ok").cast("long").alias("n"),
+        F.lit(0.0).alias("sum_score"),
+    )
+    bpe_ct = stats.select(
+        F.lit("bpe").alias("section"),
+        F.lit("contract").alias("k1"),
+        (F.col("nb_tot") <= F.col("base_tot")).cast("string").alias("k2"),
+        F.lit(len(merges)).cast("long").alias("n"),
+        F.lit(0.0).alias("sum_score"),
+    )
+    mini = spark.createDataFrame(
+        [(0, "low low low low low lower lower"),
+         (1, "newest " * 6 + "widest " * 3)],
+        "doc_id long, text string",
+    )
+    mini_merges = BPE.learn_bpe(BPE.word_counts(mini), 4)
+    probes = spark.createDataFrame(
+        [("low",), ("lower",), ("lowest",), ("newest",), ("widest",)], "w string"
+    )
+    bpe_lit = BPE.bpe_encode(probes, mini_merges, text_col="w").select(
+        F.lit("bpe").alias("section"),
+        F.concat(F.lit("lit:"), F.col("w")).alias("k1"),
+        F.array_join("bpe_tokens", "|").alias("k2"),
+        F.col("n_bpe_tokens").cast("long").alias("n"),
+        F.lit(0.0).alias("sum_score"),
+    )
+    # export (r8): audited training-shard export certified end-to-end
+    # AGAINST THE FILES ON DISK. The slot writes documents(doc_id,
+    # lang) as hash-ordered shards (rows_per_shard=150, salt 'exp8'),
+    # then emits one row per shard straight from the manifest — which
+    # export_training_shards computed by RE-READING the written
+    # parquet — plus a verify_shards row. The oracle recomputes shard
+    # membership from the explicit key-space cut (prefix32 * n_shards
+    # >> 32, reproducible BECAUSE boundaries are arithmetic, not
+    # sampled) and each shard's order-invariant content hash (sum of
+    # 56-bit md5 fingerprints) in pure SQL — so a hash match proves
+    # the bytes on disk hold exactly the right rows in the right
+    # shards (operators/export.py).
+    import os as _os
+    import re as _re
+    import tempfile as _tempfile
+
+    from scida_spark.operators.export import export_training_shards, verify_shards
+
+    dst = _os.path.join(
+        _tempfile.gettempdir(),
+        "ss_export_cert_" + _os.path.basename(sf_dir.rstrip("/")),
+    )
+    manifest = export_training_shards(
+        docs.select("doc_id", "lang"), "doc_id", dst, rows_per_shard=150, salt="exp8"
+    )
+    ok = verify_shards(spark, dst)["ok"]
+    exp_rows = spark.createDataFrame(
+        [
+            (
+                "export",
+                "shard:" + _re.search(r"_shard=(\d+)/", s["file"] + "/").group(1),
+                s["content_hash"],
+                int(s["n_rows"]),
+                0.0,
+            )
+            for s in manifest["shards"]
+        ]
+        + [("export", "verify", str(ok).lower(), int(manifest["n_shards"]), 0.0)],
+        "section string, k1 string, k2 string, n long, sum_score double",
+    )
+    return (
+        q.unionAll(lid)
+        .unionAll(lm_rows)
+        .unionAll(ld_rows)
+        .unionAll(bpe_rt)
+        .unionAll(bpe_ct)
+        .unionAll(bpe_lit)
+        .unionAll(exp_rows)
+    )
 
 
 @query(
