@@ -137,6 +137,13 @@ _MINHASH_RECALL_FLOOR = 0.85
            (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS id_a,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS id_b,
            1.0 AS score
+    UNION ALL
+    SELECT 'fuzzy' AS method, CAST(a.doc_id AS BIGINT) AS id_a,
+           CAST(b.doc_id AS BIGINT) AS id_b,
+           CAST(levenshtein(substr(a.text, 1, 24), substr(b.text, 1, 24)) AS DOUBLE) AS score
+    FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+    WHERE abs(length(substr(a.text, 1, 24)) - length(substr(b.text, 1, 24))) <= 2
+      AND levenshtein(substr(a.text, 1, 24), substr(b.text, 1, 24)) <= 2
     """,
 )
 def dedup_signature_pairs(spark, sf_dir):
@@ -211,7 +218,27 @@ def dedup_signature_pairs(spark, sf_dir):
           1.0 if recall >= _MINHASH_RECALL_FLOOR else 0.0)],
         "method string, id_a bigint, id_b bigint, score double",
     )
-    return sh.unionAll(cert)
+    # fuzzy (r8): q-gram count-filter blocked edit-distance pairs
+    # (functions/fuzzy.py) on 24-char text prefixes — the oracle runs
+    # the NAIVE all-pairs levenshtein, so the hash match certifies the
+    # Gravano blocking's completeness AND the exact distances on real
+    # data (the 100 TB path never materializes the cross product;
+    # DuckDB's cross product here is the verification harness).
+    from scida_spark.functions.fuzzy import fuzzy_pairs
+
+    fz = fuzzy_pairs(
+        docs.select("doc_id", F.substring("text", 1, 24).alias("p")),
+        "doc_id",
+        "p",
+        max_distance=2,
+        q=2,
+    ).select(
+        F.lit("fuzzy").alias("method"),
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("distance").cast("double").alias("score"),
+    )
+    return sh.unionAll(cert).unionAll(fz)
 
 
 @query(
@@ -303,8 +330,11 @@ def dedup_keep_first_latest(spark, sf_dir):
 @query(
     "stream_dedup_keys",
     """
-    SELECT CAST(user_id AS BIGINT) AS user_id, event_type
+    SELECT 'stream' AS section, CAST(user_id AS VARCHAR) AS k1, event_type AS k2
     FROM events GROUP BY user_id, event_type
+    UNION ALL
+    SELECT 'ingest', CAST(MIN(doc_id) AS VARCHAR), substr(md5(text), 1, 16)
+    FROM documents GROUP BY text
     """,
 )
 def stream_dedup_keys(spark, sf_dir):
@@ -321,7 +351,20 @@ def stream_dedup_keys(spark, sf_dir):
     input batch — so the oracle equivalence is a checked contract, not
     an accident of file layout (SURVEY §2.7; at scale state is bounded
     by the watermark horizon and exactly-once comes from the sink,
-    streaming/dedup.py)."""
+    streaming/dedup.py).
+
+    ``ingest`` section (r8): the streaming corpus ingest with a
+    PERSISTED dedup index (streaming/ingest.py) run for real —
+    documents split into 3 id-range batch files consumed oldest-first
+    (maxFilesPerTrigger=1), each batch exact-deduped within itself AND
+    against the md5 digest index accumulated from earlier batches.
+    Near-dup verification is disabled (threshold > 1) so the accepted
+    set has a closed SQL form the oracle pins exactly: keep-history-
+    first over id-ordered batches ≡ MIN(doc_id) per distinct text.
+    The emitted k2 = md5 prefix of each accepted doc's text attests
+    content, not just membership. (Cross-batch NEAR-dup behavior is
+    pinned by tests/test_streaming_ingest.py — its greedy acceptance
+    has no closed SQL form.)"""
     from scida_spark.streaming.dedup import dedup_stream
 
     src = _events_stream_copy(spark, sf_dir)
@@ -352,7 +395,67 @@ def stream_dedup_keys(spark, sf_dir):
             )
     finally:
         q.stop()
-    return spark.table(name)
+    stream_rows = spark.table(name).select(
+        F.lit("stream").alias("section"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.col("event_type").alias("k2"),
+    )
+
+    # --- ingest (r8): streaming corpus ingest + persisted dedup index
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from scida_spark.streaming.ingest import incremental_dedup_ingest
+
+    ibase = _os.path.join(
+        _tempfile.gettempdir(),
+        "ss_ingest_cert_" + _os.path.basename(sf_dir.rstrip("/")),
+    )
+    _shutil.rmtree(ibase, ignore_errors=True)
+    iinp = _os.path.join(ibase, "input")
+    icorpus = _os.path.join(ibase, "corpus")
+    _os.makedirs(iinp)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    cut1, cut2 = hi // 3, 2 * hi // 3
+    # Three id-range batch files written OLDEST-FIRST (the file stream
+    # orders by modification time; maxFilesPerTrigger=1 gives one
+    # batch per file) so "history" is exactly the lower id ranges.
+    for k, cond in enumerate(
+        [
+            F.col("doc_id") <= cut1,
+            (F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2),
+            F.col("doc_id") > cut2,
+        ]
+    ):
+        part = _os.path.join(ibase, f"_stage{k}")
+        docs.filter(cond).coalesce(1).write.mode("overwrite").parquet(part)
+        src_file = next(
+            f for f in _os.listdir(part) if f.endswith(".parquet")
+        )
+        _os.rename(
+            _os.path.join(part, src_file), _os.path.join(iinp, f"b{k}.parquet")
+        )
+        _shutil.rmtree(part)
+    iq = incremental_dedup_ingest(
+        spark,
+        iinp,
+        docs.schema,
+        corpus_dir=icorpus,
+        index_dir=_os.path.join(ibase, "index"),
+        checkpoint_dir=_os.path.join(ibase, "ckpt"),
+        id_col="doc_id",
+        text_col="text",
+        threshold=1.01,  # near-dup off: accepted set = exact-dedup SQL form
+    )
+    iq.awaitTermination()
+    ingest_rows = spark.read.parquet(icorpus).select(
+        F.lit("ingest").alias("section"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.substring(F.md5("text"), 1, 16).alias("k2"),
+    )
+    return stream_rows.unionAll(ingest_rows)
 
 
 def _split_thresholds_r6() -> list[int]:
@@ -556,6 +659,11 @@ def text_train_eval_split(spark, sf_dir):
       UNION ALL
       SELECT 'source', source, COUNT(*), SUM(ntok) FROM fd GROUP BY source
     )
+    UNION ALL
+    SELECT 'rollup:' || event_type AS kind,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS exact_metric,
+           CAST(COUNT(*) AS BIGINT) AS n_rows, TRUE AS within_tol
+    FROM events GROUP BY event_type
     """,
 )
 def sketch_distinct_rollup(spark, sf_dir):
@@ -785,7 +893,78 @@ def sketch_distinct_rollup(spark, sf_dir):
         ).alias("within_tol"),
     )
 
-    return hll_rows.unionAll(kll_rows).unionAll(theta_rows).unionAll(facet_rows)
+    # --- rollup (r8): streaming incremental-aggregate store ---------
+    # The events table is re-fed through the ACTUAL streaming path
+    # (streaming/rollup.py): 3 parquet files consumed as 3 micro-
+    # batches (maxFilesPerTrigger=1), each reduced to mergeable
+    # per-key partials in its own batch_id dir. The served merged
+    # view is exact for count/sum (commutative monoid), so the oracle
+    # pins it against a plain GROUP BY over events; compact-then-merge
+    # must serve the identical view (checked driver-side, folded into
+    # within_tol together with the HLL distinct bound).
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from scida_spark.streaming.rollup import (
+        compact_rollup,
+        incremental_rollup_ingest,
+        read_rollup,
+    )
+
+    rbase = _os.path.join(
+        _tempfile.gettempdir(),
+        "ss_rollup_cert_" + _os.path.basename(sf_dir.rstrip("/")),
+    )
+    _shutil.rmtree(rbase, ignore_errors=True)
+    rinp = _os.path.join(rbase, "input")
+    rstore = _os.path.join(rbase, "store")
+    evr = ev.select("event_type", "user_id", "value")
+    evr.repartition(3).write.mode("overwrite").parquet(rinp)
+    sq = incremental_rollup_ingest(
+        spark,
+        rinp,
+        evr.schema,
+        store_dir=rstore,
+        checkpoint_dir=_os.path.join(rbase, "ckpt"),
+        key_cols=["event_type"],
+        sum_col="value",
+        distinct_col="user_id",
+        max_files_per_trigger=1,
+    )
+    sq.awaitTermination()
+    pre = {
+        r["event_type"]: (r["n_rows"], r["sum_val"], r["approx_distinct"])
+        for r in read_rollup(spark, rstore, ["event_type"]).collect()
+    }
+    compact_rollup(spark, rstore, ["event_type"])
+    served = read_rollup(spark, rstore, ["event_type"])
+    post = {
+        r["event_type"]: (r["n_rows"], r["sum_val"], r["approx_distinct"])
+        for r in served.collect()
+    }
+    compact_equiv = pre == post
+    rollup_rows = served.join(
+        exact.select("event_type", "exact_distinct"), "event_type"
+    ).select(
+        F.concat(F.lit("rollup:"), "event_type").alias("kind"),
+        F.col("sum_val").cast("double").alias("exact_metric"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (
+            F.lit(compact_equiv)
+            & (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                <= F.greatest(F.lit(2.0), F.col("exact_distinct") * 0.05)
+            )
+        ).alias("within_tol"),
+    )
+
+    return (
+        hll_rows.unionAll(kll_rows)
+        .unionAll(theta_rows)
+        .unionAll(facet_rows)
+        .unionAll(rollup_rows)
+    )
 
 
 @query(

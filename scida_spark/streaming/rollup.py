@@ -55,10 +55,13 @@ def incremental_rollup_ingest(
     distinct_col: str,
     lgk: int = 12,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """Watch ``input_dir`` for new parquet files and maintain the
     partial store; returns the StreamingQuery. Partials land under
-    ``store_dir/batch_id=N/`` (idempotent overwrite per batch)."""
+    ``store_dir/batch_id=N/`` (idempotent overwrite per batch).
+    ``max_files_per_trigger`` bounds each micro-batch's file count
+    (availableNow otherwise folds the whole backlog into one batch)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         part = _partial(batch_df, key_cols, sum_col, distinct_col, lgk)
@@ -66,7 +69,10 @@ def incremental_rollup_ingest(
             os.path.join(store_dir, f"batch_id={batch_id}")
         )
 
-    stream = spark.readStream.schema(schema).parquet(input_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(input_dir)
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
     )
