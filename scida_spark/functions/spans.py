@@ -1,0 +1,156 @@
+"""Repeated-span (substring-level) dedup: find and mask k-token spans
+that recur across the corpus.
+
+Document-level dedup (functions/dedup.py) misses the common failure
+mode of web corpora: distinct documents sharing long verbatim passages
+(licenses, templates, quoted boilerplate). Lee et al. 2021
+("Deduplicating Training Data Makes Language Models Better") remove
+exact substrings of >= k tokens that appear more than once; their
+single-machine tool builds a suffix array, which does not distribute.
+The Spark-first re-expression: every k-token WINDOW is keyed by a
+64-bit content hash, windows are counted per distinct document, and
+spans over the document threshold become the hot set — the same
+inverted-index shape as hot_lines, one explode + one partial-agg
+shuffle. Any repeated span of length >= k contains a repeated k-window
+at its start, so k-window detection finds every long repeat (covering
+it window-by-window).
+
+Masking is MAP-SIDE: only the hot-window HITS (id, pos) are shuffled
+(tiny next to the corpus), folded to a per-doc covered-index array,
+and the rebuild is one JVM projection — ``F.filter`` with the
+(value, index) lambda over the token array. No token-level explode of
+the corpus ever reaches an exchange, and no UDF is involved anywhere.
+
+Spans are keyed by the md5-prefix hash rather than their text, so
+shuffled rows carry 16 chars instead of k tokens (the k-times corpus
+blowup stays transient inside a projection). Both engines compute the
+identical hash, so a DuckDB oracle reproduces results exactly even in
+the (2^-64) collision case.
+
+No reference counterpart (scida has no text surface); net-new like the
+rest of the LLM-pipeline family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from scida_spark.functions.text import tokens
+
+_HEX = 16  # 64-bit span key
+
+
+def _span_hashes(text: F.Column, k: int) -> F.Column:
+    """array<string> of md5-prefix keys for every k-token window of
+    ``text`` (position i covers tokens i..i+k-1, 1-based); empty when
+    the document has fewer than k tokens."""
+    t = tokens(text)
+    n = F.size(t)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.substring(
+                F.md5(F.array_join(F.slice(t, i, k), " ")), 1, _HEX
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def span_table(
+    docs: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, pos, span_h) — one row per k-token window. ``pos`` is the
+    1-based index of the window's first token."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_span_hashes(F.col(text_col), k)).alias("p0", "span_h"),
+    ).select("id", (F.col("p0") + 1).alias("pos"), "span_h")
+
+
+def hot_spans(
+    docs: DataFrame, text_col: str, k: int, min_docs: int = 2
+) -> DataFrame:
+    """Span keys occurring in >= ``min_docs`` documents → (span_h,
+    n_docs). The within-doc distinct is MAP-SIDE (``array_distinct``
+    before the explode — a span repeated inside one doc counts once
+    and costs no shuffle rows); each input row is one document."""
+    return (
+        docs.select(
+            F.explode(
+                F.array_distinct(_span_hashes(F.col(text_col), k))
+            ).alias("span_h")
+        )
+        .groupBy("span_h")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= F.lit(int(min_docs)))
+    )
+
+
+def hot_span_examples(
+    docs: DataFrame, hot: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Reporting helper: (span_h, n_docs, example) with the
+    lexicographically-smallest matching span text. A second scan that
+    materializes span TEXT only for hot hits (Catalyst prunes the text
+    column from the detection path, so the hot path never pays it)."""
+    st = docs.select(
+        F.posexplode(_span_hashes(F.col(text_col), k)).alias("p0", "span_h"),
+        F.col(text_col).alias("_txt"),
+    ).select(
+        "span_h",
+        F.array_join(
+            F.slice(tokens(F.col("_txt")), F.col("p0") + 1, k), " "
+        ).alias("span"),
+    )
+    return (
+        st.join(hot, "span_h")
+        .groupBy("span_h", "n_docs")
+        .agg(F.min("span").alias("example"))
+    )
+
+
+def mask_hot_spans(
+    docs: DataFrame,
+    hot: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    out_col: str = "masked",
+) -> DataFrame:
+    """Remove every token covered by a hot k-window occurrence →
+    all input columns plus ``out_col`` (remaining tokens joined by
+    one space, original order) and ``n_masked`` (tokens removed).
+    Overlapping hot windows merge naturally: coverage is the UNION of
+    their token index ranges.
+
+    Scale: the join against ``hot`` runs on the window table (hash
+    keys only); the per-doc covered set aggregates ONLY hot hits; the
+    rebuild is a single (value, index) ``F.filter`` projection over
+    the token array — the corpus itself is never exploded through an
+    exchange."""
+    hits = span_table(docs, id_col, text_col, k).join(
+        hot.select("span_h"), "span_h", "left_semi"
+    )
+    cov = (
+        hits.select(
+            "id", F.explode(F.sequence("pos", F.col("pos") + k - 1)).alias("ci")
+        )
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_set("ci")).alias("_cov"))
+    )
+    joined = docs.join(
+        cov.withColumnRenamed("id", id_col), id_col, "left"
+    )
+    t = tokens(F.col(text_col))
+    kept = F.when(
+        F.col("_cov").isNull(), t
+    ).otherwise(
+        F.filter(t, lambda x, i: ~F.array_contains(F.col("_cov"), i + 1))
+    )
+    return joined.select(
+        *docs.columns,
+        F.array_join(kept, " ").alias(out_col),
+        (F.size(t) - F.size(kept)).cast("long").alias("n_masked"),
+    )

@@ -251,32 +251,82 @@ def dedup_signature_pairs(spark, sf_dir):
       FROM tok),
     g AS (SELECT doc_id, UNNEST(gs) AS gram FROM grams),
     bench AS (SELECT doc_id AS bench_doc, gram FROM g WHERE doc_id % 97 = 0),
-    corpus AS (SELECT doc_id AS corpus_doc, gram FROM g WHERE doc_id % 97 <> 0)
-    SELECT CAST(bench_doc AS BIGINT) AS bench_doc,
-           CAST(corpus_doc AS BIGINT) AS corpus_doc,
-           CAST(COUNT(*) AS BIGINT) AS n_shared,
-           (COUNT(*) >= 2) AS contaminated
-    FROM corpus JOIN bench USING (gram) GROUP BY 1, 2
+    corpus AS (SELECT doc_id AS corpus_doc, gram FROM g WHERE doc_id % 97 <> 0),
+    w AS (SELECT doc_id, u.i,
+                 substr(md5(array_to_string(t[u.i:u.i+7], ' ')), 1, 16) AS h
+          FROM tok, LATERAL UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)),
+    hotw AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM w)
+             GROUP BY h HAVING COUNT(*) >= 2),
+    cov AS (SELECT DISTINCT w.doc_id, c.ci
+            FROM w JOIN hotw USING (h),
+                 LATERAL UNNEST(generate_series(w.i, w.i + 7)) AS c(ci)),
+    te AS (SELECT doc_id, unnest(t) AS tk, generate_subscripts(t, 1) AS i FROM tok),
+    keptagg AS (SELECT te.doc_id, string_agg(tk, ' ' ORDER BY te.i) AS masked,
+                       CAST(COUNT(*) AS BIGINT) AS n_kept
+                FROM te LEFT JOIN cov ON cov.doc_id = te.doc_id AND cov.ci = te.i
+                WHERE cov.ci IS NULL GROUP BY te.doc_id),
+    lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM tok)
+    SELECT 'contam' AS section, CAST(bench_doc AS BIGINT) AS id_a,
+           CAST(corpus_doc AS BIGINT) AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           (COUNT(*) >= 2) AS flag
+    FROM corpus JOIN bench USING (gram) GROUP BY 2, 3
+    UNION ALL
+    SELECT 'span', CAST(lens.doc_id AS BIGINT),
+           CAST(CAST(('0x' || substr(md5(COALESCE(masked, '')), 1, 14)) AS UBIGINT) AS BIGINT),
+           lens.n - COALESCE(n_kept, 0),
+           (lens.n - COALESCE(n_kept, 0)) > 0
+    FROM lens LEFT JOIN keptagg USING (doc_id)
     """,
 )
 def dedup_contamination(spark, sf_dir):
-    """Benchmark decontamination: corpus documents sharing word
-    3-grams with a (deterministic) benchmark subset — the GPT-3/PaLM
-    appendix protocol for test-set leakage. The benchmark side's
-    shingle index is broadcast (eval suites are small); the corpus
-    streams through one narrow map + broadcast hash join, no corpus
-    self-join (functions/dedup.py::ngram_overlap_pairs)."""
+    """Benchmark decontamination + repeated-span masking, one slot
+    (``section`` discriminator):
+
+    * ``contam``: corpus documents sharing word 3-grams with a
+      (deterministic) benchmark subset — the GPT-3/PaLM appendix
+      protocol for test-set leakage. The benchmark side's shingle
+      index is broadcast (eval suites are small); the corpus streams
+      through one narrow map + broadcast hash join, no corpus
+      self-join (functions/dedup.py::ngram_overlap_pairs).
+    * ``span`` (r8): substring-level dedup (functions/spans.py, the
+      Lee et al. 2021 regime re-expressed as k-window hashing): hot
+      8-token spans (>= 2 distinct docs) are discovered via ONE
+      map-side-distinct explode + partial-agg shuffle and masked out
+      of every document with a map-side (value, index) array filter —
+      the corpus is never token-exploded through an exchange. Rows are
+      PER-DOCUMENT: id_b = 56-bit md5 fingerprint of the masked text,
+      n = tokens removed — so the oracle's independent window/cover/
+      rebuild recomputation certifies every kept and removed token of
+      every document."""
     docs = table(spark, sf_dir, "documents")
     sh = D.shingle_hash_table(docs, "doc_id", "text", n=3)
     bench = sh.filter(F.col("doc") % 97 == 0)
     corpus = sh.filter(F.col("doc") % 97 != 0)
     pairs = D.ngram_overlap_pairs(corpus, bench)
-    return pairs.select(
-        F.col("bench_doc").cast("long"),
-        F.col("corpus_doc").cast("long"),
-        F.col("n_shared").cast("long"),
-        (F.col("n_shared") >= 2).alias("contaminated"),
+    contam = pairs.select(
+        F.lit("contam").alias("section"),
+        F.col("bench_doc").cast("long").alias("id_a"),
+        F.col("corpus_doc").cast("long").alias("id_b"),
+        F.col("n_shared").cast("long").alias("n"),
+        (F.col("n_shared") >= 2).alias("flag"),
     )
+    from scida_spark.functions import spans as SP
+
+    hot = SP.hot_spans(docs, "text", 8, 2)
+    masked = SP.mask_hot_spans(
+        docs.select("doc_id", "text"), hot, "doc_id", "text", 8
+    )
+    span_rows = masked.select(
+        F.lit("span").alias("section"),
+        F.col("doc_id").cast("long").alias("id_a"),
+        F.conv(F.substring(F.md5("masked"), 1, 14), 16, 10)
+        .cast("long")
+        .alias("id_b"),
+        F.col("n_masked").alias("n"),
+        (F.col("n_masked") > 0).alias("flag"),
+    )
+    return contam.unionAll(span_rows)
 
 
 @query(
