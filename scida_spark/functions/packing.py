@@ -116,6 +116,33 @@ def pack_sequences(
     )
 
 
+def pack_sequences_by(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    budget: int,
+    domain_col: str,
+) -> DataFrame:
+    """Packing with an EXPLICIT packing domain: each distinct
+    ``domain_col`` value is one greedy-first-fit group (same kernel,
+    driven through ``applyInPandas``). Use when the domain must be a
+    pure function of the data — e.g. ``doc_id % K`` — so sequence
+    membership is reproducible by ANY engine, not just one that
+    shares Spark's repartition hash. Scale shape is identical to
+    ``pack_sequences``: one shuffle on the domain key, then
+    embarrassingly-parallel per-group kernels."""
+
+    def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        return next(iter(greedy_pack_frames(iter([pdf]), budget)))
+
+    sel = df.select(
+        F.col(domain_col).alias("_dom"),
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(token_count_col).cast("long").alias("_tok"),
+    )
+    return sel.groupBy("_dom").applyInPandas(_pack_group, schema=PACK_SCHEMA)
+
+
 def packing_efficiency(packed: DataFrame, budget: int) -> DataFrame:
     """One-row density report: fraction of the token budget actually
     used across non-oversize sequences (the number training-throughput

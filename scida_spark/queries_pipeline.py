@@ -1619,6 +1619,38 @@ def text_lang_id(spark, sf_dir):
     UNION ALL
     SELECT 'export', 'verify', 'true',
            (SELECT (COUNT(*) + 149) // 150 FROM documents), CAST(0.0 AS DOUBLE)
+    UNION ALL
+    SELECT 'packing' AS section,
+           CAST(mn AS VARCHAR) || ':' || CAST(bin AS VARCHAR) AS k1,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS k2,
+           CAST(SUM(ntok) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE) AS sum_score
+    FROM (
+      WITH RECURSIVE pd AS (
+        SELECT doc_id % 8 AS dom, doc_id,
+               CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ntok,
+               ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn,
+               MIN(doc_id) OVER (PARTITION BY doc_id % 8) AS mn
+        FROM documents),
+      pk AS (
+        SELECT dom, doc_id, ntok, rn, mn,
+               0 AS bin, ntok AS cur, ntok > 512 AS closed
+        FROM pd WHERE rn = 1
+        UNION ALL
+        SELECT nx.dom, nx.doc_id, nx.ntok, nx.rn, nx.mn,
+               CASE WHEN nx.ntok > 512 OR p.closed OR p.cur + nx.ntok > 512
+                    THEN p.bin + 1 ELSE p.bin END,
+               CASE WHEN nx.ntok > 512 OR p.closed OR p.cur + nx.ntok > 512
+                    THEN nx.ntok ELSE p.cur + nx.ntok END,
+               nx.ntok > 512
+        FROM pk p JOIN pd nx ON nx.dom = p.dom AND nx.rn = p.rn + 1)
+      SELECT mn, bin, doc_id, ntok FROM pk
+    ) GROUP BY mn, bin
+    UNION ALL
+    SELECT 'compact', 'roundtrip',
+           CAST(SUM(CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || lang), 1, 14)) AS UBIGINT) AS HUGEINT)) AS VARCHAR),
+           CAST(COUNT(*) AS BIGINT), 1.0
+    FROM documents
     """,
 )
 def text_quality_lang(spark, sf_dir):
@@ -1803,6 +1835,56 @@ def text_quality_lang(spark, sf_dir):
         + [("export", "verify", str(ok).lower(), int(manifest["n_shards"]), 0.0)],
         "section string, k1 string, k2 string, n long, sum_score double",
     )
+
+    # packing (r8): greedy first-fit sequence packing with an EXPLICIT
+    # oracle-reproducible domain (doc_id % 8; the production
+    # pack_sequences uses Spark's repartition hash, same kernel). One
+    # row per packed sequence — k2 lists member doc ids, so the oracle's
+    # recursive-CTE replay of the sequential greedy certifies every
+    # membership decision, budget seal, and oversize singleton.
+    from scida_spark.functions.packing import pack_sequences_by
+
+    pk_in = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("dom"),
+        TX.token_count(F.col("text")).alias("ntok"),
+    )
+    pk_rows = pack_sequences_by(pk_in, "doc_id", "ntok", 512, "dom").select(
+        F.lit("packing").alias("section"),
+        F.col("seq_id").alias("k1"),
+        F.array_join(
+            F.transform("doc_ids", lambda x: x.cast("string")), ","
+        ).alias("k2"),
+        F.col("total_tokens").cast("long").alias("n"),
+        F.col("n_docs").cast("double").alias("sum_score"),
+    )
+
+    # compact (r8): small-file compaction certified by content
+    # roundtrip — the export shards (many files) are rewritten to one
+    # target-sized file (operators/maintenance.py) and the compacted
+    # copy's order-invariant fingerprint sum + row count must equal
+    # the oracle's recomputation straight from documents; sum_score
+    # pins the file-count contract (1.0 = exactly the computed target).
+    from scida_spark.operators.export import row_fingerprint
+    from scida_spark.operators.maintenance import compact_parquet
+
+    rep = compact_parquet(spark, dst, dst + "_c", target_bytes=1 << 30)
+    cmp_rows = (
+        spark.read.parquet(dst + "_c")
+        .agg(
+            F.sum(row_fingerprint(["doc_id", "lang"]).cast("decimal(38,0)"))
+            .cast("string")
+            .alias("fp"),
+            F.count("*").alias("cnt"),
+        )
+        .select(
+            F.lit("compact").alias("section"),
+            F.lit("roundtrip").alias("k1"),
+            F.col("fp").alias("k2"),
+            F.col("cnt").cast("long").alias("n"),
+            F.lit(1.0 if rep["files_after"] == 1 else 0.0).alias("sum_score"),
+        )
+    )
     return (
         q.unionAll(lid)
         .unionAll(lm_rows)
@@ -1811,6 +1893,8 @@ def text_quality_lang(spark, sf_dir):
         .unionAll(bpe_ct)
         .unionAll(bpe_lit)
         .unionAll(exp_rows)
+        .unionAll(pk_rows)
+        .unionAll(cmp_rows)
     )
 
 

@@ -71,3 +71,25 @@ def test_packing_efficiency_density(spark):
     # Greedy first-fit over ~60-token docs should fill sequences well.
     assert eff["density"] > 0.8
     assert eff["tokens_packed"] <= eff["n_sequences"] * 512
+
+
+def test_pack_sequences_by_explicit_domain(spark):
+    """The explicit-domain variant packs each domain value as one
+    group with the same kernel invariants: every doc in exactly one
+    sequence, budget respected unless oversize, seq_id anchored to the
+    domain's min id."""
+    from scida_spark.functions.packing import pack_sequences_by
+
+    docs = spark.createDataFrame(
+        [(i, i % 3, 100 + (i * 37) % 400) for i in range(40)] + [(99, 0, 9000)],
+        "doc_id long, dom int, ntok long",
+    )
+    packed = pack_sequences_by(docs, "doc_id", "ntok", 512, "dom").collect()
+    all_ids = [d for r in packed for d in r["doc_ids"]]
+    assert sorted(all_ids) == sorted([r[0] for r in docs.collect()])
+    for r in packed:
+        assert r["oversize"] == (r["total_tokens"] > 512 and r["n_docs"] == 1) or (
+            not r["oversize"] and r["total_tokens"] <= 512
+        )
+        first = int(r["seq_id"].split(":")[0])
+        assert first <= min(r["doc_ids"])
