@@ -1651,6 +1651,15 @@ def text_lang_id(spark, sf_dir):
            CAST(SUM(CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || lang), 1, 14)) AS UBIGINT) AS HUGEINT)) AS VARCHAR),
            CAST(COUNT(*) AS BIGINT), 1.0
     FROM documents
+    UNION ALL
+    SELECT 'chunk' AS section,
+           CAST(doc_id AS VARCHAR) || ':' || CAST(u.i AS VARCHAR) AS k1,
+           substr(md5(array_to_string(t[u.i * 96 + 1 : u.i * 96 + 128], ' ')), 1, 16) AS k2,
+           CAST(len(t[u.i * 96 + 1 : u.i * 96 + 128]) AS BIGINT) AS n,
+           CAST(0.0 AS DOUBLE) AS sum_score
+    FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+         LATERAL UNNEST(generate_series(0,
+           (greatest(len(t) - 128, 0) + 95) // 96)) AS u(i)
     """,
 )
 def text_quality_lang(spark, sf_dir):
@@ -1885,6 +1894,25 @@ def text_quality_lang(spark, sf_dir):
             F.lit(1.0 if rep["files_after"] == 1 else 0.0).alias("sum_score"),
         )
     )
+    # chunk (r8): overlapping-window document chunking
+    # (functions/chunking.py — chunk 128, overlap 32): one row per
+    # chunk, k2 = md5 prefix of the chunk text, so the oracle's
+    # identical slice arithmetic certifies every boundary and every
+    # chunk's exact content. Map-only on the Spark side (plan-pinned
+    # in tests/test_chunking.py).
+    from scida_spark.functions.chunking import chunk_documents
+
+    ch_rows = chunk_documents(
+        docs.select("doc_id", "text"), "doc_id", "text", 128, 32
+    ).select(
+        F.lit("chunk").alias("section"),
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"), F.col("chunk_idx")
+        ).alias("k1"),
+        F.substring(F.md5("chunk_text"), 1, 16).alias("k2"),
+        F.col("n_chunk_tokens").alias("n"),
+        F.lit(0.0).alias("sum_score"),
+    )
     return (
         q.unionAll(lid)
         .unionAll(lm_rows)
@@ -1895,6 +1923,7 @@ def text_quality_lang(spark, sf_dir):
         .unionAll(exp_rows)
         .unionAll(pk_rows)
         .unionAll(cmp_rows)
+        .unionAll(ch_rows)
     )
 
 
