@@ -24,6 +24,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 RUNS = 5
 
+# r8 note: three HEADLINE slots gained attested sections this round —
+# dedup_signature_pairs (+fuzzy edit-distance pairs),
+# sketch_distinct_rollup (+streaming incremental-rollup equivalence,
+# which re-feeds events through 3 real micro-batches),
+# text_train_eval_split (+in_pareto quality-score keep, adding a text
+# scan) — so their r7-to-r8 slot totals are not 1:1; the per-section
+# sub-dict this bench now emits is the comparable unit.
 # r7 note: several entries are CONSOLIDATED registry slots (the r6
 # names live on as halves of a union query): q_top3_per_order →
 # q_topn, scida_histogram2d → scida_histograms, stream_session_windows
