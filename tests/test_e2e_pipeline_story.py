@@ -151,3 +151,37 @@ def test_pipeline_composes_end_to_end(spark, corpus):
         for r in classifier_filter(corpus, qmodel, "doc_id", "text").collect()
     }
     assert 0 in kept_ml and 102 not in kept_ml
+
+    # 12) repeated-span dedup catches a license paragraph pasted into
+    # several docs (doc-level dedup passed them — they differ overall)
+    from scida_spark.functions import spans as SP
+
+    license_blurb = "licensed under the apache license version two point zero"
+    with_blurb = kept3.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") < 3,
+            F.concat(F.col("text"), F.lit(" " + license_blurb)),
+        ).otherwise(F.col("text")),
+    )
+    hot_sp = SP.hot_spans(with_blurb, "text", k=5, min_docs=2)
+    masked = SP.mask_hot_spans(with_blurb, hot_sp, "doc_id", "text", k=5)
+    got_m = {r["doc_id"]: r for r in masked.collect()}
+    for did in got_m:
+        if did < 3 and did in orig:
+            assert license_blurb not in got_m[did]["masked"]
+            assert got_m[did]["n_masked"] >= len(license_blurb.split())
+
+    # 13) chunk the cleaned corpus for an embedding pipeline: every
+    # token lands in a chunk, chunks respect the window
+    from scida_spark.functions.chunking import chunk_documents
+
+    chunks = chunk_documents(kept3, "doc_id", "text", 16, 4).collect()
+    assert all(r["n_chunk_tokens"] <= 16 for r in chunks)
+    for doc_id, text in orig.items():
+        toks = set(text.split())
+        covered = set()
+        for r in chunks:
+            if r["doc_id"] == doc_id:
+                covered.update(r["chunk_text"].split())
+        assert toks <= covered
