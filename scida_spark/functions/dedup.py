@@ -127,22 +127,32 @@ def shingle_hash_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) ->
     @F.pandas_udf("array<long>")
     def _sh(texts: pd.Series) -> pd.Series:
         out = []
+        # Batch-local memo: shingles are a pure function of the text,
+        # so exact-duplicate replicas (the regime dedup exists for)
+        # hash once per batch instead of once per copy.
+        cache: dict = {}
         for t in texts:
+            got = cache.get(t)
+            if got is not None:
+                out.append(got)
+                continue
             toks = (t or "").strip().split(" ")
             if len(toks) < n:
-                out.append(np.empty(0, dtype=np.int64))
-                continue
-            seen = {
-                int.from_bytes(
-                    hashlib.blake2b(
-                        " ".join(toks[i : i + n]).encode(), digest_size=8
-                    ).digest(),
-                    "big",
-                    signed=True,
-                )
-                for i in range(len(toks) - n + 1)
-            }
-            out.append(np.fromiter(seen, dtype=np.int64, count=len(seen)))
+                arr = np.empty(0, dtype=np.int64)
+            else:
+                seen = {
+                    int.from_bytes(
+                        hashlib.blake2b(
+                            " ".join(toks[i : i + n]).encode(), digest_size=8
+                        ).digest(),
+                        "big",
+                        signed=True,
+                    )
+                    for i in range(len(toks) - n + 1)
+                }
+                arr = np.fromiter(seen, dtype=np.int64, count=len(seen))
+            cache[t] = arr
+            out.append(arr)
         return pd.Series(out)
 
     return _spread_small_input(df).select(
@@ -478,16 +488,23 @@ def signature_table(
     """
 
     @F.pandas_udf("sh array<long>, simhash long")
-    def _sig2(texts: pd.Series) -> pd.DataFrame:
-        ntexts = len(texts)
-        if ntexts == 0:
+    def _sig2(all_texts: pd.Series) -> pd.DataFrame:
+        if len(all_texts) == 0:
             return pd.DataFrame({"sh": [], "simhash": []})
+        # Collapse exact-duplicate texts within the batch: signatures
+        # are pure functions of the text, and duplicate-heavy corpora
+        # (the regime dedup exists for) otherwise pay the full token
+        # pipeline once PER REPLICA. factorize is O(batch); results
+        # are gathered back by inverse index, so output is identical.
+        inv, uniq_texts = pd.factorize(all_texts, use_na_sentinel=False)
+        texts = pd.Series(uniq_texts)
+        ntexts = len(texts)
         lens, codes, uh, doc_ids, uniq = _tokenize_batch(texts)
         if codes is None:
             return pd.DataFrame(
                 {
-                    "sh": [np.empty(0, dtype=np.int64)] * ntexts,
-                    "simhash": np.zeros(ntexts, dtype=np.int64),
+                    "sh": [np.empty(0, dtype=np.int64)] * len(all_texts),
+                    "simhash": np.zeros(len(all_texts), dtype=np.int64),
                 }
             )
         sim_uh = uh if simhash_hash == "blake2b" else _hash_vocab(uniq, simhash_hash)
@@ -509,7 +526,10 @@ def signature_table(
                 shs.append(np.empty(0, dtype=np.int64))
                 continue
             shs.append(np.unique(acc[lo : lo + L - n + 1]).astype(np.int64))
-        return pd.DataFrame({"sh": shs, "simhash": simhash})
+        # gather unique-text results back to the original row order
+        return pd.DataFrame(
+            {"sh": [shs[i] for i in inv], "simhash": simhash[inv]}
+        )
 
     return (
         _spread_small_input(df)
