@@ -898,6 +898,63 @@ def simhash_near_pairs(
     )
 
 
+def exact_clique_map(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, rep) — every doc mapped to the min-id doc sharing its
+    exact text (its replica-clique representative). One md5 groupBy
+    with map-side combine; only (doc, 16-byte digest) rows shuffle."""
+    keyed = df.select(
+        F.col(id_col).alias("doc"), F.md5(F.col(text_col)).alias("_h")
+    )
+    reps = keyed.groupBy("_h").agg(F.min("doc").alias("rep"))
+    return keyed.join(reps, "_h").select("doc", "rep")
+
+
+def expand_rep_pairs(
+    rep_pairs: DataFrame, clique: DataFrame, score_col: str, self_score=None
+) -> DataFrame:
+    """Expand a pair relation computed over clique REPRESENTATIVES back
+    to all original doc ids — the dedup answer for a duplicate-heavy
+    corpus at output-bound cost.
+
+    Signature-derived relations (simhash Hamming, minhash/Jaccard) are
+    pure functions of the text, so members of a clique relate to
+    everything exactly as their representative does: pairs between two
+    cliques expand to the members' cross product with the reps' score,
+    and pairs WITHIN a clique (|members| >= 2) carry ``self_score``
+    (e.g. Hamming 0 / Jaccard 1). The expansion joins are driven by the
+    (small) rep-pair relation — nothing quadratic in corpus size is
+    computed, only the answer itself is materialized.
+
+    Input ``rep_pairs``: (doc_a, doc_b, <score_col>) over rep ids with
+    doc_a < doc_b. ``clique``: (doc, rep) from ``exact_clique_map``.
+    Output: (doc_a, doc_b, <score_col>) over original ids, doc_a <
+    doc_b, distinct."""
+    ma = clique.select(F.col("doc").alias("_da"), F.col("rep").alias("doc_a"))
+    mb = clique.select(F.col("doc").alias("_db"), F.col("rep").alias("doc_b"))
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("_da", "_db").alias("doc_a"),
+            F.greatest("_da", "_db").alias("doc_b"),
+            F.col(score_col),
+        )
+    )
+    if self_score is None:
+        return cross
+    within = (
+        clique.select("rep", F.col("doc").alias("_d1"))
+        .join(clique.select("rep", F.col("doc").alias("_d2")), "rep")
+        .filter(F.col("_d1") < F.col("_d2"))
+        .select(
+            F.col("_d1").alias("doc_a"),
+            F.col("_d2").alias("doc_b"),
+            F.lit(self_score).alias(score_col),
+        )
+    )
+    return cross.unionAll(within)
+
+
 # --------------------------------------------------------------------------
 # Benchmark decontamination (n-gram overlap vs a small reference set)
 # --------------------------------------------------------------------------

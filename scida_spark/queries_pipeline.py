@@ -176,14 +176,36 @@ def dedup_signature_pairs(spark, sf_dir):
     signatures, minhash banding, and the exact verify/baseline all read
     the checkpointed ``signature_table`` (the r3 version ran multiple
     corpus scans — the single remaining full-text scan was a third of
-    the whole bench)."""
+    the whole bench).
+
+    r8 — exact-duplicate cliques are collapsed FIRST and every pair
+    relation is computed over REPRESENTATIVES, then expanded (the x100
+    stress run turned each doc into a 100-clique and the direct
+    computation blew past a 420 s cap: every kernel, block, and verify
+    step paid clique^2; signatures are pure text functions, so
+    rep-level pairs + clique expansion is row-for-row identical —
+    pinned in tests/test_dedup.py — and only the ANSWER is ever
+    quadratic in clique size). The recall certification never
+    materializes the expansion at all: expanded pair counts are
+    clique-size-weighted sums over rep pairs, plus the intra-clique
+    C(sz,2) term for cliques whose text has >= n tokens (shingle-less
+    docs form no pairs in either engine)."""
     docs = table(spark, sf_dir, "documents")
+    clique = D.exact_clique_map(docs, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
+    reps = docs.join(
+        clique.filter(F.col("doc") == F.col("rep")).select(
+            F.col("doc").alias("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
+    )
     sig = D.signature_table(
-        docs, "doc_id", "text", n=3, simhash_hash="md5"
+        reps, "doc_id", "text", n=3, simhash_hash="md5"
     ).localCheckpoint(eager=True)
-    sh = D.simhash_near_pairs(
-        sig.select("doc", "simhash"), max_hamming=3
-    ).select(
+    rep_sh = D.simhash_near_pairs(sig.select("doc", "simhash"), max_hamming=3)
+    sh = D.expand_rep_pairs(rep_sh, clique, "hamming", self_score=0).select(
         F.lit("simhash").alias("method"),
         F.col("doc_a").cast("bigint").alias("id_a"),
         F.col("doc_b").cast("bigint").alias("id_b"),
@@ -196,19 +218,39 @@ def dedup_signature_pairs(spark, sf_dir):
     # whose true Jaccard clears the threshold — i.e. candidates ∩
     # exact. Joining the candidate set against the exact pair set
     # therefore yields the identical hit count WITHOUT re-verifying
-    # arrays, and one left join + aggregate produces n_exact and n_hit
-    # in a single job (the r6 version ran verify joins plus two
-    # serialized count jobs — measured ~2x the whole query's cost).
+    # arrays; clique-size weights turn rep-pair counts into full-corpus
+    # counts (identical texts share every band, so an expanded pair is
+    # a candidate iff its rep pair is).
     sigs = D.minhash_signatures_from_shingles(sig.select("doc", "sh"), 128, 42)
     cands = D.lsh_candidate_pairs(sigs, bands=64, rows_per_band=2).withColumn(
         "hit", F.lit(1)
     )
+    sizes = clique.groupBy("rep").agg(F.count("*").alias("sz"))
     stats = (
         exact.join(cands, ["doc_a", "doc_b"], "left")
-        .agg(F.count("*").alias("ne"), F.count("hit").alias("nh"))
+        .join(sizes.select(F.col("rep").alias("doc_a"), F.col("sz").alias("_sa")), "doc_a")
+        .join(sizes.select(F.col("rep").alias("doc_b"), F.col("sz").alias("_sb")), "doc_b")
+        .agg(
+            F.sum(F.col("_sa") * F.col("_sb")).alias("ne"),
+            F.sum(
+                F.when(F.col("hit").isNotNull(), F.col("_sa") * F.col("_sb"))
+                .otherwise(F.lit(0))
+            ).alias("nh"),
+        )
         .first()
     )
-    n_exact, n_hit = stats["ne"], stats["nh"]
+    intra = (
+        sizes.join(
+            sig.select(F.col("doc").alias("rep"), F.size("sh").alias("_nsh")),
+            "rep",
+        )
+        .filter(F.col("_nsh") > 0)
+        .agg((F.sum(F.col("sz") * (F.col("sz") - 1)) / 2).cast("long"))
+        .first()[0]
+        or 0
+    )
+    n_exact = int(stats["ne"] or 0) + int(intra)
+    n_hit = int(stats["nh"] or 0) + int(intra)
     recall = (n_hit / n_exact) if n_exact else 1.0
     n_docs = _parquet_rows(sf_dir, "documents")
     if n_docs is None:

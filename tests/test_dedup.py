@@ -349,3 +349,51 @@ def test_connected_components_disjoint_union_of_graphs(spark):
     got_s = {(r.node // 2, r.cluster_id // 2) for r in merged if r.node % 2 == 1}
     assert got_t == sep_t
     assert got_s == sep_s
+
+
+def test_collapse_expand_equals_direct_simhash_pairs(spark):
+    """Rep-level pair computation + clique expansion is row-for-row the
+    direct all-docs computation on a replica-heavy corpus (the x100
+    regime): signatures are pure text functions, so members relate
+    exactly as their representative does."""
+    from scida_spark.functions.dedup import (
+        exact_clique_map,
+        expand_rep_pairs,
+        signature_table,
+        simhash_near_pairs,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the lazy cat today",
+        "completely different words about spark execution plans",
+        "another unrelated document mentioning parquet row groups",
+    ]
+    rows = []
+    did = 0
+    for b in base:
+        for _ in range(5):  # 5-clique per base text, interleaved ids
+            rows.append((did, b))
+            did += 7
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    direct = simhash_near_pairs(
+        signature_table(docs, "doc_id", "text").select("doc", "simhash"),
+        max_hamming=6,
+    )
+    clique = exact_clique_map(docs, "doc_id", "text")
+    reps = docs.join(
+        clique.filter(F.col("doc") == F.col("rep")).select(
+            F.col("doc").alias("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    rep_pairs = simhash_near_pairs(
+        signature_table(reps, "doc_id", "text").select("doc", "simhash"),
+        max_hamming=6,
+    )
+    expanded = expand_rep_pairs(rep_pairs, clique, "hamming", self_score=0)
+    a = sorted(map(tuple, direct.collect()))
+    b = sorted(map(tuple, expanded.collect()))
+    assert a == b and len(a) > 0
