@@ -266,18 +266,32 @@ def dedup_signature_pairs(spark, sf_dir):
     # Gravano blocking's completeness AND the exact distances on real
     # data (the 100 TB path never materializes the cross product;
     # DuckDB's cross product here is the verification harness).
+    # Edit distance is a pure function of the prefix, so the same
+    # collapse-first discipline applies: identical prefixes form
+    # cliques (distance 0), fuzzy blocking runs over one representative
+    # per distinct prefix, and the clique map expands the answer.
     from scida_spark.functions.fuzzy import fuzzy_pairs
 
-    fz = fuzzy_pairs(
-        docs.select("doc_id", F.substring("text", 1, 24).alias("p")),
+    pref = docs.select("doc_id", F.substring("text", 1, 24).alias("p"))
+    pclique = D.exact_clique_map(pref, "doc_id", "p").localCheckpoint(
+        eager=True
+    )
+    preps = pref.join(
+        pclique.filter(F.col("doc") == F.col("rep")).select(
+            F.col("doc").alias("doc_id")
+        ),
         "doc_id",
-        "p",
-        max_distance=2,
-        q=2,
-    ).select(
+        "left_semi",
+    )
+    fz_rep = fuzzy_pairs(preps, "doc_id", "p", max_distance=2, q=2).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "distance",
+    )
+    fz = D.expand_rep_pairs(fz_rep, pclique, "distance", self_score=0).select(
         F.lit("fuzzy").alias("method"),
-        F.col("id_a").cast("bigint").alias("id_a"),
-        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("doc_a").cast("bigint").alias("id_a"),
+        F.col("doc_b").cast("bigint").alias("id_b"),
         F.col("distance").cast("double").alias("score"),
     )
     return sh.unionAll(cert).unionAll(fz)
