@@ -283,7 +283,11 @@ def dedup_signature_pairs(spark, sf_dir):
         "doc_id",
         "left_semi",
     )
-    fz_rep = fuzzy_pairs(preps, "doc_id", "p", max_distance=2, q=2).select(
+    # q=5: 2-grams over the corpus's small alphabet make the inverted
+    # index near-quadratic (measured 31 s at sf0.1); 5-grams are
+    # diverse enough that the same 21 pairs cost 6.8 s, and the lemma
+    # bound stays positive for 24-char keys at d=2 (24-5+1-10 = 10).
+    fz_rep = fuzzy_pairs(preps, "doc_id", "p", max_distance=2, q=5).select(
         F.col("id_a").alias("doc_a"),
         F.col("id_b").alias("doc_b"),
         "distance",
