@@ -211,6 +211,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = 256,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Exact pairwise Jaccard over word n-gram shingle sets, with a
     hot-shingle document-frequency cap on candidate generation.
@@ -230,7 +231,41 @@ def ngram_jaccard_pairs(
     is exact and linear) or a corpus-wide boilerplate phrase (which is
     precisely the non-signal the cap exists to drop). ``max_df=None``
     disables the cap and restores the full exact join.
+
+    ``collapse_exact=True`` runs the whole computation over ONE
+    representative per distinct text and expands the answer through the
+    replica-clique map (Jaccard is a pure function of the text;
+    identical shingled texts score 1.0 >= any threshold, shingle-less
+    texts never pair). On replica-heavy corpora this removes the
+    clique-squared cost from shingling, the inverted index, AND the
+    verify join — measured at x100 (100-clique corpus): the direct
+    form ran past a 580 s cap, the collapsed form finishes in seconds.
+    Note the df cap then counts DISTINCT-text frequencies, so pairs a
+    replica-inflated hot shingle would have hidden are FOUND — strictly
+    more complete, which is why it is opt-in rather than the default
+    (the raw-df contract above stays pinned for existing callers).
     """
+    if collapse_exact:
+        clique = exact_clique_map(df, id_col, text_col).localCheckpoint(
+            eager=True
+        )
+        reps = df.join(
+            clique.filter(F.col("doc") == F.col("rep")).select(
+                F.col("doc").alias(id_col)
+            ),
+            id_col,
+            "left_semi",
+        )
+        shr = shingle_hash_table(reps, id_col, text_col, n).localCheckpoint(
+            eager=True
+        )
+        rep_pairs = ngram_jaccard_pairs_from_shingles(
+            shr, threshold=threshold, max_df=max_df
+        )
+        shingled = shr.filter(F.size("sh") > 0).select("doc")
+        return expand_rep_pairs(
+            rep_pairs, clique, "jaccard", self_score=1.0, self_reps=shingled
+        )
     # One shingle scan, three consumers (inverted index + both verify
     # sides): materialize the Pandas-UDF kernel exactly once.
     sh = shingle_hash_table(df, id_col, text_col, n).localCheckpoint(eager=True)
@@ -910,7 +945,11 @@ def exact_clique_map(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def expand_rep_pairs(
-    rep_pairs: DataFrame, clique: DataFrame, score_col: str, self_score=None
+    rep_pairs: DataFrame,
+    clique: DataFrame,
+    score_col: str,
+    self_score=None,
+    self_reps: DataFrame | None = None,
 ) -> DataFrame:
     """Expand a pair relation computed over clique REPRESENTATIVES back
     to all original doc ids — the dedup answer for a duplicate-heavy
@@ -927,8 +966,11 @@ def expand_rep_pairs(
 
     Input ``rep_pairs``: (doc_a, doc_b, <score_col>) over rep ids with
     doc_a < doc_b. ``clique``: (doc, rep) from ``exact_clique_map``.
-    Output: (doc_a, doc_b, <score_col>) over original ids, doc_a <
-    doc_b, distinct."""
+    ``self_reps`` (doc/rep ids) restricts the within-clique expansion
+    to eligible cliques — e.g. only shingled texts form Jaccard pairs,
+    so a shingle-less replica clique must NOT self-pair even though
+    its texts are identical. Output: (doc_a, doc_b, <score_col>) over
+    original ids, doc_a < doc_b, distinct."""
     ma = clique.select(F.col("doc").alias("_da"), F.col("rep").alias("doc_a"))
     mb = clique.select(F.col("doc").alias("_db"), F.col("rep").alias("doc_b"))
     cross = (
@@ -942,9 +984,12 @@ def expand_rep_pairs(
     )
     if self_score is None:
         return cross
+    cl = clique if self_reps is None else clique.join(
+        self_reps.select(F.col(self_reps.columns[0]).alias("rep")), "rep", "left_semi"
+    )
     within = (
-        clique.select("rep", F.col("doc").alias("_d1"))
-        .join(clique.select("rep", F.col("doc").alias("_d2")), "rep")
+        cl.select("rep", F.col("doc").alias("_d1"))
+        .join(cl.select("rep", F.col("doc").alias("_d2")), "rep")
         .filter(F.col("_d1") < F.col("_d2"))
         .select(
             F.col("_d1").alias("doc_a"),

@@ -828,3 +828,103 @@ def load_pq_codebooks(spark, path: str) -> np.ndarray:
     for r in rows:
         out[r["subspace"], r["centroid_id"]] = np.asarray(r["centroid"])
     return out
+
+
+def semantic_dedup_clustered(
+    embeddings: DataFrame,
+    threshold: float,
+    nlist: int | None = None,
+    seed: int = 42,
+    sample_stride: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup as published (Abbas et al. 2023, arXiv:2303.09540):
+    k-means-partition the embedding space, then dedup EXACTLY *within*
+    each cluster — per cluster, connected components of the
+    cosine >= ``threshold`` graph keep only their min-id member.
+    Returns (``id_col``, cell, keep) for every non-zero vector.
+
+    This is the 100 TB semantic-dedup path. The exact all-pairs kernel
+    (:func:`embedding_neardup_pairs_blocked`) is the certification
+    harness: its triangle-inequality pruning honestly degrades to all
+    cell pairs on unstructured data at loose thresholds (its
+    docstring's contract), which is O(N^2 d) — measured infeasible at
+    the x100 stress scale (200k vectors never finished a 580 s cap).
+    SemDeDup's published trade accepts missing CROSS-cluster pairs to
+    bound the work at sum over cells of |cell|^2 * d ~= N^2 d / nlist,
+    embarrassingly parallel per cell; duplicates land in the same cell
+    in practice because near-identical vectors share a nearest
+    centroid (exceptions sit on cell boundaries).
+
+    Determinism: centroids come from the deterministic stride sample
+    (same scheme as the exact kernel), assignment is argmax cosine, and
+    within-cell clustering is exact — so ``keep`` is reproducible
+    run-to-run and layout-independent.
+    """
+    spark = embeddings.sparkSession
+    base = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    ).filter(_fold_sum(F.transform(F.col("_v"), lambda x: x * x)) > 0)
+    if nlist is None:
+        # target ~512-row cells: GEMM-sized tiles, quadratic term tamed
+        nlist = auto_nlist(
+            base.count(), target_list=512
+        )
+    sample = np.stack(
+        [
+            np.asarray(r["_v"], dtype=np.float64)
+            for r in base.filter(F.col("_id") % sample_stride == 0)
+            .limit(max(nlist * 8, 1024))
+            .collect()
+        ]
+    )
+    cent = _kmeans_centroids(sample, nlist, seed)
+    bcast = spark.sparkContext.broadcast(cent)
+
+    @F.pandas_udf("int")
+    def _cell(vecs: pd.Series) -> pd.Series:
+        c = bcast.value
+        mat = np.stack(vecs.to_numpy())
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.Series((mat @ c.T).argmax(axis=1).astype(np.int32))
+
+    assigned = base.select("_id", "_v", _cell(F.col("_v")).alias("cell"))
+
+    def _dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.stack(pdf["_v"].to_numpy())[order]
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        n = len(ids)
+        # union-find over the threshold graph, exact within the cell
+        parent = np.arange(n)
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        sims = mat @ mat.T
+        ii, jj = np.where(np.triu(sims >= threshold, k=1))
+        for i, j in zip(ii, jj):
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+        roots = np.array([find(i) for i in range(n)])
+        keep = roots == np.arange(n)  # min-id member: ids sorted asc
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": pdf["cell"].iloc[0],
+                "keep": keep,
+            }
+        )
+
+    return (
+        assigned.groupBy("cell")
+        .applyInPandas(_dedup_cell, schema="vec_id long, cell int, keep boolean")
+        .withColumnRenamed("vec_id", id_col)
+    )

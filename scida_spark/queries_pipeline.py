@@ -2366,11 +2366,39 @@ def dedup_cc_clusters(spark, sf_dir):
     completeness contract); MinHash LSH (dedup_signature_pairs) is the
     100 TB candidate path. CC rounds are O(log diameter) with
     localCheckpoint-bounded lineage."""
-    pairs = D.ngram_jaccard_pairs(
-        table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.2
+    # Collapse-first (r8): pair GENERATION and CC both run over one
+    # representative per distinct text; only the answer (the pair list
+    # itself) is expanded. CC over the expanded graph would walk the
+    # clique-squared edge set (25M+ edges at x100) for information the
+    # rep graph already holds: a doc's cluster is its rep's cluster
+    # (rep = clique min, so component minima agree).
+    docs = table(spark, sf_dir, "documents")
+    clique = D.exact_clique_map(docs, "doc_id", "text").localCheckpoint(
+        eager=True
     )
-    cc = D.connected_components(pairs.select("doc_a", "doc_b"))
-    return pairs.join(cc, pairs.doc_a == cc.node).select(
+    reps = docs.join(
+        clique.filter(F.col("doc") == F.col("rep")).select(
+            F.col("doc").alias("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    shr = D.shingle_hash_table(reps, "doc_id", "text", 3).localCheckpoint(
+        eager=True
+    )
+    rep_pairs = D.ngram_jaccard_pairs_from_shingles(shr, threshold=0.2)
+    shingled = shr.filter(F.size("sh") > 0).select("doc")
+    pairs = D.expand_rep_pairs(
+        rep_pairs, clique, "jaccard", self_score=1.0, self_reps=shingled
+    )
+    ccr = D.connected_components(rep_pairs.select("doc_a", "doc_b"))
+    cmap = clique.join(
+        ccr.withColumnRenamed("node", "rep"), "rep", "left"
+    ).select(
+        F.col("doc").alias("_cd"),
+        F.coalesce("cluster_id", F.col("rep")).alias("cluster_id"),
+    )
+    return pairs.join(cmap, pairs.doc_a == cmap._cd).select(
         F.col("doc_a").cast("bigint").alias("doc_a"),
         F.col("doc_b").cast("bigint").alias("doc_b"),
         "jaccard",
@@ -2448,13 +2476,18 @@ def dedup_cleaned_corpus(spark, sf_dir):
       materializes — the cleaned training corpus — and the oracle
       recomputes the full transitive closure, so survivors are
       value-checked doc-for-doc.
-    * ``semantic`` (r7): the SemDeDup-style embedding-space variant —
-      exact cosine-≥0.35 pair graph via spherical-cell blocking
+    * ``semantic`` (r7): the EXACT embedding-space variant —
+      cosine-≥0.35 pair graph via spherical-cell blocking
       (triangle-inequality pruning, no cartesian; the same kernel
       sim_neardup_pairs attests) → the same CC → canonical survivors.
       The oracle recomputes all-pairs cosine + transitive closure, so
       a hash match proves the blocked graph and the cluster pruning
-      lose no vector.
+      lose no vector. This exact kernel is the CERTIFICATION harness;
+      at production scale (measured: 200k unstructured vectors at this
+      loose threshold never finish — the blocking honestly degrades to
+      O(N^2 d)) the semantic-dedup path is
+      ``similarity.semantic_dedup_clustered`` — SemDeDup as published,
+      within-k-means-cell exact dedup, 16.8 s at the same x100 scale.
 
     Scale: the pair graph and CC are the bucketed/log-round machinery
     above; the final filter is one anti-join of the non-canonical node
@@ -2462,7 +2495,33 @@ def dedup_cleaned_corpus(spark, sf_dir):
     small (the usual case) and falls back to a shuffle join on
     dup-heavy corpora where the list itself is big."""
     docs = table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2)
+    # Collapse-first (r8): Jaccard pairs + CC run over one rep per
+    # distinct text; replica members of shingled cliques are dropped
+    # directly from the clique map (they near-dup their rep at J=1),
+    # so neither the clique-squared edge set nor its CC is ever built.
+    clique = D.exact_clique_map(docs, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
+    treps = docs.join(
+        clique.filter(F.col("doc") == F.col("rep")).select(
+            F.col("doc").alias("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    shr = D.shingle_hash_table(treps, "doc_id", "text", 3).localCheckpoint(
+        eager=True
+    )
+    pairs = D.ngram_jaccard_pairs_from_shingles(shr, threshold=0.2)
+    drop_replicas = (
+        clique.join(
+            shr.filter(F.size("sh") > 0).select(F.col("doc").alias("rep")),
+            "rep",
+            "left_semi",
+        )
+        .filter(F.col("doc") != F.col("rep"))
+        .select(F.col("doc").alias("doc_id"))
+    )
     emb = table(spark, sf_dir, "embeddings")
     spairs = SIM.embedding_neardup_pairs_blocked(emb, threshold=0.35, ncells=64)
     # ONE connected-components run over the disjoint union of both pair
@@ -2481,7 +2540,7 @@ def dedup_cleaned_corpus(spark, sf_dir):
     noncanon = cc.filter(F.col("cluster_id") != F.col("node"))
     dupes = noncanon.filter(F.col("node") % 2 == 0).select(
         F.expr("node DIV 2").alias("doc_id")
-    )
+    ).unionAll(drop_replicas)
     sdupes = noncanon.filter(F.col("node") % 2 == 1).select(
         F.expr("node DIV 2").alias("vec_id")
     )

@@ -397,3 +397,36 @@ def test_collapse_expand_equals_direct_simhash_pairs(spark):
     a = sorted(map(tuple, direct.collect()))
     b = sorted(map(tuple, expanded.collect()))
     assert a == b and len(a) > 0
+
+
+def test_ngram_jaccard_collapse_exact_equals_direct(spark):
+    """collapse_exact=True returns the identical pair set on a
+    replica-heavy corpus (incl. the within-clique 1.0 pairs and the
+    shingle-less-clique exclusion)."""
+    rows = []
+    did = 0
+    for txt in [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon eta",
+        "one two three four five six",
+        "xy",                      # < n tokens: never pairs
+    ]:
+        for _ in range(4):
+            rows.append((did, txt))
+            did += 3
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    direct = sorted(
+        map(tuple, D.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.2).collect())
+    )
+    collapsed = sorted(
+        map(
+            tuple,
+            D.ngram_jaccard_pairs(
+                docs, "doc_id", "text", 3, 0.2, collapse_exact=True
+            ).collect(),
+        )
+    )
+    assert direct == collapsed and len(direct) > 0
+    # shingle-less clique ('xy' x4) contributed nothing
+    short_ids = {r[0] for r in rows if r[1] == "xy"}
+    assert all(a not in short_ids and b not in short_ids for a, b, _ in direct)

@@ -320,3 +320,86 @@ def test_pq_codebooks_roundtrip(spark, sf_dir, tmp_path):
     r2 = sorted((r["query_id"], r["cand_id"]) for r in
                 pq_topk(emb, q, k=5, codebooks=cb2).collect())
     assert r1 == r2
+
+
+def test_semantic_dedup_clustered_matches_exact_on_clustered_data(spark):
+    """On well-separated clusters (every near-dup group lives in one
+    cell), SemDeDup's within-cell dedup equals the exact kernel's
+    global answer: same kept set."""
+    import numpy as np
+
+    from scida_spark.functions.similarity import (
+        embedding_neardup_pairs_blocked,
+        semantic_dedup_clustered,
+    )
+    from scida_spark.functions.dedup import connected_components
+
+    rng = np.random.RandomState(3)
+    rows = []
+    vid = 0
+    for g in range(6):                      # 6 well-separated directions
+        basev = rng.randn(16)
+        basev /= np.linalg.norm(basev)
+        for r in range(4):                  # 4 near-dups each
+            v = basev + 0.03 * rng.randn(16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact_pairs = embedding_neardup_pairs_blocked(emb, threshold=0.95, ncells=4)
+    cc = connected_components(
+        exact_pairs.select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        )
+    )
+    exact_drop = {
+        r["node"] for r in cc.filter(F.col("node") != F.col("cluster_id")).collect()
+    }
+    sd = semantic_dedup_clustered(emb, threshold=0.95, nlist=6, sample_stride=1)
+    got_drop = {r["vec_id"] for r in sd.filter(~F.col("keep")).collect()}
+    # Guarantee: a SemDeDup drop always has a smaller kept near-dup in
+    # its cell, so it is never the exact component min — drops are a
+    # SUBSET of the exact kernel's. Coverage is high but not pinned to
+    # 100%: k-means may split a group across cells (the published
+    # algorithm's accepted miss).
+    assert got_drop <= exact_drop
+    assert len(got_drop) >= 0.8 * len(exact_drop) and len(exact_drop) == 18
+
+
+def test_semantic_dedup_clustered_within_cell_exact(spark):
+    """Soundness on ARBITRARY data: every dropped vector has a kept
+    near-dup (cos >= threshold) in its own cell; every kept pair in a
+    cell is below threshold OR transitively represented."""
+    import numpy as np
+
+    from scida_spark.functions.similarity import semantic_dedup_clustered
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (i, [float(x) for x in rng.randn(8)]) for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sd = semantic_dedup_clustered(emb, threshold=0.6, nlist=5).collect()
+    vecs = {i: np.array(v) / np.linalg.norm(v) for i, v in rows}
+    by_cell = {}
+    for r in sd:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, members in by_cell.items():
+        kept = [r["vec_id"] for r in members if r["keep"]]
+        for r in members:
+            if not r["keep"]:
+                # reachable from some kept vector via the threshold
+                # graph within the cell (union-find guarantees the
+                # component root is kept)
+                comp = {r["vec_id"]}
+                frontier = {r["vec_id"]}
+                ids = [m["vec_id"] for m in members]
+                while frontier:
+                    nxt = set()
+                    for a in frontier:
+                        for b in ids:
+                            if b not in comp and float(vecs[a] @ vecs[b]) >= 0.6:
+                                nxt.add(b)
+                    comp |= nxt
+                    frontier = nxt
+                assert any(k in comp for k in kept)
