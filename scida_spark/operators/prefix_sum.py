@@ -61,3 +61,61 @@ def global_running_sum(
         )
         .drop("__off")
     )
+
+
+def grouped_ntile(
+    df: DataFrame,
+    k: int,
+    group_col: str,
+    bucket_col: str,
+    *tiebreak_cols: str,
+    out_col: str = "ntile",
+) -> DataFrame:
+    """``NTILE(k) OVER (PARTITION BY group ORDER BY bucket, *tiebreak)``
+    without the coarse-group skew trap.
+
+    A native NTILE partitioned by a low-cardinality group sorts each
+    group's ENTIRE membership on one task (measured: 3 return-flag
+    groups x 20M rows each at the x100 scale = three straggler sorts).
+    Two-level plan instead:
+
+      1. per-(group, bucket) counts; prefix over buckets within each
+         group (window over the SMALL aggregated table) -> the rank
+         offset every (group, bucket) cell starts at;
+      2. rank within (group, bucket) cells (fine partitions, parallel)
+         + offset = the exact rank r within the group;
+      3. NTILE's uneven-split rule applied arithmetically from r and
+         the group size n (first n mod k buckets get the extra row) —
+         bit-identical to the window function's assignment.
+
+    ``bucket_col`` must be the LEADING sort column (ranking inside a
+    cell then only needs the tiebreaks); its per-group cardinality
+    bounds phase 1's window side, and its cell sizes bound the
+    parallel sort. Ideal when the leading sort key is a measure with
+    bounded distinct values (quantities, prices, scores)."""
+    counts = df.groupBy(group_col, bucket_col).agg(F.count("*").alias("__cnt"))
+    w_off = (
+        W.partitionBy(group_col)
+        .orderBy(bucket_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).cast("long")
+    ).select(group_col, bucket_col, "__off")
+    totals = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    w_local = W.partitionBy(group_col, bucket_col).orderBy(
+        *(tiebreak_cols or (bucket_col,))
+    )
+    r = F.row_number().over(w_local).cast("long") + F.col("__off")
+    n, kk = F.col("__n"), F.lit(int(k))
+    q, rem = F.floor(n / kk).cast("long"), (n % kk).cast("long")
+    cut = rem * (q + 1)  # rows covered by the size-(q+1) buckets
+    tile = F.when(r <= cut, F.ceil(r / (q + 1))).otherwise(
+        rem + F.ceil((r - cut) / F.greatest(q, F.lit(1)))
+    )
+    return (
+        df.join(F.broadcast(offsets), [group_col, bucket_col])
+        .join(F.broadcast(totals), group_col)
+        .withColumn(out_col, tile.cast("int"))
+        .drop("__off", "__n")
+    )

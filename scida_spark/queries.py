@@ -708,11 +708,23 @@ def q_percentiles(spark, sf_dir):
     Khanna sketch, mergeable, bounded memory); the NTILE window is
     partitioned by returnflag (per-partition sort, no global ordering
     task); the final join is flag-grain — broadcast."""
+    from scida_spark.operators.prefix_sum import grouped_ntile
+
     li = table(spark, sf_dir, "lineitem")
-    w = W.partitionBy("l_returnflag").orderBy("l_quantity", "l_orderkey", "l_linenumber")
-    t = li.select(
-        "l_returnflag", "l_quantity", F.ntile(4).over(w).cast("int").alias("quartile")
-    )
+    # Two-level NTILE (operators/prefix_sum.py): the native window
+    # partitioned by the 3-value returnflag sorts each group's whole
+    # membership on ONE task (x100: 3 stragglers x 20M rows). Bucketing
+    # on the leading sort key (l_quantity, ~50 distinct per flag) makes
+    # phase 1's window side 150 rows and the parallel rank cells ~400k.
+    t = grouped_ntile(
+        li.select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber"),
+        4,
+        "l_returnflag",
+        "l_quantity",
+        "l_orderkey",
+        "l_linenumber",
+        out_col="quartile",
+    ).select("l_returnflag", "l_quantity", "quartile")
     q = t.groupBy("l_returnflag", "quartile").agg(
         F.count("*").alias("n"),
         F.min("l_quantity").cast("double").alias("lo"),

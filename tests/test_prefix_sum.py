@@ -52,3 +52,49 @@ def test_no_single_task_window_over_data(spark):
     # The unpartitioned offsets window consumes the aggregated side: it
     # sits above a HashAggregate, which appears in the plan.
     assert "HashAggregate" in plan
+
+
+def test_grouped_ntile_matches_native_window(spark):
+    """grouped_ntile reproduces NTILE(k) OVER (PARTITION BY g ORDER BY
+    bucket, tiebreaks) row-for-row, including the uneven-split rule, on
+    randomized data with heavy bucket ties."""
+    import random
+
+    from pyspark.sql.window import Window as W
+
+    from scida_spark.operators.prefix_sum import grouped_ntile
+
+    rng = random.Random(4)
+    rows = [
+        (i, rng.choice(["a", "b", "c"]), rng.randint(1, 7))
+        for i in range(997)  # prime: every (group, k) hits the uneven split
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v int")
+    for k in (2, 4, 5):
+        w = W.partitionBy("g").orderBy("v", "id")
+        native = {
+            (r["g"], r["id"]): r["t"]
+            for r in df.select("g", "id", F.ntile(k).over(w).alias("t")).collect()
+        }
+        got = {
+            (r["g"], r["id"]): r["ntile"]
+            for r in grouped_ntile(df, k, "g", "v", "id").collect()
+        }
+        assert got == native, k
+
+
+def test_grouped_ntile_no_coarse_group_window(spark):
+    """Plan contract: no window partitioned ONLY by the coarse group —
+    every WindowExec partitions at least at (group, bucket) grain (the
+    offsets window runs over the small aggregated side)."""
+    from scida_spark.operators.prefix_sum import grouped_ntile
+
+    df = spark.createDataFrame([(1, "a", 2)], "id long, g string, v int")
+    out = grouped_ntile(df, 4, "g", "v", "id")
+    p = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    for m in re.finditer(r"Arguments: \[row_number\(\).*partitionBy=\[([^\]]*)\]", p):
+        assert "v" in m.group(1)
