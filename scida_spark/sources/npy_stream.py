@@ -52,9 +52,18 @@ class NpyStreamReader(SimpleDataSourceStreamReader):
         self._last_rows = max(self._last_rows, nrows)
         return nrows
 
-    def _read_range(self, lo: int, hi: int):
+    def _read_range(self, lo: int, hi: int, strict: bool = False):
         # Returns a LIST: the runtime pickles the prefetched batch into
         # its offset cache for replay, so a generator won't do.
+        #
+        # ``strict`` is the replay contract: the forward ``read()``
+        # path may swallow a torn read (the offset simply doesn't
+        # advance and the next trigger retries), but
+        # ``readBetweenOffsets`` replays a COMMITTED range — silently
+        # returning fewer rows there would permanently DROP committed
+        # rows from the recovered stream. In strict mode any load
+        # failure or short field raises, so Spark fails/retries the
+        # task instead of committing an empty or truncated replay.
         if hi <= lo:
             return []
         arrays = {}
@@ -64,17 +73,24 @@ class NpyStreamReader(SimpleDataSourceStreamReader):
                     os.path.join(self.path, name + ".npy"), mmap_mode="r"
                 )
         except Exception:
-            # Torn header mid-replace: treat as "nothing new yet".
-            # Safe for replay too — committed rows were readable once
-            # and npy-dir writers only ever grow the arrays, so a
-            # transient failure is always a mid-write artifact that the
-            # next trigger (or replay attempt) will see resolved.
+            if strict:
+                raise
+            # Torn header mid-replace on the FORWARD path: treat as
+            # "nothing new yet" — the offset stays put and the next
+            # trigger retries.
             return []
         # Writers replace field files one at a time (non-atomic): clamp
         # to the shortest field actually on disk so a mid-update trigger
         # reads a consistent prefix instead of crashing; the remainder
         # arrives with the next trigger.
-        hi = min(hi, *(a.shape[0] for a in arrays.values()))
+        shortest = min(a.shape[0] for a in arrays.values())
+        if strict and shortest < hi:
+            raise IOError(
+                f"npy stream replay: committed range [{lo},{hi}) but field "
+                f"files hold only {shortest} rows — refusing to truncate a "
+                "committed replay (retry will see the writer's update land)"
+            )
+        hi = min(hi, shortest)
         if hi <= lo:
             return []
         arrays = {name: a[lo:hi] for name, a in arrays.items()}
@@ -99,7 +115,7 @@ class NpyStreamReader(SimpleDataSourceStreamReader):
         return iter(rows), {"row": lo + len(rows)}
 
     def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
-        return iter(self._read_range(start["row"], end["row"]))
+        return iter(self._read_range(start["row"], end["row"], strict=True))
 
     def commit(self, end: dict) -> None:
         pass  # rows are immutable on disk; nothing to clean up

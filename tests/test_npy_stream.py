@@ -141,3 +141,36 @@ def test_stream_2d_field(spark, tmp_path):
     rows = spark.sql("SELECT * FROM npys_2d ORDER BY uid").collect()
     assert len(rows) == 20
     assert list(rows[4].Coordinates) == [12.0, 13.0, 14.0]
+
+
+def test_replay_of_committed_range_is_strict(spark, tmp_path):
+    """readBetweenOffsets replays a COMMITTED range: a torn read there
+    must RAISE (so Spark retries the task) — silently yielding an
+    empty/short batch would permanently drop committed rows. The
+    forward read() path keeps the swallow-and-retry behavior."""
+    from scida_spark.sources.npy import discover_schema
+    from scida_spark.sources.npy_stream import NpyStreamReader
+
+    _write(tmp_path, 100)
+    schema, _, _ = discover_schema(str(tmp_path))
+    rdr = NpyStreamReader(str(tmp_path), schema, rows_per_batch=1000)
+
+    # Healthy replay: full committed range comes back.
+    rows = list(rdr.readBetweenOffsets({"row": 0}, {"row": 100}))
+    assert len(rows) == 100
+
+    # Field file truncated below the committed range → strict replay
+    # raises instead of truncating.
+    full = bytes((tmp_path / "Value.npy").read_bytes())
+    np.save(tmp_path / ".t.npy", np.arange(60, dtype=np.float64))
+    os.replace(tmp_path / ".t.npy", tmp_path / "Value.npy")
+    with pytest.raises(Exception):
+        list(rdr.readBetweenOffsets({"row": 0}, {"row": 100}))
+
+    # Torn header → strict replay raises; forward read() still
+    # swallows (offset does not advance).
+    (tmp_path / "Value.npy").write_bytes(full[:40])
+    with pytest.raises(Exception):
+        list(rdr.readBetweenOffsets({"row": 0}, {"row": 100}))
+    it, off = rdr.read({"row": 0})
+    assert list(it) == [] and off == {"row": 0}
