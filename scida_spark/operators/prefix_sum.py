@@ -113,9 +113,23 @@ def grouped_ntile(
     tile = F.when(r <= cut, F.ceil(r / (q + 1))).otherwise(
         rem + F.ceil((r - cut) / F.greatest(q, F.lit(1)))
     )
+    # Null-safe join keys: native NTILE partitions and sorts NULL
+    # group/bucket values like any other (NULLS FIRST under the
+    # ascending window order, matching groupBy's NULL group and the
+    # offset window's sort) — a plain equi-join would silently drop
+    # those rows. EqualNullSafe is still a hash-join key, so both
+    # joins stay broadcast.
+    off2 = offsets.withColumnRenamed(group_col, "__g").withColumnRenamed(
+        bucket_col, "__b"
+    )
+    tot2 = totals.withColumnRenamed(group_col, "__g2")
     return (
-        df.join(F.broadcast(offsets), [group_col, bucket_col])
-        .join(F.broadcast(totals), group_col)
+        df.join(
+            F.broadcast(off2),
+            F.col(group_col).eqNullSafe(F.col("__g"))
+            & F.col(bucket_col).eqNullSafe(F.col("__b")),
+        )
+        .join(F.broadcast(tot2), F.col(group_col).eqNullSafe(F.col("__g2")))
         .withColumn(out_col, tile.cast("int"))
-        .drop("__off", "__n")
+        .drop("__g", "__b", "__g2", "__off", "__n")
     )

@@ -98,3 +98,29 @@ def test_grouped_ntile_no_coarse_group_window(spark):
 
     for m in re.finditer(r"Arguments: \[row_number\(\).*partitionBy=\[([^\]]*)\]", p):
         assert "v" in m.group(1)
+
+
+def test_grouped_ntile_null_keys_match_native(spark):
+    """NULL group/bucket values must survive: native NTILE partitions
+    and sorts NULLs like any other value, so the internal joins use
+    null-safe equality (a plain equi-join would drop those rows)."""
+    from pyspark.sql.window import Window as W
+
+    from scida_spark.operators.prefix_sum import grouped_ntile
+
+    rows = [
+        (0, None, 1), (1, None, None), (2, "a", None), (3, "a", 2),
+        (4, "a", 2), (5, None, 3), (6, "b", 1), (7, None, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v int")
+    w = W.partitionBy("g").orderBy("v", "id")
+    native = {
+        (r["g"], r["id"]): r["t"]
+        for r in df.select("g", "id", F.ntile(3).over(w).alias("t")).collect()
+    }
+    got = {
+        (r["g"], r["id"]): r["ntile"]
+        for r in grouped_ntile(df, 3, "g", "v", "id").collect()
+    }
+    assert got == native
+    assert len(got) == len(rows)
