@@ -101,6 +101,25 @@ def export_training_shards(
     """
     n_total = df.count()
     n_shards = max(1, -(-n_total // rows_per_shard))
+    if n_total == 0:
+        # partitionBy writes NO files for an empty input, so the
+        # read-back below couldn't infer a schema and would crash.
+        # "Card zeros, don't crash" (same convention as bm25_topk):
+        # emit an empty-but-valid manifest so downstream audit tooling
+        # sees an explicit zero, not an exception.
+        os.makedirs(dst_dir, exist_ok=True)
+        manifest = {
+            "n_rows": 0,
+            "n_shards": 0,
+            "rows_per_shard_target": rows_per_shard,
+            "id_col": id_col,
+            "salt": salt,
+            "columns": [c for c in df.columns],
+            "shards": [],
+        }
+        with open(os.path.join(dst_dir, "_manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        return manifest
     keyed = df.withColumn("_shard_key", shard_key(id_col, salt)).withColumn(
         "_shard", shard_id(id_col, n_shards, salt)
     )

@@ -123,3 +123,19 @@ def test_shard_id_explicit_boundaries(spark):
     ).collect()
     order_by_key = [r["s"] for r in sorted(keyed, key=lambda r: r["k"])]
     assert order_by_key == sorted(order_by_key)
+
+
+def test_export_zero_rows_writes_empty_manifest(spark, docs, tmp_path):
+    """Zero-row input: no data files exist, so the read-back can't
+    infer a schema — the export must short-circuit to an empty-but-
+    valid manifest (card zeros, don't crash) instead of raising."""
+    import json
+    import os
+
+    dst = str(tmp_path / "empty")
+    m = export_training_shards(
+        docs.filter("doc_id < 0"), "doc_id", dst, rows_per_shard=100
+    )
+    assert m["n_rows"] == 0 and m["n_shards"] == 0 and m["shards"] == []
+    with open(os.path.join(dst, "_manifest.json")) as f:
+        assert json.load(f) == m
