@@ -830,6 +830,66 @@ def load_pq_codebooks(spark, path: str) -> np.ndarray:
     return out
 
 
+def _dedup_cell_kernel(
+    ids: np.ndarray, mat: np.ndarray, threshold: float, tile_rows: int
+) -> np.ndarray:
+    """Exact within-cell connected components of the cosine >=
+    ``threshold`` graph; returns ``keep`` (True for each component's
+    min-id member). ``ids`` must be sorted ascending and ``mat``
+    row-normalized in the same order.
+
+    Two memory/compute guards make this safe on a SKEWED cell:
+
+    * **Exact-collapse first** (the repo's collapse-first rule applied
+      to vectors): bit-identical rows are merged before any GEMM —
+      cos(identical) == 1 >= any threshold <= 1, so they are provably
+      one clique. A duplicate-heavy cell of n members with r distinct
+      vectors costs O(r^2 d), not O(n^2 d).
+    * **Tiled GEMM**: the similarity matrix is computed in
+      ``tile_rows``-square blocks and reduced to union-find edges per
+      block, so peak memory is O(r*d + tile^2), never the O(r^2)
+      full-sims matrix.
+    """
+    n = len(ids)
+    if threshold <= 1.0:
+        uniq, inverse = np.unique(mat, axis=0, return_inverse=True)
+        inverse = inverse.reshape(-1)
+    else:  # degenerate threshold: nothing can ever connect
+        uniq, inverse = mat, np.arange(n)
+    r = len(uniq)
+    # min member index per distinct vector (ids sorted asc -> min
+    # index == min id); identical members are one clique by definition
+    min_member = np.full(r, n, dtype=np.int64)
+    np.minimum.at(min_member, inverse, np.arange(n))
+
+    parent = np.arange(r)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    B = max(int(tile_rows), 64)
+    for bi in range(0, r, B):
+        left = uniq[bi : bi + B]
+        for bj in range(bi, r, B):
+            sims = left @ uniq[bj : bj + B].T  # (<=B, <=B) block only
+            if bi == bj:
+                ii, jj = np.where(np.triu(sims >= threshold, k=1))
+            else:
+                ii, jj = np.where(sims >= threshold)
+            for i, j in zip(ii + bi, jj + bj):
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    # component -> global min member index; keep exactly that member
+    comp_min = np.full(r, n, dtype=np.int64)
+    roots = np.fromiter((find(u) for u in range(r)), dtype=np.int64, count=r)
+    np.minimum.at(comp_min, roots, min_member)
+    return np.arange(n) == comp_min[roots[inverse]]
+
+
 def semantic_dedup_clustered(
     embeddings: DataFrame,
     threshold: float,
@@ -838,6 +898,10 @@ def semantic_dedup_clustered(
     sample_stride: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_vectors: int | None = None,
+    max_cell_rows: int = 8192,
+    max_split_depth: int = 3,
+    tile_rows: int = 2048,
 ) -> DataFrame:
     """SemDeDup as published (Abbas et al. 2023, arXiv:2303.09540):
     k-means-partition the embedding space, then dedup EXACTLY *within*
@@ -857,8 +921,31 @@ def semantic_dedup_clustered(
     in practice because near-identical vectors share a nearest
     centroid (exceptions sit on cell boundaries).
 
-    Determinism: centroids come from the deterministic stride sample
-    (same scheme as the exact kernel), assignment is argmax cosine, and
+    **Skew guard** (k-means does NOT balance cells; real web-embedding
+    distributions have hot regions): any cell larger than
+    ``max_cell_rows`` is recursively re-clustered — its own stride
+    sample, its own mini k-means, new sub-cell ids — up to
+    ``max_split_depth`` levels, so no single task ever owns an
+    unbounded O(|cell|^2 d) GEMM. Splitting a hot cell accepts more
+    missed cross-(sub)cell pairs, the same trade SemDeDup already
+    makes at the top level. Within a cell the kernel collapses
+    bit-identical vectors first and tiles the GEMM
+    (:func:`_dedup_cell_kernel`), so the residual worst case — a hot
+    cell of near-identical-but-distinct vectors that k-means cannot
+    separate and exact-collapse cannot shrink — is bounded by
+    ``max_cell_rows^2 * d`` compute and ``tile_rows^2`` + data memory
+    per task. The size probe per split level is a cell->count
+    aggregation (metadata-sized: one row per cell), not a data scan.
+
+    Sizing reads stats, not data: pass ``n_vectors`` (parquet footer /
+    catalog stats) to size ``nlist`` without a count job; the count()
+    fallback only runs when neither ``nlist`` nor ``n_vectors`` is
+    given.
+
+    Determinism: centroid samples are the smallest-N stride-surviving
+    ids (``orderBy(_id).limit`` — layout-independent, unlike a bare
+    ``limit``), assignment is argmax cosine, sub-cell splits derive
+    from per-cell counts and the same deterministic sampling, and
     within-cell clustering is exact — so ``keep`` is reproducible
     run-to-run and layout-independent.
     """
@@ -869,16 +956,28 @@ def semantic_dedup_clustered(
     if nlist is None:
         # target ~512-row cells: GEMM-sized tiles, quadratic term tamed
         nlist = auto_nlist(
-            base.count(), target_list=512
+            n_vectors if n_vectors is not None else base.count(), target_list=512
         )
-    sample = np.stack(
-        [
-            np.asarray(r["_v"], dtype=np.float64)
-            for r in base.filter(F.col("_id") % sample_stride == 0)
-            .limit(max(nlist * 8, 1024))
+
+    def _sample_vectors(df, stride: int, limit: int) -> np.ndarray | None:
+        rows = (
+            df.filter(F.col("_id") % stride == 0)
+            .orderBy("_id")
+            .limit(limit)
+            .select("_v")
             .collect()
-        ]
-    )
+        )
+        if not rows:  # stride missed every id: fall back to smallest-N
+            rows = df.orderBy("_id").limit(limit).select("_v").collect()
+        if not rows:
+            return None
+        return np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
+
+    sample = _sample_vectors(base, sample_stride, max(nlist * 8, 1024))
+    if sample is None:  # no non-zero vectors at all
+        return spark.createDataFrame(
+            [], f"{id_col} long, cell int, keep boolean"
+        )
     cent = _kmeans_centroids(sample, nlist, seed)
     bcast = spark.sparkContext.broadcast(cent)
 
@@ -891,30 +990,83 @@ def semantic_dedup_clustered(
 
     assigned = base.select("_id", "_v", _cell(F.col("_v")).alias("cell"))
 
+    # ---- recursive split of oversized cells (depth-bounded) ----
+    next_id = int(nlist)
+    for _depth in range(max_split_depth):
+        sizes = assigned.groupBy("cell").agg(F.count("*").alias("__n")).collect()
+        hot = sorted(
+            (r["cell"], r["__n"]) for r in sizes if r["__n"] > max_cell_rows
+        )
+        if not hot:
+            break
+        # one bounded job collects a per-hot-cell sample: per-cell
+        # stride thins each cell to ~2x the target sample BEFORE the
+        # row_number window, so the shuffle is O(n_hot_cells * sample)
+        per_cell = 256
+        stride_map = {
+            c: max(1, n // (per_cell * 2)) for c, n in hot
+        }
+        stride_expr = F.create_map(
+            *[F.lit(x) for kv in stride_map.items() for x in kv]
+        )
+        w = W.partitionBy("cell").orderBy("_id")
+        samp_rows = (
+            assigned.filter(F.col("cell").isin(list(stride_map)))
+            .filter(F.col("_id") % stride_expr[F.col("cell")] == 0)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= per_cell)
+            .select("cell", "_v")
+            .collect()
+        )
+        by_cell: dict[int, list] = {}
+        for r in samp_rows:
+            by_cell.setdefault(r["cell"], []).append(
+                np.asarray(r["_v"], dtype=np.float64)
+            )
+        split_plan = {}
+        for c, n_rows in hot:
+            vecs = by_cell.get(c)
+            if vecs is None or len(vecs) < 2:
+                continue  # unsplittable (degenerate sample); keep as-is
+            subk = min(64, max(2, -(-n_rows // (max_cell_rows // 2))))
+            sub_cent = _kmeans_centroids(np.stack(vecs), subk, seed + next_id)
+            split_plan[c] = (next_id, sub_cent)
+            next_id += len(sub_cent)
+        if not split_plan:
+            break
+        plan_bcast = spark.sparkContext.broadcast(split_plan)
+
+        # Factory binds THIS level's broadcast: the refine UDFs chain
+        # lazily across split levels, so a plain closure over the loop
+        # variable would make every level read the last broadcast.
+        def _make_refine(pb):
+            @F.pandas_udf("int")
+            def _refine(cells: pd.Series, vecs: pd.Series) -> pd.Series:
+                plan = pb.value
+                cvals = cells.to_numpy()
+                out = cvals.copy()
+                for c, (base_id, cmat) in plan.items():
+                    m = cvals == c
+                    if not m.any():
+                        continue
+                    mat = np.stack(vecs[m].to_numpy())
+                    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+                    out[m] = base_id + (mat @ cmat.T).argmax(axis=1)
+                return pd.Series(out.astype(np.int32))
+
+            return _refine
+
+        assigned = assigned.withColumn(
+            "cell", _make_refine(plan_bcast)(F.col("cell"), F.col("_v"))
+        )
+
     def _dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
         mat = np.stack(pdf["_v"].to_numpy())[order]
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        n = len(ids)
-        # union-find over the threshold graph, exact within the cell
-        parent = np.arange(n)
-
-        def find(i):
-            while parent[i] != i:
-                parent[i] = parent[parent[i]]
-                i = parent[i]
-            return i
-
-        sims = mat @ mat.T
-        ii, jj = np.where(np.triu(sims >= threshold, k=1))
-        for i, j in zip(ii, jj):
-            ri, rj = find(i), find(j)
-            if ri != rj:
-                parent[max(ri, rj)] = min(ri, rj)
-        roots = np.array([find(i) for i in range(n)])
-        keep = roots == np.arange(n)  # min-id member: ids sorted asc
+        keep = _dedup_cell_kernel(ids, mat, threshold, tile_rows)
         return pd.DataFrame(
             {
                 "vec_id": ids,

@@ -403,3 +403,147 @@ def test_semantic_dedup_clustered_within_cell_exact(spark):
                     comp |= nxt
                     frontier = nxt
                 assert any(k in comp for k in kept)
+
+
+def test_semantic_dedup_forced_skew_splits_hot_cell(spark):
+    """All vectors in ONE hot region (every row lands in the same
+    k-means cell): the recursive split must cap per-task cell size and
+    the dedup answer must keep exactly the soundness contract — every
+    drop has a kept near-dup in its (sub)cell, and near-identical
+    replicas of the same base vector still collapse to one keeper."""
+    import numpy as np
+
+    from scida_spark.functions.similarity import semantic_dedup_clustered
+
+    rng = np.random.RandomState(7)
+    hot = rng.randn(24)
+    hot /= np.linalg.norm(hot)
+    rows = []
+    vid = 0
+    # 40 near-dup families, 16 replicas each, ALL inside one tight
+    # region (cos between any two rows >= ~0.99 to the hot direction)
+    for fam in range(40):
+        basev = hot + 0.02 * rng.randn(24)
+        for _rep in range(16):
+            v = basev + 0.0001 * rng.randn(24)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sd = semantic_dedup_clustered(
+        emb, threshold=0.999995, nlist=4, sample_stride=1,
+        max_cell_rows=100, max_split_depth=4,
+    )
+    out = sd.collect()
+    assert len(out) == 640
+    # the skew guard actually split: no output cell exceeds the bound
+    from collections import Counter
+
+    cell_sizes = Counter(r["cell"] for r in out)
+    assert max(cell_sizes.values()) <= 100
+    assert len(cell_sizes) > 4  # sub-cells were allocated
+    # soundness: every dropped vector has a kept cos>=t neighbor in its cell
+    vecs = {i: np.array(v) / np.linalg.norm(v) for i, v in rows}
+    kept_by_cell = {}
+    for r in out:
+        if r["keep"]:
+            kept_by_cell.setdefault(r["cell"], []).append(r["vec_id"])
+    for r in out:
+        if not r["keep"]:
+            # transitively: some kept member of the same cell is in the
+            # drop's threshold-component; with one tight family per
+            # component a direct >= t neighbor exists (tolerate fp slop)
+            assert any(
+                float(vecs[r["vec_id"]] @ vecs[k]) >= 0.999995 - 1e-9
+                for k in kept_by_cell.get(r["cell"], [])
+            )
+    # replicas of a family are >= threshold-similar; a real dedup
+    # happened (most replicas dropped)
+    n_keep = sum(1 for r in out if r["keep"])
+    assert n_keep < 640 * 0.5
+
+
+def test_semantic_dedup_tiling_and_collapse_are_invisible(spark):
+    """Tiny tiles and big tiles give the SAME keep set, and a
+    duplicate-heavy input (bit-identical replicas) keeps exactly one
+    member per exact clique — the collapse-first path is semantics-
+    preserving."""
+    import numpy as np
+
+    from scida_spark.functions.similarity import semantic_dedup_clustered
+
+    rng = np.random.RandomState(5)
+    rows = []
+    vid = 0
+    for g in range(8):
+        basev = rng.randn(12)
+        basev = [float(x) for x in basev]
+        for _rep in range(10):      # bit-identical replicas
+            rows.append((vid, basev))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = {
+        (r["vec_id"], r["keep"])
+        for r in semantic_dedup_clustered(
+            emb, threshold=0.9, nlist=3, sample_stride=1, tile_rows=64
+        ).collect()
+    }
+    b = {
+        (r["vec_id"], r["keep"])
+        for r in semantic_dedup_clustered(
+            emb, threshold=0.9, nlist=3, sample_stride=1, tile_rows=100000
+        ).collect()
+    }
+    assert a == b
+    keeps = {v for v, k in a if k}
+    # exactly one keeper per exact clique (cliques may merge via the
+    # threshold graph but never split): at most 8 keepers, each a
+    # family-min id
+    assert len(keeps) <= 8
+    assert all(v % 10 == 0 for v in keeps)
+
+
+def test_semantic_dedup_n_vectors_skips_count_job(spark, sf_dir):
+    """nlist sizing must read the caller's stats (n_vectors), not run
+    a count() job in the query path."""
+    from scida_spark.functions.similarity import semantic_dedup_clustered
+    from scida_spark.queries_pipeline import _parquet_rows
+    from scida_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    n = _parquet_rows(sf_dir)
+    assert n is not None
+    emb.count = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("count() job must not run when n_vectors is given")
+    )
+    sd = semantic_dedup_clustered(emb, threshold=0.99, n_vectors=n)
+    assert sd.limit(1).count() >= 0
+
+
+def test_semantic_dedup_layout_independent(spark):
+    """Same input under different partition layouts -> identical
+    (vec_id, cell, keep) — pins the deterministic smallest-N centroid
+    sample (ADVICE r8: bare .limit() was layout-dependent)."""
+    import numpy as np
+
+    from scida_spark.functions.similarity import semantic_dedup_clustered
+
+    rng = np.random.RandomState(13)
+    rows = [(i, [float(x) for x in rng.randn(10)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(
+        tuple(r)
+        for r in semantic_dedup_clustered(
+            emb.repartition(7), threshold=0.7, nlist=4
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in semantic_dedup_clustered(
+            emb.repartition(31, "vec_id").sortWithinPartitions(
+                F.col("vec_id").desc()
+            ),
+            threshold=0.7,
+            nlist=4,
+        ).collect()
+    )
+    assert a == b
