@@ -15,9 +15,13 @@ subset. Every candidate is verified with the built-in JVM
 ``levenshtein`` (exact), so results carry true distances.
 
 At 100 TB: both candidate paths are bucketed equi-joins; the count
-filter runs map-side-combinable; hot q-grams (stop-grams) can be
-df-capped by the caller the same way the Jaccard index caps shingles —
-soundness then degrades exactly like dedup's documented contract.
+filter runs map-side-combinable; hot q-grams (stop-grams) are
+df-capped via ``max_df`` — and unlike the Jaccard shingle cap's
+documented recall degrade, the cap here is COMPLETENESS-PRESERVING:
+dropping a gram both strings contain removes at most one shared
+occurrence, so the count bound is loosened by ``least(hot_a, hot_b)``
+and strings whose own hot-occurrence count erases their pruning margin
+re-route through the length-window fallback (see :func:`fuzzy_pairs`).
 """
 
 from __future__ import annotations
@@ -45,12 +49,40 @@ def fuzzy_pairs(
     text_col: str,
     max_distance: int = 2,
     q: int = 2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All (id_a, id_b, distance) pairs with Levenshtein distance
     ``<= max_distance`` (id_a < id_b), via sound blocking + exact
     verify. Complete: the q-gram count path covers every pair where the
     lemma's bound is positive; shorter strings route through the
-    length-window path."""
+    length-window path.
+
+    ``max_df`` (hot-gram cap): q-grams occurring in more than
+    ``max_df`` strings are dropped from the inverted index — a single
+    stop-gram otherwise fans the index join out to df^2 pair rows (the
+    skew that makes q-gram joins quadratic on real corpora). The cap
+    stays COMPLETE, unlike a naive drop:
+
+    * a dropped gram removes at most ``min(hot_a, hot_b)`` shared
+      occurrences from a true pair (it must occur in BOTH strings), so
+      the count filter is loosened to
+      ``shared >= max(la, lb) - (q-1) - d*q - least(hot_a, hot_b)``;
+    * a string whose own hot-occurrence count wipes out its pruning
+      margin (``len - hot <= short_cut``) can no longer be count-
+      pruned against any partner, so it re-routes through the
+      length-window fallback exactly like a short string.
+
+    The trade is therefore COST, not recall: hot-gram-saturated
+    strings join the length-window subset. That subset — short strings
+    (``len <= short_cut``, i.e. ``q-1+d*q+d`` chars) plus re-routed
+    hot strings — is matched all-pairs within a ±d length window: cost
+    O(sum_l n_l * n_[l..l+d]) verify calls, quadratic in the subset's
+    per-length populations and NOT further content-blocked (a d-edit
+    budget on a <=short_cut-char string can rewrite most of it, so no
+    sound content key exists). Callers with heavy short-string
+    populations should pre-aggregate them (collapse-first on the exact
+    value, as queries_pipeline does) — replicas cost one rep each.
+    """
     d = max_distance
     base = df.select(
         F.col(id_col).alias("id"),
@@ -70,29 +102,82 @@ def fuzzy_pairs(
         long_side.select(F.col("id").alias(id_col), F.col("t").alias(text_col)),
         id_col, text_col, q,
     )
-    a = g.select(F.col("id").alias("id_a"), F.col("len").alias("la"), "g")
-    b = g.select(F.col("id").alias("id_b"), F.col("len").alias("lb"), "g")
+    if max_df is not None:
+        dfreq = g.groupBy("g").agg(F.count_distinct("id").alias("_df"))
+        hot_grams = dfreq.filter(F.col("_df") > max_df).select("g")
+        # per-string hot-occurrence counts (0 for untouched strings)
+        hotn = (
+            g.join(hot_grams, "g")
+            .groupBy("id")
+            .agg(F.count("*").alias("_hot"))
+        )
+        lh = long_side.join(hotn, "id", "left").fillna(0, subset=["_hot"])
+        strong = lh.filter(F.col("len") - F.col("_hot") > short_cut)
+        rerouted = lh.filter(F.col("len") - F.col("_hot") <= short_cut).drop(
+            "_hot"
+        )
+        g = _qgram_table(
+            strong.select(
+                F.col("id").alias(id_col), F.col("t").alias(text_col)
+            ),
+            id_col, text_col, q,
+        ).join(hot_grams, "g", "left_anti")
+        hot_of = strong.select("id", "_hot")
+        a = (
+            g.select(F.col("id").alias("id_a"), F.col("len").alias("la"), "g")
+            .join(
+                hot_of.select(
+                    F.col("id").alias("id_a"), F.col("_hot").alias("ha")
+                ),
+                "id_a",
+            )
+        )
+        b = (
+            g.select(F.col("id").alias("id_b"), F.col("len").alias("lb"), "g")
+            .join(
+                hot_of.select(
+                    F.col("id").alias("id_b"), F.col("_hot").alias("hb")
+                ),
+                "id_b",
+            )
+        )
+        slack = F.least("ha", "hb")
+        group_extra = ["ha", "hb"]
+    else:
+        rerouted = None
+        a = g.select(F.col("id").alias("id_a"), F.col("len").alias("la"), "g")
+        b = g.select(F.col("id").alias("id_b"), F.col("len").alias("lb"), "g")
+        slack = F.lit(0)
+        group_extra = []
     cand_long = (
         a.join(b, "g")
         .filter(
             (F.col("id_a") < F.col("id_b"))
             & (F.abs(F.col("la") - F.col("lb")) <= d)
         )
-        .groupBy("id_a", "id_b", "la", "lb")
+        .groupBy("id_a", "id_b", "la", "lb", *group_extra)
         .agg(F.count("*").alias("shared"))
         .filter(
             F.col("shared")
-            >= F.greatest("la", "lb") - F.lit(q - 1) - F.lit(d * q)
+            >= F.greatest("la", "lb") - F.lit(q - 1) - F.lit(d * q) - slack
         )
         .select("id_a", "id_b")
     )
     # --- short strings: length-window equi-join -----------------------
-    # Every short string pairs with strings (short OR long) whose
-    # length is within ±d: emit join keys len..len+d on one side.
-    sk = short_side.select(
+    # Every short (or hot-rerouted) string pairs with strings (any
+    # side) whose length is within ±d. Keys span the FULL len-d..len+d
+    # window: a short string's downward partners are short themselves
+    # (lb <= la <= short_cut) so upward keys would suffice there, but a
+    # hot-REROUTED string is long — its shorter partner can be a strong
+    # string that emits no window keys at all, so the window side must
+    # look both directions itself.
+    window_side = (
+        short_side if rerouted is None else short_side.unionAll(rerouted)
+    )
+    sk = window_side.select(
         F.col("id").alias("id_a"),
         F.explode(
-            F.sequence(F.col("len"), F.col("len") + d)
+            F.sequence(F.greatest(F.col("len") - d, F.lit(0)), F.col("len") + d)
         ).alias("lkey"),
     )
     other = base.select(F.col("id").alias("id_b"), F.col("len").alias("lkey"))
@@ -105,10 +190,6 @@ def fuzzy_pairs(
         )
         .distinct()
     )
-    # The ±d window above only looks UPWARD from the short string
-    # (len..len+d); downward partners (lb < la) are short strings too
-    # (lb <= la <= short_cut) and appear with roles swapped, so the
-    # least/greatest normalization already covers them.
     cands = cand_long.unionAll(cand_short).distinct()
     ta = base.select(F.col("id").alias("id_a"), F.col("t").alias("ta"))
     tb = base.select(F.col("id").alias("id_b"), F.col("t").alias("tb"))

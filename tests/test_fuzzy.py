@@ -100,3 +100,60 @@ def test_fuzzy_pairs_no_cartesian_in_long_path(spark):
         )
     )
     assert out.count() == n_brute
+
+
+def test_max_df_cap_is_complete_on_hot_gram_corpus(spark):
+    """A stop-gram shared by every string would fan the inverted index
+    out to df^2; capping it must not lose a single true pair — the cap
+    loosens the count bound by least(hot_a, hot_b) and re-routes
+    saturation cases through the length window (cost, not recall)."""
+    import random
+
+    from scida_spark.functions.fuzzy import fuzzy_pairs
+
+    rng = random.Random(9)
+    stop = "zzzzzzzz"          # 8-char run: many hot 3-grams per string
+    rows = []
+    for i in range(120):
+        tail = "".join(rng.choice("abcdef") for _ in range(rng.randint(6, 14)))
+        rows.append((i, stop + tail))
+    # plant true near-dup pairs
+    rows += [(1000, rows[3][1] + "x"), (1001, rows[7][1][:-1])]
+    df = spark.createDataFrame(rows, "id long, t string")
+    full = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in fuzzy_pairs(df, "id", "t", max_distance=2, q=3).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in fuzzy_pairs(
+            df, "id", "t", max_distance=2, q=3, max_df=10
+        ).collect()
+    }
+    assert capped == full
+    assert {(3, 1000), (7, 1001)} <= {(x, y) for x, y, _ in full}
+
+
+def test_max_df_cap_reroutes_saturated_strings(spark):
+    """Strings whose pruning margin is wiped out by hot grams must
+    still find their pairs (via the length-window path), including
+    against strong partners both longer AND shorter."""
+    from scida_spark.functions.fuzzy import fuzzy_pairs
+
+    # with q=3, d=1: short_cut = 2+3+1 = 6
+    hot = "aaaaaaaaaa"  # len 10 > short_cut, but all its 3-grams are hot
+    rows = [
+        (0, hot),
+        (1, hot + "b"),          # distance 1, longer partner
+        (2, hot[:-1]),           # distance 1, shorter partner
+        (3, "qrstuvwxyz"),       # unrelated strong string, same length
+        (4, hot),                # exact duplicate -> distance 0
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in fuzzy_pairs(
+            df, "id", "t", max_distance=1, q=3, max_df=2
+        ).collect()
+    }
+    assert got == {(0, 1): 1, (0, 2): 1, (0, 4): 0, (1, 4): 1, (2, 4): 1}
