@@ -324,3 +324,113 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     return media.select(
         "media_id", F.explode(frames).alias("frame_no"), F.col("meta.n_bytes").alias("n_bytes")
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual-hash image dedup (r9): joins the multimodal columns to the
+# dedup family — near-duplicate IMAGES found with the same pigeonhole
+# Hamming blocking the text SimHash path uses (functions/dedup.py).
+# --------------------------------------------------------------------------
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (n x n): row k is the k-th
+    cosine basis vector. Pure numpy — deterministic, no scipy."""
+    k = np.arange(n).reshape(-1, 1).astype(np.float64)
+    i = np.arange(n).reshape(1, -1).astype(np.float64)
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+    m[0] *= 1.0 / np.sqrt(2.0)
+    return m * np.sqrt(2.0 / n)
+
+
+def _block_mean_resize(a: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic block-mean downsample/resample of a 2-D array to
+    (out_h, out_w): rows/cols are split into near-equal index segments
+    (np.add.reduceat on linspace cuts) and averaged — the same
+    arithmetic everywhere, no interpolation-kernel choices."""
+    h, w = a.shape
+    if (h, w) == (out_h, out_w):
+        return a.astype(np.float64)
+    rcut = (np.linspace(0, h, out_h + 1)[:-1]).astype(np.int64)
+    ccut = (np.linspace(0, w, out_w + 1)[:-1]).astype(np.int64)
+    rcnt = np.diff(np.append(np.linspace(0, h, out_h + 1).astype(np.int64), h)[: out_h + 1])
+    ccnt = np.diff(np.append(np.linspace(0, w, out_w + 1).astype(np.int64), w)[: out_w + 1])
+    s = np.add.reduceat(a.astype(np.float64), rcut, axis=0)
+    s = np.add.reduceat(s, ccut, axis=1)
+    return s / np.maximum(rcnt.reshape(-1, 1) * ccnt.reshape(1, -1), 1)
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit perceptual hash (classic pHash shape: 32x32 grayscale →
+    2-D DCT-II → 8x8 low-frequency block minus the DC term → median
+    threshold). Robust to small pixel perturbations, resizes, and
+    brightness-preserving noise; distinct images land ~32 bits apart.
+
+    Returns a SIGNED 63-bit int (bit 63 clear — 63 data bits from the
+    8x8 block minus DC), so it rides a Spark LongType and feeds
+    ``dedup.simhash_near_pairs`` blocking unchanged.
+    """
+    if img.ndim == 3:
+        g = (
+            0.299 * img[:, :, 0].astype(np.float64)
+            + 0.587 * img[:, :, 1]
+            + 0.114 * img[:, :, 2]
+        )
+    else:
+        g = img.astype(np.float64)
+    small = _block_mean_resize(g, 32, 32)
+    c = _dct_matrix(32)
+    d = c @ small @ c.T
+    coefs = d[:8, :8].reshape(-1)[1:]  # 63 low-frequency AC coefficients
+    med = float(np.median(coefs))
+    bits = coefs > med
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v  # < 2**63: fits LongType without sign games
+
+
+def phash_table(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(media_id, phash) over every natively decodable image payload
+    (PPM/PGM/BMP magic — others yield NULL phash, same honesty contract
+    as ``extract_features``). One mapInPandas pass, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf[payload_col]:
+                if (b or b"")[:2] not in _IMAGE_MAGIC:
+                    out.append(None)
+                    continue
+                try:
+                    out.append(phash64(decode_image(b)))
+                except (NotImplementedError, ValueError):
+                    out.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "phash": pd.array(out, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(run, schema="media_id long, phash long")
+
+
+def phash_near_pairs(hashes: DataFrame, max_hamming: int = 10) -> DataFrame:
+    """Near-duplicate image pairs (id_a, id_b, hamming) by Hamming
+    distance over pHash values — reuses the generalized pigeonhole
+    blocking from the text SimHash path (one equi-join on chunk-subset
+    keys, complete for distance <= max_hamming, never all-pairs; see
+    dedup.simhash_near_pairs for the scheme and its scale shape)."""
+    from scida_spark.functions.dedup import simhash_near_pairs
+
+    sig = hashes.filter(F.col("phash").isNotNull()).select(
+        F.col("media_id").alias("doc"), F.col("phash").alias("simhash")
+    )
+    return simhash_near_pairs(sig, max_hamming=max_hamming).select(
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        "hamming",
+    )

@@ -2040,11 +2040,18 @@ def text_repetition_filter(spark, sf_dir):
 @query(
     "multimodal_features",
     """
-    SELECT CAST(doc_id AS BIGINT) AS media_id,
+    SELECT 'features' AS section, CAST(doc_id AS BIGINT) AS media_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            sha256(text) AS sha256,
            substr(md5(text), 1, 16) AS fingerprint
     FROM documents WHERE doc_id < 200
+    UNION ALL
+    SELECT 'phash' AS section,
+           2 * (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+                WHERE doc_id < 200) AS media_id,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+            WHERE doc_id < 200) AS n_bytes,
+           'planted_only=1' AS sha256, '' AS fingerprint
     """,
 )
 def multimodal_features(spark, sf_dir):
@@ -2054,11 +2061,69 @@ def multimodal_features(spark, sf_dir):
     fingerprint (merged r1 query text_fingerprint into this slot; the
     rolling-hash Karp-Rabin variant stays pytest-verified, not
     SQL-portable). sha256/fingerprint are the oracle-able parts; the
-    deterministic fake decode is pytest-covered."""
+    deterministic fake decode is pytest-covered.
+
+    ``phash`` certification row (r9): perceptual-hash IMAGE dedup run
+    end-to-end on driver data — per document a deterministic synthetic
+    PPM image (seeded by doc_id) plus a noise-perturbed twin is
+    encoded, decoded, pHashed (32x32 DCT, functions/multimodal.py) and
+    fed through the pigeonhole Hamming blocking; the attested contract
+    is recall AND precision: the near-pair set at d<=8 is EXACTLY the
+    planted (original, twin) pairs. The oracle pins the image count
+    (2x corpus slice), the pair count (= slice size: one planted pair
+    per doc), and the planted_only verdict. Per-hash bit patterns are
+    pytest-pinned (DCT determinism, PPM roundtrip, perturbation
+    robustness); DuckDB has no DCT, so the oracle certifies the
+    count+verdict contract, the minhash_recall pattern."""
+    import numpy as np
+    import pandas as pd
+
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = M.to_media_table(docs, "doc_id", "text")
     feats = M.extract_features(media)
-    return feats.select("media_id", "n_bytes", "sha256", "fingerprint")
+    base_rows = feats.select(
+        F.lit("features").alias("section"),
+        "media_id", "n_bytes", "sha256", "fingerprint",
+    )
+
+    def _mk_images(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                rng = np.random.RandomState(int(did) % (2**31))
+                img = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+                prng = np.random.RandomState((int(did) + 999_983) % (2**31))
+                pert = np.clip(
+                    img.astype(int) + prng.randint(-2, 3, img.shape), 0, 255
+                ).astype(np.uint8)
+                ids += [2 * int(did), 2 * int(did) + 1]
+                payloads += [M.encode_ppm(img), M.encode_ppm(pert)]
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    imgs = docs.select("doc_id").mapInPandas(
+        _mk_images, schema="media_id long, payload binary"
+    )
+    hashes = M.phash_table(imgs).localCheckpoint(eager=True)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in M.phash_near_pairs(hashes, max_hamming=8).collect()
+    }
+    doc_ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    planted = {(2 * int(i), 2 * int(i) + 1) for i in doc_ids}
+    cert = spark.createDataFrame(
+        [
+            (
+                "phash",
+                2 * len(doc_ids),
+                len(pairs),  # oracle expects exactly one pair per doc
+                "planted_only=%d" % int(pairs == planted),
+                "",
+            )
+        ],
+        "section string, media_id long, n_bytes long, sha256 string, "
+        "fingerprint string",
+    )
+    return base_rows.unionAll(cert)
 
 
 # --------------------------------------------------------------------------

@@ -58,3 +58,60 @@ def test_frame_sample_plan_shape(media):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError, match="PIL"):
         M.decode_image(b"\x89PNG")
+
+
+def test_phash_perturbation_robust_and_distinct_far():
+    """Textbook pHash contract: small pixel noise moves the hash a few
+    bits at most; independent images land ~32 bits apart; constant
+    images are stable; the PPM roundtrip is hash-identical."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    base = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+    h = M.phash64(base)
+    assert 0 <= h < 2**63
+    assert M.phash64(M.decode_image(M.encode_ppm(base))) == h
+    # +-3 noise on every pixel: still within 10 bits
+    noisy = np.clip(
+        base.astype(int) + rng.randint(-3, 4, base.shape), 0, 255
+    ).astype(np.uint8)
+    assert bin(h ^ M.phash64(noisy)).count("1") <= 10
+    # independent image: far (random 63-bit hashes differ by ~31.5)
+    other = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+    assert bin(h ^ M.phash64(other)).count("1") >= 16
+    # constant image: all AC coefficients 0 -> deterministic hash
+    flat = np.full((16, 16), 128, dtype=np.uint8)
+    assert M.phash64(flat) == M.phash64(np.full((64, 48), 128, dtype=np.uint8))
+    # non-32x32 inputs route through the block-mean resize
+    tall = rng.randint(0, 256, (80, 50, 3)).astype(np.uint8)
+    assert 0 <= M.phash64(tall) < 2**63
+
+
+def test_phash_table_and_near_pairs(spark):
+    """End-to-end: synthesize PPM images (one slightly perturbed copy
+    per base image), hash them distributed, and check the pigeonhole-
+    blocked Hamming pairs are exactly the planted near-dups — recall
+    AND precision. Undecodable payloads yield NULL phash and never
+    pair."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    n = 20
+    for i in range(n):
+        img = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+        pert = np.clip(
+            img.astype(int) + rng.randint(-2, 3, img.shape), 0, 255
+        ).astype(np.uint8)
+        rows.append((i, bytearray(M.encode_ppm(img))))
+        rows.append((1000 + i, bytearray(M.encode_ppm(pert))))
+    rows.append((5000, bytearray(b"\x89PNG not decodable")))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashes = M.phash_table(media)
+    got = {r["media_id"]: r["phash"] for r in hashes.collect()}
+    assert got[5000] is None and len(got) == 2 * n + 1
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in M.phash_near_pairs(hashes, max_hamming=10).collect()
+    }
+    assert pairs == {(i, 1000 + i) for i in range(n)}
