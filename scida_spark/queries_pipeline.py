@@ -2653,8 +2653,21 @@ def dedup_cleaned_corpus(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     memb = sdc.join(v, "vec_id")
+    # The witness re-join re-derives cos>=t neighbors independently of
+    # the union-find (that's what makes it a certification, not a
+    # tautology), but costs O(sum_cell drops_c * members_c): full at
+    # driver SFs, and capped to the smallest-N drops by vec_id on
+    # giant corpora (deterministic, documented sample — the ×100
+    # stress set would otherwise pay ~1.6B cosine folds for a cert).
+    _wit_cap = 20_000
+    _drop_side = memb.filter(~F.col("keep"))
+    if n_drops > _wit_cap:
+        _drop_side = _drop_side.orderBy("vec_id").limit(_wit_cap)
+        _wit_target = _wit_cap
+    else:
+        _wit_target = n_drops
     wit = (
-        memb.filter(~F.col("keep"))
+        _drop_side
         .select(F.col("vec_id").alias("did"), "cell", F.col("v").alias("dv"))
         .join(
             memb.select(
@@ -2668,7 +2681,7 @@ def dedup_cleaned_corpus(spark, sf_dir):
         .filter(F.col("mx") >= 0.35 - 1e-12)
         .count()
     )
-    ok_witness = wit == n_drops
+    ok_witness = wit == _wit_target
     cert = spark.createDataFrame(
         [
             (
