@@ -269,3 +269,129 @@ def vector_index_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def span_index_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    *,
+    corpus_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    available_now: bool = True,
+):
+    """Rolling-ingest half of repeated-span dedup (Lee et al. 2021
+    regime over a GROWING corpus — completes functions/spans.py, whose
+    batch operators assume the corpus is final).
+
+    A span's hotness is a GLOBAL property: the k-window that crosses
+    the ``min_docs`` line in batch 12 retroactively makes every batch-3
+    document containing it maskable. Rewriting history per batch is
+    write-amplified nonsense at 100 TB, so the streaming side persists
+    only the MERGEABLE partial — per-batch distinct-document span
+    counts, a monoid under +, the sketch-rollup-store pattern
+    (streaming/rollup.py) — and masking happens at READ time against
+    the summed index (:func:`read_masked_corpus`). That makes N-batch
+    ingest ≡ batch-mode ``mask_hot_spans`` of the concatenation EXACT
+    (pytest-pinned), not an approximation: per-batch counts of
+    distinct docs sum to the global count because each doc arrives in
+    exactly one batch.
+
+    Writes are idempotent per ``batch_id`` directory (overwrite), the
+    standard exactly-once-to-storage pattern; ``min_docs`` is a READ
+    parameter, not baked into the index — the same persisted counts
+    serve any threshold. ``k`` MUST stay fixed for the index's life
+    (same contract as the minhash index's num_perm/bands/seed).
+    """
+    from scida_spark.functions.spans import _span_hashes
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        counts = (
+            batch.select(
+                F.explode(
+                    F.array_distinct(_span_hashes(F.col(text_col), k))
+                ).alias("span_h")
+            )
+            .groupBy("span_h")
+            .agg(F.count("*").alias("n_docs"))
+        )
+        batch.write.mode("overwrite").parquet(
+            f"{corpus_dir}/batch_id={batch_id}"
+        )
+        counts.write.mode("overwrite").parquet(
+            f"{index_dir}/spans/batch_id={batch_id}"
+        )
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(input_dir)
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def hot_spans_from_index(
+    spark: SparkSession, index_dir: str, min_docs: int = 2
+) -> DataFrame:
+    """(span_h, n_docs) with GLOBAL counts >= ``min_docs``, summed from
+    the per-batch partials — one partial-agg shuffle over hash keys."""
+    partials = spark.read.parquet(os.path.join(index_dir, "spans"))
+    return (
+        partials.groupBy("span_h")
+        .agg(F.sum("n_docs").alias("n_docs"))
+        .where(F.col("n_docs") >= F.lit(int(min_docs)))
+    )
+
+
+def read_masked_corpus(
+    spark: SparkSession,
+    corpus_dir: str,
+    index_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+    out_col: str = "masked",
+) -> DataFrame:
+    """The corpus with every globally-hot k-window masked — identical
+    to batch-mode ``mask_hot_spans`` over the full concatenation (the
+    read-time half of :func:`span_index_ingest`'s contract). The hot
+    set derives from the summed index, NOT a corpus re-scan."""
+    from scida_spark.functions.spans import mask_hot_spans
+
+    docs = spark.read.parquet(corpus_dir).drop("batch_id")
+    hot = hot_spans_from_index(spark, index_dir, min_docs=min_docs)
+    return mask_hot_spans(docs, hot, id_col, text_col, k, out_col=out_col)
+
+
+def compact_span_index(spark: SparkSession, index_dir: str) -> None:
+    """Fold all per-batch span partials into one summed partition
+    (batch_id=-1) — the rollup-store compaction move: read cost stays
+    O(distinct spans) instead of O(batches x distinct spans). Safe to
+    run any time; the summed row IS the monoid element, so subsequent
+    batches keep appending partials on top."""
+    path = os.path.join(index_dir, "spans")
+    merged = (
+        spark.read.parquet(path)
+        .groupBy("span_h")
+        .agg(F.sum("n_docs").alias("n_docs"))
+        .localCheckpoint(eager=True)  # sever lineage before the rewrite
+    )
+    import shutil
+
+    merged.write.mode("overwrite").parquet(f"{path}/__compact_tmp")
+    for d in os.listdir(path):
+        if d.startswith("batch_id="):
+            shutil.rmtree(os.path.join(path, d))
+    os.rename(
+        os.path.join(path, "__compact_tmp"),
+        os.path.join(path, "batch_id=-1"),
+    )
