@@ -93,6 +93,13 @@ SECTIONED = {
     "dedup_signature_pairs": "method",
     "scida_grouped": "variant",
     "scida_histograms": "kind",
+    # r9: both slots gained certification sections (clustered SemDeDup,
+    # pHash). Caveat: their cert contracts run driver-side collects at
+    # plan-CONSTRUCTION time, so that fixed cost lands in every
+    # section's number — compare families across rounds, not sections
+    # against each other within one round.
+    "dedup_cleaned_corpus": "section",
+    "multimodal_features": "section",
 }
 
 
