@@ -434,3 +434,121 @@ def phash_near_pairs(hashes: DataFrame, max_hamming: int = 10) -> DataFrame:
         F.col("doc_b").alias("id_b"),
         "hamming",
     )
+
+
+# --------------------------------------------------------------------------
+# Audio fingerprint dedup (r9): the audio twin of phash — spectral
+# band-energy differential bits (Haitsma & Kalkman 2002, "A Highly
+# Robust Audio Fingerprinting System") folded to one 63-bit clip hash
+# that rides the same pigeonhole Hamming blocking.
+# --------------------------------------------------------------------------
+
+
+def encode_wav(rate: int, samples: np.ndarray) -> bytes:
+    """mono int16 samples → RIFF PCM WAV payload — the inverse of
+    ``decode_audio`` for the native path (test/cert synthesis)."""
+    s = np.asarray(samples, dtype=np.int16)
+    data = s.tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")            # PCM
+        + (1).to_bytes(2, "little")          # mono
+        + int(rate).to_bytes(4, "little")
+        + int(rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")          # block align
+        + (16).to_bytes(2, "little")         # bits
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def afp64(rate: int, samples: np.ndarray, frame: int = 2048, hop: int = 1024) -> int:
+    """63-bit audio fingerprint: framed FFT magnitudes → 64 log-spaced
+    bands (300 Hz .. min(3000, rate/2) Hz, the Haitsma-Kalkman
+    speech/music band; Haitsma & Kalkman 2002) → per-frame adjacent-
+    band energy differentials ``E[n,m] - E[n,m+1] > 0`` → MAJORITY fold
+    over frames (the simhash move) so one clip is one LongType-sized
+    hash. Differential bits cancel per-frame gain, so level changes and
+    small additive noise move few bits (measured: 15 % gain cut + 1.5 %
+    noise flips ≤2 of 63 on band-structured content); independent
+    content lands ~32 bits apart.
+
+    H-K's original emits one 32-bit sub-fingerprint per frame and
+    matches by bit-error rate over a window — the right shape for
+    SEARCH. Dedup wants one key per clip, hence the majority fold; the
+    cost is that content whose adjacent bands are near-TIED carries
+    noise-fragile bits (ties are data, not algorithm). H-K's
+    time-differential term is deliberately dropped: it zeroes out on
+    stationary content and turns those bits into noise.
+
+    Deterministic: pure numpy FFT, no data-dependent parameters. Clips
+    shorter than two frames hash their zero-padded extension."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    if len(x) < frame + hop:
+        x = np.pad(x, (0, frame + hop - len(x)))
+    n_frames = 1 + (len(x) - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    w = np.hanning(frame)
+    spec = np.abs(np.fft.rfft(x[idx] * w, axis=1))
+    freqs = np.fft.rfftfreq(frame, d=1.0 / max(int(rate), 1))
+    hi = min(3000.0, rate / 2.0)
+    edges = np.geomspace(300.0, max(hi, 301.0), 65)
+    cuts = np.searchsorted(freqs, edges)
+    cuts = np.clip(cuts, 0, spec.shape[1] - 1)
+    # band energies via prefix sums over the magnitude spectrum
+    csum = np.concatenate(
+        [np.zeros((n_frames, 1)), np.cumsum(spec**2, axis=1)], axis=1
+    )
+    e = csum[:, cuts[1:]] - csum[:, cuts[:-1]]  # (n_frames, 64)
+    d = e[:, :-1] - e[:, 1:]                    # (n_frames, 63)
+    bits = (np.sum(d > 0, axis=0) * 2 > n_frames).astype(np.int64)
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v
+
+
+def afp_table(
+    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(media_id, afp) over every RIFF/WAVE payload — NULL for
+    non-audio or compressed payloads (same honesty contract as
+    ``phash_table``). One mapInPandas pass, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf[payload_col]:
+                if (b or b"")[:4] != b"RIFF":
+                    out.append(None)
+                    continue
+                try:
+                    rate, samples = decode_audio(b)
+                    out.append(afp64(rate, samples))
+                except (NotImplementedError, ValueError):
+                    out.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "afp": pd.array(out, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(run, schema="media_id long, afp long")
+
+
+def afp_near_pairs(hashes: DataFrame, max_hamming: int = 10) -> DataFrame:
+    """Near-duplicate audio pairs by Hamming distance over clip
+    fingerprints — same blocked join as :func:`phash_near_pairs`."""
+    from scida_spark.functions.dedup import simhash_near_pairs
+
+    sig = hashes.filter(F.col("afp").isNotNull()).select(
+        F.col("media_id").alias("doc"), F.col("afp").alias("simhash")
+    )
+    return simhash_near_pairs(sig, max_hamming=max_hamming).select(
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        "hamming",
+    )

@@ -2052,6 +2052,13 @@ def text_repetition_filter(spark, sf_dir):
            (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
             WHERE doc_id < 200) AS n_bytes,
            'planted_only=1' AS sha256, '' AS fingerprint
+    UNION ALL
+    SELECT 'audiofp' AS section,
+           2 * (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+                WHERE doc_id < 200) AS media_id,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+            WHERE doc_id < 200) AS n_bytes,
+           'planted_only=1' AS sha256, '' AS fingerprint
     """,
 )
 def multimodal_features(spark, sf_dir):
@@ -2110,6 +2117,51 @@ def multimodal_features(spark, sf_dir):
     }
     doc_ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
     planted = {(2 * int(i), 2 * int(i) + 1) for i in doc_ids}
+
+    # ``audiofp`` certification row (r9): the audio twin — per doc a
+    # band-structured synthetic WAV (adjacent log-band amplitudes
+    # forced decisively apart, as real speech/music is at band
+    # granularity) plus a 15 %-gain-cut + 1.5 %-noise twin runs
+    # encode_wav -> decode_audio -> afp64 -> Hamming blocking; the
+    # pair set at d<=6 must be EXACTLY the planted twins (measured
+    # margins at 200 clips: planted <=2 bits, nearest cross-pair 12).
+    def _mk_wavs(batches):
+        rate, nsamp = 8000, 16000
+        edges = np.geomspace(300.0, 3000.0, 65)
+        levels = np.array([-1.5, -0.5, 0.5, 1.5])
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                rng = np.random.RandomState((int(did) + 777_001) % (2**31))
+                u = np.empty(64)
+                u[0] = rng.choice(levels)
+                for b in range(1, 64):
+                    cand = levels[np.abs(levels - u[b - 1]) >= 1.0]
+                    u[b] = rng.choice(cand)
+                amps = np.exp(u)
+                x = rng.randn(nsamp)
+                X = np.fft.rfft(x)
+                f = np.fft.rfftfreq(nsamp, d=1.0 / rate)
+                band = np.clip(np.searchsorted(edges, f) - 1, 0, 63)
+                gain = np.where((f >= 300) & (f <= 3000), amps[band], 0.05)
+                y = np.fft.irfft(X * gain, nsamp)
+                y = (y / np.abs(y).max() * 20000).astype(np.int16)
+                prng = np.random.RandomState((int(did) + 888_887) % (2**31))
+                yp = (
+                    y.astype(np.float64) * 0.85 + prng.randn(nsamp) * 300
+                ).astype(np.int16)
+                ids += [2 * int(did), 2 * int(did) + 1]
+                payloads += [M.encode_wav(rate, y), M.encode_wav(rate, yp)]
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    wavs = docs.select("doc_id").mapInPandas(
+        _mk_wavs, schema="media_id long, payload binary"
+    )
+    ahashes = M.afp_table(wavs).localCheckpoint(eager=True)
+    apairs = {
+        (r["id_a"], r["id_b"])
+        for r in M.afp_near_pairs(ahashes, max_hamming=6).collect()
+    }
     cert = spark.createDataFrame(
         [
             (
@@ -2118,7 +2170,14 @@ def multimodal_features(spark, sf_dir):
                 len(pairs),  # oracle expects exactly one pair per doc
                 "planted_only=%d" % int(pairs == planted),
                 "",
-            )
+            ),
+            (
+                "audiofp",
+                2 * len(doc_ids),
+                len(apairs),
+                "planted_only=%d" % int(apairs == planted),
+                "",
+            ),
         ],
         "section string, media_id long, n_bytes long, sha256 string, "
         "fingerprint string",

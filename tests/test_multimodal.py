@@ -115,3 +115,82 @@ def test_phash_table_and_near_pairs(spark):
         for r in M.phash_near_pairs(hashes, max_hamming=10).collect()
     }
     assert pairs == {(i, 1000 + i) for i in range(n)}
+
+
+def _banded_wav(seed, rate=8000, n=16000):
+    """Band-structured test signal: adjacent log-band amplitudes forced
+    decisively apart (|delta log-amp| >= 1), the spectral shape real
+    speech/music has at band granularity."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    levels = np.array([-1.5, -0.5, 0.5, 1.5])
+    u = np.empty(64)
+    u[0] = rng.choice(levels)
+    for b in range(1, 64):
+        cand = levels[np.abs(levels - u[b - 1]) >= 1.0]
+        u[b] = rng.choice(cand)
+    amps = np.exp(u)
+    x = rng.randn(n)
+    X = np.fft.rfft(x)
+    f = np.fft.rfftfreq(n, d=1.0 / rate)
+    edges = np.geomspace(300.0, 3000.0, 65)
+    band = np.clip(np.searchsorted(edges, f) - 1, 0, 63)
+    gain = np.where((f >= 300) & (f <= 3000), amps[band], 0.05)
+    y = np.fft.irfft(X * gain, n)
+    return (y / np.abs(y).max() * 20000).astype("int16")
+
+
+def test_afp64_robust_and_distinct():
+    """Audio-fingerprint contract: WAV container roundtrip is
+    hash-identical; gain cut + additive noise flips few bits;
+    independent clips land far; stereo folds to mono; short clips
+    hash deterministically via zero-pad."""
+    import numpy as np
+
+    rate = 8000
+    x = _banded_wav(3)
+    h = M.afp64(rate, x)
+    assert 0 <= h < 2**63
+    r2, y = M.decode_audio(M.encode_wav(rate, x))
+    assert r2 == rate and M.afp64(r2, y) == h
+    rng = np.random.RandomState(99)
+    xp = (x.astype(np.float64) * 0.85 + rng.randn(len(x)) * 300).astype(
+        np.int16
+    )
+    assert bin(h ^ M.afp64(rate, xp)).count("1") <= 6
+    other = _banded_wav(4)
+    assert bin(h ^ M.afp64(rate, other)).count("1") >= 10
+    stereo = np.stack([x, x], axis=1)
+    assert M.afp64(rate, stereo) == h
+    short = x[:1000]
+    assert M.afp64(rate, short) == M.afp64(rate, short)
+
+
+def test_afp_table_and_near_pairs(spark):
+    """Distributed end-to-end: synthetic WAVs + perturbed twins hashed
+    via mapInPandas; blocked Hamming pairs are exactly the planted
+    twins; non-audio payloads yield NULL and never pair."""
+    import numpy as np
+
+    rate = 8000
+    rows = []
+    n = 12
+    for i in range(n):
+        y = _banded_wav(100 + i)
+        rng = np.random.RandomState(5000 + i)
+        yp = (y.astype(np.float64) * 0.85 + rng.randn(len(y)) * 300).astype(
+            np.int16
+        )
+        rows.append((i, bytearray(M.encode_wav(rate, y))))
+        rows.append((1000 + i, bytearray(M.encode_wav(rate, yp))))
+    rows.append((5000, bytearray(b"not audio at all")))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashes = M.afp_table(media)
+    got = {r["media_id"]: r["afp"] for r in hashes.collect()}
+    assert got[5000] is None and len(got) == 2 * n + 1
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in M.afp_near_pairs(hashes, max_hamming=6).collect()
+    }
+    assert pairs == {(i, 1000 + i) for i in range(n)}
