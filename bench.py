@@ -72,6 +72,14 @@ HEADLINE = [
     # bucketed-table build; the median of 5 reports the steady state,
     # which is the number that matters (the build is ingest-time cost).
     "scida_grouped_bucketed",
+    # r9: the multimodal slot joined the headline set when it gained
+    # the pHash + audio-fingerprint certification sections — it now
+    # exercises the full image/audio dedup pipelines (synthesize →
+    # encode → decode → hash → pigeonhole Hamming block) and is the
+    # only bench signal for the mapInPandas binary path. NOTE for
+    # cross-round comparison: r8 had no such slot in the headline
+    # total.
+    "multimodal_features",
 ]
 
 
@@ -93,12 +101,13 @@ SECTIONED = {
     "dedup_signature_pairs": "method",
     "scida_grouped": "variant",
     "scida_histograms": "kind",
-    # r9: both slots gained certification sections (clustered SemDeDup,
-    # pHash). Caveat: their cert contracts run driver-side collects at
+    # r9: the multimodal slot gained certification sections (phash,
+    # audiofp). Caveat: the cert contracts run driver-side collects at
     # plan-CONSTRUCTION time, so that fixed cost lands in every
     # section's number — compare families across rounds, not sections
-    # against each other within one round.
-    "dedup_cleaned_corpus": "section",
+    # against each other within one round. (dedup_cleaned_corpus also
+    # gained a cert section but stays out of the bench: it is a
+    # CC-fixed-cost correctness artifact, not an operator hot path.)
     "multimodal_features": "section",
 }
 
