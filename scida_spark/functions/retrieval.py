@@ -82,7 +82,7 @@ def bm25_topk(
     )
     stats = dl.agg(
         F.count("*").alias("n"), F.sum("_dl").alias("tot")
-    ).collect()[0]
+    ).collect()[0]  # eager by necessity: avgdl is a literal in the plan
     n_docs = int(stats["n"])
     if n_docs == 0:
         # Empty corpus → empty result (the repo-wide "card zeros, don't
@@ -102,79 +102,81 @@ def bm25_topk(
         .filter(F.col("tok").isin(all_terms))
         .groupBy(id_col, "tok")
         .agg(F.count("*").alias("tf"))
-    ).persist()
-    try:
-        # df_t → idf on the driver (math.log = libm; tiny: |terms| rows).
-        df_rows = {
-            r["tok"]: int(r["df"])
-            for r in postings.groupBy("tok")
-            .agg(F.count("*").alias("df"))
-            .collect()
-        }
-        idf = {
-            t: math.log(1.0 + (n_docs - dft + 0.5) / (dft + 0.5))
-            for t, dft in df_rows.items()
-        }
-        matched_qterms = [(qid, t, idf[t]) for qid, t in qterm_rows if t in idf]
-        if not matched_qterms:
-            return spark.createDataFrame(
-                [], f"query_id long, {id_col} long, score double, rank int"
-            )
-        qterms = F.broadcast(
-            spark.createDataFrame(
-                matched_qterms, "query_id long, tok string, idf double"
-            )
+    )
+    # df_t → idf on the driver (math.log = libm; tiny: |terms| rows).
+    # This aggregate is the ONLY other eager job; the scoring pipeline
+    # below stays fully lazy (postings are recomputed inside it — a
+    # query-term-filtered shuffle, cheap — instead of pinning the whole
+    # result with persist + localCheckpoint at construction time, which
+    # made every caller pay the full BM25 cost even when its plan was
+    # later pruned away, e.g. by bench's per-section filters).
+    df_rows = {
+        r["tok"]: int(r["df"])
+        for r in postings.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .collect()
+    }
+    idf = {
+        t: math.log(1.0 + (n_docs - dft + 0.5) / (dft + 0.5))
+        for t, dft in df_rows.items()
+    }
+    matched_qterms = [(qid, t, idf[t]) for qid, t in qterm_rows if t in idf]
+    if not matched_qterms:
+        return spark.createDataFrame(
+            [], f"query_id long, {id_col} long, score double, rank int"
         )
+    qterms = F.broadcast(
+        spark.createDataFrame(
+            matched_qterms, "query_id long, tok string, idf double"
+        )
+    )
 
-        # Per-(query, doc, term) partial score — pure * / + arithmetic
-        # (deterministic IEEE, no JVM transcendentals), then a
-        # sorted-term ordered fold per (query, doc).
-        contrib = (
-            postings.join(qterms, "tok")
-            .join(dl, id_col)
-            .select(
-                "query_id",
-                id_col,
-                "tok",
-                (
-                    F.col("idf")
-                    * (F.col("tf") * F.lit(k1 + 1.0))
-                    / (
-                        F.col("tf")
-                        + F.lit(k1)
-                        * (
-                            F.lit(1.0 - b)
-                            + F.lit(b) * F.col("_dl") / F.lit(avgdl)
-                        )
+    # Per-(query, doc, term) partial score — pure * / + arithmetic
+    # (deterministic IEEE, no JVM transcendentals), then a
+    # sorted-term ordered fold per (query, doc).
+    contrib = (
+        postings.join(qterms, "tok")
+        .join(dl, id_col)
+        .select(
+            "query_id",
+            id_col,
+            "tok",
+            (
+                F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("_dl") / F.lit(avgdl)
                     )
-                ).alias("sc"),
-            )
+                )
+            ).alias("sc"),
         )
-        scores = contrib.groupBy("query_id", id_col).agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("tok", "sc"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["sc"],
-            ).alias("score")
-        )
-        # Two-phase top-k: a query whose terms are common can match a
-        # huge candidate set, and a single window partition per query
-        # would funnel it through one task. Phase 1 takes the top-k
-        # within every (query, physical-partition) slice — parallel,
-        # any slicing is a valid pre-prune — phase 2 ranks the
-        # ≤ k × n_partitions survivors exactly.
-        order = (F.col("score").desc(), F.col(id_col).asc())
-        w_part = W.partitionBy("query_id", "_pid").orderBy(*order)
-        w_final = W.partitionBy("query_id").orderBy(*order)
-        out = (
-            scores.withColumn("_pid", F.spark_partition_id())
-            .withColumn("_r", F.row_number().over(w_part))
-            .filter(F.col("_r") <= k)
-            .withColumn("rank", F.row_number().over(w_final))
-            .filter(F.col("rank") <= k)
-            .select("query_id", id_col, "score", "rank")
-        )
-        out = out.localCheckpoint(eager=True)
-    finally:
-        postings.unpersist()
+    )
+    scores = contrib.groupBy("query_id", id_col).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("tok", "sc"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["sc"],
+        ).alias("score")
+    )
+    # Two-phase top-k: a query whose terms are common can match a
+    # huge candidate set, and a single window partition per query
+    # would funnel it through one task. Phase 1 takes the top-k
+    # within every (query, physical-partition) slice — parallel,
+    # any slicing is a valid pre-prune — phase 2 ranks the
+    # ≤ k × n_partitions survivors exactly.
+    order = (F.col("score").desc(), F.col(id_col).asc())
+    w_part = W.partitionBy("query_id", "_pid").orderBy(*order)
+    w_final = W.partitionBy("query_id").orderBy(*order)
+    out = (
+        scores.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_r", F.row_number().over(w_part))
+        .filter(F.col("_r") <= k)
+        .withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
     return out
