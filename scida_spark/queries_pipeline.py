@@ -1581,6 +1581,62 @@ def text_lang_id(spark, sf_dir):
     return pred.groupBy("actual_lang", "pred_lang").agg(F.count("*").alias("n"))
 
 
+# PII certification cases (r9): the synthetic corpus is PII-free word
+# salad, so the detection/redaction contract is exercised on planted
+# literals BOTH engines construct identically (the planted-twin
+# pattern from multimodal_features), plus a corpus-wide sweep row that
+# attests the full-scan path (and that the corpus really is clean).
+_PII_CASES = [
+    ("p1", "contact alice.smith+test@example.co.uk or bob@corp.io for details"),
+    ("p2", "server 192.168.0.1 failed over to 10.0.0.255 on port 8080"),
+    ("p3", "call +1 555 0100 4242 or 020-7946-0958 today"),
+    ("p4", "leaked token sk-a1b2c3d4e5f6g7h8i9j0 and key-ZZ99yy88Xx77ww66Vv"),
+    ("p5", "alice@example.com from 127.0.0.1 pasted pk-q1w2e3r4t5y6u7i8o9"),
+    ("p6", "a perfectly clean sentence with no sensitive content at all"),
+]
+
+
+def _pii_oracle_section() -> str:
+    """DuckDB twin of functions/pii.py, generated FROM the same
+    pattern table so the two engines can never drift: per planted
+    case, the fully redacted text (k2), total match count (n) and the
+    per-family counts packed positionally into sum_score; plus one
+    corpus row (total matches, docs with >= 1 hit). DuckDB's
+    regexp_replace needs the explicit 'g' flag to match Spark's
+    replace-all semantics."""
+    from scida_spark.functions.pii import PII_PATTERNS, REDACTIONS
+
+    kinds = list(PII_PATTERNS)
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{p}')) AS n_{k}"
+        for k, p in PII_PATTERNS.items()
+    )
+    red = "text"
+    for k, p in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{p}', '{REDACTIONS[k]}', 'g')"
+    vals = ", ".join(
+        "('{}', '{}')".format(pid, txt.replace("'", "''"))
+        for pid, txt in _PII_CASES
+    )
+    tot = " + ".join(f"n_{k}" for k in kinds)
+    packed = " + ".join(
+        f"n_{k} * {10 ** (len(kinds) - 1 - i)}" for i, k in enumerate(kinds)
+    )
+    return f"""
+    UNION ALL
+    SELECT 'pii' AS section, 'lit:' || pid AS k1, {red} AS k2,
+           CAST({tot} AS BIGINT) AS n,
+           CAST({packed} AS DOUBLE) AS sum_score
+    FROM (SELECT pid, text, {counts}
+          FROM (VALUES {vals}) AS t(pid, text))
+    UNION ALL
+    SELECT 'pii', 'corpus', '<>',
+           CAST(SUM({tot}) AS BIGINT),
+           CAST(SUM(CASE WHEN {tot} > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+    FROM (SELECT {counts} FROM documents)
+    """
+
+
 @query(
     "text_quality_lang",
     f"""
@@ -1730,7 +1786,8 @@ def text_lang_id(spark, sf_dir):
     FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
          LATERAL UNNEST(generate_series(0,
            (greatest(len(t) - 128, 0) + 95) // 96)) AS u(i)
-    """,
+    """
+    + _pii_oracle_section(),
 )
 def text_quality_lang(spark, sf_dir):
     """Quality scoring + language-ID confusion matrix in one
@@ -1983,6 +2040,49 @@ def text_quality_lang(spark, sf_dir):
         F.col("n_chunk_tokens").alias("n"),
         F.lit(0.0).alias("sum_score"),
     )
+    # pii (r9): regex detection + sequential redaction
+    # (functions/pii.py) certified on planted literals (every count
+    # and every redacted byte value-checked) plus a corpus-wide sweep
+    # row — map-only JVM regexp, zero shuffle beyond the one tiny
+    # corpus aggregate.
+    from functools import reduce as _reduce
+
+    from scida_spark.functions import pii as PII
+
+    _kinds = list(PII.PII_PATTERNS)
+    _tot = _reduce(lambda a, b: a + b, [F.col(f"n_{k}") for k in _kinds])
+    _packed = _reduce(
+        lambda a, b: a + b,
+        [
+            F.col(f"n_{k}") * F.lit(10 ** (len(_kinds) - 1 - i))
+            for i, k in enumerate(_kinds)
+        ],
+    )
+    pii_lit = PII.pii_report(
+        spark.createDataFrame(_PII_CASES, "pid string, text string"),
+        "pid",
+        "text",
+    ).select(
+        F.lit("pii").alias("section"),
+        F.concat(F.lit("lit:"), F.col("pid")).alias("k1"),
+        F.col("redacted").alias("k2"),
+        _tot.cast("long").alias("n"),
+        _packed.cast("double").alias("sum_score"),
+    )
+    pii_corpus = (
+        PII.pii_report(docs, "doc_id", "text")
+        .agg(
+            F.sum(_tot).cast("long").alias("n"),
+            F.sum((_tot > 0).cast("int")).cast("double").alias("hit_docs"),
+        )
+        .select(
+            F.lit("pii").alias("section"),
+            F.lit("corpus").alias("k1"),
+            F.lit("<>").alias("k2"),
+            F.col("n"),
+            F.col("hit_docs").alias("sum_score"),
+        )
+    )
     return (
         q.unionAll(lid)
         .unionAll(lm_rows)
@@ -1994,6 +2094,8 @@ def text_quality_lang(spark, sf_dir):
         .unionAll(pk_rows)
         .unionAll(cmp_rows)
         .unionAll(ch_rows)
+        .unionAll(pii_lit)
+        .unionAll(pii_corpus)
     )
 
 
