@@ -226,7 +226,12 @@ def dedup_signature_pairs(spark, sf_dir):
         "hit", F.lit(1)
     )
     sizes = clique.groupBy("rep").agg(F.count("*").alias("sz"))
-    stats = (
+    # The recall verdict is computed LAZILY inside the plan (two 1-row
+    # aggregates cross-joined) — no eager .first() jobs at slot
+    # construction, so bench's per-section filter on `method` prunes
+    # the whole exact-baseline + banding subtree out of the simhash
+    # and fuzzy sections (same rewrite as sim_topk's ANN certs).
+    stats_df = (
         exact.join(cands, ["doc_a", "doc_b"], "left")
         .join(sizes.select(F.col("rep").alias("doc_a"), F.col("sz").alias("_sa")), "doc_a")
         .join(sizes.select(F.col("rep").alias("doc_b"), F.col("sz").alias("_sb")), "doc_b")
@@ -237,40 +242,55 @@ def dedup_signature_pairs(spark, sf_dir):
                 .otherwise(F.lit(0))
             ).alias("nh"),
         )
-        .first()
     )
-    intra = (
+    intra_df = (
         sizes.join(
             sig.select(F.col("doc").alias("rep"), F.size("sh").alias("_nsh")),
             "rep",
         )
         .filter(F.col("_nsh") > 0)
-        .agg((F.sum(F.col("sz") * (F.col("sz") - 1)) / 2).cast("long"))
-        .first()[0]
-        or 0
+        .agg(
+            F.coalesce(
+                (F.sum(F.col("sz") * (F.col("sz") - 1)) / 2).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("intra")
+        )
     )
-    n_exact = int(stats["ne"] or 0) + int(intra)
-    n_hit = int(stats["nh"] or 0) + int(intra)
-    recall = (n_hit / n_exact) if n_exact else 1.0
     n_docs = _parquet_rows(sf_dir, "documents")
     if n_docs is None:
         n_docs = docs.count()
-    cert = spark.createDataFrame(
-        [("minhash_recall", n_exact, n_docs,
-          1.0 if recall >= _MINHASH_RECALL_FLOOR else 0.0)],
-        "method string, id_a bigint, id_b bigint, score double",
+    ne_tot = F.coalesce(F.col("ne"), F.lit(0)) + F.col("intra")
+    nh_tot = F.coalesce(F.col("nh"), F.lit(0)) + F.col("intra")
+    cert = stats_df.crossJoin(intra_df).select(
+        F.lit("minhash_recall").alias("method"),
+        ne_tot.cast("bigint").alias("id_a"),
+        F.lit(n_docs).cast("bigint").alias("id_b"),
+        F.when(ne_tot == 0, F.lit(1.0))
+        .when(
+            nh_tot.cast("double")
+            >= F.lit(_MINHASH_RECALL_FLOOR) * ne_tot.cast("double"),
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("score"),
     )
-    # fuzzy (r8): q-gram count-filter blocked edit-distance pairs
-    # (functions/fuzzy.py) on 24-char text prefixes — the oracle runs
-    # the NAIVE all-pairs levenshtein, so the hash match certifies the
-    # Gravano blocking's completeness AND the exact distances on real
-    # data (the 100 TB path never materializes the cross product;
-    # DuckDB's cross product here is the verification harness).
-    # Edit distance is a pure function of the prefix, so the same
-    # collapse-first discipline applies: identical prefixes form
-    # cliques (distance 0), fuzzy blocking runs over one representative
-    # per distinct prefix, and the clique map expands the answer.
-    from scida_spark.functions.fuzzy import fuzzy_pairs
+    # fuzzy (r8; r9 blocking swap): edit-distance pairs on 24-char text
+    # prefixes — the oracle runs the NAIVE all-pairs levenshtein, so
+    # the hash match certifies the blocking's completeness AND the
+    # exact distances on real data (the 100 TB path never materializes
+    # the cross product; DuckDB's cross product here is the
+    # verification harness). r9 switched the blocking from the q-gram
+    # count filter to PassJoin segment blocking
+    # (functions/fuzzy.py::fuzzy_pairs_segment): this corpus's small
+    # vocabulary makes 5-grams hot enough that the gram join emitted
+    # 26.1M rows for 4.8k reps (worse than all-pairs); exact 8-char
+    # segment keys emit 158k (165x fewer; measured 7.9s -> 1.2s warm,
+    # same 21 pairs). Edit distance is a pure function of the prefix,
+    # so the same collapse-first discipline applies: identical
+    # prefixes form cliques (distance 0), blocking runs over one
+    # representative per distinct prefix, and the clique map expands
+    # the answer.
+    from scida_spark.functions.fuzzy import fuzzy_pairs_segment
 
     pref = docs.select("doc_id", F.substring("text", 1, 24).alias("p"))
     pclique = D.exact_clique_map(pref, "doc_id", "p").localCheckpoint(
@@ -283,11 +303,7 @@ def dedup_signature_pairs(spark, sf_dir):
         "doc_id",
         "left_semi",
     )
-    # q=5: 2-grams over the corpus's small alphabet make the inverted
-    # index near-quadratic (measured 31 s at sf0.1); 5-grams are
-    # diverse enough that the same 21 pairs cost 6.8 s, and the lemma
-    # bound stays positive for 24-char keys at d=2 (24-5+1-10 = 10).
-    fz_rep = fuzzy_pairs(preps, "doc_id", "p", max_distance=2, q=5).select(
+    fz_rep = fuzzy_pairs_segment(preps, "doc_id", "p", max_distance=2).select(
         F.col("id_a").alias("doc_a"),
         F.col("id_b").alias("doc_b"),
         "distance",

@@ -157,3 +157,83 @@ def test_max_df_cap_reroutes_saturated_strings(spark):
         ).collect()
     }
     assert got == {(0, 1): 1, (0, 2): 1, (0, 4): 0, (1, 4): 1, (2, 4): 1}
+
+
+# ---------------------------------------------------------------------------
+# PassJoin segment blocking (fuzzy_pairs_segment, r9)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("d", [1, 2, 3])
+def test_segment_complete_vs_bruteforce(spark, d):
+    from scida_spark.functions.fuzzy import fuzzy_pairs_segment
+
+    df = spark.createDataFrame(_corpus(seed=11), "id long, t string")
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in fuzzy_pairs_segment(df, "id", "t", max_distance=d).collect()
+    }
+    assert got == _brute(spark, df, d)
+
+
+def test_segment_tiny_and_empty_strings(spark):
+    """Strings shorter than d+1 chars (including '') cannot be
+    segment-indexed — the length-window fallback must still pair them."""
+    from scida_spark.functions.fuzzy import fuzzy_pairs_segment
+
+    rows = [(0, ""), (1, "a"), (2, "ab"), (3, "ba"), (4, "abcd"), (5, "abcde")]
+    df = spark.createDataFrame(rows, "id long, t string")
+    for d in (1, 2):
+        got = {
+            (r["id_a"], r["id_b"], r["distance"])
+            for r in fuzzy_pairs_segment(df, "id", "t", max_distance=d).collect()
+        }
+        assert got == _brute(spark, df, d), d
+
+
+def test_segment_matches_qgram_on_uniform_keys(spark):
+    """The two blocking schemes are interchangeable: identical answers
+    on a fixed-length prefix corpus (the dedup_signature_pairs shape)."""
+    from scida_spark.functions.fuzzy import fuzzy_pairs_segment
+
+    rng = random.Random(3)
+    words = ["key", "agg", "row", "scan", "slow", "fast"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(6))[:24].ljust(24, "x"))
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    seg = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in fuzzy_pairs_segment(df, "id", "t", max_distance=2).collect()
+    }
+    qg = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in fuzzy_pairs(df, "id", "t", max_distance=2, q=5).collect()
+    }
+    assert seg == qg == _brute(spark, df, 2)
+
+
+def test_segment_d0_equality_join(spark):
+    from scida_spark.functions.fuzzy import fuzzy_pairs_segment
+
+    rows = [(0, "aa"), (1, "aa"), (2, "ab"), (3, "aa")]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in fuzzy_pairs_segment(df, "id", "t", max_distance=0).collect()
+    }
+    assert got == {(0, 1, 0), (0, 3, 0), (1, 3, 0)}
+
+
+def test_segment_no_cartesian(spark):
+    from scida_spark.functions.fuzzy import fuzzy_pairs_segment
+
+    df = spark.createDataFrame([(0, "abcdefgh")], "id long, t string")
+    plan = (
+        fuzzy_pairs_segment(df, "id", "t", max_distance=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
