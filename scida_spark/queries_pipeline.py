@@ -261,7 +261,28 @@ def dedup_signature_pairs(spark, sf_dir):
         n_docs = docs.count()
     ne_tot = F.coalesce(F.col("ne"), F.lit(0)) + F.col("intra")
     nh_tot = F.coalesce(F.col("nh"), F.lit(0)) + F.col("intra")
-    cert = stats_df.crossJoin(intra_df).select(
+    # Combine the two 1-row aggregates via union + re-aggregate (each
+    # column is non-null in exactly one branch) rather than a
+    # crossJoin: a cross of two 1-row frames is harmless, but it would
+    # show up as a BroadcastNestedLoopJoin and force the slot's
+    # no-cartesian plan pin (tests/test_plans.py) to carve out an
+    # exception, weakening the guard the pin exists for.
+    combined = (
+        stats_df.select("ne", "nh", F.lit(None).cast("long").alias("intra"))
+        .unionAll(
+            intra_df.select(
+                F.lit(None).cast("long").alias("ne"),
+                F.lit(None).cast("long").alias("nh"),
+                "intra",
+            )
+        )
+        .agg(
+            F.max("ne").alias("ne"),
+            F.max("nh").alias("nh"),
+            F.coalesce(F.max("intra"), F.lit(0).cast("long")).alias("intra"),
+        )
+    )
+    cert = combined.select(
         F.lit("minhash_recall").alias("method"),
         ne_tot.cast("bigint").alias("id_a"),
         F.lit(n_docs).cast("bigint").alias("id_b"),
