@@ -102,12 +102,12 @@ SECTIONED = {
     "scida_grouped": "variant",
     "scida_histograms": "kind",
     # r9: the multimodal slot gained certification sections (phash,
-    # audiofp). Caveat: the cert contracts run driver-side collects at
-    # plan-CONSTRUCTION time, so that fixed cost lands in every
-    # section's number — compare families across rounds, not sections
-    # against each other within one round. (dedup_cleaned_corpus also
-    # gained a cert section but stays out of the bench: it is a
-    # CC-fixed-cost correctness artifact, not an operator hot path.)
+    # audiofp), and — like the sim_topk / minhash_recall certs — their
+    # verdicts are lazy 1-row aggregates, so each section's number
+    # isolates that modality's encode->hash->block pipeline.
+    # (dedup_cleaned_corpus also gained a cert section but stays out
+    # of the bench: it is a CC-fixed-cost correctness artifact, not an
+    # operator hot path.)
     "multimodal_features": "section",
 }
 
