@@ -811,6 +811,15 @@ def text_train_eval_split(spark, sf_dir):
            CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS exact_metric,
            CAST(COUNT(*) AS BIGINT) AS n_rows, TRUE AS within_tol
     FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'freq:' || t.event_type AS kind,
+           CAST(h.mx AS DOUBLE) AS exact_metric,
+           CAST(t.n AS BIGINT) AS n_rows, TRUE AS within_tol
+    FROM (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1) t
+    JOIN (SELECT event_type, MAX(c) AS mx FROM (
+            SELECT event_type, user_id % 2 AS hk, COUNT(*) AS c
+            FROM events WHERE user_id % 7 = 0 GROUP BY 1, 2)
+          GROUP BY 1) h USING (event_type)
     """,
 )
 def sketch_distinct_rollup(spark, sf_dir):
@@ -829,6 +838,10 @@ def sketch_distinct_rollup(spark, sf_dir):
       active users over the first two days, composed with sketch-level
       set algebra: union (reach), intersection (retention), difference
       (churn) — the set-algebra queries HLL cannot answer.
+    * ``freq:<type>`` (r9) — Misra-Gries heavy hitters per event type
+      (the fourth mergeable family, deterministic): planted-skew key,
+      exact hot-count anchor, and the full MG guarantee set as a lazy
+      verdict (see the freq block below).
     * ``facet:<axis>:<key>`` (r7) — the dataset-card facet pass
       (functions/report.py::corpus_facets: ONE grouping-sets
       Expand+Exchange scan carries overall/per-lang/per-source doc
@@ -1106,11 +1119,85 @@ def sketch_distinct_rollup(spark, sf_dir):
         ).alias("within_tol"),
     )
 
+    # --- freq (r9): Misra-Gries heavy hitters per event_type --------
+    # (functions/sketches.py::freq_items_by_group — the fourth
+    # mergeable family; deterministic, unlike count_min_sketch's
+    # seeded hashing). The uniform synthetic user distribution has no
+    # real heavy hitters, so a planted-skew key both engines rebuild
+    # identically (user_id % 7 == 0 -> one of two hot keys, ~14% of
+    # rows split across them — each far above the n/(k+1) error
+    # bound) makes the guarantees BITE. exact_metric anchors the
+    # hotter planted key's exact count (hash-checked vs DuckDB);
+    # within_tol carries the full MG contract LAZILY (no construction
+    # jobs): for every reported item 0 <= exact - w <= err; every item
+    # with exact > err is reported; err*(k+1) <= n; both planted keys
+    # found.
+    _MG_K = 32
+    skey = F.when(
+        F.col("user_id") % 7 == 0,
+        F.concat(F.lit("H"), (F.col("user_id") % 2).cast("string")),
+    ).otherwise(F.concat(F.lit("u"), F.col("user_id").cast("string")))
+    evf = ev.select("event_type", skey.alias("skey"))
+    mg = SK.freq_items_by_group(evf, ["event_type"], "skey", k=_MG_K)
+    mg_items = mg.filter(F.col("item").isNotNull())
+    mg_err = mg.groupBy("event_type").agg(F.max("err").alias("err"))
+    exact_sk = evf.groupBy("event_type", "skey").agg(F.count("*").alias("c"))
+    bounds = (
+        mg_items.join(
+            exact_sk,
+            (mg_items.event_type == exact_sk.event_type)
+            & (mg_items.item == exact_sk.skey),
+        )
+        .select(mg_items.event_type.alias("event_type"), "item", "w", "c")
+        .groupBy("event_type")
+        .agg(
+            F.max(F.col("c") - F.col("w")).alias("max_under"),
+            F.min(F.col("c") - F.col("w")).alias("min_under"),
+            F.sum(F.col("item").startswith("H").cast("int")).alias("n_hot"),
+        )
+    )
+    missing = (
+        exact_sk.join(mg_err, "event_type")
+        .filter(F.col("c") > F.col("err"))
+        .join(
+            mg_items.select("event_type", F.col("item").alias("skey")),
+            ["event_type", "skey"],
+            "left_anti",
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_missing"))
+    )
+    hot_anchor = (
+        exact_sk.filter(F.col("skey").startswith("H"))
+        .groupBy("event_type")
+        .agg(F.max("c").alias("hot_max"))
+    )
+    n_per = evf.groupBy("event_type").agg(F.count("*").alias("n"))
+    freq_rows = (
+        n_per.join(mg_err, "event_type")
+        .join(bounds, "event_type")
+        .join(missing, "event_type", "left")
+        .join(hot_anchor, "event_type")
+        .select(
+            F.concat(F.lit("freq:"), "event_type").alias("kind"),
+            F.col("hot_max").cast("double").alias("exact_metric"),
+            F.col("n").cast("long").alias("n_rows"),
+            (
+                (F.col("max_under") <= F.col("err"))
+                & (F.col("min_under") >= 0)
+                & (F.coalesce(F.col("n_missing"), F.lit(0)) == 0)
+                & (F.col("err") * (_MG_K + 1) <= F.col("n"))
+                & (F.col("n_hot") == 2)
+            ).alias("within_tol"),
+        )
+    )
+
     return (
         hll_rows.unionAll(kll_rows)
         .unionAll(theta_rows)
         .unionAll(facet_rows)
         .unionAll(rollup_rows)
+        .unionAll(freq_rows)
     )
 
 

@@ -125,3 +125,101 @@ def test_theta_set_algebra_exact_mode(spark, sf_dir):
     assert round(got["u"]) == len(s1 | s2)
     assert round(got["i"]) == len(s1 & s2)
     assert round(got["x"]) == len(s1 - s2)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries frequent items (freq_items_by_group, r9)
+# ---------------------------------------------------------------------------
+
+
+def _mg_truth(rows):
+    from collections import Counter
+
+    truth = {}
+    for g, v in rows:
+        truth.setdefault(g, Counter())[v] += 1
+    return truth
+
+
+def _check_guarantees(res, truth, k):
+    for g, counts in truth.items():
+        n = sum(counts.values())
+        items = {r.item: r.w for r in res if r[0] == g and r.item is not None}
+        errs = {r.err for r in res if r[0] == g}
+        assert len(errs) == 1, errs
+        err = errs.pop()
+        assert err * (k + 1) <= n, (g, err, n)
+        assert len(items) <= k
+        for it, w in items.items():
+            assert 0 <= counts[it] - w <= err, (g, it, w, counts[it], err)
+        for it, c in counts.items():
+            if c > err:
+                assert it in items, (g, it, c, err)
+
+
+def test_freq_items_guarantees_on_skewed_corpus(spark):
+    import random
+
+    from scida_spark.functions.sketches import freq_items_by_group
+
+    rng = random.Random(5)
+    rows = []
+    for g in ["a", "b"]:
+        for _ in range(3000):
+            v = (
+                f"hot{rng.randint(0, 2)}"
+                if rng.random() < 0.3
+                else f"cold{rng.randint(0, 400)}"
+            )
+            rows.append((g, v))
+    df = spark.createDataFrame(rows, "g string, v string").repartition(7)
+    res = freq_items_by_group(df, ["g"], "v", k=16).collect()
+    truth = _mg_truth(rows)
+    _check_guarantees(res, truth, 16)
+    for g in truth:
+        items = {r.item for r in res if r[0] == g and r.item is not None}
+        assert {"hot0", "hot1", "hot2"} <= items, (g, items)
+
+
+def test_freq_items_guarantees_hold_across_partitionings(spark):
+    """Estimates may differ with merge order; the GUARANTEES may not."""
+    import random
+
+    from scida_spark.functions.sketches import freq_items_by_group
+
+    rng = random.Random(9)
+    rows = [
+        ("g", f"v{int(rng.paretovariate(1.2)) % 200}") for _ in range(4000)
+    ]
+    truth = _mg_truth(rows)
+    for nparts in (1, 3, 13):
+        df = spark.createDataFrame(rows, "g string, v string").repartition(
+            nparts
+        )
+        res = freq_items_by_group(df, ["g"], "v", k=8).collect()
+        _check_guarantees(res, truth, 8)
+
+
+def test_freq_items_exact_when_k_covers_domain(spark):
+    """Fewer distinct values than k in every batch: the summary is the
+    exact count table with err 0."""
+    from scida_spark.functions.sketches import freq_items_by_group
+
+    rows = [("g", f"v{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, v string").coalesce(1)
+    res = freq_items_by_group(df, ["g"], "v", k=16).collect()
+    got = {r.item: r.w for r in res if r.item is not None}
+    assert got == {"v0": 100, "v1": 100, "v2": 100, "v3": 100}
+    assert all(r.err == 0 for r in res)
+
+
+def test_freq_items_nulls_ignored_and_multi_group_cols(spark):
+    from scida_spark.functions.sketches import freq_items_by_group
+
+    rows = [("a", "x", "v1"), ("a", "x", "v1"), ("a", "x", None),
+            ("a", "y", "v2"), ("b", "x", "v3")]
+    df = spark.createDataFrame(rows, "g1 string, g2 string, v string")
+    res = freq_items_by_group(df, ["g1", "g2"], "v", k=4).collect()
+    got = {(r.g1, r.g2, r.item): r.w for r in res if r.item is not None}
+    assert got == {("a", "x", "v1"): 2, ("a", "y", "v2"): 1,
+                   ("b", "x", "v3"): 1}
