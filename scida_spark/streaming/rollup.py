@@ -131,3 +131,108 @@ def compact_rollup(
         shutil.rmtree(dest)
     os.replace(tmp, dest)
     return len(batches)
+
+
+# ---------------------------------------------------------------------------
+# Incremental heavy-hitters store (Misra-Gries partials per batch, r9)
+# ---------------------------------------------------------------------------
+
+
+def incremental_freq_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    *,
+    store_dir: str,
+    checkpoint_dir: str,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 32,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Maintain a streaming heavy-hitters store: each micro-batch is
+    reduced to Misra-Gries partials (functions/sketches.py::
+    freq_partials — O(k) rows per batch-group, the same mergeable-
+    summaries algebra as the count/sum/HLL rollup above) and appended
+    under its own ``batch_id=N`` dir (idempotent overwrite). Serving
+    merges partials; history is never re-scanned."""
+    from scida_spark.functions.sketches import freq_partials
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        part = freq_partials(batch_df, group_cols, value_col, k)
+        part.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"batch_id={batch_id}")
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(input_dir)
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_freq(
+    spark: SparkSession, store_dir: str, group_cols: list[str], k: int = 32
+) -> DataFrame:
+    """Serve the heavy hitters: merge every stored partial into one
+    ``(group..., item, w, err)`` summary per group (functions/
+    sketches.py::freq_merge). All Misra-Gries guarantees hold against
+    the FULL ingested history: ``w <= true <= w + err``, completeness
+    above ``err``, ``err <= n/(k+1)``."""
+    from scida_spark.functions.sketches import freq_merge
+
+    partials = spark.read.option("basePath", store_dir).parquet(store_dir)
+    return freq_merge(
+        partials.select(*group_cols, "item", "w"), group_cols, k
+    )
+
+
+def _freq_summary_to_partials(summary: DataFrame, group_cols: list[str]):
+    """A merged summary is itself a valid partial: its item rows plus
+    one err row (item NULL) per group re-enter freq_merge unchanged —
+    with <= k items the re-compression threshold is 0, so
+    serve-after-compact is BIT-IDENTICAL to serve (a fixed point, not
+    just guarantee-preserving)."""
+    items = summary.filter(F.col("item").isNotNull()).select(
+        *group_cols, "item", "w"
+    )
+    errs = (
+        summary.groupBy(*group_cols)
+        .agg(F.max("err").alias("w"))
+        .select(*group_cols, F.lit(None).cast("string").alias("item"), "w")
+    )
+    return items.unionByName(errs)
+
+
+def compact_freq(
+    spark: SparkSession, store_dir: str, group_cols: list[str], k: int = 32
+) -> int:
+    """Fold all heavy-hitter partials into one base partial
+    (``batch_id=-1``). Returns the number of batch dirs folded."""
+    import shutil
+
+    batches = [
+        d
+        for d in os.listdir(store_dir)
+        if d.startswith("batch_id=") and d != "batch_id=-1"
+    ]
+    if not batches:
+        return 0
+    base = _freq_summary_to_partials(
+        read_freq(spark, store_dir, group_cols, k), group_cols
+    )
+    tmp = os.path.join(store_dir, "_compact_tmp")
+    base.write.mode("overwrite").parquet(tmp)
+    for d in batches:
+        shutil.rmtree(os.path.join(store_dir, d))
+    dest = os.path.join(store_dir, "batch_id=-1")
+    if os.path.isdir(dest):
+        shutil.rmtree(dest)
+    os.rename(tmp, dest)
+    return len(batches)
