@@ -266,3 +266,89 @@ def freq_items_by_group(
     deterministic partitioning of ``df`` (values are strings; cast
     upstream)."""
     return freq_merge(freq_partials(df, group_cols, value_col, k), group_cols, k)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — the fifth mergeable family (point-frequency queries)
+# ---------------------------------------------------------------------------
+
+
+def _cms_slots(item: Column, depth: int, width: int) -> Column:
+    """Array of ``depth`` counter slots for one item: row ``d`` uses
+    ``xxhash64(d, item) mod width``. Seeding by a literal per depth row
+    gives independent-enough hash rows while staying DETERMINISTIC — a
+    pure function of the value, so sketches built on different
+    clusters/partitionings are bit-identical and mergeable."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(F.lit(d), item), F.lit(width)).cast("int")
+            for d in range(depth)
+        ]
+    )
+
+
+def cms_table(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    depth: int = 4,
+    width: int = 4096,
+) -> DataFrame:
+    """Per-group Count-Min sketch of ``item_col`` as a COUNTER TABLE
+    ``(group..., d, slot, cnt)`` — the ingest-time artifact for
+    point-frequency queries over keys too numerous to store exactly.
+
+    Spark-first shape: the sketch IS a groupBy — each row increments
+    ``depth`` counters, expressed as posexplode(hash slots) → count.
+    Zero UDF, whole-stage codegen, one shuffle whose key space is
+    bounded by groups × depth × width (NOT by distinct items — the
+    point of the sketch). Merging sketches = SUM of counter tables
+    (commutative monoid), so late partitions / per-day sketches
+    compose without rescans; size is O(depth × width) per group
+    regardless of row count — the 100 TB property.
+
+    Guarantees (standard CMS, Cormode & Muthukrishnan 2005): estimates
+    never undercount; overcount per depth row is the collision mass,
+    expected n_group/width, and the min over ``depth`` rows is
+    reported. Deterministic hashing means a given dataset always
+    yields the same sketch (re-runs can't flake), at the cost of the
+    per-key probabilistic bound becoming a fixed realization."""
+    rows = df.select(
+        *group_cols,
+        F.posexplode(
+            _cms_slots(F.col(item_col).cast("string"), depth, width)
+        ).alias("d", "slot"),
+    )
+    return rows.groupBy(*group_cols, "d", "slot").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+def cms_point_estimate(
+    counters: DataFrame,
+    queries: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    depth: int = 4,
+    width: int = 4096,
+) -> DataFrame:
+    """Point-frequency estimates for ``queries`` ``(group..., item)``
+    against a persisted ``cms_table``: est = min over depth rows of
+    the addressed counter. Returns ``(group..., item, est)``.
+
+    The counter table is the broadcast side: its size is
+    O(groups × depth × width) — independent of row count, the whole
+    point of the sketch — so query lookups are a map-side hash probe
+    with no shuffle of either side. Missing counter rows are empty
+    slots (0)."""
+    q = queries.select(
+        *group_cols,
+        F.col(item_col).alias("item"),
+        F.posexplode(
+            _cms_slots(F.col(item_col).cast("string"), depth, width)
+        ).alias("d", "slot"),
+    )
+    joined = q.join(F.broadcast(counters), [*group_cols, "d", "slot"], "left")
+    return joined.groupBy(*group_cols, "item").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est")
+    )

@@ -661,16 +661,26 @@ _SPLIT_T = _split_thresholds_r6()
              (qs.score / 2.0) >= (1.0 - (POWER(
                (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'par8'), 1, 8)) AS UBIGINT) + 0.5)
                / 4294967296.0, -1.0 / 9.0) - 1.0)) AS keep
-      FROM qs)
+      FROM qs),
+    reps AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(
+               MIN(doc_id) OVER (PARTITION BY md5(text))
+             AS VARCHAR) || 'cs9'), 1, 8)) AS UBIGINT) AS cbucket
+      FROM documents)
     SELECT CAST(b.doc_id AS BIGINT) AS doc_id, b.lang,
            CASE WHEN b.bucket < {_SPLIT_T[0]} THEN 'train'
                 WHEN b.bucket < {_SPLIT_T[1]} THEN 'eval'
                 ELSE 'test' END AS split,
            b.mbucket < thr.thr AS in_mix,
            strat.rn <= ((strat.c * 1 + 4) // 5) AS in_strat,
-           par.keep AS in_pareto
+           par.keep AS in_pareto,
+           CASE WHEN reps.cbucket < {_SPLIT_T[0]} THEN 'train'
+                WHEN reps.cbucket < {_SPLIT_T[1]} THEN 'eval'
+                ELSE 'test' END AS cluster_split
     FROM b JOIN thr USING (lang) JOIN strat ON strat.doc_id = b.doc_id
                                  JOIN par ON par.doc_id = b.doc_id
+                                 JOIN reps ON reps.doc_id = b.doc_id
     """,
 )
 def text_train_eval_split(spark, sf_dir):
@@ -708,6 +718,7 @@ def text_train_eval_split(spark, sf_dir):
     same double expression (libm pow + IEEE arithmetic)."""
     from scida_spark.functions.quality_classifier import pareto_keep
     from scida_spark.functions.sampling import (
+        cluster_hash_split,
         hash_split,
         in_mix_column,
         mix_thresholds,
@@ -743,7 +754,24 @@ def text_train_eval_split(spark, sf_dir):
     out = stratified_exact_sample(
         flagged, "doc_id", "lang", num=1, den=5, salt="strat1"
     )
-    return out.select("doc_id", "lang", "split", "in_mix", "in_strat", "in_pareto")
+    # cluster_split (r9): LEAKAGE-SAFE assignment — byte-identical
+    # documents inherit their cluster representative's split
+    # (functions/sampling.py::cluster_hash_split), so a duplicated
+    # text can never straddle train and eval. Hash-checked per row:
+    # the oracle recomputes rep = MIN(doc_id) over md5(text) and the
+    # identical threshold arithmetic, proving both the assignment AND
+    # the no-leakage property bit-for-bit.
+    cs = cluster_hash_split(
+        raw.select("doc_id", "text"),
+        "doc_id",
+        "text",
+        {"train": 0.8, "eval": 0.1, "test": 0.1},
+        salt="cs9",
+    ).select("doc_id", "cluster_split")
+    return out.join(cs, "doc_id").select(
+        "doc_id", "lang", "split", "in_mix", "in_strat", "in_pareto",
+        "cluster_split",
+    )
 
 
 @query(
@@ -820,6 +848,27 @@ def text_train_eval_split(spark, sf_dir):
             SELECT event_type, user_id % 2 AS hk, COUNT(*) AS c
             FROM events WHERE user_id % 7 = 0 GROUP BY 1, 2)
           GROUP BY 1) h USING (event_type)
+    UNION ALL
+    SELECT 'cms:' || q.event_type AS kind,
+           CAST(SUM(q.c) AS DOUBLE) AS exact_metric,
+           CAST(ANY_VALUE(t.n) AS BIGINT) AS n_rows, TRUE AS within_tol
+    FROM (
+      WITH ex AS (
+        SELECT event_type,
+               CASE WHEN user_id % 7 = 0 THEN 'H' || CAST(user_id % 2 AS VARCHAR)
+                    ELSE 'u' || CAST(user_id AS VARCHAR) END AS skey,
+               COUNT(*) AS c
+        FROM events GROUP BY 1, 2),
+      cb AS (SELECT event_type, MIN(skey) AS lo, MAX(skey) AS hi
+             FROM ex WHERE skey NOT LIKE 'H%' GROUP BY 1)
+      SELECT ex.* FROM ex WHERE ex.skey LIKE 'H%'
+      UNION ALL
+      SELECT ex.* FROM ex JOIN cb ON ex.event_type = cb.event_type
+                        AND (ex.skey = cb.lo OR ex.skey = cb.hi)
+    ) q
+    JOIN (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1) t
+      ON q.event_type = t.event_type
+    GROUP BY q.event_type
     """,
 )
 def sketch_distinct_rollup(spark, sf_dir):
@@ -1192,12 +1241,72 @@ def sketch_distinct_rollup(spark, sf_dir):
         )
     )
 
+    # --- cms (r9): Count-Min point-frequency estimates ---------------
+    # (functions/sketches.py::cms_table — the FIFTH mergeable family:
+    # point-frequency queries over key spaces too large to store
+    # exactly; the sketch IS a groupBy, zero UDF, O(depth×width) per
+    # group regardless of rows). Query set both engines rebuild
+    # identically: the two planted hot keys + the lexicographic
+    # min/max cold key per type. exact_metric anchors the query set's
+    # exact counts (hash-checked); within_tol carries the CMS contract
+    # lazily: never undercounts, and the min-over-depth overcount stays
+    # within 8×n/width (expected collision mass is n/width per row;
+    # hashing is deterministic so this can't flake — it either holds
+    # at a given SF or it doesn't, checked at all three).
+    _CMS_D, _CMS_W = 4, 4096
+    counters = SK.cms_table(evf, ["event_type"], "skey", depth=_CMS_D, width=_CMS_W)
+    hot_q = exact_sk.filter(F.col("skey").startswith("H")).select(
+        "event_type", "skey"
+    )
+    cold_q = (
+        exact_sk.filter(~F.col("skey").startswith("H"))
+        .groupBy("event_type")
+        .agg(F.min("skey").alias("lo"), F.max("skey").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.array_distinct(F.array("lo", "hi"))).alias("skey"),
+        )
+    )
+    est = SK.cms_point_estimate(
+        counters,
+        hot_q.unionAll(cold_q),
+        ["event_type"],
+        "skey",
+        depth=_CMS_D,
+        width=_CMS_W,
+    )
+    cms_rows = (
+        est.join(
+            exact_sk.withColumnRenamed("skey", "item"), ["event_type", "item"]
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").alias("sum_exact"),
+            F.min(F.col("est") >= F.col("c")).alias("no_under"),
+            F.max(F.col("est") - F.col("c")).alias("max_over"),
+        )
+        .join(n_per, "event_type")
+        .select(
+            F.concat(F.lit("cms:"), "event_type").alias("kind"),
+            F.col("sum_exact").cast("double").alias("exact_metric"),
+            F.col("n").cast("long").alias("n_rows"),
+            (
+                F.col("no_under")
+                & (
+                    F.col("max_over")
+                    <= F.greatest(F.lit(4.0), F.lit(8.0) * F.col("n") / _CMS_W)
+                )
+            ).alias("within_tol"),
+        )
+    )
+
     return (
         hll_rows.unionAll(kll_rows)
         .unionAll(theta_rows)
         .unionAll(facet_rows)
         .unionAll(rollup_rows)
         .unionAll(freq_rows)
+        .unionAll(cms_rows)
     )
 
 

@@ -223,3 +223,74 @@ def test_freq_items_nulls_ignored_and_multi_group_cols(spark):
     got = {(r.g1, r.g2, r.item): r.w for r in res if r.item is not None}
     assert got == {("a", "x", "v1"): 2, ("a", "y", "v2"): 1,
                    ("b", "x", "v3"): 1}
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (r9)
+# ---------------------------------------------------------------------------
+
+
+def _cms_inputs(spark):
+    # skewed synthetic corpus: 'hot' 300x, 'warm' 60x, 200 singletons
+    rows = (
+        [("g1", "hot")] * 300
+        + [("g1", "warm")] * 60
+        + [("g1", f"u{i}") for i in range(200)]
+        + [("g2", "hot")] * 40
+        + [("g2", f"v{i}") for i in range(100)]
+    )
+    return spark.createDataFrame(rows, "g string, v string")
+
+
+def test_cms_never_undercounts_and_bounds_overcount(spark):
+    df = _cms_inputs(spark).repartition(5)
+    counters = SK.cms_table(df, ["g"], "v", depth=4, width=512)
+    exact = df.groupBy("g", "v").agg(F.count("*").alias("c"))
+    qs = exact.select("g", "v")
+    est = SK.cms_point_estimate(counters, qs, ["g"], "v", depth=4, width=512)
+    chk = {
+        (r["g"], r["item"]): r["est"]
+        for r in est.collect()
+    }
+    n_per = {r["g"]: r["n"] for r in df.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    for r in exact.collect():
+        e = chk[(r["g"], r["v"])]
+        assert e >= r["c"], (r, e)
+        assert e - r["c"] <= max(4, 8 * n_per[r["g"]] / 512), (r, e)
+
+
+def test_cms_merge_is_counter_sum(spark):
+    # sketch(A ∪ B) == elementwise-sum of sketch(A), sketch(B):
+    # the mergeable-monoid property that makes per-day sketches
+    # compose without rescans.
+    df = _cms_inputs(spark)
+    a = df.filter(F.crc32(F.col("v")) % 2 == 0)
+    b = df.filter(F.crc32(F.col("v")) % 2 != 0)
+    whole = SK.cms_table(df, ["g"], "v", depth=3, width=128)
+    parts = (
+        SK.cms_table(a, ["g"], "v", depth=3, width=128)
+        .unionAll(SK.cms_table(b, ["g"], "v", depth=3, width=128))
+        .groupBy("g", "d", "slot")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert whole.exceptAll(parts).count() == 0
+    assert parts.exceptAll(whole).count() == 0
+
+
+def test_cms_deterministic_across_partitionings(spark):
+    df = _cms_inputs(spark)
+    c1 = SK.cms_table(df.repartition(1), ["g"], "v", depth=4, width=256)
+    c7 = SK.cms_table(df.repartition(17), ["g"], "v", depth=4, width=256)
+    assert c1.exceptAll(c7).count() == 0 and c7.exceptAll(c1).count() == 0
+
+
+def test_cms_missing_key_estimates_only_collision_mass(spark):
+    # a key never inserted must estimate 0 unless every one of its
+    # depth slots collides — with 540 rows over width 4096 x depth 4
+    # a zero estimate is overwhelmingly expected and DETERMINISTIC
+    # for this fixed corpus (hashing is seed-free xxhash64).
+    df = _cms_inputs(spark)
+    counters = SK.cms_table(df, ["g"], "v", depth=4, width=4096)
+    qs = spark.createDataFrame([("g1", "never-seen-key")], "g string, v string")
+    est = SK.cms_point_estimate(counters, qs, ["g"], "v", depth=4, width=4096)
+    assert est.collect()[0]["est"] <= 2
