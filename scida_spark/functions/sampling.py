@@ -221,3 +221,36 @@ def stratified_exact_sample(
         )
         .drop("_sx_rn", "_sx_cnt")
     )
+
+
+def cluster_hash_split(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+    out_col: str = "cluster_split",
+) -> DataFrame:
+    """LEAKAGE-SAFE split assignment: rows with identical content must
+    land in the SAME split, or held-out evaluation sets silently leak
+    into training (the classic dedup-then-split ordering bug). Every
+    row inherits the split of its duplicate-cluster REPRESENTATIVE
+    (the min id among rows sharing ``md5(content)``), assigned by the
+    same exact-threshold bucket arithmetic as ``hash_split`` — so the
+    assignment stays a pure function of (cluster, salt): reproducible
+    across runs, engines, partitionings, and late data.
+
+    Scale: ONE shuffle on the 16-byte content digest (never the raw
+    content) to find the representative; the split itself is map-side
+    Column math. Near-duplicate (not byte-identical) leakage control
+    composes the same way: feed a canonical key (e.g. a MinHash
+    cluster rep from functions/dedup.py) as ``content_col``."""
+    from pyspark.sql.window import Window as W
+
+    rep = F.min(F.col(id_col)).over(
+        W.partitionBy(F.md5(F.col(content_col).cast("string")))
+    )
+    out = hash_split(
+        df.withColumn("_cluster_rep", rep), "_cluster_rep", weights, salt, out_col
+    )
+    return out.drop("_cluster_rep")

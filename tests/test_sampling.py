@@ -171,3 +171,61 @@ def test_hash_sample_exact_n_plans_as_take_ordered(spark):
     s = hash_sample_exact_n(df, "doc_id", 10)
     p = s._sc._jvm.PythonSQLUtils.explainString(s._jdf.queryExecution(), "formatted")
     assert "TakeOrderedAndProject" in p  # heaps + driver merge, no global sort
+
+
+# ---------------------------------------------------------------------------
+# cluster_hash_split (r9): leakage-safe splits
+# ---------------------------------------------------------------------------
+
+
+def _dup_corpus(spark):
+    # 60 distinct texts, each duplicated 1-5x with distinct ids
+    rows = []
+    nid = 0
+    for t in range(60):
+        for _ in range(t % 5 + 1):
+            rows.append((nid, f"text body {t}"))
+            nid += 1
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cluster_split_no_leakage(spark):
+    from scida_spark.functions.sampling import cluster_hash_split
+
+    df = _dup_corpus(spark).repartition(7)
+    out = cluster_hash_split(df, "doc_id", "text", salt="t1")
+    # identical texts never straddle splits
+    k = out.groupBy("text").agg(
+        F.countDistinct("cluster_split").alias("k")
+    )
+    assert k.filter(F.col("k") > 1).count() == 0
+    # and the plain per-id split DOES leak on this corpus (the bug
+    # cluster_hash_split exists to fix) — proves the test has teeth
+    from scida_spark.functions.sampling import hash_split
+
+    naive = hash_split(df, "doc_id", salt="t1")
+    nk = naive.groupBy("text").agg(F.countDistinct("split").alias("k"))
+    assert nk.filter(F.col("k") > 1).count() > 0
+
+
+def test_cluster_split_matches_rep_assignment(spark):
+    from scida_spark.functions.sampling import cluster_hash_split, hash_split
+
+    df = _dup_corpus(spark)
+    out = cluster_hash_split(df, "doc_id", "text", salt="t2")
+    # every member's label == hash_split of its cluster rep id
+    rep = df.groupBy("text").agg(F.min("doc_id").alias("rep"))
+    expected = hash_split(rep, "rep", salt="t2").select(
+        "text", F.col("split").alias("want")
+    )
+    j = out.join(expected, "text")
+    assert j.filter(F.col("cluster_split") != F.col("want")).count() == 0
+
+
+def test_cluster_split_deterministic_across_partitionings(spark):
+    from scida_spark.functions.sampling import cluster_hash_split
+
+    df = _dup_corpus(spark)
+    a = cluster_hash_split(df.repartition(1), "doc_id", "text", salt="z")
+    b = cluster_hash_split(df.repartition(13), "doc_id", "text", salt="z")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
