@@ -1080,3 +1080,60 @@ def semantic_dedup_clustered(
         .applyInPandas(_dedup_cell, schema="vec_id long, cell int, keep boolean")
         .withColumnRenamed("vec_id", id_col)
     )
+
+
+def knn_vote(
+    pairs: DataFrame,
+    labels: DataFrame,
+    query_col: str = "query_id",
+    cand_col: str = "cand_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification from ANY neighbor-pair source
+    (exact ``cosine_topk_bruteforce`` or the ANN scale paths —
+    ``ivf_topk``/``lsh_topk``/``pq_topk`` emit the same pair shape).
+    Returns ``(query, pred_label, votes, total, frac)`` with a
+    DETERMINISTIC tie-break: higher vote count, then smaller label —
+    reproducible across engines and partitionings.
+
+    The weak-supervision / label-propagation primitive: predicted
+    label for an unlabeled item = mode of its neighbors' labels.
+
+    Scale: the pair set is queries × k (small — it broadcasts); the
+    label table STREAMS through the join, and the vote groupBy keys
+    on (query, label) — bounded by queries × classes, never by corpus
+    size."""
+    lab = labels.select(
+        F.col(cand_col).alias("_cid"), F.col(label_col).alias("_lab")
+    )
+    votes = (
+        lab.join(
+            F.broadcast(
+                pairs.select(
+                    F.col(query_col).alias("_qid"), F.col(cand_col).alias("_cid")
+                )
+            ),
+            "_cid",
+        )
+        .groupBy("_qid", "_lab")
+        .agg(F.count("*").alias("votes"))
+    )
+    return (
+        votes.select(
+            "_qid",
+            "_lab",
+            "votes",
+            F.row_number()
+            .over(W.partitionBy("_qid").orderBy(F.desc("votes"), F.asc("_lab")))
+            .alias("_rn"),
+            F.sum("votes").over(W.partitionBy("_qid")).alias("total"),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_qid").alias(query_col),
+            F.col("_lab").alias("pred_label"),
+            "votes",
+            "total",
+            (F.col("votes") / F.col("total")).alias("frac"),
+        )
+    )

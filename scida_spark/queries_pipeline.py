@@ -1554,7 +1554,22 @@ _BM25_ORACLE_SECTION = f"""
            CAST(0 AS INT) AS rank, TRUE AS ok
     UNION ALL
     """
-    + _BM25_ORACLE_SECTION,
+    + _BM25_ORACLE_SECTION
+    + """
+    UNION ALL
+    SELECT 'knn' AS method, query_id, CAST(pred AS BIGINT) AS cand_id,
+           ROUND(CAST(votes AS DOUBLE) / tv, 6) AS sim_r,
+           CAST(votes AS INT) AS rank, TRUE AS ok
+    FROM (
+      SELECT query_id, label AS pred, COUNT(*) AS votes,
+             SUM(COUNT(*)) OVER (PARTITION BY query_id) AS tv,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY COUNT(*) DESC, label) AS rn
+      FROM ranked JOIN embeddings ON embeddings.vec_id = ranked.cand_id
+      WHERE rank <= 10
+      GROUP BY query_id, label
+    ) WHERE rn = 1
+    """,
 )
 def sim_topk(spark, sf_dir):
     """Similarity top-k, EXACT + both ANN scale paths, fully
@@ -1660,7 +1675,31 @@ def sim_topk(spark, sf_dir):
         "rank",
         F.lit(True).alias("ok"),
     )
-    return ex_rows.unionAll(cert_rows).unionAll(bm25)
+    # --- knn (r9): k-NN majority-vote label classification -----------
+    # The standard weak-supervision / label-propagation primitive on
+    # top of similarity search: predicted label = majority vote of the
+    # exact top-10 neighbors' labels, deterministic tie-break (higher
+    # vote count, then smaller label). Fully value-checked: the oracle
+    # re-derives top-10 from its own ranked CTE and votes identically.
+    # Rows: cand_id carries the PREDICTED LABEL, sim_r the vote
+    # fraction, rank the winning vote count.
+    # Scale: the tiny (queries × k) pair set broadcasts; the label
+    # table streams — no shuffle of the big side, and the vote
+    # groupBy keys on (query, label), bounded by queries × classes
+    # (functions/similarity.py::knn_vote — also composes with the
+    # ivf/lsh/pq pair sources, the 100 TB path).
+    labels = emb.select(F.col("vec_id").alias("cand_id"), "label")
+    knn_rows = SIM.knn_vote(
+        exact.select("query_id", "cand_id"), labels
+    ).select(
+        F.lit("knn").alias("method"),
+        "query_id",
+        F.col("pred_label").cast("long").alias("cand_id"),
+        F.round("frac", 6).alias("sim_r"),
+        F.col("votes").cast("int").alias("rank"),
+        F.lit(True).alias("ok"),
+    )
+    return ex_rows.unionAll(cert_rows).unionAll(bm25).unionAll(knn_rows)
 
 
 # --------------------------------------------------------------------------

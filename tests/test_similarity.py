@@ -547,3 +547,49 @@ def test_semantic_dedup_layout_independent(spark):
         ).collect()
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# knn_vote (r9): k-NN majority-vote classification
+# ---------------------------------------------------------------------------
+
+
+def test_knn_vote_majority_and_tiebreak(spark):
+    from scida_spark.functions.similarity import knn_vote
+
+    pairs = spark.createDataFrame(
+        # q1: labels 2,2,2,5,5 -> 2 wins 3/5
+        # q2: labels 4,4,7,7 -> tie, smaller label 4 wins 2/4
+        [(1, 10), (1, 11), (1, 12), (1, 13), (1, 14),
+         (2, 20), (2, 21), (2, 22), (2, 23)],
+        "query_id long, cand_id long",
+    )
+    labels = spark.createDataFrame(
+        [(10, 2), (11, 2), (12, 2), (13, 5), (14, 5),
+         (20, 4), (21, 4), (22, 7), (23, 7)],
+        "cand_id long, label int",
+    )
+    out = {r["query_id"]: r for r in knn_vote(pairs, labels).collect()}
+    assert out[1]["pred_label"] == 2 and out[1]["votes"] == 3
+    assert abs(out[1]["frac"] - 0.6) < 1e-12 and out[1]["total"] == 5
+    assert out[2]["pred_label"] == 4 and out[2]["votes"] == 2
+    assert out[2]["total"] == 4
+
+
+def test_knn_vote_composes_with_ann_pairs(spark, sf_dir):
+    # the scale path: IVF candidates instead of exact pairs must feed
+    # the same vote (pair-shape compatibility contract)
+    from scida_spark.functions import similarity as SIM
+    from scida_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    n = emb.count()
+    ann = SIM.ivf_topk(emb, q, k=10, nlist=None, nprobe=None, n_vectors=n)
+    labels = emb.select(F.col("vec_id").alias("cand_id"), "label")
+    out = SIM.knn_vote(ann.select("query_id", "cand_id"), labels)
+    rows = out.collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["votes"] <= r["total"] <= 10
+        assert 0 < r["frac"] <= 1.0
