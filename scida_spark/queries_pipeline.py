@@ -667,7 +667,45 @@ _SPLIT_T = _split_thresholds_r6()
              CAST(('0x' || substr(md5(CAST(
                MIN(doc_id) OVER (PARTITION BY md5(text))
              AS VARCHAR) || 'cs9'), 1, 8)) AS UBIGINT) AS cbucket
-      FROM documents)
+      FROM documents),
+    dfeat AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(g || 'dsir'), 1, 8)) AS UBIGINT)
+                  % 8192 AS INT) AS bucket,
+             (lang = 'en') AS tgt
+      FROM (
+        SELECT doc_id, lang,
+               unnest(list_concat(
+                 string_split(trim(text), ' '),
+                 CASE WHEN len(string_split(trim(text), ' ')) >= 2 THEN
+                   list_transform(
+                     generate_series(1, len(string_split(trim(text), ' ')) - 1),
+                     i -> string_split(trim(text), ' ')[i] || ' '
+                          || string_split(trim(text), ' ')[i + 1])
+                 ELSE [] END)) AS g
+        FROM documents)),
+    dtot AS (SELECT SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS nt,
+                    COUNT(*) AS nr
+             FROM dfeat),
+    dlr AS (
+      SELECT bucket,
+             ln(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) + 1.0)
+             - ln((SELECT nt FROM dtot) + 8192.0)
+             - ln(COUNT(*) + 1.0)
+             + ln((SELECT nr FROM dtot) + 8192.0) AS lr
+      FROM dfeat GROUP BY bucket),
+    dscore AS (
+      SELECT f.doc_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(l.lr ORDER BY l.bucket)),
+                         (a, x) -> a + x) AS score
+      FROM dfeat f JOIN dlr l USING (bucket) GROUP BY f.doc_id),
+    dsel AS (
+      SELECT d.doc_id,
+             ROW_NUMBER() OVER (PARTITION BY d.source
+                                ORDER BY s.score DESC, d.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY d.source) AS cnt
+      FROM documents d JOIN dscore s ON s.doc_id = d.doc_id)
     SELECT CAST(b.doc_id AS BIGINT) AS doc_id, b.lang,
            CASE WHEN b.bucket < {_SPLIT_T[0]} THEN 'train'
                 WHEN b.bucket < {_SPLIT_T[1]} THEN 'eval'
@@ -677,10 +715,12 @@ _SPLIT_T = _split_thresholds_r6()
            par.keep AS in_pareto,
            CASE WHEN reps.cbucket < {_SPLIT_T[0]} THEN 'train'
                 WHEN reps.cbucket < {_SPLIT_T[1]} THEN 'eval'
-                ELSE 'test' END AS cluster_split
+                ELSE 'test' END AS cluster_split,
+           dsel.rn <= ((dsel.cnt * 1 + 4) // 5) AS in_dsir
     FROM b JOIN thr USING (lang) JOIN strat ON strat.doc_id = b.doc_id
                                  JOIN par ON par.doc_id = b.doc_id
                                  JOIN reps ON reps.doc_id = b.doc_id
+                                 JOIN dsel ON dsel.doc_id = b.doc_id
     """,
 )
 def text_train_eval_split(spark, sf_dir):
@@ -768,9 +808,34 @@ def text_train_eval_split(spark, sf_dir):
         {"train": 0.8, "eval": 0.1, "test": 0.1},
         salt="cs9",
     ).select("doc_id", "cluster_split")
-    return out.join(cs, "doc_id").select(
-        "doc_id", "lang", "split", "in_mix", "in_strat", "in_pareto",
-        "cluster_split",
+    # in_dsir (r9): DSIR importance selection (functions/dsir.py —
+    # Xie et al. 2023): hashed unigram+bigram log-weights toward the
+    # English-text target distribution, top-20 % per source (the
+    # per-domain budget form). Hash-checked per row: md5 feature
+    # hashing, integer counts, libm ln, and the sorted-order float
+    # fold are all engine-portable, so the oracle rebuilds the exact
+    # same scores and quota ranks.
+    from scida_spark.functions.dsir import (
+        dsir_log_weights,
+        dsir_select_stratified,
+    )
+
+    rawd = table(spark, sf_dir, "documents").select("doc_id", "source", "lang", "text")
+    dw = dsir_log_weights(rawd, "doc_id", "text", F.col("lang") == "en")
+    ds = dsir_select_stratified(
+        rawd.select("doc_id", "source").join(dw, "doc_id"),
+        "doc_id",
+        "source",
+        num=1,
+        den=5,
+    ).select("doc_id", "in_dsir")
+    return (
+        out.join(cs, "doc_id")
+        .join(ds, "doc_id")
+        .select(
+            "doc_id", "lang", "split", "in_mix", "in_strat", "in_pareto",
+            "cluster_split", "in_dsir",
+        )
     )
 
 

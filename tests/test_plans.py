@@ -128,22 +128,25 @@ def test_cc_clusters_df_capped_join_no_cartesian(spark, sf_dir, reg):
     assert "BroadcastNestedLoopJoin" not in p
 
 
-def test_train_eval_split_single_stratum_shuffle(spark, sf_dir, reg):
+def test_train_eval_split_stratum_shuffles_shared(spark, sf_dir, reg):
     """Hash-split + domain-mix assignment are pure projections (md5
-    bucket + CASE, no rand()) computed MAP-SIDE, below the one
-    Exchange the r7 exact-quota stratified sample pays for: a single
-    hashpartitioning(lang) shuffle shared by BOTH window functions
-    (row_number and the stratum count ride the same partitioning —
-    one Sort, two Window nodes, one Exchange total)."""
+    bucket + CASE, no rand()) computed MAP-SIDE; each ranked section
+    pays exactly ONE shuffle on its stratum and shares it between its
+    two window functions (row_number + stratum count ride the same
+    partitioning): hashpartitioning(lang) for in_strat,
+    hashpartitioning(source) for the r9 DSIR quota, one partitioning
+    on the md5 cluster key for cluster_split. No cartesian anywhere
+    (the DSIR totals come from an unpartitioned window over the ≤V-row
+    bucket table, NOT a 1-row cross join)."""
     p = _plan(spark, reg["text_train_eval_split"](spark, sf_dir))
-    assert p.count("+- Exchange") == 1, p
-    assert "hashpartitioning(lang" in p
-    assert p.count("Window") >= 2  # rank + count share the one shuffle
-    # split/in_mix are computed in the pre-shuffle Project: the node
-    # list reads Scan → Project(split, in_mix) → Exchange — assert the
-    # split CASE expression appears in a Project that feeds Exchange.
-    pre = p.split("(3) Exchange")[0]
-    assert "AS split" in pre and "AS in_mix" in pre
+    assert p.count("hashpartitioning(lang") == 1, p
+    assert p.count("hashpartitioning(source") == 1, p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("Window") >= 4  # (rank+count) × (in_strat, in_dsir)
+    # split/in_mix are computed in a map-side Project (no rand(),
+    # nothing upstream of them shuffles on doc_id)
+    assert "AS split" in p and "AS in_mix" in p
 
 
 def test_repetition_filter_no_shuffle(spark, sf_dir, reg):
