@@ -217,3 +217,173 @@ def nll_filter(
     scored = score_nll(docs, model, text_col=text_col, id_col=id_col)
     keep = scored.filter(F.col("nll") <= F.lit(max_nll)).select(id_col)
     return docs.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Interpolationless bigram LM (r9) — one Markov order up from the
+# unigram filter: the CCNet-style quality signal starts separating
+# "right words, wrong order" documents only at n >= 2.
+# ---------------------------------------------------------------------------
+
+_OOV = "\x01"  # sentinel class; never a corpus token (oracle: chr(1))
+
+
+class BigramLM:
+    """Trained bigram artifact over the shared top-V unigram vocab plus
+    ONE OOV class (alphabet size V+1). All state is integer counts:
+
+    * ``pair_counts[(u, v)]`` — mapped-bigram counts c2,
+      at most (V+1)^2 entries (the broadcastable model bound),
+    * ``ctx_counts[u]`` — context totals c1(u) = sum_v c2(u, v),
+      derived, never separately counted (cannot drift out of sync).
+
+    p(v|u) = (c2 + 1) / (c1(u) + V + 1)  — add-one over the mapped
+    alphabet; every quantity integer, so per-pair log-probs are
+    ``ln(integer)`` on any engine (the unigram bit-stability
+    contract, functions/lm.py module docstring)."""
+
+    def __init__(
+        self, vocab: list[str], pair_counts: dict[tuple[str, str], int],
+        vocab_size: int,
+    ):
+        self.vocab = list(vocab)
+        self.pair_counts = dict(pair_counts)
+        self.vocab_size = int(vocab_size)
+        self.ctx_counts: dict[str, int] = {}
+        for (u, _v), c in self.pair_counts.items():
+            self.ctx_counts[u] = self.ctx_counts.get(u, 0) + int(c)
+
+    @property
+    def denom_add(self) -> int:
+        """V + 1 — the mapped alphabet size added to every context
+        total (add-one smoothing mass)."""
+        return self.vocab_size + 1
+
+
+def _mapped_tokens(text_col: Column, vocab: list[str]) -> Column:
+    """Tokens with everything outside ``vocab`` collapsed to the OOV
+    class — JVM-side (isin over V literals)."""
+    return F.transform(
+        TX.tokens(text_col),
+        lambda t: F.when(t.isin(list(vocab)), t).otherwise(F.lit(_OOV)),
+    )
+
+
+def train_bigram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 16,
+    sample_fraction: float | None = None,
+    id_col: str = "doc_id",
+) -> BigramLM:
+    """Vocab = the unigram model's top-V truncation (shared, so the two
+    filters agree on what a "known word" is); pair counts = ONE explode
+    of mapped consecutive pairs + groupBy — a shuffle whose output is
+    bounded by (V+1)^2 rows, collected as the model artifact.
+
+    Same 100 TB shape as the unigram trainer: train on a deterministic
+    hash-sample (``sample_fraction``), score everything."""
+    uni = train_unigram_lm(
+        docs, text_col, vocab_size, sample_fraction, id_col
+    )
+    vocab = sorted(uni.counts)  # membership only; counts not needed
+    if sample_fraction is not None:
+        from scida_spark.functions.sampling import hash_sample
+
+        docs = hash_sample(docs, id_col, sample_fraction, salt="lm_train")
+    m = _mapped_tokens(F.col(text_col), vocab)
+    pairs = docs.select(
+        F.explode(
+            F.when(
+                F.size(m) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(m) - 1),
+                    lambda i: F.struct(
+                        F.element_at(m, i).alias("u"),
+                        F.element_at(m, i + 1).alias("v"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<u:string,v:string>>"))
+        ).alias("p")
+    )
+    rows = (
+        pairs.groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .agg(F.count("*").alias("c2"))
+        .collect()
+    )
+    return BigramLM(
+        vocab, {(r["u"], r["v"]): int(r["c2"]) for r in rows}, vocab_size
+    )
+
+
+def score_nll2(
+    docs: DataFrame,
+    model: BigramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean bigram NLL in nats over the n-1 consecutive
+    pairs: ``(id, n_pairs, n_oov_ctx, nll2)``; documents with fewer
+    than 2 tokens are DROPPED (no pairs to score — the oracle's
+    GROUP BY produces no row either, keeping engines aligned).
+
+    Row-local scoring like :func:`score_nll`: the <=(V+1)^2 model
+    broadcasts, the corpus never shuffles. The fold is strict
+    left-to-right in pair order, each addend
+    ``ln(c1(u) + V + 1) - ln(c2(u,v) + 1)`` — two libm calls and one
+    subtraction, bit-identical to the oracle's ordered list_reduce."""
+    sc = docs.sparkSession.sparkContext
+    b_pairs = sc.broadcast(model.pair_counts)
+    b_ctx = sc.broadcast(model.ctx_counts)
+    add = model.denom_add
+
+    schema = StructType(
+        [
+            StructField("n_pairs", LongType()),
+            StructField("n_oov_ctx", LongType()),
+            StructField("nll2", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _score(tok_lists: pd.Series) -> pd.DataFrame:
+        pc = b_pairs.value
+        cc = b_ctx.value
+        vocab = set(model.vocab)
+        log = math.log
+        np_out, oov_out, nll_out = [], [], []
+        for toks in tok_lists:
+            mapped = [t if t in vocab else _OOV for t in toks]
+            n = len(mapped) - 1
+            if n < 1:
+                np_out.append(0)
+                oov_out.append(0)
+                nll_out.append(None)
+                continue
+            s = 0.0
+            oov_ctx = 0
+            for i in range(n):
+                u, v = mapped[i], mapped[i + 1]
+                if u == _OOV:
+                    oov_ctx += 1
+                s += log(cc.get(u, 0) + add) - log(pc.get((u, v), 0) + 1)
+            np_out.append(n)
+            oov_out.append(oov_ctx)
+            nll_out.append(s / n)
+        return pd.DataFrame(
+            {"n_pairs": np_out, "n_oov_ctx": oov_out, "nll2": nll_out}
+        )
+
+    return (
+        docs.select(
+            F.col(id_col),
+            _score(TX.tokens(F.col(text_col))).alias("_s"),
+        )
+        .select(
+            id_col,
+            F.col("_s.n_pairs").alias("n_pairs"),
+            F.col("_s.n_oov_ctx").alias("n_oov_ctx"),
+            F.col("_s.nll2").alias("nll2"),
+        )
+        .filter(F.col("n_pairs") >= 1)
+    )

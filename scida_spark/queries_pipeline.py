@@ -2015,7 +2015,28 @@ def _pii_oracle_section() -> str:
                   CAST(CAST(ln((SELECT tot FROM lm_tot) + 17)
                             - list_reduce(lns, (a,x) -> a + x) / n_tokens
                        AS DECIMAL(38,6)) AS DOUBLE) AS nll
-           FROM lm_agg)
+           FROM lm_agg),
+    lm2_map AS (SELECT s.doc_id, s.pos, COALESCE(v.tok, chr(1)) AS m
+                FROM lm_toks s LEFT JOIN lm_vocab v ON s.tok = v.tok),
+    lm2_pairs AS (SELECT a.doc_id, a.pos, a.m AS u, b.m AS w
+                  FROM lm2_map a JOIN lm2_map b
+                       ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+    lm2_pc AS (SELECT u, w, COUNT(*) AS c2 FROM lm2_pairs GROUP BY u, w),
+    lm2_cc AS (SELECT u, SUM(c2) AS c1 FROM lm2_pc GROUP BY u),
+    lm2_lp AS (SELECT p.doc_id, p.pos,
+                      ln(cc.c1 + 17) - ln(COALESCE(pc.c2, 0) + 1) AS lp,
+                      CASE WHEN p.u = chr(1) THEN 1 ELSE 0 END AS oovc
+               FROM lm2_pairs p
+               JOIN lm2_cc cc ON p.u = cc.u
+               LEFT JOIN lm2_pc pc ON p.u = pc.u AND p.w = pc.w),
+    lm2 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(oovc) AS BIGINT) AS n_oov_ctx,
+                   CAST(CAST(
+                     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                              list(lp ORDER BY pos)),
+                                 (a, x) -> a + x) / COUNT(*)
+                   AS DECIMAL(38,6)) AS DOUBLE) AS nll2
+            FROM lm2_lp GROUP BY doc_id)
     SELECT 'quality' AS section, CAST(score_decile AS VARCHAR) AS k1, '<>' AS k2,
            n_docs AS n, sum_score
     FROM quality
@@ -2027,6 +2048,10 @@ def _pii_oracle_section() -> str:
     SELECT 'lm_nll' AS section, CAST(doc_id AS VARCHAR) AS k1,
            CAST(n_oov AS VARCHAR) AS k2, n_tokens AS n, nll AS sum_score
     FROM lm
+    UNION ALL
+    SELECT 'lm2_nll' AS section, CAST(doc_id AS VARCHAR) AS k1,
+           CAST(n_oov_ctx AS VARCHAR) AS k2, n_pairs AS n, nll2 AS sum_score
+    FROM lm2
     UNION ALL
     SELECT 'line_dedup' AS section, CAST(doc_id AS VARCHAR) AS k1,
            substr(md5(cleaned), 1, 16) AS k2, CAST(n_removed AS BIGINT) AS n,
@@ -2176,6 +2201,19 @@ def text_quality_lang(spark, sf_dir):
         F.col("n_oov").cast("string").alias("k2"),
         F.col("n_tokens").alias("n"),
         F.col("nll").cast(DEC).cast("double").alias("sum_score"),
+    )
+    # lm2_nll (r9): bigram LM over the SAME top-16 vocab + OOV class
+    # (functions/lm.py::train_bigram_lm / score_nll2) — the next Markov
+    # order of the perplexity filter; per-pair addends ln(c1+17) -
+    # ln(c2+1) folded left-to-right, so the oracle's ordered
+    # list_reduce reproduces every double bit-for-bit.
+    model2 = LM.train_bigram_lm(docs, vocab_size=16)
+    lm2_rows = LM.score_nll2(docs, model2).select(
+        F.lit("lm2_nll").alias("section"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.col("n_oov_ctx").cast("string").alias("k2"),
+        F.col("n_pairs").alias("n"),
+        F.col("nll2").cast(DEC).cast("double").alias("sum_score"),
     )
     from scida_spark.functions.text import hot_lines, remove_hot_lines
 
@@ -2423,6 +2461,7 @@ def text_quality_lang(spark, sf_dir):
     return (
         q.unionAll(lid)
         .unionAll(lm_rows)
+        .unionAll(lm2_rows)
         .unionAll(ld_rows)
         .unionAll(bpe_rt)
         .unionAll(bpe_ct)

@@ -125,3 +125,68 @@ def test_save_load_roundtrip_identical_scores(docs_df, spark, tmp_path):
     orig = sorted((r["doc_id"], r["nll"]) for r in lm.score_nll(docs_df, model).collect())
     re = sorted((r["doc_id"], r["nll"]) for r in lm.score_nll(docs_df, loaded).collect())
     assert orig == re  # bit-identical: integer state only
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM (r9)
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_score_matches_hand_computation(spark):
+    import math
+
+    from scida_spark.functions.lm import score_nll2, train_bigram_lm
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "b a"), (2, "a zz")],
+        "doc_id long, text string",
+    )
+    # vocab_size 2 -> vocab {a, b} (counts a=4, b=3 > zz=1); zz -> OOV
+    m = train_bigram_lm(docs, vocab_size=2)
+    assert sorted(m.vocab) == ["a", "b"]
+    # mapped pair stream: doc0 (a,b)(b,a)(a,b); doc1 (b,a); doc2 (a,OOV)
+    assert m.pair_counts[("a", "b")] == 2
+    assert m.pair_counts[("b", "a")] == 2
+    assert m.ctx_counts["a"] == 3 and m.ctx_counts["b"] == 2
+    got = {r["doc_id"]: r for r in score_nll2(docs, m).collect()}
+    V1 = 3  # alphabet = vocab + OOV
+    lg = math.log
+
+    def addend(u, v):
+        return lg(m.ctx_counts.get(u, 0) + V1) - lg(
+            m.pair_counts.get((u, v), 0) + 1
+        )
+
+    want0 = (addend("a", "b") + addend("b", "a") + addend("a", "b")) / 3
+    assert abs(got[0]["nll2"] - want0) < 1e-15
+    assert got[0]["n_pairs"] == 3 and got[0]["n_oov_ctx"] == 0
+    assert got[2]["n_pairs"] == 1 and got[2]["n_oov_ctx"] == 0
+    want2 = addend("a", "\x01")
+    assert abs(got[2]["nll2"] - want2) < 1e-15
+
+
+def test_bigram_separates_word_order(spark):
+    # same unigram content, scrambled order -> higher bigram NLL:
+    # the signal the unigram filter is blind to
+    from scida_spark.functions.lm import score_nll, score_nll2, train_bigram_lm, train_unigram_lm
+
+    train = [(i, "the cat sat on the mat") for i in range(20)]
+    probe = [(100, "the cat sat on the mat"), (101, "mat the on sat cat the")]
+    docs = spark.createDataFrame(train + probe, "doc_id long, text string")
+    m2 = train_bigram_lm(docs, vocab_size=6)
+    s2 = {r["doc_id"]: r["nll2"] for r in score_nll2(docs, m2).collect()}
+    assert s2[101] > s2[100] + 0.5
+    m1 = train_unigram_lm(docs, vocab_size=6)
+    s1 = {r["doc_id"]: r["nll"] for r in score_nll(docs, m1).collect()}
+    assert abs(s1[101] - s1[100]) < 1e-12  # unigram cannot tell
+
+
+def test_bigram_short_docs_dropped(spark):
+    from scida_spark.functions.lm import score_nll2, train_bigram_lm
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "solo")], "doc_id long, text string"
+    )
+    m = train_bigram_lm(docs, vocab_size=4)
+    rows = score_nll2(docs, m).collect()
+    assert [r["doc_id"] for r in rows] == [0]
