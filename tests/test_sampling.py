@@ -229,3 +229,43 @@ def test_cluster_split_deterministic_across_partitionings(spark):
     a = cluster_hash_split(df.repartition(1), "doc_id", "text", salt="z")
     b = cluster_hash_split(df.repartition(13), "doc_id", "text", salt="z")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_cluster_split_composes_with_neardup_reps(spark):
+    # the docstring's near-dup composition, end-to-end: MinHash pairs
+    # -> connected components -> rep as the content key. Every NEAR-dup
+    # family (not just byte-identical texts) lands in one split.
+    from scida_spark.functions.dedup import (
+        connected_components,
+        minhash_dedup_pairs,
+    )
+    from scida_spark.functions.sampling import cluster_hash_split
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs before noon today ok",
+        "sphinx of black quartz judge my vow said the old librarian",
+    ]
+    rows = []
+    nid = 0
+    fam = {}
+    for f, b in enumerate(base):
+        for k in range(4):  # 4 near-dup variants per family
+            toks = b.split()
+            if k:
+                toks.append(f"tail{k}")  # light perturbation, high Jaccard
+            rows.append((nid, " ".join(toks)))
+            fam[nid] = f
+            nid += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # bands=32 (2 rows/band): detection prob ~1 at the planted Jaccard
+    pairs = minhash_dedup_pairs(df, "doc_id", "text", threshold=0.3, bands=32)
+    cc = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    keyed = df.join(cc, "doc_id", "left").withColumn(
+        "ckey", F.coalesce(F.col("cluster_id"), F.col("doc_id")).cast("string")
+    )
+    out = cluster_hash_split(keyed, "doc_id", "ckey", salt="nd")
+    got = {r["doc_id"]: r["cluster_split"] for r in out.collect()}
+    for f in range(len(base)):
+        members = [d for d, ff in fam.items() if ff == f]
+        assert len({got[d] for d in members}) == 1, (f, {d: got[d] for d in members})
