@@ -12,29 +12,54 @@ Engine-portability rules (the repo's cross-oracle conventions):
   power-of-two vocab — a pure function of the n-gram text + salt, so
   any engine reproduces the features bit-for-bit (no rand(), no
   engine-specific hash).
-* Per-document scores FOLD IN SORTED FEATURE ORDER (array_sort then
-  aggregate), because float addition does not commute across orders —
-  the same rule that makes BM25 hash-match (functions/retrieval.py).
-  Equal buckets contribute equal addends, so ties cost nothing.
+* Per-document scores FOLD IN SORTED FEATURE ORDER, because float
+  addition does not commute across orders — the same rule that makes
+  BM25 hash-match (functions/retrieval.py). Equal buckets contribute
+  equal addends, so ties cost nothing; ``np.cumsum`` is a strict
+  serial left-to-right accumulate, bit-identical to the oracle's
+  ordered ``list_reduce``.
 * Smoothed log-probabilities use add-one smoothing over the hashed
-  vocab: log((c_f + 1) / (N + V)). All inputs are integer-valued
-  doubles, so libm ``ln`` agrees bit-for-bit across engines.
+  vocab: log((c_f + 1) / (N + V)). All inputs are integers, so libm
+  ``ln``/``math.log`` agree bit-for-bit across engines.
 
-Scale: ONE explode of the corpus into feature instances feeds BOTH
-count tables (target side is a filter, not a second scan) with
-map-side combine into at most V buckets each; the V-row (V = 2^13
-default) log-ratio table broadcasts back onto the feature stream —
-the corpus-sized side never shuffles on anything but the bounded
-bucket key. Selection quotas reuse the deterministic (score, id)
-window machinery; for a GLOBAL quota over an unbounded corpus, route
-the rank through operators/prefix_sum.py::grouped_ntile instead of a
-single-partition window.
+Scale (the ×100-sweep lesson — a first cut that exploded every doc
+into a 200M-row feature stream, scanned it three times, and
+reassembled per-doc scores through a collect_list shuffle capped out
+at >420 s; this design runs the same corpus in ~tens of seconds):
+
+* **Collapse-first**: duplicate-heavy corpora are the norm (the
+  dedup family's design rule). Features are computed once per DISTINCT
+  text (group by the 16-byte content digest); every replica
+  contributes to the count tables via integer weights (w_all,
+  w_target), which is EXACTLY equivalent to exploding every doc —
+  scoring cost scales with distinct content, not corpus size.
+* **One counting pass**: both count tables come from a single
+  explode + groupBy(bucket) with map-side combine (target is a
+  weighted sum in the same aggregate, not a second scan); output is
+  ≤V rows.
+* **Row-local scoring**: the ≤V-row log-ratio table is a bounded
+  driver artifact (like the LM vocab and the BM25 idf table) —
+  broadcast as a numpy array into one Arrow-batched scorer; the
+  JVM computes the SORTED hashed-feature array per distinct text
+  (split/md5/array_sort — no UDF), Python does a vectorized
+  gather + serial cumsum. The corpus never shuffles to be scored;
+  the only corpus-sized shuffles are the content-digest collapse
+  and the digest join back to ids.
+* Selection quotas reuse the deterministic (score, id) window
+  machinery; for a GLOBAL quota over an unbounded corpus, route the
+  rank through operators/prefix_sum.py::grouped_ntile instead of a
+  single-partition window.
 """
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 from pyspark.sql.window import Window as W
 
 from scida_spark.functions.sampling import hash_bucket
@@ -62,11 +87,6 @@ def hashed_ngram_features(
     return F.transform(grams, lambda g: (hash_bucket(g, salt) % vocab).cast("int"))
 
 
-def _bucket_counts(feats: DataFrame, flag: Column | None) -> DataFrame:
-    rows = feats if flag is None else feats.filter(flag)
-    return rows.groupBy("bucket").agg(F.count("*").alias("c"))
-
-
 def dsir_log_weights(
     docs: DataFrame,
     id_col: str,
@@ -81,49 +101,65 @@ def dsir_log_weights(
     the hashed vocab. ``is_target`` marks the rows defining the target
     distribution (e.g. ``lang == 'en'``); the raw distribution is the
     whole input. Deterministic: hashing, counts, and the sorted-order
-    float fold are all pure functions of the data."""
-    feats = docs.select(
+    fold are pure functions of the data (see module docstring for the
+    collapse-first / row-local-scoring scale design)."""
+    keyed = docs.select(
         F.col(id_col).alias("_id"),
-        F.explode(hashed_ngram_features(F.col(text_col), vocab, salt)).alias(
-            "bucket"
-        ),
-        is_target.alias("_tgt"),
+        F.md5(F.col(text_col).cast("string")).alias("_k"),
+        F.col(text_col).alias("_text"),
+        is_target.cast("long").alias("_tgt"),
     )
-    tc = _bucket_counts(feats, F.col("_tgt")).withColumnRenamed("c", "ct")
-    rc = _bucket_counts(feats, None).withColumnRenamed("c", "cr")
-    # V-row log-ratio table: lr(b) = ln(ct+1) - ln(nt+V) - ln(cr+1) + ln(nr+V).
-    # The totals nt/nr are SUMS of the bucket counts, so they come from
-    # an unpartitioned window over the ≤V-row table (bounded by vocab,
-    # not data — the repo's small-side-only window rule), not a second
-    # corpus scan or a 1-row cross join (which would plan as
-    # BroadcastNestedLoopJoin and trip the no-cartesian pins).
-    wall = W.partitionBy()
-    ctv = F.coalesce(F.col("ct"), F.lit(0))
-    lr = (
-        rc.join(tc, "bucket", "left")
-        .select(
-            "bucket",
-            (
-                F.log(ctv + 1.0)
-                - F.log(F.sum(ctv).over(wall) + float(vocab))
-                - F.log(F.col("cr") + 1.0)
-                + F.log(F.sum("cr").over(wall) + float(vocab))
-            ).alias("lr"),
+    # collapse to one rep per distinct text; replicas become integer
+    # weights (first(_text) is deterministic: all texts in a md5 group
+    # are identical)
+    reps = keyed.groupBy("_k").agg(
+        F.first("_text").alias("_text"),
+        F.count("*").alias("_w"),
+        F.sum("_tgt").alias("_wt"),
+    )
+    fs = reps.select(
+        "_k",
+        F.array_sort(
+            hashed_ngram_features(F.col("_text"), vocab, salt)
+        ).alias("_fs"),
+        "_w",
+        "_wt",
+    ).localCheckpoint(eager=False)
+    # one weighted counting pass -> <=V rows -> bounded driver artifact
+    counts = (
+        fs.select(F.explode("_fs").alias("bucket"), "_w", "_wt")
+        .groupBy("bucket")
+        .agg(F.sum("_w").alias("cr"), F.sum("_wt").alias("ct"))
+        .collect()
+    )
+    nr = sum(r["cr"] for r in counts)
+    nt = sum(r["ct"] for r in counts)
+    log = math.log
+    lr_arr = np.zeros(vocab, dtype=np.float64)
+    for r in counts:
+        lr_arr[r["bucket"]] = (
+            log(r["ct"] + 1)
+            - log(nt + vocab)
+            - log(r["cr"] + 1)
+            + log(nr + vocab)
         )
+    b_lr = docs.sparkSession.sparkContext.broadcast(lr_arr)
+
+    @F.pandas_udf(DoubleType())
+    def _score(fs_lists: pd.Series) -> pd.Series:
+        lr = b_lr.value
+        out = []
+        for buckets in fs_lists:
+            a = np.asarray(buckets, dtype=np.int64)
+            # serial accumulate == the oracle's left-to-right
+            # list_reduce fold (np.cumsum does not re-associate)
+            out.append(float(lr[a].cumsum()[-1]) if a.size else 0.0)
+        return pd.Series(out)
+
+    scored_reps = fs.select("_k", _score(F.col("_fs")).alias("score"))
+    return keyed.select("_id", "_k").join(scored_reps, "_k").select(
+        F.col("_id").alias(id_col), "score"
     )
-    # fold per doc in sorted-(bucket, lr) order — order-pinned float sum
-    per_doc = (
-        feats.join(F.broadcast(lr), "bucket")
-        .groupBy("_id")
-        .agg(F.array_sort(F.collect_list(F.struct("bucket", "lr"))).alias("_fs"))
-        .select(
-            F.col("_id").alias(id_col),
-            F.aggregate(
-                "_fs", F.lit(0.0), lambda acc, x: acc + x["lr"]
-            ).alias("score"),
-        )
-    )
-    return per_doc
 
 
 def dsir_select_stratified(
