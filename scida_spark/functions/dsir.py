@@ -75,15 +75,18 @@ def hashed_ngram_features(
     adjacent-word bigrams, each md5-bucketed into [0, vocab). Pure
     Column expressions (split / transform / concat) — zero UDF."""
     t = tokens(text)
-    unis = t
-    bis = F.transform(
-        F.sequence(F.lit(1), F.size(t) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    # bigrams via zip_with over two O(n) slices — NOT element_at(t, i)
+    # inside a transform lambda: that inlines a fresh copy of the
+    # upstream tokenize expression per element access (Catalyst has no
+    # intra-projection CSE), turning the projection O(n²) per doc —
+    # the ×100 cliff the bigram-LM trainer hit. slice length n-1 is 0
+    # for 1-token docs, so the empty-bigram case needs no guard.
+    bis = F.zip_with(
+        F.slice(t, 1, F.size(t) - 1),
+        F.slice(t, 2, F.size(t) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
-    # guard 1-token docs: sequence(1, 0) yields [1, 0] (a DESCENDING
-    # range), not an empty array — slice bigrams away explicitly
-    bis = F.when(F.size(t) >= 2, bis).otherwise(F.array().cast("array<string>"))
-    grams = F.concat(unis, bis)
+    grams = F.concat(t, bis)
     return F.transform(grams, lambda g: (hash_bucket(g, salt) % vocab).cast("int"))
 
 

@@ -291,19 +291,20 @@ def train_bigram_lm(
         from scida_spark.functions.sampling import hash_sample
 
         docs = hash_sample(docs, id_col, sample_fraction, salt="lm_train")
+    # consecutive pairs via zip_with over two O(n) slices — NOT
+    # element_at(m, i) in a transform lambda, which would inline (and
+    # re-evaluate) the whole tokenize+map expression per element
+    # access: O(n²) per doc, the ×100 cliff this module hit before the
+    # r9 sweep. slice length n-1 is 0 for 1-token docs (no guard
+    # needed).
     m = _mapped_tokens(F.col(text_col), vocab)
     pairs = docs.select(
         F.explode(
-            F.when(
-                F.size(m) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(m) - 1),
-                    lambda i: F.struct(
-                        F.element_at(m, i).alias("u"),
-                        F.element_at(m, i + 1).alias("v"),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<struct<u:string,v:string>>"))
+            F.zip_with(
+                F.slice(m, 1, F.size(m) - 1),
+                F.slice(m, 2, F.size(m) - 1),
+                lambda u, v: F.struct(u.alias("u"), v.alias("v")),
+            )
         ).alias("p")
     )
     rows = (
