@@ -1137,3 +1137,49 @@ def knn_vote(
             (F.col("votes") / F.col("total")).alias("frac"),
         )
     )
+
+
+def hard_negatives(
+    pairs: DataFrame,
+    labels: DataFrame,
+    query_col: str = "query_id",
+    cand_col: str = "cand_id",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training data: per query,
+    the highest-ranked (closest) neighbor whose label DIFFERS from the
+    query's — the "looks similar, is not" example that makes metric
+    learning work. Takes the same neighbor-pair shape as
+    :func:`knn_vote` (exact or any ANN source); queries whose top-k
+    contains no differing-label neighbor emit nothing.
+
+    Scale: the queries×k pair set broadcasts; the label table STREAMS
+    through two lookups (candidate side, then query side); the final
+    min-rank pick windows over the tiny pair set only."""
+    clab = labels.select(
+        F.col(id_col).alias("_cid"), F.col(label_col).alias("_cl")
+    )
+    qlab = labels.select(
+        F.col(id_col).alias("_qid"), F.col(label_col).alias("_ql")
+    )
+    p = pairs.withColumnRenamed(query_col, "_qid").withColumnRenamed(
+        cand_col, "_cid"
+    )
+    step1 = clab.join(F.broadcast(p), "_cid")
+    step2 = qlab.join(F.broadcast(step1), "_qid").filter(
+        F.col("_cl") != F.col("_ql")
+    )
+    return (
+        step2.withColumn(
+            "_hrn",
+            F.row_number().over(
+                W.partitionBy("_qid").orderBy(F.asc(rank_col))
+            ),
+        )
+        .filter(F.col("_hrn") == 1)
+        .drop("_hrn", "_cl", "_ql")
+        .withColumnRenamed("_qid", query_col)
+        .withColumnRenamed("_cid", cand_col)
+    )

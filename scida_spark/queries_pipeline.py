@@ -1634,6 +1634,17 @@ _BM25_ORACLE_SECTION = f"""
       WHERE rank <= 10
       GROUP BY query_id, label
     ) WHERE rn = 1
+    UNION ALL
+    SELECT 'hardneg' AS method, query_id, cand_id, sim_r, rank, TRUE AS ok
+    FROM (
+      SELECT r.query_id, r.cand_id, ROUND(r.sim, 6) AS sim_r, r.rank,
+             ROW_NUMBER() OVER (PARTITION BY r.query_id
+                                ORDER BY r.rank) AS hrn
+      FROM ranked r
+      JOIN embeddings q ON q.vec_id = r.query_id
+      JOIN embeddings c ON c.vec_id = r.cand_id
+      WHERE r.rank <= 10 AND q.label <> c.label
+    ) WHERE hrn = 1
     """,
 )
 def sim_topk(spark, sf_dir):
@@ -1669,11 +1680,19 @@ def sim_topk(spark, sf_dir):
       hash-matches (the ``method`` column keeps the bm25 query-id
       space distinct from the cosine one).
 
+    * ``knn`` rows (r9): k-NN majority-vote label classification over
+      the exact pairs (functions/similarity.py::knn_vote) — prediction,
+      vote fraction, and winning count fully value-checked.
+    * ``hardneg`` rows (r9): hard-negative mining — per query, the
+      closest neighbor with a DIFFERENT label (contrastive-training
+      data); neighbor, similarity, and rank fully value-checked.
+
     Scale: exact is the O(q×N) baseline (queries broadcast, candidates
     never shuffle); lsh/ivf replace the cross-join with bucket/list
     equi-joins — the 100 TB path; bm25 shuffles only postings of query
     terms (literal-list filter straight after the explode) and takes
-    top-k two-phase (per-slice then exact)."""
+    top-k two-phase (per-slice then exact); knn/hardneg broadcast only
+    the queries×k pair set while the label table streams."""
     emb = table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     n = _parquet_rows(sf_dir)
@@ -1764,7 +1783,32 @@ def sim_topk(spark, sf_dir):
         F.col("votes").cast("int").alias("rank"),
         F.lit(True).alias("ok"),
     )
-    return ex_rows.unionAll(cert_rows).unionAll(bm25).unionAll(knn_rows)
+    # --- hardneg (r9): hard-negative mining for contrastive training
+    # data — per query, the CLOSEST neighbor whose label differs from
+    # the query's (the canonical "hard negative": looks similar, is
+    # not). Composition of the existing top-k pairs with two label
+    # lookups + a min-rank pick; fully value-checked (the oracle
+    # re-derives the same neighbor, sim, and rank). Queries with no
+    # differing-label neighbor in the top-k emit nothing — the same
+    # rule both engines apply. At scale: pairs are queries × k (tiny,
+    # broadcast); the label table streams through one join.
+    hn_rows = SIM.hard_negatives(
+        exact, emb.select(F.col("vec_id"), "label"), query_col="query_id",
+        cand_col="cand_id",
+    ).select(
+        F.lit("hardneg").alias("method"),
+        "query_id",
+        "cand_id",
+        "sim_r",
+        "rank",
+        F.lit(True).alias("ok"),
+    )
+    return (
+        ex_rows.unionAll(cert_rows)
+        .unionAll(bm25)
+        .unionAll(knn_rows)
+        .unionAll(hn_rows)
+    )
 
 
 # --------------------------------------------------------------------------

@@ -593,3 +593,23 @@ def test_knn_vote_composes_with_ann_pairs(spark, sf_dir):
     for r in rows:
         assert r["votes"] <= r["total"] <= 10
         assert 0 < r["frac"] <= 1.0
+
+
+def test_hard_negatives_picks_closest_differing_label(spark):
+    from scida_spark.functions.similarity import hard_negatives
+
+    # q1: rank1 neighbor shares the label -> hardneg must be rank 2;
+    # q2: all neighbors share the label -> no row
+    pairs = spark.createDataFrame(
+        [(1, 10, 0.99, 1), (1, 11, 0.95, 2), (1, 12, 0.90, 3),
+         (2, 20, 0.88, 1), (2, 21, 0.80, 2)],
+        "query_id long, cand_id long, sim_r double, rank int",
+    )
+    labels = spark.createDataFrame(
+        [(1, 7), (2, 4), (10, 7), (11, 3), (12, 3), (20, 4), (21, 4)],
+        "vec_id long, label int",
+    )
+    rows = hard_negatives(pairs, labels).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["query_id"] == 1 and r["cand_id"] == 11 and r["rank"] == 2
