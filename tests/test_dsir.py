@@ -101,3 +101,34 @@ def test_dsir_stratified_quota_exact_and_deterministic(spark):
     )
     got2 = {r["doc_id"]: r["in_dsir"] for r in out2.collect()}
     assert got == got2
+
+
+def test_dsir_global_quota_via_grouped_ntile(spark):
+    # the module docstring's scale path for a single GLOBAL quota:
+    # route the score rank through grouped_ntile's two-level plan
+    # (operators/prefix_sum.py) instead of a one-partition window.
+    # Top-20% = ntile(5) == 1 ordered by score DESC — realized by
+    # ranking on the NEGATED score (ntile orders ascending), with
+    # doc_id as the deterministic tiebreak.
+    from scida_spark.functions.dsir import dsir_log_weights
+    from scida_spark.operators.prefix_sum import grouped_ntile
+
+    rows = [
+        (i, "the cat sat on mat " + ("zz " * (i % 4)), i % 2 == 0)
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    scored = dsir_log_weights(docs, "doc_id", "text", F.col("tgt")).withColumn(
+        "_g", F.lit(1)
+    ).withColumn("_neg", -F.col("score"))
+    nt = grouped_ntile(scored, 5, "_g", "_neg", "doc_id")
+    kept = {r["doc_id"] for r in nt.filter(F.col("ntile") == 1).collect()}
+    # must equal the single-window reference selection (40/5 = 8 docs)
+    from pyspark.sql.window import Window as W
+
+    ref = scored.withColumn(
+        "_rn",
+        F.row_number().over(W.orderBy(F.desc("score"), F.asc("doc_id"))),
+    )
+    want = {r["doc_id"] for r in ref.filter(F.col("_rn") <= 8).collect()}
+    assert kept == want and len(kept) == 8

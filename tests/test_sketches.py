@@ -294,3 +294,32 @@ def test_cms_missing_key_estimates_only_collision_mass(spark):
     qs = spark.createDataFrame([("g1", "never-seen-key")], "g string, v string")
     est = SK.cms_point_estimate(counters, qs, ["g"], "v", depth=4, width=4096)
     assert est.collect()[0]["est"] <= 2
+
+
+def test_freq_items_composes_for_hot_phrase_mining(spark):
+    # corpus hot-phrase mining = Misra-Gries over exploded word
+    # bigrams: the mergeable heavy-hitter family composes with the
+    # text surface with no new machinery (bounded state per group —
+    # the 100 TB phrase-mining shape).
+    from pyspark.sql import functions as F
+
+    from scida_spark.functions.sketches import freq_items_by_group
+
+    hot = "click here now"
+    rows = [(i, hot if i % 3 == 0 else f"unique text {i} body {i*7}")
+            for i in range(90)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    t = F.split(F.trim(F.col("text")), " ")
+    grams = docs.select(
+        F.lit("all").alias("g"),
+        F.explode(
+            F.zip_with(
+                F.slice(t, 1, F.size(t) - 1),
+                F.slice(t, 2, F.size(t) - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bg"),
+    )
+    mg = freq_items_by_group(grams, ["g"], "bg", k=8)
+    items = {r["item"] for r in mg.filter(F.col("item").isNotNull()).collect()}
+    assert "click here" in items and "here now" in items
