@@ -40,13 +40,14 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from scida_spark.functions import text as TX
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "query_likelihood_topk", "rrf_fuse"]
 
 
 def bm25_topk(
@@ -180,3 +181,182 @@ def bm25_topk(
         .select("query_id", id_col, "score", "rank")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Query-likelihood retrieval + reciprocal-rank fusion (r9)
+# ---------------------------------------------------------------------------
+
+
+def query_likelihood_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    mu: float = 300.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents per query under the Dirichlet-smoothed
+    query-likelihood model (Zhai & Lafferty 2001) — the language-model
+    retrieval family, the standard second ranker BM25 is fused with::
+
+        score(q, d) = sum_{t in q} ln((tf_td + mu * cf_t / C)
+                                      / (dl_d + mu))
+
+    with ``cf_t`` the collection frequency and ``C`` total collection
+    tokens; query terms unseen in the collection are dropped (their
+    smoothed probability is 0). Only documents matching >= 1 query
+    term are emitted (their scores still carry the background mass of
+    their unmatched terms — decomposed as
+    ``fold(matched addends) + B_q - n_q * ln(dl + mu)`` where
+    ``B_q = sum_t ln(mu * cf_t / C)`` is per-query constant), so the
+    candidate set stays postings-sized, the BM25 shape.
+
+    Bit-stability: every ``ln`` evaluates in glibc libm — driver
+    ``math.log`` for the per-term constants and B_q, Python-loop
+    pandas UDFs for the tf- and dl-dependent terms (JVM ``Math.log``
+    is 1-ulp-loose; numpy's SIMD log is not scalar-libm either) — and
+    the per-(query, doc) fold runs in sorted-term order. Same
+    conventions as BM25 above; the DuckDB oracle reproduces every
+    double.
+
+    Scale: identical shape to ``bm25_topk`` — literal-filtered
+    postings, broadcast term/query tables, two-phase top-k."""
+    spark = docs.sparkSession
+    qterm_rows = sorted(
+        {(int(qid), t) for qid, qtext in queries for t in qtext.strip().split(" ")}
+    )
+    all_terms = sorted({t for _, t in qterm_rows})
+
+    dl = docs.select(F.col(id_col), TX.token_count(F.col(text_col)).alias("_dl"))
+    stats = dl.agg(F.count("*").alias("n"), F.sum("_dl").alias("tot")).collect()[0]
+    if int(stats["n"]) == 0:
+        return spark.createDataFrame(
+            [], f"query_id long, {id_col} long, score double, rank int"
+        )
+    c_total = int(stats["tot"])
+
+    tok_stream = docs.select(
+        F.col(id_col), F.explode(TX.tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok").isin(all_terms))
+    cf = {
+        r["tok"]: int(r["cf"])
+        for r in tok_stream.groupBy("tok").agg(F.count("*").alias("cf")).collect()
+    }
+    mucf = {t: mu * c / c_total for t, c in cf.items()}
+    if not mucf:
+        return spark.createDataFrame(
+            [], f"query_id long, {id_col} long, score double, rank int"
+        )
+    qmeta_rows = []
+    for qid in sorted({q for q, _ in qterm_rows}):
+        terms_q = sorted(t for q2, t in qterm_rows if q2 == qid and t in mucf)
+        if not terms_q:
+            continue
+        bq = 0.0
+        for t in terms_q:  # sorted-term sequential fold (libm)
+            bq += math.log(mucf[t])
+        qmeta_rows.append((qid, len(terms_q), bq))
+    qterms = F.broadcast(
+        spark.createDataFrame(
+            [(q, t, mucf[t]) for q, t in qterm_rows if t in mucf],
+            "query_id long, tok string, mucf double",
+        )
+    )
+    qmeta = F.broadcast(
+        spark.createDataFrame(qmeta_rows, "query_id long, nq int, bq double")
+    )
+
+    postings = tok_stream.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+
+    @F.pandas_udf("double")
+    def _addend(tf: pd.Series, m: pd.Series) -> pd.Series:
+        log = math.log
+        return pd.Series(
+            [log(a + b) - log(b) for a, b in zip(tf.tolist(), m.tolist())]
+        )
+
+    @F.pandas_udf("double")
+    def _ln_dl_mu(dlv: pd.Series) -> pd.Series:
+        log = math.log
+        return pd.Series([log(v + mu) for v in dlv.tolist()])
+
+    contrib = postings.join(qterms, "tok").select(
+        "query_id",
+        id_col,
+        "tok",
+        _addend(F.col("tf"), F.col("mucf")).alias("sc"),
+    )
+    scores = (
+        contrib.groupBy("query_id", id_col)
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("tok", "sc"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["sc"],
+            ).alias("_s")
+        )
+        .join(qmeta, "query_id")
+        .join(dl, id_col)
+        .select(
+            "query_id",
+            id_col,
+            (
+                F.col("_s") + F.col("bq")
+                - F.col("nq") * _ln_dl_mu(F.col("_dl"))
+            ).alias("score"),
+        )
+    )
+    order = (F.col("score").desc(), F.col(id_col).asc())
+    w_part = W.partitionBy("query_id", "_pid").orderBy(*order)
+    w_final = W.partitionBy("query_id").orderBy(*order)
+    return (
+        scores.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_r", F.row_number().over(w_part))
+        .filter(F.col("_r") <= k)
+        .withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 10,
+    k0: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two ranked
+    lists ``(query_id, id, score, rank)``:
+    ``rrf = 1/(k0 + rank_a) + 1/(k0 + rank_b)`` with an absent source
+    contributing 0 — rank-only, so it fuses ANY two retrieval models
+    (here BM25 + query likelihood: the standard hybrid-search recipe).
+    Addend order is pinned (a then b) and each addend is one IEEE
+    division of integers — bit-reproducible anywhere. Ties break on
+    ascending id; top-``k`` per query.
+
+    Scale: inputs are queries × k rows by construction — the fusion
+    is driver-trivial but expressed as a plan (outer join + window) so
+    it composes lazily with the slot sections."""
+    ar = a.select("query_id", id_col, F.col("rank").alias("_ra"))
+    br = b.select("query_id", id_col, F.col("rank").alias("_rb"))
+    fused = (
+        ar.join(br, ["query_id", id_col], "full_outer")
+        .select(
+            "query_id",
+            id_col,
+            (
+                F.coalesce(1.0 / (F.lit(k0) + F.col("_ra")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(k0) + F.col("_rb")), F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )

@@ -1551,13 +1551,14 @@ _BM25_K1, _BM25_B = 1.2, 0.75
 # left-to-right sorted-term fold; see functions/retrieval.py). Ranked
 # on the RAW double score, rounded only for output, exactly like the
 # Spark side.
-_BM25_ORACLE_SECTION = f"""
-    SELECT 'bm25' AS method, query_id, doc_id AS cand_id, score AS sim_r,
-           rank, TRUE AS ok
-    FROM (
-      WITH q(query_id, tok) AS (VALUES {",".join(
+_QL_MU = 300.0
+_RRF_K0 = 60
+
+_QCTE = f"""q(query_id, tok) AS (VALUES {",".join(
           f"({q},'{t}')" for q, qt in _BM25_QUERIES for t in sorted(set(qt.split()))
-      )}),
+      )})"""
+
+_BM25_CTES = f"""
       bm_dl AS (SELECT doc_id, len(string_split(trim(text),' ')) AS dl
                 FROM documents),
       bm_stats AS (SELECT CAST(COUNT(*) AS BIGINT) n,
@@ -1591,8 +1592,85 @@ _BM25_ORACLE_SECTION = f"""
                            CAST(ROW_NUMBER() OVER (
                                 PARTITION BY query_id
                                 ORDER BY score DESC, doc_id) AS INT) AS rank
-                    FROM bm_agg)
+                    FROM bm_agg)"""
+
+# Query-likelihood CTEs (Dirichlet smoothing; reuses bm_dl/bm_toks/
+# bm_post from _BM25_CTES — same token model). Every ln is DuckDB's
+# libm; folds ride the same ordered list_reduce as bm25; the final
+# (s + bq) - nq*ln(dl+mu) matches the Spark Column expression's
+# operator order. Ranked on the RAW double, rounded only for output.
+_QL_CTES = f"""
+      ql_c AS (SELECT CAST(SUM(dl) AS BIGINT) AS c FROM bm_dl),
+      ql_mucf AS (SELECT tok,
+                         (CAST({_QL_MU!r} AS DOUBLE) * cf)
+                         / (SELECT c FROM ql_c) AS mucf
+                  FROM (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf
+                        FROM bm_toks
+                        WHERE tok IN (SELECT DISTINCT tok FROM q)
+                        GROUP BY tok)),
+      ql_meta AS (SELECT query_id, CAST(COUNT(*) AS INT) AS nq,
+                         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                                  list(ln(mucf) ORDER BY tok)),
+                                     (a, x) -> a + x) AS bq
+                  FROM q JOIN ql_mucf USING (tok) GROUP BY query_id),
+      ql_contrib AS (SELECT q.query_id, p.doc_id, p.tok,
+                            ln(p.tf + m.mucf) - ln(m.mucf) AS sc
+                     FROM bm_post p JOIN q USING (tok)
+                          JOIN ql_mucf m USING (tok)),
+      ql_agg AS (SELECT query_id, doc_id,
+                        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                                 list(sc ORDER BY tok)),
+                                    (a, x) -> a + x) AS s
+                 FROM ql_contrib GROUP BY query_id, doc_id),
+      ql_final AS (SELECT a.query_id, a.doc_id,
+                          a.s + m.bq
+                          - m.nq * ln(d.dl + CAST({_QL_MU!r} AS DOUBLE))
+                            AS score
+                   FROM ql_agg a JOIN ql_meta m USING (query_id)
+                        JOIN bm_dl d USING (doc_id)),
+      ql_ranked AS (SELECT query_id, doc_id, score,
+                           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS INT) AS rank
+                    FROM ql_final)"""
+
+_BM25_ORACLE_SECTION = f"""
+    SELECT 'bm25' AS method, query_id, doc_id AS cand_id, score AS sim_r,
+           rank, TRUE AS ok
+    FROM (
+      WITH {_QCTE},{_BM25_CTES}
       SELECT query_id, doc_id, score, rank FROM bm_ranked WHERE rank <= 10
+    )
+"""
+
+_QL_ORACLE_SECTION = f"""
+    SELECT 'ql' AS method, query_id, doc_id AS cand_id,
+           ROUND(score, 6) AS sim_r, rank, TRUE AS ok
+    FROM (
+      WITH {_QCTE},{_BM25_CTES},{_QL_CTES}
+      SELECT query_id, doc_id, score, rank FROM ql_ranked WHERE rank <= 10
+    )
+"""
+
+_RRF_ORACLE_SECTION = f"""
+    SELECT 'rrf' AS method, query_id, doc_id AS cand_id,
+           ROUND(score, 6) AS sim_r, rank, TRUE AS ok
+    FROM (
+      WITH {_QCTE},{_BM25_CTES},{_QL_CTES},
+      fused AS (
+        SELECT query_id, doc_id,
+               COALESCE(1.0 / ({_RRF_K0} + a.rank), 0.0)
+               + COALESCE(1.0 / ({_RRF_K0} + b.rank), 0.0) AS score
+        FROM (SELECT query_id, doc_id, rank FROM bm_ranked
+              WHERE rank <= 10) a
+        FULL OUTER JOIN (SELECT query_id, doc_id, rank FROM ql_ranked
+                         WHERE rank <= 10) b
+          USING (query_id, doc_id)
+      ),
+      rrf_ranked AS (SELECT query_id, doc_id, score,
+                            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) AS INT) AS rank
+                     FROM fused)
+      SELECT query_id, doc_id, score, rank FROM rrf_ranked WHERE rank <= 10
     )
 """
 
@@ -1620,6 +1698,10 @@ _BM25_ORACLE_SECTION = f"""
     UNION ALL
     """
     + _BM25_ORACLE_SECTION
+    + "\n    UNION ALL\n"
+    + _QL_ORACLE_SECTION
+    + "\n    UNION ALL\n"
+    + _RRF_ORACLE_SECTION
     + """
     UNION ALL
     SELECT 'knn' AS method, query_id, CAST(pred AS BIGINT) AS cand_id,
@@ -1748,11 +1830,37 @@ def sim_topk(spark, sf_dir):
             )
         )
     cert_rows = cert_dfs[0].unionAll(cert_dfs[1]).unionAll(cert_dfs[2])
-    from scida_spark.functions.retrieval import bm25_topk
+    from scida_spark.functions.retrieval import (
+        bm25_topk,
+        query_likelihood_topk,
+        rrf_fuse,
+    )
 
     docs = table(spark, sf_dir, "documents")
-    bm25 = bm25_topk(docs, _BM25_QUERIES, k=10, k1=_BM25_K1, b=_BM25_B).select(
+    bm25_raw = bm25_topk(docs, _BM25_QUERIES, k=10, k1=_BM25_K1, b=_BM25_B)
+    bm25 = bm25_raw.select(
         F.lit("bm25").alias("method"),
+        F.col("query_id"),
+        F.col("doc_id").alias("cand_id"),
+        F.round("score", 6).alias("sim_r"),
+        "rank",
+        F.lit(True).alias("ok"),
+    )
+    # ql / rrf (r9): Dirichlet query-likelihood retrieval + reciprocal-
+    # rank fusion of the two text rankers (functions/retrieval.py) —
+    # the standard hybrid-search pair; both fully value-checked
+    # (same bit-stability conventions as bm25).
+    ql_raw = query_likelihood_topk(docs, _BM25_QUERIES, k=10, mu=_QL_MU)
+    ql_rows = ql_raw.select(
+        F.lit("ql").alias("method"),
+        F.col("query_id"),
+        F.col("doc_id").alias("cand_id"),
+        F.round("score", 6).alias("sim_r"),
+        "rank",
+        F.lit(True).alias("ok"),
+    )
+    rrf_rows = rrf_fuse(bm25_raw, ql_raw, k=10, k0=_RRF_K0).select(
+        F.lit("rrf").alias("method"),
         F.col("query_id"),
         F.col("doc_id").alias("cand_id"),
         F.round("score", 6).alias("sim_r"),
@@ -1806,6 +1914,8 @@ def sim_topk(spark, sf_dir):
     return (
         ex_rows.unionAll(cert_rows)
         .unionAll(bm25)
+        .unionAll(ql_rows)
+        .unionAll(rrf_rows)
         .unionAll(knn_rows)
         .unionAll(hn_rows)
     )

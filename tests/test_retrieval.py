@@ -100,3 +100,81 @@ def test_bm25_empty_corpus_returns_empty(spark):
         "score",
         "rank",
     ]
+
+
+# ---------------------------------------------------------------------------
+# Query likelihood + RRF (r9)
+# ---------------------------------------------------------------------------
+
+
+def _ql_corpus(spark):
+    rows = [
+        (0, "hash join hash join hash"),      # tf-heavy for 'hash join'
+        (1, "hash partition scan"),
+        (2, "merge join strategy"),
+        (3, "window agg stream stream"),
+        (4, "totally unrelated words here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_query_likelihood_ranks_tf_heavy_doc_first(spark):
+    from scida_spark.functions.retrieval import query_likelihood_topk
+
+    docs = _ql_corpus(spark)
+    out = query_likelihood_topk(docs, [(0, "hash join")], k=5, mu=10.0)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert rows[0]["doc_id"] == 0
+    # docs 1 and 2 match one term each; doc 4 matches nothing -> absent
+    ids = {r["doc_id"] for r in rows}
+    assert 4 not in ids and {0, 1, 2} <= ids
+
+
+def test_query_likelihood_matches_hand_computation(spark):
+    import math
+
+    from scida_spark.functions.retrieval import query_likelihood_topk
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c")], "doc_id long, text string"
+    )
+    mu = 5.0
+    out = {
+        r["doc_id"]: r["score"]
+        for r in query_likelihood_topk(docs, [(0, "a b")], k=5, mu=mu).collect()
+    }
+    C = 5
+    cf = {"a": 3, "b": 1}
+    lg = math.log
+
+    def score(tfs, dl):
+        s = 0.0
+        for t in sorted(tfs):  # sorted-term fold
+            m = mu * cf[t] / C
+            s += lg(tfs[t] + m) - lg(m)
+        bq = 0.0
+        for t in sorted(cf):
+            bq += lg(mu * cf[t] / C)
+        return s + bq - len(cf) * lg(dl + mu)
+
+    assert abs(out[0] - score({"a": 2, "b": 1}, 3)) < 1e-14
+    assert abs(out[1] - score({"a": 1}, 2)) < 1e-14
+
+
+def test_rrf_fuse_combines_and_breaks_ties(spark):
+    from scida_spark.functions.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 10, 1.0, 1), (0, 11, 0.9, 2)],
+        "query_id long, doc_id long, score double, rank int",
+    )
+    b = spark.createDataFrame(
+        [(0, 11, -1.0, 1), (0, 12, -2.0, 2)],
+        "query_id long, doc_id long, score double, rank int",
+    )
+    rows = sorted(rrf_fuse(a, b, k=5).collect(), key=lambda r: r["rank"])
+    # doc 11 appears in both lists -> highest fused score
+    assert rows[0]["doc_id"] == 11
+    assert abs(rows[0]["score"] - (1 / 62 + 1 / 61)) < 1e-15
+    # docs 10 (rank1 in a) vs 12 (rank2 in b): 1/61 > 1/62
+    assert rows[1]["doc_id"] == 10 and rows[2]["doc_id"] == 12
