@@ -2207,6 +2207,16 @@ def _pii_oracle_section() -> str:
            CAST(n_oov_ctx AS VARCHAR) AS k2, n_pairs AS n, nll2 AS sum_score
     FROM lm2
     UNION ALL
+    SELECT 'ccnet' AS section, lang AS k1, CAST(b AS VARCHAR) AS k2,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(nll AS DECIMAL(38,6))) AS DOUBLE) AS sum_score
+    FROM (
+      SELECT lm.nll, d.lang,
+             NTILE(3) OVER (PARTITION BY d.lang
+                            ORDER BY lm.nll, lm.doc_id) AS b
+      FROM lm JOIN documents d ON d.doc_id = lm.doc_id
+    ) GROUP BY lang, b
+    UNION ALL
     SELECT 'line_dedup' AS section, CAST(doc_id AS VARCHAR) AS k1,
            substr(md5(cleaned), 1, 16) AS k2, CAST(n_removed AS BIGINT) AS n,
            CAST(0.0 AS DOUBLE) AS sum_score
@@ -2368,6 +2378,40 @@ def text_quality_lang(spark, sf_dir):
         F.col("n_oov_ctx").cast("string").alias("k2"),
         F.col("n_pairs").alias("n"),
         F.col("nll2").cast(DEC).cast("double").alias("sum_score"),
+    )
+    # ccnet (r9): the CCNet head/middle/tail corpus partitioning —
+    # per-language perplexity TERCILES of the unigram NLL (Wenzek et
+    # al. 2020: keep the head, inspect the middle, drop the tail).
+    # Buckets rank on the DECIMAL-rounded nll (deterministic, the
+    # value both engines already hash-match) with doc_id tiebreak;
+    # per-(lang, bucket) doc counts and exact DECIMAL nll sums are
+    # value-checked. Scale: one window per language; a giant stratum
+    # routes through grouped_ntile's two-level plan (the q_percentiles
+    # path).
+    nll_b = (
+        LM.score_nll(docs, model)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "lang",
+            F.col("nll").cast(DEC).cast("double").alias("_nr"),
+            "doc_id",
+        )
+        .withColumn(
+            "_b",
+            F.ntile(3).over(
+                W.partitionBy("lang").orderBy(F.asc("_nr"), F.asc("doc_id"))
+            ),
+        )
+    )
+    ccnet_rows = nll_b.groupBy("lang", "_b").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("_nr").cast(DEC)).cast("double").alias("_s"),
+    ).select(
+        F.lit("ccnet").alias("section"),
+        F.col("lang").alias("k1"),
+        F.col("_b").cast("string").alias("k2"),
+        "n",
+        F.col("_s").alias("sum_score"),
     )
     from scida_spark.functions.text import hot_lines, remove_hot_lines
 
@@ -2616,6 +2660,7 @@ def text_quality_lang(spark, sf_dir):
         q.unionAll(lid)
         .unionAll(lm_rows)
         .unionAll(lm2_rows)
+        .unionAll(ccnet_rows)
         .unionAll(ld_rows)
         .unionAll(bpe_rt)
         .unionAll(bpe_ct)
