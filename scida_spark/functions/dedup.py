@@ -1099,3 +1099,58 @@ def minhash_incremental_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("new_doc", "old_doc", "jaccard")
     )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iters: int = 5,
+    scale: int = 10**12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank in FIXED-POINT integer arithmetic over
+    a SYMMETRIZED edge list (every node must appear as a source) —
+    ``(node, r)`` with ranks in units of ``1/scale``:
+
+        r_0(v)     = scale // N
+        r_{k+1}(v) = (15·scale//100)//N
+                     + Σ_{u→v} (85·r_k(u)) // (100·outdeg(u))
+
+    Keeping every quantity a 64-bit integer makes the whole iteration
+    EXACTLY reproducible on any engine (sums of integers commute;
+    floor division is floor division) — float PageRank is not, because
+    the per-node Σ order is nondeterministic under shuffles. The use
+    here is dedup-cluster CANONICALIZATION: pick each near-dup
+    cluster's most central member as its representative (pr_rep in
+    dedup_cc_clusters) instead of the arbitrary min-id — centrality is
+    the "most typical variant" heuristic.
+
+    Scale: one equi-join on src + one groupBy(dst) per iteration —
+    O(E) each, `iters` fixed; lineage truncated per round
+    (localCheckpoint, the connected_components pattern). 85·r stays
+    below 2^63 for scale ≤ 10^16."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("r", F.lit(0).cast("long"))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("od"))
+    base = (15 * scale // 100) // n
+    r = nodes.select(
+        "node", F.lit(scale // n).cast("long").alias("r")
+    ).localCheckpoint(eager=True)
+    for _ in range(int(iters)):
+        r = (
+            e.join(r.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(85 * r) DIV (100 * od)").alias("c"),
+            )
+            .groupBy("node")
+            .agg((F.lit(base) + F.sum("c")).cast("long").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+    return r

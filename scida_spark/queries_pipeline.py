@@ -3174,10 +3174,59 @@ def stream_batch_windows(spark, sf_dir):
       UNION
       SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
     labels AS (
-      SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node)
+      SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+    creps AS (SELECT MIN(doc_id) AS rep FROM documents GROUP BY md5(text)),
+    rp AS (SELECT doc_a, doc_b FROM pairs
+           WHERE doc_a IN (SELECT rep FROM creps)
+             AND doc_b IN (SELECT rep FROM creps)),
+    redges AS (SELECT doc_a AS src, doc_b AS dst FROM rp
+               UNION SELECT doc_b, doc_a FROM rp),
+    prnodes AS (SELECT DISTINCT src AS node FROM redges),
+    prn AS (SELECT COUNT(*) AS n FROM prnodes),
+    prdeg AS (SELECT src, COUNT(*) AS od FROM redges GROUP BY src),
+    pr0 AS (SELECT node, 1000000000000 // (SELECT n FROM prn) AS r
+            FROM prnodes),
+    pr1 AS (SELECT e.dst AS node,
+                 ((15 * 1000000000000) // 100) // (SELECT n FROM prn)
+                 + SUM((85 * p.r) // (100 * d.od)) AS r
+          FROM redges e JOIN pr0 p ON p.node = e.src
+               JOIN prdeg d ON d.src = e.src
+          GROUP BY e.dst),
+    pr2 AS (SELECT e.dst AS node,
+                 ((15 * 1000000000000) // 100) // (SELECT n FROM prn)
+                 + SUM((85 * p.r) // (100 * d.od)) AS r
+          FROM redges e JOIN pr1 p ON p.node = e.src
+               JOIN prdeg d ON d.src = e.src
+          GROUP BY e.dst),
+    pr3 AS (SELECT e.dst AS node,
+                 ((15 * 1000000000000) // 100) // (SELECT n FROM prn)
+                 + SUM((85 * p.r) // (100 * d.od)) AS r
+          FROM redges e JOIN pr2 p ON p.node = e.src
+               JOIN prdeg d ON d.src = e.src
+          GROUP BY e.dst),
+    pr4 AS (SELECT e.dst AS node,
+                 ((15 * 1000000000000) // 100) // (SELECT n FROM prn)
+                 + SUM((85 * p.r) // (100 * d.od)) AS r
+          FROM redges e JOIN pr3 p ON p.node = e.src
+               JOIN prdeg d ON d.src = e.src
+          GROUP BY e.dst),
+    pr5 AS (SELECT e.dst AS node,
+                 ((15 * 1000000000000) // 100) // (SELECT n FROM prn)
+                 + SUM((85 * p.r) // (100 * d.od)) AS r
+          FROM redges e JOIN pr4 p ON p.node = e.src
+               JOIN prdeg d ON d.src = e.src
+          GROUP BY e.dst),
+    prrep AS (SELECT cluster_id, node AS pr_rep FROM (
+                SELECT l.cluster_id, p.node,
+                       ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                                          ORDER BY p.r DESC, p.node) AS rn
+                FROM pr5 p JOIN labels l ON l.node = p.node)
+              WHERE rn = 1)
     SELECT CAST(p.doc_a AS BIGINT) AS doc_a, CAST(p.doc_b AS BIGINT) AS doc_b,
-           p.jaccard, CAST(l.cluster_id AS BIGINT) AS cluster_id
+           p.jaccard, CAST(l.cluster_id AS BIGINT) AS cluster_id,
+           CAST(COALESCE(pr.pr_rep, l.cluster_id) AS BIGINT) AS pr_rep
     FROM pairs p JOIN labels l ON l.node = p.doc_a
+         LEFT JOIN prrep pr ON pr.cluster_id = l.cluster_id
     """,
 )
 def dedup_cc_clusters(spark, sf_dir):
@@ -3230,11 +3279,44 @@ def dedup_cc_clusters(spark, sf_dir):
         F.col("doc").alias("_cd"),
         F.coalesce("cluster_id", F.col("rep")).alias("cluster_id"),
     )
-    return pairs.join(cmap, pairs.doc_a == cmap._cd).select(
-        F.col("doc_a").cast("bigint").alias("doc_a"),
-        F.col("doc_b").cast("bigint").alias("doc_b"),
-        "jaccard",
-        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+    # pr_rep (r9): PageRank-canonical cluster representative — the
+    # most CENTRAL member of each near-dup cluster (fixed-point
+    # integer PageRank over the rep graph, dedup.py::pagerank_fixed_
+    # point — exactly reproducible, so the oracle re-derives the same
+    # argmax), tie-broken by min node. Pure-clique clusters have no
+    # rep-graph edges; their pr_rep is the cluster id itself (the
+    # clique min — trivially the most central of identical texts).
+    redges = rep_pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        rep_pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    pr = D.pagerank_fixed_point(redges, iters=5)
+    prrep = (
+        pr.join(ccr, "node")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("cluster_id").orderBy(
+                    F.desc("r"), F.asc("node")
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("cluster_id", F.col("node").alias("_prr"))
+    )
+    return (
+        pairs.join(cmap, pairs.doc_a == cmap._cd)
+        .join(F.broadcast(prrep), "cluster_id", "left")
+        .select(
+            F.col("doc_a").cast("bigint").alias("doc_a"),
+            F.col("doc_b").cast("bigint").alias("doc_b"),
+            "jaccard",
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            F.coalesce(F.col("_prr"), F.col("cluster_id"))
+            .cast("bigint")
+            .alias("pr_rep"),
+        )
     )
 
 

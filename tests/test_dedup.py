@@ -430,3 +430,49 @@ def test_ngram_jaccard_collapse_exact_equals_direct(spark):
     # shingle-less clique ('xy' x4) contributed nothing
     short_ids = {r[0] for r in rows if r[1] == "xy"}
     assert all(a not in short_ids and b not in short_ids for a, b, _ in direct)
+
+
+# ---------------------------------------------------------------------------
+# pagerank_fixed_point (r9)
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_fixed_point_hand_check_and_centrality(spark):
+    from scida_spark.functions.dedup import pagerank_fixed_point
+
+    # star graph: center 0 connected to 1,2,3 (symmetrized)
+    und = [(0, 1), (0, 2), (0, 3)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    out = {r["node"]: r["r"] for r in pagerank_fixed_point(edges, iters=5).collect()}
+    # center strictly most central; leaves identical by symmetry
+    assert out[0] > out[1] and out[1] == out[2] == out[3]
+    # exact replay of the integer recurrence in pure Python
+    scale, n = 10**12, 4
+    base = (15 * scale // 100) // n
+    r = {v: scale // n for v in range(4)}
+    od = {0: 3, 1: 1, 2: 1, 3: 1}
+    adj_in = {0: [1, 2, 3], 1: [0], 2: [0], 3: [0]}
+    for _ in range(5):
+        r = {
+            v: base + sum((85 * r[u]) // (100 * od[u]) for u in adj_in[v])
+            for v in range(4)
+        }
+    assert out == r
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    import random
+
+    from scida_spark.functions.dedup import pagerank_fixed_point
+
+    rng = random.Random(3)
+    und = {(rng.randint(0, 30), rng.randint(0, 30)) for _ in range(80)}
+    und = [(a, b) for a, b in und if a != b]
+    rows = und + [(b, a) for a, b in und]
+    e1 = spark.createDataFrame(rows, "src long, dst long").repartition(1)
+    e7 = spark.createDataFrame(rows, "src long, dst long").repartition(17)
+    a = {r["node"]: r["r"] for r in pagerank_fixed_point(e1, iters=4).collect()}
+    b = {r["node"]: r["r"] for r in pagerank_fixed_point(e7, iters=4).collect()}
+    assert a == b
