@@ -133,3 +133,33 @@ def grouped_ntile(
         .withColumn(out_col, tile.cast("int"))
         .drop("__g", "__b", "__g2", "__off", "__n")
     )
+
+
+def grouped_median_element(
+    df: DataFrame, group_col: str, value_col: str, out_col: str = "med"
+) -> DataFrame:
+    """EXACT element-pick median per group — the value at rank
+    ceil(n/2) under ascending ``value_col`` order — via the two-level
+    aggregated plan: per-(group, value) counts first, then a window
+    over THAT table (rows bounded by distinct values per group, not
+    group size). An element pick, not an interpolation, so the result
+    is one of the input values and hash-matches any engine bit-for-bit
+    (the KLL-anchor trick); and no task ever sorts a group's raw
+    membership (the grouped_ntile lesson — a 20M-row group costs the
+    same as a 50-row one when values repeat).
+
+    Returns one row per group: ``(group_col, out_col, n)``."""
+    cnt = df.groupBy(group_col, value_col).agg(F.count("*").alias("__c"))
+    w_cum = W.partitionBy(group_col).orderBy(value_col)
+    w_all = W.partitionBy(group_col)
+    cum = cnt.select(
+        group_col,
+        F.col(value_col).alias(out_col),
+        "__c",
+        F.sum("__c").over(w_cum).alias("__cum"),
+        F.sum("__c").over(w_all).alias("__n"),
+    )
+    target = F.expr("(__n + 1) DIV 2")
+    return cum.filter(
+        (F.col("__cum") >= target) & (F.col("__cum") - F.col("__c") < target)
+    ).select(group_col, out_col, F.col("__n").alias("n"))

@@ -793,12 +793,42 @@ def q_global_topn(spark, sf_dir):
 @query(
     "q_corr_stats",
     """
-    SELECT l_returnflag,
-           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-           ROUND(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc,
-           ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
-           CAST(COUNT(*) AS BIGINT) AS n
-    FROM lineitem GROUP BY l_returnflag
+    WITH qc AS (SELECT l_returnflag, l_quantity, COUNT(*) AS c
+                FROM lineitem GROUP BY 1, 2),
+    med AS (SELECT l_returnflag, med, n FROM (
+              SELECT l_returnflag, l_quantity AS med, c,
+                     SUM(c) OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_quantity) AS cum,
+                     SUM(c) OVER (PARTITION BY l_returnflag) AS n
+              FROM qc)
+            WHERE cum >= (n + 1) // 2 AND cum - c < (n + 1) // 2),
+    adev AS (SELECT l.l_returnflag, ABS(l.l_quantity - m.med) AS dev,
+                    COUNT(*) AS c
+             FROM lineitem l JOIN med m USING (l_returnflag)
+             GROUP BY 1, 2),
+    madt AS (SELECT l_returnflag, mad FROM (
+               SELECT l_returnflag, dev AS mad, c,
+                      SUM(c) OVER (PARTITION BY l_returnflag
+                                   ORDER BY dev) AS cum,
+                      SUM(c) OVER (PARTITION BY l_returnflag) AS n
+               FROM adev)
+             WHERE cum >= (n + 1) // 2 AND cum - c < (n + 1) // 2),
+    outl AS (SELECT a.l_returnflag,
+                    CAST(SUM(CASE WHEN a.dev > 3 * t.mad THEN a.c
+                                  ELSE 0 END) AS BIGINT) AS n_outliers
+             FROM adev a JOIN madt t USING (l_returnflag)
+             GROUP BY 1)
+    SELECT l.l_returnflag,
+           ROUND(corr(l.l_quantity, l.l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l.l_quantity, l.l_discount), 6) AS covar_qty_disc,
+           ROUND(stddev_samp(l.l_quantity), 6) AS sd_qty,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ANY_VALUE(m.med) AS med_qty,
+           ANY_VALUE(t.mad) AS mad_qty,
+           ANY_VALUE(o.n_outliers) AS n_outliers
+    FROM lineitem l JOIN med m USING (l_returnflag)
+         JOIN madt t USING (l_returnflag) JOIN outl o USING (l_returnflag)
+    GROUP BY l.l_returnflag
     """,
 )
 def q_corr_stats(spark, sf_dir):
@@ -806,13 +836,53 @@ def q_corr_stats(spark, sf_dir):
     shuffle with mergeable moment sketches (sum, sum-of-squares,
     cross-products), so the plan is identical in shape to a plain sum
     at any scale. Rounded to 6 decimals: the moment accumulation order
-    differs between engines at ~1e-12."""
+    differs between engines at ~1e-12.
+
+    med/mad/n_outliers (r9): ROBUST statistics — exact element-pick
+    median, median-absolute-deviation, and the |x − med| > 3·MAD
+    outlier count (the classic heavy-tail-safe data-cleaning screen;
+    moment-based stddev is itself dragged by the outliers it should
+    flag). Element picks hash-match bit-for-bit (no interpolation,
+    no rounding), via operators/prefix_sum.py::grouped_median_element:
+    per-(group, value) counts first, window over the aggregated table
+    only — no task ever sorts a group's raw rows, so a 20M-row group
+    costs the same as the ~50 distinct quantities it holds."""
+    from scida_spark.operators.prefix_sum import grouped_median_element
+
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    med = grouped_median_element(li, "l_returnflag", "l_quantity").select(
+        "l_returnflag", F.col("med").alias("med_qty")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        F.abs(F.col("l_quantity") - F.col("med_qty")).alias("_dev"),
+    )
+    mad = grouped_median_element(dev, "l_returnflag", "_dev").select(
+        "l_returnflag", F.col("med").alias("mad_qty")
+    )
+    outl = (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                (F.col("_dev") > 3 * F.col("mad_qty")).cast("long")
+            ).alias("n_outliers")
+        )
+    )
+    base = li.groupBy("l_returnflag").agg(
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
         F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
         F.count("*").alias("n"),
+    )
+    return (
+        base.join(F.broadcast(med), "l_returnflag")
+        .join(F.broadcast(mad), "l_returnflag")
+        .join(F.broadcast(outl), "l_returnflag")
+        .select(
+            "l_returnflag", "corr_qty_price", "covar_qty_disc", "sd_qty",
+            "n", "med_qty", "mad_qty", "n_outliers",
+        )
     )
 
 

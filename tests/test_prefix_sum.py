@@ -124,3 +124,26 @@ def test_grouped_ntile_null_keys_match_native(spark):
     }
     assert got == native
     assert len(got) == len(rows)
+
+
+def test_grouped_median_element_exact_and_layout_free(spark):
+    from scida_spark.operators.prefix_sum import grouped_median_element
+
+    import statistics
+
+    rows = []
+    for g, vals in [("a", [5.0, 1.0, 3.0, 3.0, 9.0]),        # odd n -> 3.0
+                    ("b", [2.0, 4.0, 4.0, 8.0]),              # even n, rank 2 -> 4.0
+                    ("c", [7.0])]:
+        rows += [(g, v) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v double")
+    for parts in (1, 7):
+        got = {
+            r["g"]: (r["med"], r["n"])
+            for r in grouped_median_element(
+                df.repartition(parts), "g", "v"
+            ).collect()
+        }
+        assert got == {"a": (3.0, 5), "b": (4.0, 4), "c": (7.0, 1)}
+    # element-pick rank ceil(n/2) == statistics.median_low for these
+    assert got["a"][0] == statistics.median_low([5.0, 1.0, 3.0, 3.0, 9.0])
