@@ -148,6 +148,11 @@ def grouped_median_element(
     membership (the grouped_ntile lesson — a 20M-row group costs the
     same as a 50-row one when values repeat).
 
+    ``value_col`` must be non-NULL: engines disagree on where NULLs
+    sort (Spark ASC puts them first, DuckDB last), so a NULL-bearing
+    column would shift every rank — filter or coalesce upstream (the
+    grouped_ntile null-safe-key lesson, in sort-position form).
+
     Returns one row per group: ``(group_col, out_col, n)``."""
     cnt = df.groupBy(group_col, value_col).agg(F.count("*").alias("__c"))
     w_cum = W.partitionBy(group_col).orderBy(value_col)
