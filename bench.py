@@ -24,6 +24,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 RUNS = 5
 
+# r9-s3 note: five HEADLINE slots gained attested sections —
+# sim_topk (+knn vote, +hardneg mining, +query-likelihood, +RRF
+# fusion: four new value-checked rankers/sections), sketch_distinct_
+# rollup (+cms Count-Min family), text_train_eval_split
+# (+cluster_split leakage-safe assignment, +in_dsir importance
+# selection), text_quality_lang (+lm2_nll bigram LM, +ccnet
+# perplexity buckets), dedup_cc_clusters (+pr_rep fixed-point
+# PageRank canonicalization), and q_corr_stats gained the
+# median/MAD/outlier robust-statistics columns — r8-to-r9 slot totals
+# are therefore not 1:1; compare per-section sub-dicts.
 # r8 note: three HEADLINE slots gained attested sections this round —
 # dedup_signature_pairs (+fuzzy edit-distance pairs),
 # sketch_distinct_rollup (+streaming incremental-rollup equivalence,
