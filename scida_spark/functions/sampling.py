@@ -254,3 +254,48 @@ def cluster_hash_split(
         df.withColumn("_cluster_rep", rep), "_cluster_rep", weights, salt, out_col
     )
     return out.drop("_cluster_rep")
+
+
+def weighted_sample_flag(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column,
+    stratum_col: str,
+    num: int,
+    den: int,
+    salt: str = "",
+    out_col: str = "in_wsample",
+) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling WITHOUT replacement, made
+    deterministic: flag the top ceil(count·num/den) rows per stratum
+    by the ES key ``u^(1/w)`` (u = the row's md5 hash-uniform, w > 0
+    its weight) — inclusion probability rises with weight, membership
+    is exactly-quota'd and a pure function of (id, salt, weights), so
+    re-runs/engines/partitionings reproduce it row-for-row (the
+    ``pareto_keep`` precedent shows ``pow`` on the half-open bucket
+    uniform matches libm across engines bit-for-bit).
+
+    The importance-weighted complement of ``stratified_exact_sample``
+    (uniform) and the DSIR quota (rank by model score): sample
+    PROPORTIONAL to a quality/importance weight while still hitting an
+    exact per-stratum count. Per-stratum windows bound the task; giant
+    strata route through grouped_ntile (operators/prefix_sum.py)."""
+    from pyspark.sql.window import Window as W
+
+    u = (hash_bucket(F.col(id_col), salt) + 0.5) / F.lit(float(BUCKET_SPACE))
+    key = F.pow(u, 1.0 / weight_col)
+    w_rank = W.partitionBy(stratum_col).orderBy(
+        key.desc(), F.col(id_col).asc()
+    )
+    w_all = W.partitionBy(stratum_col)
+    return (
+        df.withColumn("_es_rn", F.row_number().over(w_rank).cast("long"))
+        .withColumn("_es_n", F.count("*").over(w_all))
+        .withColumn(
+            out_col,
+            F.expr(
+                f"_es_rn <= ((_es_n * {int(num)} + {int(den) - 1}) DIV {int(den)})"
+            ),
+        )
+        .drop("_es_rn", "_es_n")
+    )

@@ -705,7 +705,18 @@ _SPLIT_T = _split_thresholds_r6()
              ROW_NUMBER() OVER (PARTITION BY d.source
                                 ORDER BY s.score DESC, d.doc_id) AS rn,
              COUNT(*) OVER (PARTITION BY d.source) AS cnt
-      FROM documents d JOIN dscore s ON s.doc_id = d.doc_id)
+      FROM documents d JOIN dscore s ON s.doc_id = d.doc_id),
+    es AS (
+      SELECT qs.doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.lang
+               ORDER BY POWER(
+                 (CAST(('0x' || substr(md5(CAST(qs.doc_id AS VARCHAR) || 'es9'), 1, 8)) AS UBIGINT) + 0.5)
+                 / 4294967296.0,
+                 1.0 / (qs.score / 2.0 + 0.1)) DESC,
+               qs.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY d.lang) AS c
+      FROM qs JOIN documents d ON d.doc_id = qs.doc_id)
     SELECT CAST(b.doc_id AS BIGINT) AS doc_id, b.lang,
            CASE WHEN b.bucket < {_SPLIT_T[0]} THEN 'train'
                 WHEN b.bucket < {_SPLIT_T[1]} THEN 'eval'
@@ -716,11 +727,13 @@ _SPLIT_T = _split_thresholds_r6()
            CASE WHEN reps.cbucket < {_SPLIT_T[0]} THEN 'train'
                 WHEN reps.cbucket < {_SPLIT_T[1]} THEN 'eval'
                 ELSE 'test' END AS cluster_split,
-           dsel.rn <= ((dsel.cnt * 1 + 4) // 5) AS in_dsir
+           dsel.rn <= ((dsel.cnt * 1 + 4) // 5) AS in_dsir,
+           es.rn <= ((es.c * 1 + 9) // 10) AS in_es
     FROM b JOIN thr USING (lang) JOIN strat ON strat.doc_id = b.doc_id
                                  JOIN par ON par.doc_id = b.doc_id
                                  JOIN reps ON reps.doc_id = b.doc_id
                                  JOIN dsel ON dsel.doc_id = b.doc_id
+                                 JOIN es ON es.doc_id = b.doc_id
     """,
 )
 def text_train_eval_split(spark, sf_dir):
@@ -763,6 +776,7 @@ def text_train_eval_split(spark, sf_dir):
         in_mix_column,
         mix_thresholds,
         stratified_exact_sample,
+        weighted_sample_flag,
     )
 
     raw = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
@@ -783,7 +797,7 @@ def text_train_eval_split(spark, sf_dir):
     docs = scored.withColumn(
         "in_pareto",
         pareto_keep(F.col("_score") / 2.0, F.col("doc_id"), alpha=9.0, salt="par8"),
-    ).drop("_score")
+    )  # _score kept: the r9 ES weighted sample draws its weight from it
     split_df = hash_split(docs, "doc_id", {"train": 0.8, "eval": 0.1, "test": 0.1},
                           salt="r6")
     counts = {r[0]: r[1] for r in docs.groupBy("lang").count().collect()}
@@ -793,6 +807,24 @@ def text_train_eval_split(spark, sf_dir):
     )
     out = stratified_exact_sample(
         flagged, "doc_id", "lang", num=1, den=5, salt="strat1"
+    )
+    # in_es (r9): Efraimidis-Spirakis weighted sampling without
+    # replacement (functions/sampling.py::weighted_sample_flag) —
+    # top ceil(c/10) per language by the ES key u^(1/w) with
+    # w = score/2 + 0.1 (the same heuristic quality score the Pareto
+    # keep draws on): importance-PROPORTIONAL membership with an
+    # exact quota, fully hash-checked (pow on the half-open bucket
+    # uniform is libm-stable across engines — the pareto_keep
+    # precedent).
+    out = weighted_sample_flag(
+        out,
+        "doc_id",
+        F.col("_score") / 2.0 + 0.1,
+        "lang",
+        num=1,
+        den=10,
+        salt="es9",
+        out_col="in_es",
     )
     # cluster_split (r9): LEAKAGE-SAFE assignment — byte-identical
     # documents inherit their cluster representative's split
@@ -834,7 +866,7 @@ def text_train_eval_split(spark, sf_dir):
         .join(ds, "doc_id")
         .select(
             "doc_id", "lang", "split", "in_mix", "in_strat", "in_pareto",
-            "cluster_split", "in_dsir",
+            "cluster_split", "in_dsir", "in_es",
         )
     )
 

@@ -269,3 +269,26 @@ def test_cluster_split_composes_with_neardup_reps(spark):
     for f in range(len(base)):
         members = [d for d, ff in fam.items() if ff == f]
         assert len({got[d] for d in members}) == 1, (f, {d: got[d] for d in members})
+
+
+def test_weighted_sample_exact_quota_and_weight_bias(spark):
+    from scida_spark.functions.sampling import weighted_sample_flag
+
+    # 200 low-weight docs (w=0.1) + 200 high-weight docs (w=5.0):
+    # the ES key u^(1/w) concentrates near 1 for high w, so the
+    # top-10% sample must be dominated by high-weight docs.
+    rows = [(i, "g", 0.1 if i < 200 else 5.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+    out = weighted_sample_flag(
+        df, "doc_id", F.col("w"), "g", num=1, den=10, salt="t"
+    )
+    kept = [r["doc_id"] for r in out.filter(F.col("in_wsample")).collect()]
+    assert len(kept) == 40  # exact ceil(400/10)
+    n_high = sum(1 for d in kept if d >= 200)
+    assert n_high >= 35, n_high
+    # deterministic across partitionings
+    out2 = weighted_sample_flag(
+        df.repartition(13), "doc_id", F.col("w"), "g", num=1, den=10, salt="t"
+    )
+    kept2 = {r["doc_id"] for r in out2.filter(F.col("in_wsample")).collect()}
+    assert set(kept) == kept2
