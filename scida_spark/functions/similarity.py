@@ -392,6 +392,39 @@ def ivf_topk(
     )
 
 
+def embedding_exact_clique_map(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(doc, rep) — every vector id mapped to the min-id vector with
+    bit-identical content (its exact replica-clique representative);
+    the embedding twin of :func:`dedup.exact_clique_map`. The clique
+    key is the double array's canonical string form (shortest-roundtrip
+    doubles: distinct values never collide). Zero-norm vectors are
+    EXCLUDED — cosine is undefined for them (NaN in both engines), so
+    they can never pair and must never be collapsed into a drop.
+
+    One md5 groupBy with map-side combine; only (id, digest) rows
+    shuffle — the collapse that makes exact semantic dedup answer-bound
+    on duplicate-heavy corpora."""
+    keyed = embeddings.select(
+        F.col(id_col).alias("doc"),
+        F.md5(F.col(vec_col).cast("array<double>").cast("string")).alias("_h"),
+    ).join(
+        embeddings.filter(
+            _fold_sum(
+                F.transform(F.col(vec_col).cast("array<double>"), lambda x: x * x)
+            )
+            > 0
+        ).select(F.col(id_col).alias("doc")),
+        "doc",
+        "left_semi",
+    )
+    reps = keyed.groupBy("_h").agg(F.min("doc").alias("rep"))
+    return keyed.join(reps, "_h").select("doc", "rep")
+
+
 def embedding_neardup_pairs_blocked(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -400,6 +433,7 @@ def embedding_neardup_pairs_blocked(
     sample_stride: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold — EXACT, without a cartesian
     product.
@@ -439,20 +473,85 @@ def embedding_neardup_pairs_blocked(
 
     Zero-norm vectors are excluded up front: cosine is undefined for
     them (NaN in both engines) so they can never clear the threshold.
+
+    ``collapse_exact`` (default on) first collapses bit-identical
+    vectors to their min-id representative (``embedding_exact_clique_
+    map``), runs the blocked kernel over REPRESENTATIVES only, and
+    expands the rep-level pairs back to all original ids — cross-clique
+    pairs carry the rep pair's cosine (identical vectors score
+    identically), within-clique pairs carry the kernel's own self-fold
+    value ``f / (sqrt(f)·sqrt(f))`` so doubles still match the naive
+    all-pairs oracle bit-for-bit. Same answer row-for-row; on a
+    duplicate-heavy corpus the quadratic kernel cost drops from
+    O(N²·d) to O(U²·d) for U unique vectors, and everything past the
+    one md5 groupBy is bounded by the answer itself (the same
+    collapse-first rule as ``dedup.expand_rep_pairs``).
     """
     spark = embeddings.sparkSession
     base = embeddings.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     ).filter(_fold_sum(F.transform(F.col("_v"), lambda x: x * x)) > 0)
+    if not collapse_exact:
+        return _neardup_pairs_kernel(spark, base, threshold, ncells, seed, sample_stride)
 
-    sample = np.stack(
-        [
-            np.asarray(r["_v"], dtype=np.float64)
-            for r in base.filter(F.col("_id") % sample_stride == 0)
-            .limit(max(ncells * 64, 1024))
-            .collect()
-        ]
+    keyed = base.withColumn("_h", F.md5(F.col("_v").cast("string")))
+    cliq = keyed.groupBy("_h").agg(F.min("_id").alias("_rep"))
+    cmap = keyed.join(cliq, "_h").select("_id", "_rep")
+    reps = base.join(
+        cmap.filter(F.col("_id") == F.col("_rep")).select("_id"), "_id", "left_semi"
     )
+    rep_pairs = _neardup_pairs_kernel(
+        spark, reps, threshold, ncells, seed, sample_stride
+    )
+    # Cross-clique expansion: driven by the (answer-sized) rep-pair
+    # relation; each original id joins through its clique membership.
+    ma = cmap.select(F.col("_rep").alias("id_a"), F.col("_id").alias("_da"))
+    mb = cmap.select(F.col("_rep").alias("id_b"), F.col("_id").alias("_db"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_da", "_db").alias("id_a"),
+            F.greatest("_da", "_db").alias("id_b"),
+            "sim",
+        )
+    )
+    # Within-clique pairs score as the kernel would score (v, v): the
+    # same sequential-over-dims fold for both the dot and the norms, so
+    # sim = f / (sqrt(f)·sqrt(f)) — bitwise what the all-pairs oracle
+    # computes for two identical vectors (f may differ from 1.0 by a
+    # final-division ulp, hence computed, not F.lit(1.0)).
+    _f = _fold_sum(F.transform(F.col("_v"), lambda x: x * x))
+    selfs = reps.select(
+        F.col("_id").alias("_rep"), (_f / (F.sqrt(_f) * F.sqrt(_f))).alias("sim")
+    ).filter(F.col("sim") >= threshold)
+    within = (
+        cmap.join(selfs, "_rep")
+        .select("_rep", F.col("_id").alias("_d1"), "sim")
+        .join(cmap.select("_rep", F.col("_id").alias("_d2")), "_rep")
+        .filter(F.col("_d1") < F.col("_d2"))
+        .select(F.col("_d1").alias("id_a"), F.col("_d2").alias("id_b"), "sim")
+    )
+    return cross.unionAll(within)
+
+
+def _neardup_pairs_kernel(
+    spark, base: DataFrame, threshold: float, ncells: int, seed: int, sample_stride: int
+) -> DataFrame:
+    """The spherical-cell blocked exact-pair kernel over ``base``
+    ((_id, _v), zero-norms pre-filtered) — see
+    :func:`embedding_neardup_pairs_blocked` for the algorithm."""
+    sample_rows = (
+        base.filter(F.col("_id") % sample_stride == 0)
+        .limit(max(ncells * 64, 1024))
+        .collect()
+    )
+    if not sample_rows:
+        # Stride missed every id (tiny/sparse id space) — any rows do.
+        sample_rows = base.limit(max(ncells * 64, 1024)).collect()
+    if not sample_rows:
+        return spark.createDataFrame([], "id_a long, id_b long, sim double")
+    sample = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in sample_rows])
     # Size cells to ~64+ members (est. from the deterministic sample):
     # tiles below that are task-overhead-bound, not GEMM-bound. Callers
     # pick ``ncells`` ≈ N / desired-tile-rows for big corpora; this only
@@ -520,19 +619,36 @@ def embedding_neardup_pairs_blocked(
             return empty
         A = np.stack(lpdf["_v"].to_numpy())
         B = np.stack(rpdf["_v"].to_numpy())
-        acc = np.zeros((len(A), len(B)))
-        na = np.zeros(len(A))
-        nb = np.zeros(len(B))
+        # Two-phase exact scoring (the ×100 lesson — a per-dim Python
+        # loop building the full |A|×|B| accumulator was the tile cost,
+        # not the arithmetic):
+        #   1. CANDIDATES via one BLAS GEMM (reassociated doubles), with
+        #      a margin far above the reassociation error bound
+        #      (n·ulp ≈ 1e-14 for unit-scale dims) so no qualifying pair
+        #      can be missed;
+        #   2. the REPORTED value is the sequential-over-dims left fold
+        #      (= the Column/list_reduce evaluation order, bit-for-bit
+        #      vs the all-pairs oracle), recomputed only for candidates
+        #      — answer-bound, not tile-bound — and re-filtered at the
+        #      true threshold.
+        nsq_a = np.einsum("ij,ij->i", A, A)
+        nsq_b = np.einsum("ij,ij->i", B, B)
+        fast = (A @ B.T) / (np.sqrt(nsq_a)[:, None] * np.sqrt(nsq_b)[None, :])
+        ia, ib = np.where(fast >= threshold - 1e-9)
+        Av, Bv = A[ia], B[ib]
+        acc = np.zeros(len(ia))
+        na = np.zeros(len(ia))
+        nb = np.zeros(len(ia))
         for d in range(A.shape[1]):  # sequential over dims = left-fold order
-            acc += A[:, d][:, None] * B[:, d][None, :]
-            na += A[:, d] * A[:, d]
-            nb += B[:, d] * B[:, d]
-        sim = acc / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+            acc += Av[:, d] * Bv[:, d]
+            na += Av[:, d] * Av[:, d]
+            nb += Bv[:, d] * Bv[:, d]
+        vals = acc / (np.sqrt(na) * np.sqrt(nb))
+        keep = vals >= threshold
+        ia, ib, vals = ia[keep], ib[keep], vals[keep]
         ids_a = lpdf["_id"].to_numpy()
         ids_b = rpdf["_id"].to_numpy()
-        ia, ib = np.where(sim >= threshold)
         pa, pb = ids_a[ia], ids_b[ib]
-        vals = sim[ia, ib]
         if lpdf["c1"].iloc[0] == lpdf["c2"].iloc[0]:
             # Same-cell tile: each unordered pair scored twice — keep the
             # (id_a < id_b) orientation once.

@@ -661,3 +661,40 @@ def select_zoom_target(
             & (F.col(uid_col) < t["fuzz_offset"] + t["fuzz_length"])
         )
     return particles.filter(cond)
+
+
+def select_zoom_target_pruned(
+    df: DataFrame,
+    targets: DataFrame,
+    target_id: int,
+    key_col: str,
+    *tiebreak_cols: str,
+    with_fuzz: bool = True,
+    uid_col: str = "uid",
+    key_bucket_width: int | None = None,
+) -> DataFrame:
+    """:func:`select_zoom_target` over a frame WITHOUT a materialized
+    uid: the target row's main/fuzz windows become
+    ``operators.uid.uid_range_filter`` ranges, so only the keys whose
+    order-derived uid span overlaps the target are ever ranked — the
+    corpus is never windowed. Same rows and uid values as assigning uid
+    with ``with_uid_by_order`` and filtering."""
+    from scida_spark.operators.uid import uid_range_filter
+
+    row = targets.filter(F.col("target_id") == target_id).collect()
+    if not row:
+        raise KeyError(f"zoom target {target_id} not found")
+    t = row[0]
+    ranges = [(int(t["offset"]), int(t["offset"] + t["length"]))]
+    if with_fuzz and t["fuzz_length"] and t["fuzz_length"] > 0:
+        ranges.append(
+            (int(t["fuzz_offset"]), int(t["fuzz_offset"] + t["fuzz_length"]))
+        )
+    return uid_range_filter(
+        df,
+        key_col,
+        *tiebreak_cols,
+        ranges=ranges,
+        uid_col=uid_col,
+        key_bucket_width=key_bucket_width,
+    )

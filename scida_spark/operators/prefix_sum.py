@@ -30,24 +30,75 @@ from pyspark.sql.window import Window as W
 DEC = "decimal(38,6)"
 
 
+def exclusive_key_prefix(
+    totals: DataFrame,
+    key_col: str,
+    sum_col: str,
+    bucket_width: int | None = None,
+    out_col: str = "__off",
+) -> DataFrame:
+    """Exclusive prefix of ``sum_col`` over ascending ``key_col`` order
+    on a one-row-per-key table — the shared phase-1 of every two-phase
+    global form (uid assignment, running sums).
+
+    ``bucket_width=None`` is the single-window plan: fine to ~1e7 keys,
+    but it serializes |keys| rows through one task (WindowExec warns).
+    With a width, the same trick recurses once: keys bucket by
+    ``floor(key / width)`` (order-preserving for numeric keys), bucket
+    TOTALS prefix-sum over the tiny bucket table (the only remaining
+    single-task window — |keys|/width rows), and the within-bucket
+    exclusive prefix runs partitioned by bucket, parallel at any scale.
+    Identical values — addition is reassociated only across exact
+    engine-side arithmetic (longs / DECIMAL), never doubles.
+
+    A NULL key forms its own bucket and sorts first at both levels
+    (ASC NULLS FIRST), matching the single-window order; the bucket
+    join is null-safe so those rows survive."""
+    dtype = dict(totals.dtypes)[sum_col]
+    zero = F.lit(0).cast(dtype)
+    if bucket_width is None:
+        w_off = W.orderBy(key_col).rowsBetween(W.unboundedPreceding, -1)
+        return totals.withColumn(
+            out_col, F.coalesce(F.sum(sum_col).over(w_off), zero)
+        ).select(key_col, out_col)
+    bkt = totals.withColumn(
+        "__bkt", F.floor(F.col(key_col) / F.lit(int(bucket_width)))
+    )
+    w_b = W.orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
+    boffs = (
+        bkt.groupBy("__bkt")
+        .agg(F.sum(sum_col).alias("__btot"))
+        .withColumn("__boff", F.coalesce(F.sum("__btot").over(w_b), zero))
+        .select(F.col("__bkt").alias("__bkt2"), "__boff")
+    )
+    w_in = (
+        W.partitionBy("__bkt").orderBy(key_col).rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        bkt.withColumn("__in", F.coalesce(F.sum(sum_col).over(w_in), zero))
+        .join(F.broadcast(boffs), F.col("__bkt").eqNullSafe(F.col("__bkt2")))
+        .select(key_col, (F.col("__boff") + F.col("__in")).alias(out_col))
+    )
+
+
 def global_running_sum(
     df: DataFrame,
     value_col: str,
     key_col: str,
     *tiebreak_cols: str,
     out_col: str = "running",
+    key_bucket_width: int | None = None,
 ) -> DataFrame:
     """running[i] = sum of value over all rows ordered before-or-at i
     under (key_col, *tiebreak_cols) total ordering — no single-task
-    window over the big side."""
+    window over the big side. ``key_bucket_width`` buckets phase 1 too
+    (see :func:`exclusive_key_prefix`) for key cardinality beyond ~1e7."""
     totals = df.groupBy(key_col).agg(
         F.sum(F.col(value_col).cast(DEC)).alias("__tot")
     )
-    w_off = W.orderBy(key_col).rowsBetween(W.unboundedPreceding, -1)
-    offsets = totals.withColumn(
-        "__off",
-        F.coalesce(F.sum("__tot").over(w_off), F.lit(0).cast(DEC)),
-    ).select(key_col, "__off")
+    offsets = exclusive_key_prefix(
+        totals, key_col, "__tot", bucket_width=key_bucket_width
+    )
     w_local = (
         W.partitionBy(key_col)
         .orderBy(*(tiebreak_cols or (key_col,)))

@@ -3479,7 +3479,27 @@ def dedup_cleaned_corpus(spark, sf_dir):
         .select(F.col("doc").alias("doc_id"))
     )
     emb = table(spark, sf_dir, "embeddings")
-    spairs = SIM.embedding_neardup_pairs_blocked(emb, threshold=0.35, ncells=64)
+    # Semantic half mirrors the text half's collapse-first shape: exact
+    # vector cliques collapse to min-id reps, the blocked kernel runs
+    # over REPS only, and CC runs over the rep graph — a replica's
+    # cluster is its rep's cluster (rep = clique min connects to every
+    # member at cos≈1 ≥ 0.35, so expanded-graph component minima agree
+    # with rep-graph minima), hence replicas drop straight from the
+    # clique map and the clique-squared edge set is never materialized.
+    ecliq = SIM.embedding_exact_clique_map(emb)
+    ereps = emb.join(
+        ecliq.filter(F.col("doc") == F.col("rep")).select(
+            F.col("doc").alias("vec_id")
+        ),
+        "vec_id",
+        "left_semi",
+    )
+    spairs = SIM.embedding_neardup_pairs_blocked(
+        ereps, threshold=0.35, ncells=64, collapse_exact=False
+    )
+    sem_drop_replicas = ecliq.filter(F.col("doc") != F.col("rep")).select(
+        F.col("doc").alias("vec_id")
+    )
     # ONE connected-components run over the disjoint union of both pair
     # graphs (text nodes ↦ 2·doc_id, semantic nodes ↦ 2·vec_id+1 — no
     # cross-modality edges, and the mapping is monotonic so min-label
@@ -3499,7 +3519,7 @@ def dedup_cleaned_corpus(spark, sf_dir):
     ).unionAll(drop_replicas)
     sdupes = noncanon.filter(F.col("node") % 2 == 1).select(
         F.expr("node DIV 2").alias("vec_id")
-    )
+    ).unionAll(sem_drop_replicas)
     text_rows = docs.join(dupes, "doc_id", "left_anti").select(
         F.lit("text").alias("section"),
         F.col("doc_id").cast("long").alias("id"),

@@ -35,8 +35,13 @@ def _particles(spark, sf_dir):
     the two-phase ordering per query keeps each plan's scan minimal.
     """
     li = table(spark, sf_dir, "lineitem")
-    # key = l_orderkey, tie-break within key = l_linenumber
-    return with_uid_by_order(li, "l_orderkey", "l_linenumber")
+    # key = l_orderkey, tie-break within key = l_linenumber. The bucket
+    # width keeps phase 1 parallel once distinct orderkeys outgrow one
+    # task (×100 set: 15M keys — see SCALE.md); at driver SFs it only
+    # adds a few-row bucket table.
+    return with_uid_by_order(
+        li, "l_orderkey", "l_linenumber", key_bucket_width=8192
+    )
 
 
 def _group_catalog(spark, sf_dir):
@@ -322,9 +327,25 @@ def scida_grouped_apply(spark, sf_dir):
 )
 def scida_selector_uid_range(spark, sf_dir):
     """Positional slice ``field[offset:offset+length]`` — the selector
-    primitive (reference interface.py:421-503) as a uid-range filter."""
-    parts = _particles(spark, sf_dir)
-    return parts.filter((F.col("uid") >= 1000) & (F.col("uid") < 1200)).select(
+    primitive (reference interface.py:421-503) as a uid-range filter.
+
+    Runs through ``uid_range_filter``'s offset-table pruning: only keys
+    whose uid span overlaps [1000, 1200) are ranked, so the selector
+    costs one counts aggregate + a broadcast-pruned scan instead of
+    ranking the corpus (the on-the-fly analog of the sources' uid-
+    pushdown split pruning). Same rows and uid values as filtering
+    ``_particles`` — the oracle pins it."""
+    from scida_spark.operators.uid import uid_range_filter
+
+    li = table(spark, sf_dir, "lineitem")
+    out = uid_range_filter(
+        li,
+        "l_orderkey",
+        "l_linenumber",
+        ranges=[(1000, 1200)],
+        key_bucket_width=8192,
+    )
+    return out.select(
         "uid", "l_orderkey", "l_linenumber", F.col("l_quantity").cast("double").alias("l_quantity")
     )
 
@@ -751,12 +772,16 @@ def scida_zoom_selector(spark, sf_dir):
     machinery of the reference (:114-170) is unnecessary — Catalyst
     pushes the uid predicates through any derived column, and the
     custom sources prune non-overlapping splits."""
-    parts = _particles(spark, sf_dir)
+    li = table(spark, sf_dir, "lineitem")
     targets = spark.createDataFrame(
         [(0, 100, 200, 1000, 100)],
         "target_id long, offset long, length long, fuzz_offset long, fuzz_length long",
     )
-    out = C.select_zoom_target(parts, targets, 0)
+    # Pruned form: the target's main ∪ fuzz windows become offset-table
+    # key predicates (uid_range_filter) — the corpus is never ranked.
+    out = C.select_zoom_target_pruned(
+        li, targets, 0, "l_orderkey", "l_linenumber", key_bucket_width=8192
+    )
     return out.select("uid", F.col("l_quantity").cast("double").alias("l_quantity"))
 
 
@@ -888,7 +913,12 @@ def scida_global_running_sum(spark, sf_dir):
     from scida_spark.operators.prefix_sum import global_running_sum
 
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
-    out = global_running_sum(li, "l_quantity", "l_orderkey", "l_linenumber")
+    # key_bucket_width exercises the BUCKETED phase 1 (exclusive_key_
+    # prefix two-level recursion) in the driver gate: the oracle's
+    # naive window pins that bucketing changes no value.
+    out = global_running_sum(
+        li, "l_quantity", "l_orderkey", "l_linenumber", key_bucket_width=64
+    )
     return out.select(
         F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
         F.col("l_linenumber").cast("bigint").alias("l_linenumber"),

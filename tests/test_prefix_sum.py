@@ -54,6 +54,44 @@ def test_no_single_task_window_over_data(spark):
     assert "HashAggregate" in plan
 
 
+def test_bucketed_phase1_identical_values(spark):
+    """key_bucket_width buckets phase 1 (floor(key/width)) without
+    changing a single output value — the recursion promised by the
+    module docstring for >1e7 key cardinalities, pinned at every width
+    regime (many tiny buckets, a few big ones, one bucket)."""
+    df = _data(spark, 8)
+    base = global_running_sum(df, "v", "k", "i").select("k", "i", "running")
+    for width in (1, 7, 64, 10_000):
+        got = global_running_sum(
+            df, "v", "k", "i", key_bucket_width=width
+        ).select("k", "i", "running")
+        assert base.exceptAll(got).count() == 0
+        assert got.exceptAll(base).count() == 0
+
+
+def test_bucketed_uid_identical(spark):
+    """with_uid_by_order(key_bucket_width=...) assigns the exact same
+    uids as the single-window phase 1, including negative keys (floor
+    division, not truncation) and NULL keys in the prefix table."""
+    from scida_spark.operators.uid import with_uid_by_order
+
+    df = spark.range(0, 3000).select(
+        ((F.col("id") % 53) - 26).alias("k"), F.col("id").alias("s")
+    )
+    base = {
+        (r["k"], r["s"]): r["uid"]
+        for r in with_uid_by_order(df, "k", "s").collect()
+    }
+    for width in (5, 512):
+        got = {
+            (r["k"], r["s"]): r["uid"]
+            for r in with_uid_by_order(
+                df, "k", "s", key_bucket_width=width
+            ).collect()
+        }
+        assert got == base
+
+
 def test_grouped_ntile_matches_native_window(spark):
     """grouped_ntile reproduces NTILE(k) OVER (PARTITION BY g ORDER BY
     bucket, tiebreaks) row-for-row, including the uneven-split rule, on

@@ -168,6 +168,58 @@ def test_neardup_blocked_matches_crossjoin_exactly(spark, emb_df):
     assert blocked == exact  # keys AND double values bitwise equal
 
 
+def test_neardup_collapse_first_matches_crossjoin_on_clique_corpus(spark, emb_df):
+    """Duplicate-heavy corpus (every vector replicated 3×): collapse-
+    first (rep-level kernel + answer-only expansion) must still equal
+    the naive all-pairs oracle bitwise — cross-clique pairs carry the
+    rep cosine, within-clique pairs the kernel's self-fold value."""
+    df, _ = emb_df
+    rep = df
+    for k in (1, 2):
+        rep = rep.unionAll(
+            df.select((F.col("vec_id") + 1000 * k).alias("vec_id"), "embedding")
+        )
+    exact = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in S.embedding_neardup_pairs(rep, threshold=0.3).collect()
+    }
+    collapsed = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in S.embedding_neardup_pairs_blocked(
+            rep, threshold=0.3, ncells=8, sample_stride=1
+        ).collect()
+    }
+    assert collapsed == exact  # keys AND double values bitwise equal
+    # And the collapse must be a pure plan rewrite vs the uncollapsed kernel.
+    direct = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in S.embedding_neardup_pairs_blocked(
+            rep, threshold=0.3, ncells=8, sample_stride=1, collapse_exact=False
+        ).collect()
+    }
+    assert collapsed == direct
+
+
+def test_neardup_blocked_all_zero_corpus_is_empty(spark):
+    df = spark.createDataFrame(
+        [(i, [0.0] * DIM) for i in range(5)], "vec_id long, embedding array<float>"
+    )
+    assert S.embedding_neardup_pairs_blocked(df, threshold=0.5).count() == 0
+
+
+def test_embedding_exact_clique_map(spark):
+    rows = [
+        (0, [1.0, 2.0]),
+        (1, [1.0, 2.0]),
+        (5, [3.0, 4.0]),
+        (7, [0.0, 0.0]),  # zero-norm: excluded entirely
+        (9, [0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["doc"], r["rep"]) for r in S.embedding_exact_clique_map(df).collect()}
+    assert got == {(0, 0), (1, 0), (5, 5)}
+
+
 def test_neardup_blocked_handles_zero_vectors(spark):
     rows = [(0, [0.0] * DIM), (1, [1.0] + [0.0] * (DIM - 1)), (2, [1.0] + [0.0] * (DIM - 1))]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
