@@ -133,6 +133,30 @@ def mix_thresholds(counts: dict[str, int], weights: dict[str, int]) -> dict[str,
     }
 
 
+def temperature_weights(
+    counts: dict[str, int], alpha: float = 0.5, fixed_point: int = 1 << 20
+) -> dict[str, int]:
+    """Integer mix weights realizing TEMPERATURE sampling — w_d ∝
+    c_d^alpha, the multilingual/multi-domain composition rule (alpha<1
+    flattens the corpus distribution toward the tail domains; alpha=1
+    keeps natural proportions, alpha=0 equalizes). Feed the result to
+    :func:`mix_thresholds`, which then downsamples every domain to the
+    c^alpha shares with the most-constrained domain kept whole (for
+    temperature weights that is the SMALLEST domain — argmin c/c^alpha
+    = argmin c^(1-alpha)).
+
+    Engine-portable by construction: each weight is the libm ``pow``
+    double (bit-identical to SQL POWER on the same integer-valued
+    input), scaled by an exact power-of-two and TRUNCATED to int —
+    an oracle rebuilds the same integers with
+    ``GREATEST(1, CAST(POWER(c, alpha) * fixed_point AS BIGINT))``;
+    all later threshold arithmetic is exact integer math."""
+    return {
+        d: max(1, int((float(c) ** alpha) * fixed_point))
+        for d, c in counts.items()
+    }
+
+
 def in_mix_column(
     id_col: Column, strata_col: Column, thresholds: dict[str, int], salt: str = ""
 ) -> Column:

@@ -625,7 +625,8 @@ _SPLIT_T = _split_thresholds_r6()
     WITH b AS (
       SELECT doc_id, lang,
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'r6'), 1, 8)) AS UBIGINT) AS bucket,
-             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix7'), 1, 8)) AS UBIGINT) AS mbucket
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix7'), 1, 8)) AS UBIGINT) AS mbucket,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'temp3'), 1, 8)) AS UBIGINT) AS tbucket
       FROM documents),
     c AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
     w AS (SELECT * FROM (VALUES ('en', 4), ('de', 2), ('es', 2), ('fr', 1), ('zh', 1))
@@ -636,6 +637,15 @@ _SPLIT_T = _split_thresholds_r6()
     thr AS (SELECT cw.lang,
                    (cw.w * m.mc * 4294967296) // (m.mw * cw.c) AS thr
             FROM cw, m),
+    twt AS (SELECT lang, c,
+                   GREATEST(1, CAST(POWER(c, 0.5) * 1048576 AS BIGINT)) AS w
+            FROM c),
+    tm AS (SELECT c AS mc, w AS mw FROM twt
+           ORDER BY CAST(c AS DOUBLE) / w, lang LIMIT 1),
+    tthr AS (SELECT twt.lang,
+                    (CAST(twt.w AS HUGEINT) * tm.mc * 4294967296)
+                    // (CAST(tm.mw AS HUGEINT) * twt.c) AS thr
+             FROM twt, tm),
     strat AS (
       SELECT doc_id,
              ROW_NUMBER() OVER (
@@ -722,6 +732,7 @@ _SPLIT_T = _split_thresholds_r6()
                 WHEN b.bucket < {_SPLIT_T[1]} THEN 'eval'
                 ELSE 'test' END AS split,
            b.mbucket < thr.thr AS in_mix,
+           b.tbucket < tthr.thr AS in_temp,
            strat.rn <= ((strat.c * 1 + 4) // 5) AS in_strat,
            par.keep AS in_pareto,
            CASE WHEN reps.cbucket < {_SPLIT_T[0]} THEN 'train'
@@ -729,7 +740,8 @@ _SPLIT_T = _split_thresholds_r6()
                 ELSE 'test' END AS cluster_split,
            dsel.rn <= ((dsel.cnt * 1 + 4) // 5) AS in_dsir,
            es.rn <= ((es.c * 1 + 9) // 10) AS in_es
-    FROM b JOIN thr USING (lang) JOIN strat ON strat.doc_id = b.doc_id
+    FROM b JOIN thr USING (lang) JOIN tthr USING (lang)
+                                 JOIN strat ON strat.doc_id = b.doc_id
                                  JOIN par ON par.doc_id = b.doc_id
                                  JOIN reps ON reps.doc_id = b.doc_id
                                  JOIN dsel ON dsel.doc_id = b.doc_id
@@ -776,6 +788,7 @@ def text_train_eval_split(spark, sf_dir):
         in_mix_column,
         mix_thresholds,
         stratified_exact_sample,
+        temperature_weights,
         weighted_sample_flag,
     )
 
@@ -804,6 +817,15 @@ def text_train_eval_split(spark, sf_dir):
     thr = mix_thresholds(counts, {"en": 4, "de": 2, "es": 2, "fr": 1, "zh": 1})
     flagged = split_df.withColumn(
         "in_mix", in_mix_column(F.col("doc_id"), F.col("lang"), thr, salt="mix7")
+    )
+    # in_temp (r9): TEMPERATURE mixing — weights c^0.5 instead of the
+    # hand-set integers (functions/sampling.py::temperature_weights),
+    # the alpha<1 composition rule that flattens toward tail languages.
+    # Same integer-threshold machinery; the oracle rebuilds the libm
+    # pow weights fixed-point and the HUGEINT threshold arithmetic.
+    tthr = mix_thresholds(counts, temperature_weights(counts, alpha=0.5))
+    flagged = flagged.withColumn(
+        "in_temp", in_mix_column(F.col("doc_id"), F.col("lang"), tthr, salt="temp3")
     )
     out = stratified_exact_sample(
         flagged, "doc_id", "lang", num=1, den=5, salt="strat1"
@@ -865,8 +887,8 @@ def text_train_eval_split(spark, sf_dir):
         out.join(cs, "doc_id")
         .join(ds, "doc_id")
         .select(
-            "doc_id", "lang", "split", "in_mix", "in_strat", "in_pareto",
-            "cluster_split", "in_dsir", "in_es",
+            "doc_id", "lang", "split", "in_mix", "in_temp", "in_strat",
+            "in_pareto", "cluster_split", "in_dsir", "in_es",
         )
     )
 

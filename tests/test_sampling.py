@@ -31,6 +31,40 @@ def test_mix_thresholds_weighted_and_ties():
     assert thr == {"a": BUCKET_SPACE, "b": BUCKET_SPACE}
 
 
+def test_temperature_weights_regimes():
+    """alpha=1 → natural proportions (every threshold = keep-all, the
+    mix is a no-op); alpha=0 → equalize (every domain thinned to the
+    smallest count); alpha=0.5 flattens in between, with the smallest
+    domain always kept whole."""
+    from scida_spark.functions.sampling import (
+        BUCKET_SPACE,
+        mix_thresholds,
+        temperature_weights,
+    )
+
+    counts = {"en": 40000, "de": 10000, "zh": 2500}
+    # alpha=1: w ∝ c exactly (2^20 scaling is exact for integers), so
+    # c/w is constant — every domain is "the constraint" and keeps all.
+    thr1 = mix_thresholds(counts, temperature_weights(counts, alpha=1.0))
+    assert all(t == BUCKET_SPACE for t in thr1.values())
+    # alpha=0: uniform weights — plain downsample-to-min.
+    thr0 = mix_thresholds(counts, temperature_weights(counts, alpha=0.0))
+    assert thr0["zh"] == BUCKET_SPACE
+    assert thr0["en"] == (2500 * BUCKET_SPACE) // 40000
+    # alpha=0.5: smallest domain whole; shares follow sqrt(c) — en is
+    # thinned to sqrt(40000/2500) = 4x zh's count (vs 16x natural).
+    thr5 = mix_thresholds(counts, temperature_weights(counts, alpha=0.5))
+    assert thr5["zh"] == BUCKET_SPACE
+    exp_en = thr5["en"] * 40000  # expected kept mass, bucket-space scaled
+    exp_zh = BUCKET_SPACE * 2500
+    assert abs(exp_en / exp_zh - 4.0) < 1e-3
+    # Fixed-point truncation is what an oracle's CAST(... AS BIGINT)
+    # computes — pin one literal.
+    assert temperature_weights({"x": 40000}, alpha=0.5)["x"] == int(
+        (40000.0**0.5) * 1048576
+    )
+
+
 def test_mix_thresholds_missing_weight_raises():
     import pytest as _pytest
 
