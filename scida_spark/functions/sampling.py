@@ -323,3 +323,38 @@ def weighted_sample_flag(
         )
         .drop("_es_rn", "_es_n")
     )
+
+def domain_cap_flag(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    order_cols,
+    cap: int,
+    out_col: str = "in_domcap",
+) -> DataFrame:
+    """Per-domain diversity cap (the RefinedWeb / C4 composition rule:
+    no single domain may dominate the corpus): flag at most ``cap``
+    rows per ``domain_col``, best-first under the ``order_cols`` TOTAL
+    order (pass quality desc + id asc). Deterministic — membership is
+    a pure function of the data, no rand() — so re-runs, engines, and
+    partitionings reproduce it row-for-row, and the oracle's
+    ``ROW_NUMBER() OVER (PARTITION BY domain ORDER BY ...) <= cap``
+    replays it exactly.
+
+    Scale: selection runs through :func:`grouped_topn`
+    (operators/prefix_sum.py) — the salted two-level top-N, so a hot
+    domain with billions of documents never sorts on one task. The
+    kept set is <= cap * n_domains rows, which re-joins to the corpus
+    as a broadcast; every other row flags False map-side."""
+    from scida_spark.operators.prefix_sum import grouped_topn
+
+    sel = (
+        grouped_topn(df, cap, domain_col, order_cols, salt_col=id_col)
+        .select(F.col(id_col).alias("__capkid"))
+        .withColumn(out_col, F.lit(True))
+    )
+    return (
+        df.join(F.broadcast(sel), F.col(id_col) == F.col("__capkid"), "left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(False)))
+        .drop("__capkid")
+    )

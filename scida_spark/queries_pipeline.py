@@ -726,7 +726,12 @@ _SPLIT_T = _split_thresholds_r6()
                  1.0 / (qs.score / 2.0 + 0.1)) DESC,
                qs.doc_id) AS rn,
              COUNT(*) OVER (PARTITION BY d.lang) AS c
-      FROM qs JOIN documents d ON d.doc_id = qs.doc_id)
+      FROM qs JOIN documents d ON d.doc_id = qs.doc_id),
+    domc AS (
+      SELECT d.doc_id,
+             ROW_NUMBER() OVER (PARTITION BY d.source
+                                ORDER BY qs.score DESC, d.doc_id) AS rn
+      FROM documents d JOIN qs ON qs.doc_id = d.doc_id)
     SELECT CAST(b.doc_id AS BIGINT) AS doc_id, b.lang,
            CASE WHEN b.bucket < {_SPLIT_T[0]} THEN 'train'
                 WHEN b.bucket < {_SPLIT_T[1]} THEN 'eval'
@@ -739,13 +744,15 @@ _SPLIT_T = _split_thresholds_r6()
                 WHEN reps.cbucket < {_SPLIT_T[1]} THEN 'eval'
                 ELSE 'test' END AS cluster_split,
            dsel.rn <= ((dsel.cnt * 1 + 4) // 5) AS in_dsir,
-           es.rn <= ((es.c * 1 + 9) // 10) AS in_es
+           es.rn <= ((es.c * 1 + 9) // 10) AS in_es,
+           domc.rn <= 10 AS in_domcap
     FROM b JOIN thr USING (lang) JOIN tthr USING (lang)
                                  JOIN strat ON strat.doc_id = b.doc_id
                                  JOIN par ON par.doc_id = b.doc_id
                                  JOIN reps ON reps.doc_id = b.doc_id
                                  JOIN dsel ON dsel.doc_id = b.doc_id
                                  JOIN es ON es.doc_id = b.doc_id
+                                 JOIN domc ON domc.doc_id = b.doc_id
     """,
 )
 def text_train_eval_split(spark, sf_dir):
@@ -883,12 +890,32 @@ def text_train_eval_split(spark, sf_dir):
         num=1,
         den=5,
     ).select("doc_id", "in_dsir")
+    # in_domcap (r9): per-DOMAIN diversity cap (RefinedWeb composition
+    # rule — functions/sampling.py::domain_cap_flag): keep the 10
+    # best-quality documents per source, rank order (score desc,
+    # doc_id). Selection runs through grouped_topn's salted two-level
+    # plan (operators/prefix_sum.py), so a billion-document hot domain
+    # never sorts on one task; the oracle's native ROW_NUMBER replays
+    # the selection row-for-row, which certifies the two-level rewrite
+    # EXACTLY reproduces single-window semantics.
+    from scida_spark.functions.sampling import domain_cap_flag
+
+    dc = domain_cap_flag(
+        rawd.select("doc_id", "source").join(
+            scored.select("doc_id", "_score"), "doc_id"
+        ),
+        "doc_id",
+        "source",
+        [F.col("_score").desc(), F.col("doc_id").asc()],
+        cap=10,
+    ).select("doc_id", "in_domcap")
     return (
         out.join(cs, "doc_id")
         .join(ds, "doc_id")
+        .join(dc, "doc_id")
         .select(
             "doc_id", "lang", "split", "in_mix", "in_temp", "in_strat",
-            "in_pareto", "cluster_split", "in_dsir", "in_es",
+            "in_pareto", "cluster_split", "in_dsir", "in_es", "in_domcap",
         )
     )
 

@@ -185,3 +185,79 @@ def test_grouped_median_element_exact_and_layout_free(spark):
         assert got == {"a": (3.0, 5), "b": (4.0, 4), "c": (7.0, 1)}
     # element-pick rank ceil(n/2) == statistics.median_low for these
     assert got["a"][0] == statistics.median_low([5.0, 1.0, 3.0, 3.0, 9.0])
+
+
+# --------------------------------------------------------------------------
+# grouped_topn — salted two-level top-N per group
+# --------------------------------------------------------------------------
+
+
+def _native_topn(df, n, group_col, order_cols):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(group_col).orderBy(*order_cols)
+    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= n)
+
+
+def test_grouped_topn_matches_native_window(spark):
+    """Exact equivalence with ROW_NUMBER() <= n on a skewed corpus:
+    one hot group (1000 rows), several small ones, duplicate sort
+    values (the id tie-break makes the order total)."""
+    from pyspark.sql import functions as F
+
+    from scida_spark.operators.prefix_sum import grouped_topn
+
+    rows = [(i, "hot", float(i % 17)) for i in range(1000)]
+    rows += [(10_000 + i, f"g{i % 5}", float(i % 3)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, g string, score double")
+    order = [F.col("score").desc(), F.col("id").asc()]
+    for n in (1, 3, 25):
+        got = {
+            (r["g"], r["id"], r["rn"])
+            for r in grouped_topn(df, n, "g", order, salt_col="id").collect()
+        }
+        want = {
+            (r["g"], r["id"], r["rn"])
+            for r in _native_topn(df, n, "g", order).collect()
+        }
+        assert got == want, f"n={n}"
+
+
+def test_grouped_topn_null_group_and_layout_independence(spark):
+    """NULL group rows form their own partition (no join keys to drop
+    them — both levels are windows); result is identical across
+    repartitionings and salt counts."""
+    from pyspark.sql import functions as F
+
+    from scida_spark.operators.prefix_sum import grouped_topn
+
+    rows = [(i, None if i % 7 == 0 else f"g{i % 3}", float(i % 5)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, g string, score double")
+    order = [F.col("score").desc(), F.col("id").asc()]
+    want = {
+        (r["g"], r["id"], r["rn"]) for r in _native_topn(df, 4, "g", order).collect()
+    }
+    for layout, salts in ((df.repartition(13), 64), (df.repartition(1), 3), (df.coalesce(2), 1)):
+        got = {
+            (r["g"], r["id"], r["rn"])
+            for r in grouped_topn(layout, 4, "g", order, salt_col="id", n_salts=salts).collect()
+        }
+        assert got == want
+
+
+def test_grouped_topn_n_larger_than_group(spark):
+    """n >= |group| keeps every row with its native rank."""
+    from pyspark.sql import functions as F
+
+    from scida_spark.operators.prefix_sum import grouped_topn
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 0.5)], "id long, g string, score double"
+    )
+    order = [F.col("score").desc(), F.col("id").asc()]
+    got = sorted(
+        (r["g"], r["id"], r["rn"])
+        for r in grouped_topn(df, 10, "g", order, salt_col="id").collect()
+    )
+    assert got == [("a", 1, 2), ("a", 2, 1), ("b", 3, 1)]

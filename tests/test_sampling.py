@@ -326,3 +326,46 @@ def test_weighted_sample_exact_quota_and_weight_bias(spark):
     )
     kept2 = {r["doc_id"] for r in out2.filter(F.col("in_wsample")).collect()}
     assert set(kept) == kept2
+
+
+def test_domain_cap_flag_matches_row_number(spark):
+    """in_domcap == (native per-domain rank by score desc, id asc) <=
+    cap — RefinedWeb composition rule, exact and deterministic."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from scida_spark.functions.sampling import domain_cap_flag
+
+    rows = [(i, f"d{i % 4}", float((i * 7) % 23)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, dom string, score double")
+    got = domain_cap_flag(
+        df, "id", "dom", [F.col("score").desc(), F.col("id").asc()], cap=10
+    )
+    w = W.partitionBy("dom").orderBy(F.col("score").desc(), F.col("id").asc())
+    want = df.withColumn("rn", F.row_number().over(w)).withColumn(
+        "want", F.col("rn") <= 10
+    )
+    joined = got.join(want.select("id", "want"), "id")
+    assert joined.filter(F.col("in_domcap") != F.col("want")).count() == 0
+    # all rows survive with a flag (selection never drops the complement)
+    assert got.count() == 300
+    assert got.filter("in_domcap").count() == 40  # 4 domains x cap 10
+
+
+def test_domain_cap_flag_deterministic_across_partitionings(spark):
+    from pyspark.sql import functions as F
+
+    from scida_spark.functions.sampling import domain_cap_flag
+
+    rows = [(i, f"d{i % 3}", float(i % 11)) for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, dom string, score double")
+    order = [F.col("score").desc(), F.col("id").asc()]
+    a = {
+        (r["id"], r["in_domcap"])
+        for r in domain_cap_flag(df.repartition(17), "id", "dom", order, 5).collect()
+    }
+    b = {
+        (r["id"], r["in_domcap"])
+        for r in domain_cap_flag(df.coalesce(1), "id", "dom", order, 5).collect()
+    }
+    assert a == b
