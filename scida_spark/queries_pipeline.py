@@ -1015,6 +1015,47 @@ def text_train_eval_split(spark, sf_dir):
     JOIN (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1) t
       ON q.event_type = t.event_type
     GROUP BY q.event_type
+    UNION ALL
+    SELECT kind, exact_metric, n_rows, within_tol FROM (
+      WITH dqe AS (
+        SELECT COUNT(*) AS n,
+               COUNT(value) AS nnv,
+               COUNT(event_type) AS nne,
+               COUNT(DISTINCT event_id) AS de,
+               COUNT(event_id) AS nid,
+               SUM(CASE WHEN value IS NOT NULL
+                         AND value BETWEEN 0.0 AND 500.0
+                        THEN 1 ELSE 0 END) AS inr,
+               SUM(CASE WHEN event_type IN ('click','view','purchase','signup')
+                        THEN 1 ELSE 0 END) AS acc,
+               SUM(CASE WHEN regexp_matches(event_type, '^[a-z]+$')
+                        THEN 1 ELSE 0 END) AS mat
+        FROM events),
+      dqf AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS orph
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_orderkey IS NOT NULL)
+      SELECT 'dq:not_null:value' AS kind,
+             CAST(nnv AS DOUBLE) / n AS exact_metric,
+             CAST(n AS BIGINT) AS n_rows,
+             CAST(nnv AS DOUBLE) / n >= 0.99 AS within_tol FROM dqe
+      UNION ALL
+      SELECT 'dq:unique:event_id', CAST(de AS DOUBLE) / nid,
+             CAST(n AS BIGINT), CAST(de AS DOUBLE) / nid >= 1.0 FROM dqe
+      UNION ALL
+      SELECT 'dq:in_range:value:[0.0,500.0]', CAST(inr AS DOUBLE) / nnv,
+             CAST(n AS BIGINT), CAST(inr AS DOUBLE) / nnv >= 1.0 FROM dqe
+      UNION ALL
+      SELECT 'dq:accepted:event_type', CAST(acc AS DOUBLE) / nne,
+             CAST(n AS BIGINT), CAST(acc AS DOUBLE) / nne >= 0.95 FROM dqe
+      UNION ALL
+      SELECT 'dq:matches:event_type', CAST(mat AS DOUBLE) / nne,
+             CAST(n AS BIGINT), CAST(mat AS DOUBLE) / nne >= 0.99 FROM dqe
+      UNION ALL
+      SELECT 'dq:fk:l_orderkey', CAST(orph AS DOUBLE),
+             CAST(n AS BIGINT), orph <= 0 FROM dqf
+    )
     """,
 )
 def sketch_distinct_rollup(spark, sf_dir):
@@ -1446,6 +1487,40 @@ def sketch_distinct_rollup(spark, sf_dir):
         )
     )
 
+    # --- dq: data-quality expectations (r9; functions/expectations.py:
+    # the Deequ-shape gate — every single-table check compiles into ONE
+    # aggregation pass, FK integrity adds one dim-broadcast join). The
+    # verdicts are REAL: the accepted-values check deliberately fails
+    # (event_type 'error' sits outside the accepted set at ~20 % of
+    # rows vs a 0.95 bound), so the oracle certifies within_tol as a
+    # computed comparison, not a vacuous TRUE. Every observed metric is
+    # an integer-count division — bit-identical IEEE doubles across
+    # engines.
+    from scida_spark.functions import expectations as DQ
+
+    dq_scan = DQ.expect_report(
+        ev,
+        [
+            DQ.not_null("value", 0.99),
+            DQ.unique("event_id"),
+            DQ.in_range("value", 0.0, 500.0, 1.0),
+            DQ.accepted(
+                "event_type", ["click", "view", "purchase", "signup"], 0.95
+            ),
+            DQ.matches("event_type", "^[a-z]+$", 0.99),
+        ],
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    od = table(spark, sf_dir, "orders").select("o_orderkey")
+    dq_rows = dq_scan.unionAll(
+        DQ.fk_check(li, "l_orderkey", od, "o_orderkey", max_orphans=0)
+    ).select(
+        F.concat(F.lit("dq:"), "check").alias("kind"),
+        F.col("observed").cast("double").alias("exact_metric"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("passed").alias("within_tol"),
+    )
+
     return (
         hll_rows.unionAll(kll_rows)
         .unionAll(theta_rows)
@@ -1453,6 +1528,7 @@ def sketch_distinct_rollup(spark, sf_dir):
         .unionAll(rollup_rows)
         .unionAll(freq_rows)
         .unionAll(cms_rows)
+        .unionAll(dq_rows)
     )
 
 
