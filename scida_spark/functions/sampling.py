@@ -342,14 +342,19 @@ def domain_cap_flag(
     replays it exactly.
 
     Scale: selection runs through :func:`grouped_topn`
-    (operators/prefix_sum.py) — the salted two-level top-N, so a hot
-    domain with billions of documents never sorts on one task. The
-    kept set is <= cap * n_domains rows, which re-joins to the corpus
-    as a broadcast; every other row flags False map-side."""
+    (operators/prefix_sum.py) — the native rank-filtered window, which
+    Catalyst plans with a map-side Partial WindowGroupLimit, so a hot
+    domain with billions of documents ships at most cap rows per map
+    task through the shuffle and never sorts on one task (plan-pinned
+    in tests/test_plans.py). Selection-then-flag rather than a flag
+    window over all rows is the point: flagging in place would forbid
+    the map-side prune (every row would need its rank). The kept set
+    is <= cap * n_domains rows, which re-joins to the corpus as a
+    broadcast; every other row flags False map-side."""
     from scida_spark.operators.prefix_sum import grouped_topn
 
     sel = (
-        grouped_topn(df, cap, domain_col, order_cols, salt_col=id_col)
+        grouped_topn(df, cap, domain_col, order_cols)
         .select(F.col(id_col).alias("__capkid"))
         .withColumn(out_col, F.lit(True))
     )

@@ -225,49 +225,31 @@ def grouped_topn(
     n: int,
     group_col: str,
     order_cols,
-    salt_col: str,
-    n_salts: int = 64,
     out_col: str = "rn",
 ) -> DataFrame:
     """The rows with ``ROW_NUMBER() <= n`` per group under a TOTAL
-    ordering — without ever sorting a group's full membership on one
-    task (the grouped_ntile skew trap, in top-N form: a per-domain
-    diversity cap at 100 TB meets domains with billions of documents,
-    and ``row_number().over(partitionBy(domain))`` sorts each of them
-    in a single straggler task).
+    ordering (include a unique tie-break column) — deliberately the
+    NATIVE window + rank filter, because Catalyst already plans it as
+    the two-phase skew-safe form this module otherwise hand-builds:
+    ``WindowGroupLimit ... Partial`` runs BEFORE the exchange (each
+    map task forwards at most n rows per group — a per-partition sort
+    + streaming group limit, never a group-wide sort) and ``Final``
+    prunes again after, so a hot group with billions of rows ships at
+    most n * map_tasks rows through the shuffle.
 
-    Two-level plan:
+    This is the measured OPPOSITE of the grouped_ntile situation: a
+    hand-rolled salted two-level rewrite was built, A/B'd at a forced
+    500k-row single hot group, and DELETED — it shuffled the full
+    corpus on (group, salt) where the native plan prunes map-side
+    first (0.8 s vs 0.3 s warm, and the gap widens with data). NTILE
+    still needs :func:`grouped_ntile` because rank-limit pushdown
+    only exists for rank-like functions with a ``rank <= k`` filter.
+    ``tests/test_plans.py`` pins the Partial WindowGroupLimit so a
+    regression (e.g. the filter drifting away from the window) is
+    caught.
 
-      1. salt every row by ``pmod(xxhash64(salt_col), n_salts)`` —
-         deterministic and layout-independent, never ``rand()`` — and
-         take the top-n of each (group, salt) cell: each cell sorts
-         |group| / n_salts rows, in parallel;
-      2. re-rank the survivors (<= n_salts * n rows per group) under
-         the same order; keep rank <= n.
-
-    Exact, not approximate: any row in a group's true top-n is also in
-    the top-n of whatever salt cell it landed in (the cell is a subset
-    of the group), so it survives phase 1; phase 2 then ranks a
-    superset of the true top-n under the same total order, which
-    assigns exactly the native window's row numbers. Bit-identical to
-    ``ROW_NUMBER() OVER (PARTITION BY group ORDER BY ...) <= n`` as
-    long as ``order_cols`` is a total order (include a unique
-    tie-break column — same contract as every ranking op here).
-
-    Returns ONLY the selected rows (original columns + ``out_col``):
-    this is a selection operator; flag the complement by anti/left
-    join on the caller's key if needed. NULL groups are fine — both
-    levels are windows, and window partitioning treats NULL as its own
-    partition (no join keys to go null-unsafe on)."""
-    order_cols = list(order_cols)
-    salt = F.pmod(F.xxhash64(F.col(salt_col), F.lit("gtn")), F.lit(int(n_salts)))
-    w1 = W.partitionBy(group_col, "__salt").orderBy(*order_cols)
-    w2 = W.partitionBy(group_col).orderBy(*order_cols)
-    return (
-        df.withColumn("__salt", salt)
-        .withColumn("__rn1", F.row_number().over(w1))
-        .filter(F.col("__rn1") <= int(n))
-        .withColumn(out_col, F.row_number().over(w2))
-        .filter(F.col(out_col) <= int(n))
-        .drop("__salt", "__rn1")
+    Returns ONLY the selected rows (original columns + ``out_col``)."""
+    w = W.partitionBy(group_col).orderBy(*list(order_cols))
+    return df.withColumn(out_col, F.row_number().over(w)).filter(
+        F.col(out_col) <= int(n)
     )

@@ -188,76 +188,59 @@ def test_grouped_median_element_exact_and_layout_free(spark):
 
 
 # --------------------------------------------------------------------------
-# grouped_topn — salted two-level top-N per group
+# grouped_topn — native rank-filtered window (WindowGroupLimit contract)
 # --------------------------------------------------------------------------
 
 
-def _native_topn(df, n, group_col, order_cols):
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window as W
-
-    w = W.partitionBy(group_col).orderBy(*order_cols)
-    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= n)
-
-
-def test_grouped_topn_matches_native_window(spark):
-    """Exact equivalence with ROW_NUMBER() <= n on a skewed corpus:
-    one hot group (1000 rows), several small ones, duplicate sort
-    values (the id tie-break makes the order total)."""
+def test_grouped_topn_matches_reference_ranks(spark):
+    """Selected rows == ROW_NUMBER() <= n computed independently, on a
+    skewed corpus with duplicate sort values and NULL groups."""
     from pyspark.sql import functions as F
 
     from scida_spark.operators.prefix_sum import grouped_topn
 
     rows = [(i, "hot", float(i % 17)) for i in range(1000)]
-    rows += [(10_000 + i, f"g{i % 5}", float(i % 3)) for i in range(40)]
+    rows += [(10_000 + i, None if i % 7 == 0 else f"g{i % 5}", float(i % 3)) for i in range(40)]
     df = spark.createDataFrame(rows, "id long, g string, score double")
     order = [F.col("score").desc(), F.col("id").asc()]
     for n in (1, 3, 25):
-        got = {
-            (r["g"], r["id"], r["rn"])
-            for r in grouped_topn(df, n, "g", order, salt_col="id").collect()
-        }
-        want = {
-            (r["g"], r["id"], r["rn"])
-            for r in _native_topn(df, n, "g", order).collect()
-        }
+        got = sorted(
+            ((r["g"], r["id"], r["rn"])
+             for r in grouped_topn(df, n, "g", order).collect()),
+            key=str,
+        )
+        want = sorted(
+            ((g, i, rk)
+             for g in {r[1] for r in rows}
+             for rk, (i, _) in enumerate(
+                 sorted(
+                     ((i, s) for i, gg, s in rows if gg == g),
+                     key=lambda t: (-t[1], t[0]),
+                 )[:n],
+                 start=1,
+             )),
+            key=str,
+        )
         assert got == want, f"n={n}"
 
 
-def test_grouped_topn_null_group_and_layout_independence(spark):
-    """NULL group rows form their own partition (no join keys to drop
-    them — both levels are windows); result is identical across
-    repartitionings and salt counts."""
+def test_grouped_topn_plans_partial_window_group_limit(spark):
+    """The scale contract: Catalyst must plan the map-side Partial
+    WindowGroupLimit BEFORE the exchange (each map task forwards at
+    most n rows per group), plus the Final prune after — the built-in
+    two-phase form that made a hand-rolled salted rewrite redundant
+    (A/B'd and deleted; see the operator docstring)."""
     from pyspark.sql import functions as F
 
     from scida_spark.operators.prefix_sum import grouped_topn
 
-    rows = [(i, None if i % 7 == 0 else f"g{i % 3}", float(i % 5)) for i in range(200)]
-    df = spark.createDataFrame(rows, "id long, g string, score double")
-    order = [F.col("score").desc(), F.col("id").asc()]
-    want = {
-        (r["g"], r["id"], r["rn"]) for r in _native_topn(df, 4, "g", order).collect()
-    }
-    for layout, salts in ((df.repartition(13), 64), (df.repartition(1), 3), (df.coalesce(2), 1)):
-        got = {
-            (r["g"], r["id"], r["rn"])
-            for r in grouped_topn(layout, 4, "g", order, salt_col="id", n_salts=salts).collect()
-        }
-        assert got == want
-
-
-def test_grouped_topn_n_larger_than_group(spark):
-    """n >= |group| keeps every row with its native rank."""
-    from pyspark.sql import functions as F
-
-    from scida_spark.operators.prefix_sum import grouped_topn
-
-    df = spark.createDataFrame(
-        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 0.5)], "id long, g string, score double"
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("g"), "id", (F.col("id") % 97).cast("double").alias("s")
     )
-    order = [F.col("score").desc(), F.col("id").asc()]
-    got = sorted(
-        (r["g"], r["id"], r["rn"])
-        for r in grouped_topn(df, 10, "g", order, salt_col="id").collect()
-    )
-    assert got == [("a", 1, 2), ("a", 2, 1), ("b", 3, 1)]
+    plan = grouped_topn(
+        df, 5, "g", [F.col("s").desc(), F.col("id").asc()]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan
+    # and the Partial prune sits below the exchange
+    assert plan.index("Final") < plan.index("Exchange") < plan.rindex("Partial")
