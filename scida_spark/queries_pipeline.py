@@ -482,6 +482,46 @@ def dedup_keep_first_latest(spark, sf_dir):
     UNION ALL
     SELECT 'ingest', CAST(MIN(doc_id) AS VARCHAR), substr(md5(text), 1, 16)
     FROM documents GROUP BY text
+    UNION ALL
+    SELECT 'gate', k1, k2 FROM (
+      WITH cuts AS (SELECT MAX(event_id) // 3 AS c1,
+                           (2 * MAX(event_id)) // 3 AS c2 FROM events),
+      eb AS (SELECT e.event_id, e.value,
+                    CASE WHEN e.event_id <= c.c1 THEN 0
+                         WHEN e.event_id <= c.c2 THEN 1 ELSE 2 END AS b
+             FROM events e, cuts c),
+      m AS (SELECT b,
+                   CAST(COUNT(value) AS DOUBLE) / COUNT(*) AS m_nn,
+                   CAST(SUM(CASE WHEN event_id BETWEEN 0 AND (SELECT c2 FROM cuts)
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(event_id) AS m_ir
+            FROM eb GROUP BY b),
+      r AS (SELECT b, 'not_null:value' AS chk, m_nn AS obs,
+                   m_nn >= 0.99 AS pass FROM m
+            UNION ALL
+            SELECT b,
+                   'in_range:event_id:[0,' ||
+                     CAST((SELECT c2 FROM cuts) AS VARCHAR) || ']',
+                   m_ir, m_ir >= 1.0 FROM m),
+      a AS (SELECT b, BOOL_AND(pass) AS adm FROM r GROUP BY b)
+      SELECT CAST(r.b AS VARCHAR) || ':' || r.chk AS k1,
+             CAST(CAST(r.obs * 1000000 AS BIGINT) AS VARCHAR) || ':' ||
+             CAST(r.pass AS VARCHAR) || ':' || CAST(a.adm AS VARCHAR) AS k2
+      FROM r JOIN a USING (b)
+    )
+    UNION ALL
+    SELECT 'gate',
+           'route:' || CASE WHEN b <= 1 THEN 'admit' ELSE 'quar' END
+                    || ':' || CAST(b AS VARCHAR) AS k1,
+           CAST(COUNT(*) AS VARCHAR) || ':' || CAST(SUM(event_id) AS VARCHAR) AS k2
+    FROM (
+      WITH cuts AS (SELECT MAX(event_id) // 3 AS c1,
+                           (2 * MAX(event_id)) // 3 AS c2 FROM events)
+      SELECT e.event_id,
+             CASE WHEN e.event_id <= c.c1 THEN 0
+                  WHEN e.event_id <= c.c2 THEN 1 ELSE 2 END AS b
+      FROM events e, cuts c
+    ) GROUP BY b
     """,
 )
 def stream_dedup_keys(spark, sf_dir):
@@ -602,7 +642,108 @@ def stream_dedup_keys(spark, sf_dir):
         F.col("doc_id").cast("string").alias("k1"),
         F.substring(F.md5("text"), 1, 16).alias("k2"),
     )
-    return stream_rows.unionAll(ingest_rows)
+
+    # --- gate (r9): streaming data-quality gate run FOR REAL --------
+    # (streaming/gate.py + functions/expectations.py): events re-fed
+    # through 3 id-ordered micro-batches; per batch the expectation
+    # report is evaluated, appended to the report store, and the
+    # batch's rows route whole to admit/ or quarantine/. The id-range
+    # check is engineered so batches 0-1 pass and batch 2 FAILS
+    # (event_id > cut2 violates in_range 100 %), so the oracle
+    # certifies real routing — both destinations non-empty — and every
+    # per-batch observed metric is an exact 0/1 ratio (no nulls in
+    # events at any SF), sidestepping float formatting. The oracle
+    # rebuilds batches from the same integer id cuts and replays
+    # reports, verdicts, admit bits, and per-destination row
+    # count + id-sum fingerprints in SQL.
+    from scida_spark.functions import expectations as DQX
+    from scida_spark.streaming.gate import gated_ingest, read_reports
+
+    gbase = _os.path.join(
+        _tempfile.gettempdir(),
+        "ss_gate_cert_" + _os.path.basename(sf_dir.rstrip("/")),
+    )
+    _shutil.rmtree(gbase, ignore_errors=True)
+    ginp = _os.path.join(gbase, "input")
+    _os.makedirs(ginp)
+    evg = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    ehi = evg.agg(F.max("event_id")).first()[0]
+    ecut1, ecut2 = ehi // 3, (2 * ehi) // 3
+    for k, cond in enumerate(
+        [
+            F.col("event_id") <= ecut1,
+            (F.col("event_id") > ecut1) & (F.col("event_id") <= ecut2),
+            F.col("event_id") > ecut2,
+        ]
+    ):
+        part = _os.path.join(gbase, f"_stage{k}")
+        evg.filter(cond).coalesce(1).write.mode("overwrite").parquet(part)
+        src_file = next(
+            f for f in _os.listdir(part) if f.endswith(".parquet")
+        )
+        _os.rename(
+            _os.path.join(part, src_file), _os.path.join(ginp, f"b{k}.parquet")
+        )
+        _shutil.rmtree(part)
+    gq = gated_ingest(
+        spark,
+        ginp,
+        evg.schema,
+        checks=[
+            DQX.not_null("value", 0.99),
+            DQX.in_range("event_id", 0, int(ecut2), 1.0),
+        ],
+        admit_dir=_os.path.join(gbase, "admit"),
+        quarantine_dir=_os.path.join(gbase, "quar"),
+        report_dir=_os.path.join(gbase, "reports"),
+        checkpoint_dir=_os.path.join(gbase, "ckpt"),
+        max_files_per_trigger=1,
+    )
+    gq.awaitTermination()
+    gate_report_rows = read_reports(
+        spark, _os.path.join(gbase, "reports")
+    ).select(
+        F.lit("gate").alias("section"),
+        F.concat(
+            F.col("batch_id").cast("string"), F.lit(":"), F.col("check")
+        ).alias("k1"),
+        F.concat(
+            (F.col("observed") * 1000000).cast("long").cast("string"),
+            F.lit(":"),
+            F.col("passed").cast("string"),
+            F.lit(":"),
+            F.col("admitted").cast("string"),
+        ).alias("k2"),
+    )
+    gate_route_rows = None
+    for tag, d in (("admit", "admit"), ("quar", "quar")):
+        rows = (
+            spark.read.option("basePath", _os.path.join(gbase, d))
+            .parquet(_os.path.join(gbase, d))
+            .groupBy("batch_id")
+            .agg(
+                F.count("*").alias("__c"), F.sum("event_id").alias("__s")
+            )
+            .select(
+                F.lit("gate").alias("section"),
+                F.concat(
+                    F.lit(f"route:{tag}:"), F.col("batch_id").cast("string")
+                ).alias("k1"),
+                F.concat(
+                    F.col("__c").cast("string"),
+                    F.lit(":"),
+                    F.col("__s").cast("string"),
+                ).alias("k2"),
+            )
+        )
+        gate_route_rows = (
+            rows if gate_route_rows is None else gate_route_rows.unionAll(rows)
+        )
+    return stream_rows.unionAll(ingest_rows).unionAll(
+        gate_report_rows
+    ).unionAll(gate_route_rows)
 
 
 def _split_thresholds_r6() -> list[int]:

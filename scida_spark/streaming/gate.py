@@ -1,0 +1,93 @@
+"""Streaming data-quality gate — per-micro-batch expectation checks
+with admit/quarantine routing and an auditable report history.
+
+The batch-admission pattern at 100 TB ingest: every arriving batch is
+scored against the declared expectations (functions/expectations.py —
+ONE aggregation pass per batch, all checks map-side-combined) BEFORE
+its rows reach the curated store. A batch that fails any blocking
+check is diverted whole to a quarantine directory (replayable once the
+upstream defect is fixed) instead of poisoning downstream state; every
+batch — admitted or not — appends its full report to a history table,
+so "when did completeness start degrading" is one query over the
+report store.
+
+Everything is ``foreachBatch`` over mergeable metrics, so the exact
+same check specs run in batch backfills and streaming ingest, and the
+report history re-aggregates (observed metrics are ratios of summed
+counts — recomputable from the stored numerators via ``n``).
+
+Idempotency: both sinks write under ``batch_id=N`` partitions with
+overwrite, the same replay contract as streaming/rollup.py — a
+restarted query that re-processes a committed batch rewrites
+identical data instead of duplicating it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def gated_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    *,
+    checks,
+    admit_dir: str,
+    quarantine_dir: str,
+    report_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Watch ``input_dir`` for new parquet; per micro-batch: evaluate
+    ``checks`` (constructors from functions/expectations.py), append
+    the report (plus ``batch_id`` and ``admitted``) to ``report_dir``,
+    and write the batch's ROWS to ``admit_dir`` if every check passed
+    else to ``quarantine_dir``. Returns the StreamingQuery.
+
+    The gate is all-or-nothing per batch by design: row-level
+    filtering belongs to the cleaning operators (quality filters,
+    dedup); the gate's job is to stop SYSTEMATIC defects — a schema
+    drift, an upstream join gone wrong, a null flood — where
+    admitting "just the good rows" would silently shrink coverage."""
+    from scida_spark.functions.expectations import expect_report
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        rep = expect_report(batch_df, checks).cache()
+        try:
+            admitted = rep.agg(
+                F.coalesce(F.bool_and("passed"), F.lit(True))
+            ).collect()[0][0]
+            rep.withColumn("batch_id", F.lit(int(batch_id))).withColumn(
+                "admitted", F.lit(bool(admitted))
+            ).write.mode("overwrite").parquet(
+                os.path.join(report_dir, f"batch_id={batch_id}")
+            )
+            dst = admit_dir if admitted else quarantine_dir
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(dst, f"batch_id={batch_id}")
+            )
+        finally:
+            rep.unpersist()
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(input_dir)
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_reports(spark: SparkSession, report_dir: str) -> DataFrame:
+    """The audit history: one row per (batch, check) with the batch's
+    admit verdict — '`WHERE NOT passed ORDER BY batch_id`' is the
+    degradation timeline."""
+    return spark.read.option("basePath", report_dir).parquet(report_dir)
