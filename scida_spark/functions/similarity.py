@@ -1299,3 +1299,121 @@ def hard_negatives(
         .withColumnRenamed("_qid", query_col)
         .withColumnRenamed("_cid", cand_col)
     )
+
+
+# --------------------------------------------------------------------------
+# Signed random projection (SRP) — oracle-exact hyperplane LSH
+# --------------------------------------------------------------------------
+
+
+def srp_signs(n_bits: int, dim: int, salt: str = "srp") -> list[list[float]]:
+    """The +-1 sign matrix for signed-random-projection hashing,
+    derived from md5("salt:j:i") parity instead of a seeded RNG — so
+    the ENTIRE hash family is a pure function of (salt, j, i) that any
+    engine reproduces bit-for-bit (the hash_bucket portability rule
+    applied to LSH: DuckDB recomputes the identical matrix from the
+    same md5 strings, which makes SRP signatures VALUE-checkable in
+    the oracle, not just recall-floor-checkable like the seeded-numpy
+    hyperplane/IVF/PQ builders). Charikar 2002 needs signs that are
+    symmetric and pairwise-independent-ish across (i, j) — md5 parity
+    on distinct strings serves exactly as well as a Gaussian sign."""
+    import hashlib
+
+    out = []
+    for j in range(n_bits):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{salt}:{j}:{i}".encode()).hexdigest()[:8]
+            row.append(1.0 if int(h, 16) % 2 == 0 else -1.0)
+        out.append(row)
+    return out
+
+
+def srp_project(
+    df: DataFrame,
+    n_bits: int,
+    dim: int,
+    salt: str = "srp",
+    vec_col: str = "embedding",
+    out_prefix: str = "proj",
+) -> DataFrame:
+    """Project ``vec_col`` (length ``dim``) onto the ``n_bits`` md5
+    sign rows: ``proj<j> = sum_i v[i] * sign[j][i]`` as a SEQUENTIAL
+    left fold (zip_with + aggregate — the dsir sorted-fold rule), so
+    the doubles are bit-identical across engines and partitionings.
+    Map-only, zero shuffle, no UDF: the sign matrix is a Column
+    literal, the fold is whole-stage-codegen JVM arithmetic. This is
+    also the Johnson-Lindenstrauss primitive: for distance-preserving
+    dimensionality reduction keep the raw projections; for LSH take
+    their signs (:func:`srp_signature`)."""
+    signs = srp_signs(n_bits, dim, salt)
+    out = df
+    v = F.col(vec_col).cast("array<double>")
+    for j in range(n_bits):
+        row = F.array(*[F.lit(s) for s in signs[j]])
+        out = out.withColumn(
+            f"{out_prefix}{j}", _fold_sum(F.zip_with(v, row, lambda x, s: x * s))
+        )
+    return out
+
+
+def srp_signature(
+    df: DataFrame,
+    n_bits: int,
+    dim: int,
+    salt: str = "srp",
+    vec_col: str = "embedding",
+    out_col: str = "srp_sig",
+    keep_proj: int = 0,
+) -> DataFrame:
+    """SRP LSH signature: bit j = (proj_j >= 0), packed little-endian
+    into a non-negative long (``n_bits <= 62``). sign(cos angle
+    preserved per Charikar: P[bit differs] = angle/pi) — signatures
+    feed the SAME generalized-pigeonhole Hamming blocking as
+    simhash/phash/afp (functions/dedup.py), completing the family:
+    text shingles, images, audio, and now raw embedding vectors all
+    dedup through one blocking kernel. ``keep_proj`` retains the first
+    k raw projections (JL-reduced coordinates) alongside the bits."""
+    if not 0 < n_bits <= 62:
+        raise ValueError("n_bits must be in (0, 62] to fit a signed long")
+    pro = srp_project(df, n_bits, dim, salt, vec_col=vec_col, out_prefix="__p")
+    sig = None
+    for j in range(n_bits):
+        term = F.when(F.col(f"__p{j}") >= 0.0, F.lit(1).cast("long") * (1 << j)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    out = pro.withColumn(out_col, sig)
+    for j in range(keep_proj):
+        out = out.withColumn(f"proj{j}", F.col(f"__p{j}"))
+    return out.drop(*[f"__p{j}" for j in range(n_bits)])
+
+
+def srp_near_pairs(
+    embeddings: DataFrame,
+    n_bits: int = 62,
+    dim: int = 64,
+    max_hamming: int = 4,
+    salt: str = "srp",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup candidate pairs by SRP-signature Hamming
+    distance — the fourth rider on the generalized pigeonhole blocking
+    (text simhash, image phash, audio afp, and now raw vectors): one
+    equi-join on chunk-subset keys, complete for distance <=
+    ``max_hamming``, never all-pairs. Candidates only (Charikar bits
+    approximate angle); exact-verify survivors with ``cosine`` where
+    the use case needs it.
+
+    Keep ``n_bits`` near 62: the blocking kernel chunks a 64-bit
+    space, so unpopulated high bits are constants that weaken their
+    chunks' keys (fewer distinguishing bits per bucket)."""
+    from scida_spark.functions.dedup import simhash_near_pairs
+
+    sig = srp_signature(
+        embeddings, n_bits, dim, salt, vec_col=vec_col
+    ).select(F.col(id_col).alias("doc"), F.col("srp_sig").alias("simhash"))
+    return simhash_near_pairs(sig, max_hamming=max_hamming).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"), "hamming"
+    )

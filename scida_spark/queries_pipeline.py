@@ -2025,6 +2025,29 @@ _RRF_ORACLE_SECTION = f"""
       JOIN embeddings c ON c.vec_id = r.cand_id
       WHERE r.rank <= 10 AND q.label <> c.label
     ) WHERE hrn = 1
+    UNION ALL
+    SELECT 'srp' AS method, vec_id AS query_id,
+           SUM(CASE WHEN proj >= 0.0 THEN CAST(1 AS BIGINT) << j
+                    ELSE CAST(0 AS BIGINT) END) AS cand_id,
+           MAX(CASE WHEN j = 0 THEN proj END) AS sim_r,
+           CAST(SUM(CASE WHEN proj >= 0.0 THEN 1 ELSE 0 END) AS INT) AS rank,
+           TRUE AS ok
+    FROM (
+      SELECT e.vec_id, jj.j,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(generate_series(1, 64),
+                   i -> CAST(e.embedding[i] AS DOUBLE) *
+                        (CASE WHEN CAST(('0x' || substr(md5(
+                               'srp9:' || CAST(jj.j AS VARCHAR) || ':'
+                                       || CAST(i - 1 AS VARCHAR)), 1, 8))
+                              AS UBIGINT) % 2 = 0
+                              THEN CAST(1.0 AS DOUBLE)
+                              ELSE CAST(-1.0 AS DOUBLE) END))),
+               (a, x) -> a + x) AS proj
+      FROM embeddings e,
+           (SELECT unnest(generate_series(0, 31)) AS j) jj
+    ) GROUP BY vec_id
     """,
 )
 def sim_topk(spark, sf_dir):
@@ -2214,6 +2237,26 @@ def sim_topk(spark, sf_dir):
         "rank",
         F.lit(True).alias("ok"),
     )
+    # --- srp (r9): md5-sign random projection — the ORACLE-EXACT LSH
+    # (functions/similarity.py::srp_signature). Unlike the seeded-numpy
+    # lsh/ivf/pq builders (recall-floor certs by necessity), the SRP
+    # hash family is a pure function of (salt, bit, coord) via md5
+    # parity, so the oracle rebuilds the identical ±1 matrix, replays
+    # the sequential zip_with fold in list_reduce, and VALUE-checks
+    # every signature (cand_id), first projection (sim_r, raw double —
+    # IEEE-identical multiply/add chains), and popcount (rank).
+    # Map-only, zero shuffle, no UDF; signatures feed the same
+    # pigeonhole Hamming blocking as simhash/phash/afp.
+    srp_rows = SIM.srp_signature(
+        emb.select("vec_id", "embedding"), 32, 64, salt="srp9", keep_proj=1
+    ).select(
+        F.lit("srp").alias("method"),
+        F.col("vec_id").alias("query_id"),
+        F.col("srp_sig").alias("cand_id"),
+        F.col("proj0").alias("sim_r"),
+        F.bit_count("srp_sig").cast("int").alias("rank"),
+        F.lit(True).alias("ok"),
+    )
     return (
         ex_rows.unionAll(cert_rows)
         .unionAll(bm25)
@@ -2221,6 +2264,7 @@ def sim_topk(spark, sf_dir):
         .unionAll(rrf_rows)
         .unionAll(knn_rows)
         .unionAll(hn_rows)
+        .unionAll(srp_rows)
     )
 
 

@@ -665,3 +665,111 @@ def test_hard_negatives_picks_closest_differing_label(spark):
     assert len(rows) == 1
     r = rows[0]
     assert r["query_id"] == 1 and r["cand_id"] == 11 and r["rank"] == 2
+
+
+# --------------------------------------------------------------------------
+# SRP — md5-sign random projection (oracle-exact LSH / JL primitive)
+# --------------------------------------------------------------------------
+
+
+def _np_srp(vecs, n_bits, dim, salt="srp"):
+    """Independent reference: same md5 parities, sequential fold."""
+    import hashlib
+
+    sigs, projs = [], []
+    signs = [
+        [
+            1.0 if int(hashlib.md5(f"{salt}:{j}:{i}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1.0
+            for i in range(dim)
+        ]
+        for j in range(n_bits)
+    ]
+    for v in vecs:
+        sig = 0
+        pj = []
+        for j in range(n_bits):
+            acc = 0.0
+            for i in range(dim):
+                acc = acc + v[i] * signs[j][i]
+            pj.append(acc)
+            if acc >= 0.0:
+                sig |= 1 << j
+        sigs.append(sig)
+        projs.append(pj)
+    return sigs, projs
+
+
+def test_srp_signature_matches_reference_and_layout(spark):
+    from pyspark.sql import functions as F
+
+    from scida_spark.functions.similarity import srp_signature
+
+    dim, nb = 8, 16
+    vecs = [
+        [float((i * 7 + k * 3) % 11 - 5) for i in range(dim)] for k in range(30)
+    ]
+    df = spark.createDataFrame(
+        [(k, v) for k, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    want_sigs, want_projs = _np_srp(vecs, nb, dim)
+    for layout in (df, df.repartition(7)):
+        got = {
+            r["vec_id"]: (r["srp_sig"], r["proj0"])
+            for r in srp_signature(
+                layout, nb, dim, keep_proj=1
+            ).collect()
+        }
+        for k in range(30):
+            assert got[k][0] == want_sigs[k], f"sig mismatch at {k}"
+            assert got[k][1] == want_projs[k][0], f"proj mismatch at {k}"
+
+
+def test_srp_angle_monotonicity(spark):
+    """Charikar property with the FIXED salt: a tiny perturbation of a
+    vector flips far fewer bits than an unrelated vector (deterministic
+    given the salt — this is a regression pin, not a statistical
+    test)."""
+    from scida_spark.functions.similarity import srp_signature
+
+    dim, nb = 16, 62
+    base = [float(i % 5 + 1) for i in range(dim)]
+    near = list(base)
+    near[0] += 0.01
+    far = [float((7 - i) % 9 - 4) for i in range(dim)]
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "vec_id long, embedding array<double>"
+    )
+    sigs = {
+        r["vec_id"]: r["srp_sig"]
+        for r in srp_signature(df, nb, dim).collect()
+    }
+    d_near = bin(sigs[0] ^ sigs[1]).count("1")
+    d_far = bin(sigs[0] ^ sigs[2]).count("1")
+    assert d_near <= 2
+    assert d_far >= 10
+
+
+def test_srp_near_pairs_finds_planted_twins(spark):
+    """Planted perturbed twins recovered through the pigeonhole
+    blocking; unrelated vectors stay unpaired at the cutoff."""
+    import numpy as np
+
+    from scida_spark.functions.similarity import srp_near_pairs
+
+    rng = np.random.RandomState(7)
+    dim = 16
+    rows = []
+    for k in range(20):
+        v = rng.randn(dim)
+        rows.append((2 * k, [float(x) for x in v]))
+        rows.append((2 * k + 1, [float(x) for x in v + rng.randn(dim) * 0.01]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in srp_near_pairs(df, max_hamming=4, dim=dim).collect()
+    }
+    planted = {(2 * k, 2 * k + 1) for k in range(20)}
+    found = len(planted & pairs)
+    assert found >= 18  # tiny perturbations survive the 62-bit hash
+    assert len(pairs - planted) <= 2  # independent gaussians stay apart
