@@ -369,6 +369,84 @@ def ngram_jaccard_pairs_from_shingles(
     )
 
 
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """COMPLETE exact set-similarity self-join at Jaccard >=
+    ``threshold`` via prefix filtering (All-Pairs / PPJoin family,
+    Bayardo et al. 2007; the symmetric MapReduce form is Vernica et
+    al., SIGMOD 2010) — the no-caveat complement of
+    :func:`ngram_jaccard_pairs`'s df-capped inverted index.
+
+    Order every document's shingles by a GLOBAL canonical order
+    (document frequency asc, then hash — rare first) and index only
+    each document's PREFIX: the first ``|s| - ceil(t*|s|) + 1``
+    shingles. For any pair with Jaccard >= t the prefixes must share a
+    shingle (if y misses all of x's prefix, the intersection fits in
+    x's suffix of ceil(t*|x|) - 1 elements, below the t*|x| floor that
+    J >= t forces), so the prefix equi-join is a complete candidate
+    generator with NO document-frequency exclusions. Hot boilerplate
+    shingles have maximal df, sort LAST, and fall out of most
+    prefixes — the same pruning a df cap buys, but bought with proof
+    instead of a completeness carve-out.
+
+    Scale: one df groupBy, one broadcast of per-doc set sizes, one
+    equi-join on prefix shingles (join volume ~ (1-t) of the full
+    inverted index, skew-capped by the canonical order), exact
+    array_intersect verify on candidates only. Like every exact
+    pairwise operator here: run ``exact_dedup`` / ``collapse_exact``
+    first on replica-heavy corpora — identical texts have identical
+    prefixes and pay clique^2 in ANY complete join."""
+    sh = shingle_hash_table(df, id_col, text_col, n).localCheckpoint(eager=True)
+    return jaccard_pairs_prefix_from_shingles(sh, threshold=threshold)
+
+
+def jaccard_pairs_prefix_from_shingles(
+    sh: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Prefix-filtered complete Jaccard join from a materialized
+    (doc, sh) table — see :func:`jaccard_pairs_prefix`. The caller
+    must have localCheckpointed ``sh``."""
+    from pyspark.sql.window import Window as _W
+
+    ex = sh.select("doc", F.explode("sh").alias("g"))
+    dfs = ex.groupBy("g").agg(F.count("*").alias("_df"))
+    w = _W.partitionBy("doc").orderBy(F.col("_df").asc(), F.col("g").asc())
+    ranked = ex.join(dfs, "g").select(
+        "doc", "g", F.row_number().over(w).alias("_r")
+    )
+    sizes = sh.select("doc", F.size("sh").alias("_sz"))
+    pre = ranked.join(F.broadcast(sizes), "doc").filter(
+        F.col("_r")
+        <= F.col("_sz") - F.ceil(F.lit(float(threshold)) * F.col("_sz")) + 1
+    )
+    cand = (
+        pre.select(F.col("doc").alias("doc_a"), "g")
+        .join(pre.select(F.col("doc").alias("doc_b"), "g"), "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sha = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    shb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sha, "doc_a")
+        .join(shb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= float(threshold))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

@@ -144,6 +144,15 @@ _MINHASH_RECALL_FLOOR = 0.85
     FROM documents a JOIN documents b ON a.doc_id < b.doc_id
     WHERE abs(length(substr(a.text, 1, 24)) - length(substr(b.text, 1, 24))) <= 2
       AND levenshtein(substr(a.text, 1, 24), substr(b.text, 1, 24)) <= 2
+    UNION ALL
+    SELECT 'ppjoin' AS method, CAST(doc_a AS BIGINT) AS id_a,
+           CAST(doc_b AS BIGINT) AS id_b,
+           CAST(n_inter AS DOUBLE)
+             / CAST(sa.nsh + sb.nsh - n_inter AS DOUBLE) AS score
+    FROM ginter
+    JOIN gsizes sa ON sa.doc = doc_a JOIN gsizes sb ON sb.doc = doc_b
+    WHERE CAST(n_inter AS DOUBLE)
+            / CAST(sa.nsh + sb.nsh - n_inter AS DOUBLE) >= 0.2
     """,
 )
 def dedup_signature_pairs(spark, sf_dir):
@@ -335,7 +344,32 @@ def dedup_signature_pairs(spark, sf_dir):
         F.col("doc_b").cast("bigint").alias("id_b"),
         F.col("distance").cast("double").alias("score"),
     )
-    return sh.unionAll(cert).unionAll(fz)
+    # --- ppjoin (r9): COMPLETE exact Jaccard pairs via prefix
+    # filtering (dedup.py::jaccard_pairs_prefix_from_shingles — the
+    # All-Pairs/PPJoin family): rare-first canonical order, index only
+    # each rep's |s|-ceil(t|s|)+1 prefix shingles, one equi-join, exact
+    # verify. No df-cap completeness carve-out — the oracle replays the
+    # FULL all-pairs answer and every pair and ratio value-checks.
+    # Same collapse-first discipline (identical texts → identical
+    # prefixes → clique²): the prefix join runs over the same rep
+    # shingle table the other sections share, then the clique map
+    # expands (self_score 1.0 = the J of identical texts).
+    pp_rep = D.jaccard_pairs_prefix_from_shingles(
+        sig.select("doc", "sh"), threshold=0.2
+    )
+    pp = D.expand_rep_pairs(
+        pp_rep,
+        clique,
+        "jaccard",
+        self_score=1.0,
+        self_reps=sig.filter(F.size("sh") > 0).select("doc"),
+    ).select(
+        F.lit("ppjoin").alias("method"),
+        F.col("doc_a").cast("bigint").alias("id_a"),
+        F.col("doc_b").cast("bigint").alias("id_b"),
+        F.col("jaccard").alias("score"),
+    )
+    return sh.unionAll(cert).unionAll(fz).unionAll(pp)
 
 
 @query(

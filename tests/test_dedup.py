@@ -476,3 +476,103 @@ def test_pagerank_deterministic_across_partitionings(spark):
     a = {r["node"]: r["r"] for r in pagerank_fixed_point(e1, iters=4).collect()}
     b = {r["node"]: r["r"] for r in pagerank_fixed_point(e7, iters=4).collect()}
     assert a == b
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtered complete Jaccard join (All-Pairs / PPJoin family)
+# --------------------------------------------------------------------------
+
+
+def _brute_jaccard(docs, n, t):
+    """All-pairs reference over word n-gram shingle SETS."""
+    def sset(s):
+        w = s.split()
+        return {tuple(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    out = {}
+    items = [(d, sset(s)) for d, s in docs]
+    for i in range(len(items)):
+        for j in range(i + 1, len(items)):
+            (da, sa), (db, sb) = items[i], items[j]
+            if not sa or not sb:
+                continue
+            jac = len(sa & sb) / len(sa | sb)
+            if jac >= t:
+                a, b = min(da, db), max(da, db)
+                out[(a, b)] = jac
+    return out
+
+
+def test_jaccard_prefix_complete_vs_brute(spark):
+    """Randomized completeness + exactness: the prefix join reports
+    EXACTLY the brute-force qualifying pairs with identical ratios, at
+    two thresholds."""
+    import random
+
+    from scida_spark.functions.dedup import jaccard_pairs_prefix
+
+    rng = random.Random(11)
+    vocab = [f"w{k}" for k in range(30)]
+    docs = []
+    for d in range(60):
+        base = rng.sample(vocab, 8)
+        docs.append((d, " ".join(base * 2)))
+        if d % 3 == 0:  # planted near-dup: one-word edit
+            mut = list(base)
+            mut[0] = rng.choice(vocab)
+            docs.append((1000 + d, " ".join(mut * 2)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for t in (0.4, 0.7):
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in jaccard_pairs_prefix(
+                df, "doc_id", "text", n=3, threshold=t
+            ).collect()
+        }
+        want = _brute_jaccard(docs, 3, t)
+        assert set(got) == set(want), f"t={t}"
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_jaccard_prefix_finds_hot_only_pairs(spark):
+    """The pair whose every shared shingle is HOT — the documented
+    blind spot of the df-capped inverted index — is found by the
+    prefix join (its completeness needs no df carve-out)."""
+    from scida_spark.functions.dedup import (
+        jaccard_pairs_prefix,
+        ngram_jaccard_pairs,
+    )
+
+    hot = "alpha beta gamma delta epsilon zeta eta theta "  # shared by everyone
+    docs = [(k, hot + f"uniq{k} pad{k}") for k in range(12)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    t = 0.45  # shared = 6 all-hot shingles, |set| = 8 -> J = 6/10 = 0.6
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        capped = {
+            (r["doc_a"], r["doc_b"])
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", n=3, threshold=t, max_df=4
+            ).collect()
+        }
+    prefix = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs_prefix(df, "doc_id", "text", n=3, threshold=t).collect()
+    }
+    want = set(_brute_jaccard(docs, 3, t))
+    assert prefix == want
+    assert capped < want  # the cap really does miss hot-only pairs here
+
+
+def test_jaccard_prefix_no_cartesian_plan(spark):
+    from scida_spark.functions.dedup import jaccard_pairs_prefix
+
+    df = spark.createDataFrame(
+        [(k, f"a b c d e f g h{k}") for k in range(10)], "doc_id long, text string"
+    )
+    plan = jaccard_pairs_prefix(df, "doc_id", "text")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
