@@ -140,7 +140,11 @@ def test_train_eval_split_stratum_shuffles_shared(spark, sf_dir, reg):
     bucket table, NOT a 1-row cross join)."""
     p = _plan(spark, reg["text_train_eval_split"](spark, sf_dir))
     assert p.count("hashpartitioning(lang") == 1, p
-    assert p.count("hashpartitioning(source") == 1, p
+    # TWO independent source-partitioned exchanges since r9 in_domcap:
+    # the DSIR quota branch and the domain-cap selection window are
+    # separate join subtrees (the cap's WindowGroupLimit-pruned input
+    # cannot reuse the DSIR branch's exchange).
+    assert p.count("hashpartitioning(source") == 2, p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert p.count("Window") >= 4  # (rank+count) × (in_strat, in_dsir)
