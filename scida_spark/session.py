@@ -55,6 +55,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # localCheckpoint blocks (the shared-scan pattern: clique maps,
+        # signature tables, exact top-k) are only released when the JVM
+        # GCs their RDD references and ContextCleaner follows up; the
+        # default periodic-GC interval is 30 MIN, so a session that
+        # re-runs checkpoint-heavy queries accumulates dead blocks and
+        # each warm pass gets SLOWER (measured at the ×100 stress set:
+        # sim_topk 54 s → 98 s across passes; with GC between runs it
+        # stabilizes at ~42-46 s). Two minutes bounds the creep at
+        # negligible GC cost.
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
