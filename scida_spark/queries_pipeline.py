@@ -89,6 +89,58 @@ def dedup_exact_clusters(spark, sf_dir):
 # b=16/r=4 pairing measured ~2.5 % recall at the same boundary).
 _MINHASH_RECALL_FLOOR = 0.85
 
+# Fellegi-Sunter field model for the linkage section: owner-prior m
+# (P(field agrees | same entity)) and u (P(agree | different)).
+# fs_weights turns these into ln-ratio DOUBLE LITERALS once,
+# driver-side — both engines then sum the identical literals in
+# sorted field order, so scores are bit-exact with no runtime ln.
+_FS_M_U = {
+    "lang": (0.95, 0.2),
+    "source": (0.9, 0.05),
+    "nbucket": (0.85, 0.1),
+    "prefix16": (0.9, 0.001),
+}
+
+
+def _fs_oracle_section() -> str:
+    """The linkage rows' oracle: candidate pairs = the same all-pairs
+    Jaccard >= 0.2 set the ppjoin rows certify (ginter/gsizes CTEs),
+    fields joined from documents, agreement via IS NOT DISTINCT FROM,
+    weights embedded as the exact repr of the driver's doubles, summed
+    in sorted field order."""
+    from scida_spark.functions.linkage import fs_weights
+
+    w = fs_weights(_FS_M_U)
+    field_sql = {
+        "lang": ("da.lang", "db.lang"),
+        "nbucket": ("da.n_chars // 50", "db.n_chars // 50"),
+        "prefix16": ("substr(da.text, 1, 16)", "substr(db.text, 1, 16)"),
+        "source": ("da.source", "db.source"),
+    }
+    terms = []
+    for f in sorted(w):
+        wa, wd = w[f]
+        a, b = field_sql[f]
+        terms.append(
+            f"(CASE WHEN {a} IS NOT DISTINCT FROM {b} "
+            f"THEN CAST({wa!r} AS DOUBLE) ELSE CAST({wd!r} AS DOUBLE) END)"
+        )
+    score = " + ".join(["CAST(0.0 AS DOUBLE)"] + terms)
+    return f"""
+    UNION ALL
+    SELECT 'linkage' AS method, CAST(p.doc_a AS BIGINT) AS id_a,
+           CAST(p.doc_b AS BIGINT) AS id_b,
+           {score} AS score
+    FROM (
+      SELECT doc_a, doc_b FROM ginter
+      JOIN gsizes sa ON sa.doc = doc_a JOIN gsizes sb ON sb.doc = doc_b
+      WHERE CAST(n_inter AS DOUBLE)
+              / CAST(sa.nsh + sb.nsh - n_inter AS DOUBLE) >= 0.2
+    ) p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    """
+
 
 @query(
     "dedup_signature_pairs",
@@ -153,7 +205,8 @@ _MINHASH_RECALL_FLOOR = 0.85
     JOIN gsizes sa ON sa.doc = doc_a JOIN gsizes sb ON sb.doc = doc_b
     WHERE CAST(n_inter AS DOUBLE)
             / CAST(sa.nsh + sb.nsh - n_inter AS DOUBLE) >= 0.2
-    """,
+    """
+    + _fs_oracle_section(),
 )
 def dedup_signature_pairs(spark, sf_dir):
     """Signature-based near-dup pairs, BOTH scale paths in one result —
@@ -357,19 +410,53 @@ def dedup_signature_pairs(spark, sf_dir):
     pp_rep = D.jaccard_pairs_prefix_from_shingles(
         sig.select("doc", "sh"), threshold=0.2
     )
-    pp = D.expand_rep_pairs(
+    pp_all = D.expand_rep_pairs(
         pp_rep,
         clique,
         "jaccard",
         self_score=1.0,
         self_reps=sig.filter(F.size("sh") > 0).select("doc"),
-    ).select(
+    )
+    pp = pp_all.select(
         F.lit("ppjoin").alias("method"),
         F.col("doc_a").cast("bigint").alias("id_a"),
         F.col("doc_b").cast("bigint").alias("id_b"),
         F.col("jaccard").alias("score"),
     )
-    return sh.unionAll(cert).unionAll(fz).unionAll(pp)
+    # --- linkage (r9): Fellegi-Sunter probabilistic record linkage
+    # (functions/linkage.py) over the SAME candidate pairs the ppjoin
+    # section certifies — blocking → field agreement → ln-ratio score,
+    # completing the entity-resolution pipeline. Weights are double
+    # literals computed once from the (m, u) priors, summed in sorted
+    # field order, so every score value-checks bit-for-bit in the
+    # oracle (no runtime ln on either engine). Two broadcast-shaped
+    # equi-joins pull the four fields; scoring is map-only.
+    from scida_spark.functions import linkage as L
+
+    doc_fields = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.col("n_chars").cast("long") / 50).cast("long").alias("nbucket"),
+        F.substring("text", 1, 16).alias("prefix16"),
+    )
+    lk = L.fs_score(
+        L.field_agreement(
+            pp_all.select(
+                F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+            ),
+            doc_fields,
+            "doc_id",
+            {"lang": None, "source": None, "nbucket": None, "prefix16": None},
+        ),
+        _FS_M_U,
+    ).select(
+        F.lit("linkage").alias("method"),
+        F.col("id_a").cast("bigint"),
+        F.col("id_b").cast("bigint"),
+        F.col("fs_score").alias("score"),
+    )
+    return sh.unionAll(cert).unionAll(fz).unionAll(pp).unionAll(lk)
 
 
 @query(
