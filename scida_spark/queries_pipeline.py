@@ -1318,6 +1318,25 @@ def text_train_eval_split(spark, sf_dir):
       SELECT 'dq:fk:l_orderkey', CAST(orph AS DOUBLE),
              CAST(n AS BIGINT), orph <= 0 FROM dqf
     )
+    UNION ALL
+    SELECT 'diff:' || status || ':' || lang AS kind,
+           CAST(COUNT(*) AS DOUBLE) AS exact_metric,
+           CAST(COUNT(*) AS BIGINT) AS n_rows, TRUE AS within_tol
+    FROM (
+      SELECT COALESCE(n.lang, o.lang) AS lang,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.t = n.text THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM (SELECT doc_id, lang,
+                   CASE WHEN doc_id % 11 = 1 THEN text || ' OLD'
+                        ELSE text END AS t
+            FROM documents WHERE doc_id % 11 <> 0) o
+      FULL OUTER JOIN
+           (SELECT doc_id, lang, text FROM documents
+            WHERE doc_id % 11 <> 2) n
+        ON o.doc_id = n.doc_id
+    ) GROUP BY lang, status
     """,
 )
 def sketch_distinct_rollup(spark, sf_dir):
@@ -1783,6 +1802,34 @@ def sketch_distinct_rollup(spark, sf_dir):
         F.col("passed").alias("within_tol"),
     )
 
+    # --- diff: dataset-version diff (r9; functions/diff.py) ---------
+    # Two corpus versions derived DETERMINISTICALLY from documents so
+    # the oracle replays them: old = ids with doc_id%11 != 0 (text
+    # suffixed ' OLD' for %11 == 1), new = ids with %11 != 2. Every
+    # status therefore has a known population (added = %11==0,
+    # removed = %11==2, changed = %11==1) and the per-language churn
+    # rollup value-checks exactly. One full-outer join on the id with
+    # map-side digests; the content never shuffles.
+    from scida_spark.functions.diff import dataset_diff, diff_summary
+
+    basev = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    oldv = basev.filter(F.col("doc_id") % 11 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 1, F.concat(F.col("text"), F.lit(" OLD"))
+        ).otherwise(F.col("text")),
+    )
+    newv = basev.filter(F.col("doc_id") % 11 != 2)
+    diff_rows = diff_summary(
+        dataset_diff(oldv, newv, "doc_id", ["text"], keep_cols=["lang"]),
+        ["lang"],
+    ).select(
+        F.concat(F.lit("diff:"), "status", F.lit(":"), "lang").alias("kind"),
+        F.col("n").cast("double").alias("exact_metric"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.lit(True).alias("within_tol"),
+    )
+
     return (
         hll_rows.unionAll(kll_rows)
         .unionAll(theta_rows)
@@ -1791,6 +1838,7 @@ def sketch_distinct_rollup(spark, sf_dir):
         .unionAll(freq_rows)
         .unionAll(cms_rows)
         .unionAll(dq_rows)
+        .unionAll(diff_rows)
     )
 
 
