@@ -1337,6 +1337,33 @@ def text_train_eval_split(spark, sf_dir):
             WHERE doc_id % 11 <> 2) n
         ON o.doc_id = n.doc_id
     ) GROUP BY lang, status
+    UNION ALL
+    SELECT 'auc:quality_en' AS kind,
+           CAST(rsum2 - npos * (npos + 1) AS DOUBLE)
+             / CAST(2 * npos * nneg AS DOUBLE) AS exact_metric,
+           CAST(npos + nneg AS BIGINT) AS n_rows, TRUE AS within_tol
+    FROM (
+      WITH aqt AS (
+        SELECT doc_id,
+               CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS n,
+               CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE) AS nd,
+               CAST(list_reduce(list_transform(string_split(trim(text), ' '),
+                    x -> CAST(length(x) AS BIGINT)), (acc, x) -> acc + x) AS DOUBLE) AS totlen
+        FROM documents),
+      aqs AS (
+        SELECT d.lang = 'en' AS y,
+               CAST(FLOOR((LEAST(LOG10(t.n + 1) / 3.0, 1.0) + (t.nd / t.n) * 0.5 +
+                 CASE WHEN t.totlen / t.n >= 3 AND t.totlen / t.n <= 8
+                      THEN 0.5 ELSE 0.0 END) * 64) AS BIGINT) AS sb
+        FROM aqt t JOIN documents d ON d.doc_id = t.doc_id),
+      ac AS (SELECT sb, COUNT(*) AS cn,
+                    SUM(CASE WHEN y THEN 1 ELSE 0 END) AS np
+             FROM aqs GROUP BY sb),
+      am AS (SELECT np, cn, SUM(cn) OVER (ORDER BY sb) AS cum FROM ac)
+      SELECT SUM(CAST(np AS HUGEINT) * (2 * cum - cn + 1)) AS rsum2,
+             SUM(np) AS npos, SUM(cn) - SUM(np) AS nneg
+      FROM am
+    )
     """,
 )
 def sketch_distinct_rollup(spark, sf_dir):
@@ -1830,6 +1857,39 @@ def sketch_distinct_rollup(spark, sf_dir):
         F.lit(True).alias("within_tol"),
     )
 
+    # --- auc: exact ranking-quality evaluation (r9;
+    # functions/metrics.py::auc_exact) — tie-corrected Mann-Whitney
+    # AUC of the heuristic quality score at separating English docs,
+    # computed over the per-DISTINCT-score aggregated table (the
+    # grouped_median_element shape; scores bucket to floor(score*64)
+    # so the window side stays bounded for continuous scores). The
+    # doubled-midrank rank sum is pure integer/DECIMAL arithmetic with
+    # ONE final division, so the oracle's identical formula reproduces
+    # the value bit-for-bit.
+    from scida_spark.functions.metrics import auc_exact
+
+    qdocs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    qtok = qdocs.select(
+        "lang", TX.tokens(F.col("text")).alias("_t")
+    )
+    qsc = qtok.select(
+        (F.col("lang") == "en").alias("y"),
+        TX.quality_score_from_stats(
+            F.size("_t"),
+            F.size(F.array_distinct("_t")),
+            F.aggregate(
+                "_t", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+            ).cast("double")
+            / F.size("_t"),
+        ).alias("_score"),
+    ).select("y", F.floor(F.col("_score") * 64).alias("sb"))
+    auc_rows = auc_exact(qsc, "sb", "y").select(
+        F.lit("auc:quality_en").alias("kind"),
+        F.col("auc").alias("exact_metric"),
+        (F.col("n_pos") + F.col("n_neg")).cast("long").alias("n_rows"),
+        F.lit(True).alias("within_tol"),
+    )
+
     return (
         hll_rows.unionAll(kll_rows)
         .unionAll(theta_rows)
@@ -1839,6 +1899,7 @@ def sketch_distinct_rollup(spark, sf_dir):
         .unionAll(cms_rows)
         .unionAll(dq_rows)
         .unionAll(diff_rows)
+        .unionAll(auc_rows)
     )
 
 
