@@ -127,9 +127,13 @@ def expect_report(df: DataFrame, checks, approx: bool = False) -> DataFrame:
             raise ValueError(f"unknown check kind: {c['kind']}")
         aggs.append(m.cast("double").alias(f"__m{i}"))
     row = df.agg(*aggs)
+    labels = [_label(c) for c in checks]
+    bad = [l for l in labels if "'" in l or "\\" in l]
+    if bad:  # labels are spliced into a stack() SQL expr below
+        raise ValueError(f"check labels must not contain quotes: {bad}")
     pairs = ", ".join(
-        f"'{_label(c)}', __m{i}, CAST({c['bound']} AS DOUBLE)"
-        for i, c in enumerate(checks)
+        f"'{label}', __m{i}, CAST({c['bound']} AS DOUBLE)"
+        for i, (label, c) in enumerate(zip(labels, checks))
     )
     return row.select(
         F.expr(f"stack({len(checks)}, {pairs}) AS (check, observed, bound)"),

@@ -47,7 +47,6 @@ def auc_exact(
         if group_cols
         else W.orderBy(score_col)
     )
-    w_all = W.partitionBy(*group_cols) if group_cols else W.partitionBy()
     cum = cnt.select(
         *group_cols,
         "__n",
