@@ -96,3 +96,24 @@ def test_confusion_at_threshold(spark):
     empty = spark.createDataFrame([], "id long, s double, y boolean")
     [e] = confusion_at_threshold(empty, "s", "y", 0.5).collect()
     assert (e["tp"], e["precision"]) == (0, None)
+
+
+def test_auc_randomized_reference_multi_seed(spark):
+    """Randomized agreement with the pure-Python midrank reference
+    across several seeds and heavy-tie regimes (bucketed scores)."""
+    import random
+
+    from scida_spark.functions.metrics import auc_exact
+
+    for seed in (3, 17, 99):
+        rng = random.Random(seed)
+        n = 500
+        scores = [float(rng.randint(0, 12)) for _ in range(n)]  # heavy ties
+        labels = [rng.random() < 0.3 for _ in range(n)]
+        if not any(labels) or all(labels):
+            labels[0] = not labels[0]
+        df = spark.createDataFrame(
+            list(zip(range(n), scores, labels)), "id long, s double, y boolean"
+        )
+        got = auc_exact(df, "s", "y").collect()[0]["auc"]
+        assert got == pytest.approx(_sk_auc(scores, labels), abs=0), seed
