@@ -1232,3 +1232,77 @@ def pagerank_fixed_point(
             .localCheckpoint(eager=True)
         )
     return r
+
+
+def merge_cc_labels(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    new_nodes: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """INCREMENTAL connected components: merge a batch of new nodes and
+    edges into an existing (doc, label) store without re-running CC
+    over history. Returns ONLY the rows that must be written — every
+    new node's label plus every existing doc whose label changed
+    (keep-latest store semantics: the caller appends these under a new
+    batch partition and serves max-batch-per-doc).
+
+    Works at the LABEL level: each existing cluster is represented by
+    its label node (label == the cluster's min member id — the store
+    invariant), so an edge touching an existing doc lifts to an edge
+    touching its label, and connecting two labels connects their whole
+    clusters. CC then runs over the lifted edge set only — cost is
+    O(touched clusters + batch), never O(history):
+
+      1. lift both endpoints through the store (left join: an unknown
+         endpoint — a new doc — lifts to itself);
+      2. :func:`connected_components` over the lifted edges (pointer
+         jumping, O(log d) rounds);
+      3. component minimum becomes the merged label. It equals the
+         TRUE min member id of the merged cluster: every old label IS
+         its cluster's min, and new ids participate directly — so the
+         invariant is re-established, which is what makes the next
+         batch's merge correct (induction).
+
+    Changed-existing rows come from remapping the store through
+    (old label -> new label) — one equi-join on the label column that
+    touches only members of re-labeled clusters."""
+    la = labels.select(F.col("doc").alias("__da"), F.col("label").alias("__la"))
+    lb = labels.select(F.col("doc").alias("__db"), F.col("label").alias("__lb"))
+    lifted = (
+        new_edges.select(F.col(a_col).alias("__ea"), F.col(b_col).alias("__eb"))
+        .join(la, F.col("__ea") == F.col("__da"), "left")
+        .join(lb, F.col("__eb") == F.col("__db"), "left")
+        .select(
+            F.coalesce(F.col("__la"), F.col("__ea")).alias("doc_a"),
+            F.coalesce(F.col("__lb"), F.col("__eb")).alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    comp = connected_components(lifted, "doc_a", "doc_b", max_iter=max_iter)
+    # new nodes: resolve through the component map; isolated ones keep
+    # their own id (left join misses them)
+    nn = new_nodes.select(F.col("doc").alias("__nd"))
+    new_rows = (
+        nn.join(comp, F.col("__nd") == F.col("node"), "left")
+        .select(
+            F.col("__nd").alias("doc"),
+            F.coalesce(F.col("cluster_id"), F.col("__nd")).alias("label"),
+        )
+    )
+    # existing docs in re-labeled clusters: old label appears in comp
+    # with a different cluster_id
+    remap = comp.filter(F.col("cluster_id") != F.col("node")).select(
+        F.col("node").alias("__old"), F.col("cluster_id").alias("__new")
+    )
+    changed = (
+        labels.join(remap, F.col("label") == F.col("__old"))
+        .select("doc", F.col("__new").alias("label"))
+    )
+    # a new doc may also be an old doc's new label source — dedupe on
+    # doc with the smallest label winning (labels only ever decrease)
+    return new_rows.unionAll(changed).groupBy("doc").agg(
+        F.min("label").alias("label")
+    )

@@ -1,0 +1,164 @@
+"""Incremental connected components over a streaming corpus — rolling
+near-dup CLUSTER LABELS, where streaming/ingest.py's dedup path keeps
+only survivors.
+
+Some pipelines must keep every document but know its cluster (leakage-
+safe splits assign by cluster; analytics count cluster sizes; a later
+curation pass picks a canonical member per cluster by quality rather
+than arrival). This driver maintains a (doc, label) store across
+micro-batches: per batch it discovers the batch's edges — exact-dup
+edges via an md5 digest index, near-dup edges via within-batch
+MinHash+LSH plus the banded cross-join against the persisted signature
+index — and merges them into the store with
+``functions/dedup.py::merge_cc_labels``, whose label-level lift makes
+the merge cost O(touched clusters + batch), never O(history). The
+store invariant (label == cluster min id) survives every merge by
+induction, so an N-batch ingest ends with EXACTLY the labels of one
+batch CC over the whole corpus (pytest-pinned).
+
+Store layout: ``labels_dir/batch_id=N/`` holds only the rows that
+batch created or re-labeled (idempotent overwrite per batch — the
+rollup/ingest replay contract); :func:`read_labels` serves latest-
+batch-wins per doc. Index layout matches streaming/ingest.py
+(``bands`` / ``shingles`` / ``digests`` under ``index_dir``), with
+digests carrying the doc id (this module needs the EDGE, not just
+membership).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scida_spark.functions.dedup import (
+    _band_signatures,
+    merge_cc_labels,
+    minhash_dedup_pairs_from_shingles,
+    minhash_incremental_pairs,
+    minhash_signatures_from_shingles,
+    shingle_hash_table,
+)
+from scida_spark.streaming.ingest import _read_index_part
+
+
+def read_labels(
+    spark: SparkSession, labels_dir: str, before_batch: int | None = None
+) -> DataFrame:
+    """Serve the label store: latest-batch row per doc. Pass
+    ``before_batch`` inside a replayed micro-batch so it cannot see
+    its own prior writes (the _read_index_part rule)."""
+    if not os.path.isdir(labels_dir):
+        return spark.createDataFrame([], "doc long, label long")
+    try:
+        df = spark.read.parquet(labels_dir)
+    except Exception:
+        return spark.createDataFrame([], "doc long, label long")
+    if before_batch is not None:
+        df = df.filter(F.col("batch_id") < before_batch)
+    return df.groupBy("doc").agg(
+        F.max_by("label", "batch_id").alias("label")
+    )
+
+
+def incremental_cc_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    *,
+    labels_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+    available_now: bool = True,
+):
+    """Start the streaming label maintenance; returns the
+    StreamingQuery. Same (num_perm, bands, seed) for the index's whole
+    life — the ingest.py contract."""
+    rows_per_band = num_perm // bands
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        batch = batch.dropDuplicates([id_col])
+        docs = batch.select(
+            F.col(id_col).alias("doc"), F.col(text_col).alias("__t")
+        ).localCheckpoint(eager=True)
+        sh = shingle_hash_table(
+            docs, "doc", "__t", n=n
+        ).localCheckpoint(eager=True)
+        # --- edges -----------------------------------------------------
+        # within-batch near-dups (LSH bands + exact-Jaccard verify)
+        e_in = minhash_dedup_pairs_from_shingles(
+            sh, num_perm=num_perm, bands=bands, threshold=threshold, seed=seed
+        ).select("doc_a", "doc_b")
+        # within-batch exact dups (covers sub-n-token docs LSH misses)
+        dig = docs.select("doc", F.md5("__t").alias("digest"))
+        reps = dig.groupBy("digest").agg(F.min("doc").alias("doc_a"))
+        e_exact = (
+            dig.join(reps, "digest")
+            .filter(F.col("doc") != F.col("doc_a"))
+            .select("doc_a", F.col("doc").alias("doc_b"))
+        )
+        edges = e_in.unionAll(e_exact)
+        # cross-batch near-dups vs the persisted signature index
+        old_sh = _read_index_part(sess, index_dir, "shingles", batch_id)
+        if old_sh is not None:
+            e_x = minhash_incremental_pairs(
+                old_sh.select("doc", "sh"),
+                sh,
+                num_perm=num_perm,
+                bands=bands,
+                threshold=threshold,
+                seed=seed,
+            ).select(
+                F.col("new_doc").alias("doc_a"), F.col("old_doc").alias("doc_b")
+            )
+            edges = edges.unionAll(e_x)
+        # cross-batch exact dups vs the digest index (doc-carrying)
+        old_dig = _read_index_part(sess, index_dir, "digests", batch_id)
+        if old_dig is not None:
+            e_xd = (
+                dig.join(
+                    old_dig.select(
+                        F.col("doc").alias("doc_b"), "digest"
+                    ),
+                    "digest",
+                )
+                .select(F.col("doc").alias("doc_a"), "doc_b")
+            )
+            edges = edges.unionAll(e_xd)
+        # --- merge + idempotent writes ----------------------------------
+        labels = read_labels(sess, labels_dir, before_batch=batch_id)
+        out = merge_cc_labels(labels, edges, docs.select("doc"))
+        out.write.mode("overwrite").parquet(
+            f"{labels_dir}/batch_id={batch_id}"
+        )
+        new_sig = minhash_signatures_from_shingles(sh, num_perm, seed)
+        _band_signatures(new_sig, bands, rows_per_band).write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/bands/batch_id={batch_id}")
+        sh.write.mode("overwrite").parquet(
+            f"{index_dir}/shingles/batch_id={batch_id}"
+        )
+        dig.write.mode("overwrite").parquet(
+            f"{index_dir}/digests/batch_id={batch_id}"
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -576,3 +576,98 @@ def test_jaccard_prefix_no_cartesian_plan(spark):
     plan = jaccard_pairs_prefix(df, "doc_id", "text")._jdf.queryExecution(
     ).executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+# --------------------------------------------------------------------------
+# Incremental connected components (label-store merge)
+# --------------------------------------------------------------------------
+
+
+def _full_cc(edges, nodes):
+    """Reference: labels = min reachable id, pure Python union-find."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_merge_cc_labels_n_batches_equal_full_cc(spark):
+    """Feeding edges in batches through merge_cc_labels (keep-latest
+    store) converges to exactly the labels of one CC over everything —
+    including the hard case where a later batch BRIDGES two existing
+    clusters."""
+    from scida_spark.functions.dedup import merge_cc_labels
+
+    batches = [
+        # batch 0: two separate clusters {1,2} {5,6} + singleton 9
+        ([(1, 2), (5, 6)], [1, 2, 5, 6, 9]),
+        # batch 1: extends {5,6} with 7; new pair {10,11}
+        ([(6, 7), (10, 11)], [7, 10, 11]),
+        # batch 2: BRIDGES {1,2} and {5,6,7} through new doc 20; joins 9
+        ([(20, 2), (20, 7), (9, 21)], [20, 21]),
+    ]
+    store = {}  # doc -> label (keep-latest semantics)
+    for edges, nodes in batches:
+        labels_df = spark.createDataFrame(
+            list(store.items()) or [(None, None)], "doc long, label long"
+        ).filter("doc IS NOT NULL")
+        out = merge_cc_labels(
+            labels_df,
+            spark.createDataFrame(edges, "doc_a long, doc_b long"),
+            spark.createDataFrame([(n,) for n in nodes], "doc long"),
+        )
+        for r in out.collect():
+            store[r["doc"]] = r["label"]
+    all_edges = [e for es, _ in batches for e in es]
+    all_nodes = [n for _, ns in batches for n in ns]
+    assert store == _full_cc(all_edges, all_nodes)
+
+
+def test_merge_cc_labels_randomized_vs_full(spark):
+    """Randomized: arbitrary edge arrival order across 4 batches ==
+    batch CC of the union, across seeds."""
+    import random
+
+    from scida_spark.functions.dedup import merge_cc_labels
+
+    for seed in (5, 23):
+        rng = random.Random(seed)
+        nodes = list(range(60))
+        edges = [
+            (rng.randrange(60), rng.randrange(60)) for _ in range(50)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        rng.shuffle(nodes)
+        store = {}
+        # nodes arrive over 4 batches; an edge goes with the batch in
+        # which its LATER endpoint arrives (realistic ingest order)
+        arrival = {n: i * 4 // len(nodes) for i, n in enumerate(nodes)}
+        for k in range(4):
+            ns = [n for n in nodes if arrival[n] == k]
+            es = [
+                (a, b)
+                for a, b in edges
+                if max(arrival[a], arrival[b]) == k
+            ]
+            labels_df = spark.createDataFrame(
+                list(store.items()) or [(None, None)], "doc long, label long"
+            ).filter("doc IS NOT NULL")
+            out = merge_cc_labels(
+                labels_df,
+                spark.createDataFrame(es or [(None, None)], "doc_a long, doc_b long").filter(
+                    "doc_a IS NOT NULL"
+                ),
+                spark.createDataFrame([(n,) for n in ns], "doc long"),
+            )
+            for r in out.collect():
+                store[r["doc"]] = r["label"]
+        assert store == _full_cc(edges, list(range(60))), seed
