@@ -643,6 +643,10 @@ def dedup_keep_first_latest(spark, sf_dir):
                   WHEN e.event_id <= c.c2 THEN 1 ELSE 2 END AS b
       FROM events e, cuts c
     ) GROUP BY b
+    UNION ALL
+    SELECT 'cclabel' AS section, CAST(doc_id AS VARCHAR) AS k1,
+           CAST(MIN(doc_id) OVER (PARTITION BY md5(text)) AS VARCHAR) AS k2
+    FROM documents
     """,
 )
 def stream_dedup_keys(spark, sf_dir):
@@ -838,6 +842,61 @@ def stream_dedup_keys(spark, sf_dir):
             F.col("admitted").cast("string"),
         ).alias("k2"),
     )
+    # --- cclabel (r9): incremental connected components run FOR REAL
+    # (streaming/cc.py): documents re-fed through 3 id-ordered
+    # micro-batches; the label store is maintained by merge_cc_labels
+    # across batches and served keep-latest. threshold=1.01 switches
+    # near-dup edges off (the ingest-section precedent — LSH signatures
+    # are not SQL-replayable), so every edge is an exact-digest edge
+    # and the oracle pins the ENTIRE machinery — batching, the digest
+    # index, the label-level merge, store replay semantics — against
+    # label == MIN(doc_id) OVER (PARTITION BY md5(text)). The
+    # probabilistic edge path is pytest-pinned (streaming ≡ batch run
+    # of the same operator).
+    from scida_spark.streaming.cc import incremental_cc_ingest, read_labels
+
+    cbase = _os.path.join(
+        _tempfile.gettempdir(),
+        "ss_cc_cert_" + _os.path.basename(sf_dir.rstrip("/")),
+    )
+    _shutil.rmtree(cbase, ignore_errors=True)
+    cinp = _os.path.join(cbase, "input")
+    _os.makedirs(cinp)
+    cdocs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    chi = cdocs.agg(F.max("doc_id")).first()[0]
+    ccut1, ccut2 = chi // 3, (2 * chi) // 3
+    for k, cond in enumerate(
+        [
+            F.col("doc_id") <= ccut1,
+            (F.col("doc_id") > ccut1) & (F.col("doc_id") <= ccut2),
+            F.col("doc_id") > ccut2,
+        ]
+    ):
+        part = _os.path.join(cbase, f"_stage{k}")
+        cdocs.filter(cond).coalesce(1).write.mode("overwrite").parquet(part)
+        src_file = next(
+            f for f in _os.listdir(part) if f.endswith(".parquet")
+        )
+        _os.rename(
+            _os.path.join(part, src_file), _os.path.join(cinp, f"b{k}.parquet")
+        )
+        _shutil.rmtree(part)
+    cq = incremental_cc_ingest(
+        spark,
+        cinp,
+        cdocs.schema,
+        labels_dir=_os.path.join(cbase, "labels"),
+        index_dir=_os.path.join(cbase, "index"),
+        checkpoint_dir=_os.path.join(cbase, "ckpt"),
+        threshold=1.01,  # exact-digest edges only: SQL-replayable
+    )
+    cq.awaitTermination()
+    cc_rows = read_labels(spark, _os.path.join(cbase, "labels")).select(
+        F.lit("cclabel").alias("section"),
+        F.col("doc").cast("string").alias("k1"),
+        F.col("label").cast("string").alias("k2"),
+    )
+
     gate_route_rows = None
     for tag, d in (("admit", "admit"), ("quar", "quar")):
         rows = (
@@ -864,7 +923,7 @@ def stream_dedup_keys(spark, sf_dir):
         )
     return stream_rows.unionAll(ingest_rows).unionAll(
         gate_report_rows
-    ).unionAll(gate_route_rows)
+    ).unionAll(gate_route_rows).unionAll(cc_rows)
 
 
 def _split_thresholds_r6() -> list[int]:
