@@ -1423,6 +1423,28 @@ def text_train_eval_split(spark, sf_dir):
              SUM(np) AS npos, SUM(cn) - SUM(np) AS nneg
       FROM am
     )
+    UNION ALL
+    SELECT 'funnel:' || CAST(step AS VARCHAR) || ':' || st AS kind,
+           CAST(nk AS DOUBLE) / n1 AS exact_metric,
+           CAST(nk AS BIGINT) AS n_rows, TRUE AS within_tol
+    FROM (
+      WITH f1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                  WHERE event_type = 'click' GROUP BY user_id),
+      f2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+             FROM events e JOIN f1 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts > f1.t1
+             GROUP BY e.user_id),
+      f3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+             FROM events e JOIN f2 USING (user_id)
+             WHERE e.event_type = 'signup' AND e.ts > f2.t2
+             GROUP BY e.user_id),
+      c AS (SELECT (SELECT COUNT(*) FROM f1) AS n1,
+                   (SELECT COUNT(*) FROM f2) AS n2,
+                   (SELECT COUNT(*) FROM f3) AS n3)
+      SELECT 1 AS step, 'click' AS st, n1 AS nk, n1 FROM c
+      UNION ALL SELECT 2, 'purchase', n2, n1 FROM c
+      UNION ALL SELECT 3, 'signup', n3, n1 FROM c
+    )
     """,
 )
 def sketch_distinct_rollup(spark, sf_dir):
@@ -1949,6 +1971,26 @@ def sketch_distinct_rollup(spark, sf_dir):
         F.lit(True).alias("within_tol"),
     )
 
+    # --- funnel: ordered event-sequence conversion (r9;
+    # operators/funnel.py) — earliest-completion click → purchase →
+    # signup over events. The cascade is one filtered min-aggregation
+    # per step (map-side combinable, no per-user history ever sorted),
+    # and the oracle replays the identical cascade in SQL: per-step
+    # user counts and conversion fractions value-check exactly.
+    from scida_spark.operators.funnel import funnel_conversion
+
+    funnel_rows = funnel_conversion(
+        ev, "user_id", "event_type", "ts", ["click", "purchase", "signup"]
+    ).select(
+        F.concat(
+            F.lit("funnel:"), F.col("step").cast("string"), F.lit(":"),
+            F.col("step_type"),
+        ).alias("kind"),
+        F.col("conversion").alias("exact_metric"),
+        F.col("n_users").cast("long").alias("n_rows"),
+        F.lit(True).alias("within_tol"),
+    )
+
     return (
         hll_rows.unionAll(kll_rows)
         .unionAll(theta_rows)
@@ -1959,6 +2001,7 @@ def sketch_distinct_rollup(spark, sf_dir):
         .unionAll(dq_rows)
         .unionAll(diff_rows)
         .unionAll(auc_rows)
+        .unionAll(funnel_rows)
     )
 
 
