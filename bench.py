@@ -1,7 +1,9 @@
 """Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ..., "runs": 3, "agg": "median"}.
+"sf": ..., "runs": 3, "agg": "median", ..., "queries": {name: sec}}
+("queries" is deliberately the LAST key — the driver keeps the tail
+of an overlong line).
 
 Each query is timed end-to-end (plan + execute + fetch count) FIVE
 times and the per-query MEDIAN is reported — the r2/r4 driver numbers
@@ -219,13 +221,16 @@ def main() -> None:
         round(statistics.median(per_spread.values()), 2) if per_spread else None
     )
     sections = _section_timings(spark, reg, sf_dir, names, errors)
+    # Key order matters: the driver's capture keeps the TAIL of the
+    # line when it overflows its window (BENCH_r09 lost the first 13
+    # medians this way), so the headline "queries" dict is emitted
+    # LAST, after the bulky attribution dicts.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs": RUNS,
                 "agg": "median",
@@ -237,8 +242,10 @@ def main() -> None:
                 "contention_spread_per_query": per_spread,
                 # Single-run per-section wall times for composite slots
                 # (union-branch pruning via the discriminator column) —
-                # attribution only; medians above remain the headline.
+                # attribution only; medians in "queries" remain the
+                # headline.
                 "sections": sections,
+                "queries": timings,
             }
         )
     )

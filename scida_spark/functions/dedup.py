@@ -420,9 +420,18 @@ def jaccard_pairs_prefix_from_shingles(
         "doc", "g", F.row_number().over(w).alias("_r")
     )
     sizes = sh.select("doc", F.size("sh").alias("_sz"))
+    # ceil(t * sz) must round toward a LONGER prefix when the double
+    # product lands epsilon above an exact integer (e.g. t=0.55,
+    # sz=100 -> 55.000000000000007, naive ceil=56 -> prefix one short,
+    # pairs with Jaccard exactly at the threshold missed). Subtracting
+    # a sub-ulp slack before the ceil makes boundary cases err long; a
+    # longer prefix only adds candidates the exact verify step filters,
+    # so completeness is preserved in BOTH directions.
     pre = ranked.join(F.broadcast(sizes), "doc").filter(
         F.col("_r")
-        <= F.col("_sz") - F.ceil(F.lit(float(threshold)) * F.col("_sz")) + 1
+        <= F.col("_sz")
+        - F.ceil(F.lit(float(threshold)) * F.col("_sz") - F.lit(1e-9))
+        + 1
     )
     cand = (
         pre.select(F.col("doc").alias("doc_a"), "g")

@@ -23,11 +23,27 @@ STATUSES = ("added", "removed", "changed", "unchanged")
 
 
 def _digest(cols) -> Column:
-    # md5 over '\x1f'-joined content columns: null-safe (NULL -> empty
-    # with a marker position preserved by the separator), engine-
-    # reproducible (DuckDB: md5(concat_ws(chr(31), ...)) — concat_ws
-    # skips NULLs identically in both engines).
-    return F.md5(F.concat_ws("\x1f", *[F.col(c) for c in cols]))
+    # md5 over an INJECTIVE encoding of the content tuple: each column
+    # is length-prefixed ("<len>:<value>"), NULL encodes as the bare
+    # token "N" (which no length-prefixed value can produce, ":" always
+    # follows the digits). Concatenating length-prefixed tokens is
+    # injective, so unlike a bare concat_ws (which SKIPS NULLs and
+    # cannot tell ('a',NULL,'b') from ('a','b',NULL), or a value
+    # containing the separator from the same bytes split across
+    # columns), two tuples digest equal iff they are equal.
+    # Engine-reproducible: DuckDB twin is
+    #   md5(concat(CASE WHEN c IS NULL THEN 'N'
+    #              ELSE concat(CAST(length(c) AS VARCHAR), ':', c) END, ...))
+    # (both engines count characters in length()).
+    parts = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        parts.append(
+            F.when(s.isNull(), F.lit("N")).otherwise(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s)
+            )
+        )
+    return F.md5(F.concat(*parts))
 
 
 def dataset_diff(

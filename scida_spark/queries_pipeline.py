@@ -835,7 +835,12 @@ def stream_dedup_keys(spark, sf_dir):
             F.col("batch_id").cast("string"), F.lit(":"), F.col("check")
         ).alias("k1"),
         F.concat(
-            (F.col("observed") * 1000000).cast("long").cast("string"),
+            # round() before the long cast: Spark's bare cast TRUNCATES
+            # while the oracle's CAST(x*1e6 AS BIGINT) rounds half-even
+            # in DuckDB — identical only because observed is exactly
+            # 0.0/1.0 today. F.round matches DuckDB's rounding CAST, so
+            # a future non-exact ratio fails loudly, not confusingly.
+            F.round(F.col("observed") * 1000000).cast("long").cast("string"),
             F.lit(":"),
             F.col("passed").cast("string"),
             F.lit(":"),
@@ -1214,11 +1219,14 @@ def text_train_eval_split(spark, sf_dir):
     # in_domcap (r9): per-DOMAIN diversity cap (RefinedWeb composition
     # rule — functions/sampling.py::domain_cap_flag): keep the 10
     # best-quality documents per source, rank order (score desc,
-    # doc_id). Selection runs through grouped_topn's salted two-level
-    # plan (operators/prefix_sum.py), so a billion-document hot domain
-    # never sorts on one task; the oracle's native ROW_NUMBER replays
-    # the selection row-for-row, which certifies the two-level rewrite
-    # EXACTLY reproduces single-window semantics.
+    # doc_id). Selection runs through grouped_topn's NATIVE window +
+    # rank filter, which Spark 4 executes as WindowGroupLimit
+    # (Partial below the Exchange, Final above — plan pinned in
+    # tests/test_plans.py), so a billion-document hot domain is
+    # rank-limited map-side before it ever shuffles; the salted
+    # two-level rewrite was A/B'd against it and deleted when native
+    # won (operators/prefix_sum.py docstring). The oracle's
+    # ROW_NUMBER replays the selection row-for-row.
     from scida_spark.functions.sampling import domain_cap_flag
 
     dc = domain_cap_flag(
@@ -2359,8 +2367,13 @@ _RRF_ORACLE_SECTION = f"""
     ) WHERE hrn = 1
     UNION ALL
     SELECT 'srp' AS method, vec_id AS query_id,
-           SUM(CASE WHEN proj >= 0.0 THEN CAST(1 AS BIGINT) << j
-                    ELSE CAST(0 AS BIGINT) END) AS cand_id,
+           -- CAST: DuckDB's SUM(BIGINT) returns HUGEINT, which would promote
+           -- the UNIONed cand_id column to HUGEINT -> pandas float64 and fail
+           -- the driver's string-hash compare while values are equal
+           -- (r9 VERDICT item #1). Signatures are 32-bit, so the cast is
+           -- lossless.
+           CAST(SUM(CASE WHEN proj >= 0.0 THEN CAST(1 AS BIGINT) << j
+                         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS cand_id,
            MAX(CASE WHEN j = 0 THEN proj END) AS sim_r,
            CAST(SUM(CASE WHEN proj >= 0.0 THEN 1 ELSE 0 END) AS INT) AS rank,
            TRUE AS ok

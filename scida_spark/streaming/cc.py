@@ -36,7 +36,6 @@ from scida_spark.functions.dedup import (
     _band_signatures,
     merge_cc_labels,
     minhash_dedup_pairs_from_shingles,
-    minhash_incremental_pairs,
     minhash_signatures_from_shingles,
     shingle_hash_table,
 )
@@ -118,18 +117,48 @@ def incremental_cc_ingest(
             sh, num_perm=num_perm, bands=bands, threshold=threshold, seed=seed
         ).select("doc_a", "doc_b")
         edges = e_in.unionAll(e_exact)
-        # cross-batch near-dups vs the persisted signature index
+        # cross-batch near-dups: sign + band THIS batch's reps once
+        # (the banding doubles as the batch's index appendix below),
+        # broadcast the batch bands against the PERSISTED bands index,
+        # and exact-verify candidates against old shingles only — the
+        # ingest.py pattern. History is never re-signed: per-batch cost
+        # is O(batch × bands + matches), not O(history). (r9 ADVICE:
+        # the old path called minhash_incremental_pairs over the FULL
+        # historical shingle table, re-signing the corpus every
+        # micro-batch while the persisted bands index sat unread.)
+        new_sig = minhash_signatures_from_shingles(sh, num_perm, seed)
+        new_bands = _band_signatures(
+            new_sig, bands, rows_per_band
+        ).localCheckpoint(eager=True)
+        old_bands = _read_index_part(sess, index_dir, "bands", batch_id)
         old_sh = _read_index_part(sess, index_dir, "shingles", batch_id)
-        if old_sh is not None:
-            e_x = minhash_incremental_pairs(
-                old_sh.select("doc", "sh"),
-                sh,
-                num_perm=num_perm,
-                bands=bands,
-                threshold=threshold,
-                seed=seed,
-            ).select(
-                F.col("new_doc").alias("doc_a"), F.col("old_doc").alias("doc_b")
+        if old_bands is not None and old_sh is not None:
+            cands = (
+                F.broadcast(new_bands.withColumnRenamed("doc", "doc_a"))
+                .join(
+                    old_bands.select(F.col("doc").alias("doc_b"), "bucket"),
+                    "bucket",
+                )
+                .select("doc_a", "doc_b")
+                .distinct()
+            )
+            a = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+            b = old_sh.select(
+                F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")
+            )
+            e_x = (
+                cands.join(a, "doc_a")
+                .join(b, "doc_b")
+                .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+                .withColumn(
+                    "n_union",
+                    F.size("sh_a") + F.size("sh_b") - F.col("n_inter"),
+                )
+                .filter(
+                    F.col("n_inter").cast("double")
+                    >= F.lit(threshold) * F.col("n_union").cast("double")
+                )
+                .select("doc_a", "doc_b")
             )
             edges = edges.unionAll(e_x)
         # cross-batch exact dups vs the digest index — REP level on
@@ -156,10 +185,9 @@ def incremental_cc_ingest(
         out.write.mode("overwrite").parquet(
             f"{labels_dir}/batch_id={batch_id}"
         )
-        new_sig = minhash_signatures_from_shingles(sh, num_perm, seed)
-        _band_signatures(new_sig, bands, rows_per_band).write.mode(
-            "overwrite"
-        ).parquet(f"{index_dir}/bands/batch_id={batch_id}")
+        new_bands.write.mode("overwrite").parquet(
+            f"{index_dir}/bands/batch_id={batch_id}"
+        )
         sh.write.mode("overwrite").parquet(
             f"{index_dir}/shingles/batch_id={batch_id}"
         )

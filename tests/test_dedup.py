@@ -671,3 +671,30 @@ def test_merge_cc_labels_randomized_vs_full(spark):
             for r in out.collect():
                 store[r["doc"]] = r["label"]
         assert store == _full_cc(edges, list(range(60))), seed
+
+
+def test_jaccard_prefix_exact_threshold_boundary(spark):
+    """ADVICE regression: thresholds where t*|s| is mathematically an
+    integer but the double product rounds a hair HIGH (t=0.55, |A|=100
+    -> 55.000000000000007) made the naive ceil produce a one-short
+    prefix, dropping pairs with Jaccard EXACTLY at the threshold.
+
+    Fixture forces the miss deterministically: A has 100 shingles, B is
+    a 55-subset of A (Jaccard = 55/100 = 0.55 exactly). Rare-first
+    canonical order puts A's 45 unique (df=1) shingles ahead of the 55
+    shared (df=2) ones, so A's naive 45-prefix is exactly the unique
+    shingles — disjoint from B's prefix — and the pair vanished. The
+    robust ceil extends A's prefix to 46, reaching the first shared
+    shingle."""
+    from scida_spark.functions.dedup import jaccard_pairs_prefix_from_shingles
+
+    shared = [1000 + i for i in range(55)]
+    only_a = [i for i in range(45)]
+    sh = spark.createDataFrame(
+        [(1, only_a + shared), (2, shared)],
+        "doc long, sh array<long>",
+    ).localCheckpoint(eager=True)
+    got = jaccard_pairs_prefix_from_shingles(sh, threshold=0.55).collect()
+    assert len(got) == 1
+    assert (got[0]["doc_a"], got[0]["doc_b"]) == (1, 2)
+    assert abs(got[0]["jaccard"] - 0.55) < 1e-12

@@ -79,3 +79,37 @@ def test_dataset_diff_multicolumn_no_boundary_collision(spark):
     new = spark.createDataFrame([(1, "a", "bc")], "id long, x string, y string")
     [r] = dataset_diff(old, new, "id", ["x", "y"]).collect()
     assert r["status"] == "changed"
+
+
+def test_dataset_diff_null_position_and_separator_injective(spark):
+    """The ADVICE-flagged collisions: (a,NULL,b) vs (a,b,NULL) must be
+    CHANGED (concat_ws would skip NULLs and hash them identically), and
+    a value CONTAINING the old separator byte vs the same bytes split
+    across columns must be CHANGED. The length-prefixed encoding is
+    injective, so every distinct tuple digests differently."""
+    from scida_spark.functions.diff import dataset_diff
+
+    schema = "id long, x string, y string, z string"
+    old = spark.createDataFrame(
+        [
+            (1, "a", None, "b"),
+            (2, "a\x1fb", "c", None),
+            (3, "12:x", "y", None),
+            (4, None, None, None),
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", "b", None),        # NULL moved -> changed
+            (2, "a", "b\x1fc", None),   # separator-split -> changed
+            (3, "12:x", "y", None),     # identical incl ':' -> unchanged
+            (4, None, None, None),      # all-NULL tuple -> unchanged
+        ],
+        schema,
+    )
+    got = {
+        r["id"]: r["status"]
+        for r in dataset_diff(old, new, "id", ["x", "y", "z"]).collect()
+    }
+    assert got == {1: "changed", 2: "changed", 3: "unchanged", 4: "unchanged"}
