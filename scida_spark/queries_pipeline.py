@@ -3004,6 +3004,73 @@ def _pii_oracle_section() -> str:
     FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
          LATERAL UNNEST(generate_series(0,
            (greatest(len(t) - 128, 0) + 95) // 96)) AS u(i)
+    UNION ALL
+    -- tokpack: end-to-end tokenize -> pack -> shard replay. Token
+    -- count per word under the pinned merges [('l','o'),('e','s</w>')]
+    -- has the closed form len(w) - #'lo' pairs excluding the EOW-fused
+    -- last char - [ends with 'es'] ('lo' has distinct chars, so the
+    -- non-overlapping replace count equals the BPE merge count); the
+    -- greedy packer is the recursive CTE (the packing section's
+    -- kernel); shard membership is the explicit md5 key-space cut and
+    -- the shard hash the order-invariant 56-bit fingerprint sum, both
+    -- over (members, seq_id, total_tokens) sorted by column name.
+    SELECT section, k1, k2, n, sum_score FROM (
+      WITH RECURSIVE tp_nt AS (
+        SELECT doc_id,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
+                               w -> w <> ''),
+                   w -> CAST(length(w) AS BIGINT)
+                        - (length(w[1:-2]) - length(replace(w[1:-2], 'lo', ''))) // 2
+                        - CASE WHEN length(w) >= 2 AND w[-2:] = 'es'
+                               THEN 1 ELSE 0 END)),
+                 (a, x) -> a + x) AS BIGINT) AS ntok
+        FROM documents),
+      tp_pd AS (
+        SELECT doc_id % 4 AS dom, doc_id, ntok,
+               ROW_NUMBER() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) AS rn,
+               MIN(doc_id) OVER (PARTITION BY doc_id % 4) AS mn
+        FROM tp_nt),
+      tp_pk AS (
+        SELECT dom, doc_id, ntok, rn, mn,
+               0 AS bin, ntok AS cur, ntok > 1024 AS closed
+        FROM tp_pd WHERE rn = 1
+        UNION ALL
+        SELECT nx.dom, nx.doc_id, nx.ntok, nx.rn, nx.mn,
+               CASE WHEN nx.ntok > 1024 OR p.closed OR p.cur + nx.ntok > 1024
+                    THEN p.bin + 1 ELSE p.bin END,
+               CASE WHEN nx.ntok > 1024 OR p.closed OR p.cur + nx.ntok > 1024
+                    THEN nx.ntok ELSE p.cur + nx.ntok END,
+               nx.ntok > 1024
+        FROM tp_pk p JOIN tp_pd nx ON nx.dom = p.dom AND nx.rn = p.rn + 1),
+      tp_seq AS (
+        SELECT CAST(mn AS VARCHAR) || ':' || CAST(bin AS VARCHAR) AS seq_id,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members,
+               CAST(SUM(ntok) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS nd
+        FROM tp_pk GROUP BY mn, bin),
+      tp_k AS (SELECT (COUNT(*) + 31) // 32 AS k,
+                      CAST(COUNT(*) AS BIGINT) AS nseq FROM tp_seq),
+      tp_fp AS (
+        SELECT (CAST(('0x' || substr(md5(seq_id || 'tkp10'), 1, 8)) AS UBIGINT)
+                * (SELECT k FROM tp_k)) // 4294967296 AS s,
+               CAST(CAST(('0x' || substr(md5(members || chr(31) || seq_id
+                          || chr(31) || CAST(total AS VARCHAR)), 1, 14))
+                    AS UBIGINT) AS HUGEINT) AS fp
+        FROM tp_seq)
+      SELECT 'tokpack' AS section, 'seq:' || seq_id AS k1, members AS k2,
+             total AS n, CAST(nd AS DOUBLE) AS sum_score
+      FROM tp_seq
+      UNION ALL
+      SELECT 'tokpack', 'shard:' || CAST(s AS VARCHAR),
+             CAST(SUM(fp) AS VARCHAR), CAST(COUNT(*) AS BIGINT),
+             CAST(0.0 AS DOUBLE)
+      FROM tp_fp GROUP BY s
+      UNION ALL
+      SELECT 'tokpack', 'verify', 'true',
+             CAST((SELECT k FROM tp_k) AS BIGINT), CAST(0.0 AS DOUBLE)
+    )
     """
     + _pii_oracle_section(),
 )
@@ -3305,6 +3372,89 @@ def text_quality_lang(spark, sf_dir):
         F.col("n_chunk_tokens").alias("n"),
         F.lit(0.0).alias("sum_score"),
     )
+    # tokpack (r10): the END-TO-END "corpus in, training shards out"
+    # composition certified as ONE chain rather than three green
+    # parts: bpe_encode with PINNED literal merges [('l','o'),
+    # ('e','s</w>')] — the oracle-reproducible tokenizer configuration
+    # (same role the explicit doc_id % 8 domain plays for the packing
+    # section). Both merges have a closed-form token count the oracle
+    # replays exactly: n = len(word) − #non-overlapping 'lo' pairs
+    # outside the EOW-fused last char − [word ends with 'es']
+    # (property-tested vs encode_word in tests/test_bpe.py). Those
+    # counts feed pack_sequences_by (dom = doc_id % 4, budget 1024;
+    # greedy membership replayed by the oracle's recursive CTE), whose
+    # sequences feed export_training_shards keyed by seq_id (salt
+    # 'tkp10'; shard membership = the explicit key-space cut,
+    # per-shard content hash recomputed from the files ON DISK). A
+    # green section certifies the BPE token counts, every sequence's
+    # membership and seal, and every shard's bytes — one chained
+    # certificate from raw text to training shards.
+    from scida_spark.functions.bpe import bpe_encode
+
+    tp_enc = bpe_encode(
+        docs.select("doc_id", "text"), [("l", "o"), ("e", "s</w>")]
+    )
+    tp_seqs = (
+        pack_sequences_by(
+            tp_enc.select(
+                "doc_id", (F.col("doc_id") % 4).alias("dom"), "n_bpe_tokens"
+            ),
+            "doc_id",
+            "n_bpe_tokens",
+            1024,
+            "dom",
+        )
+        .select(
+            "seq_id",
+            F.array_join(
+                F.transform("doc_ids", lambda x: x.cast("string")), ","
+            ).alias("members"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.col("n_docs").cast("int").alias("n_docs"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tp_dst = _os.path.join(
+        _tempfile.gettempdir(),
+        "ss_tokpack_cert_" + _os.path.basename(sf_dir.rstrip("/")),
+    )
+    tp_manifest = export_training_shards(
+        tp_seqs.select("seq_id", "members", "total_tokens"),
+        "seq_id",
+        tp_dst,
+        rows_per_shard=32,
+        salt="tkp10",
+    )
+    tp_ok = verify_shards(spark, tp_dst)["ok"]
+    tp_shard_rows = spark.createDataFrame(
+        [
+            (
+                "tokpack",
+                "shard:" + _re.search(r"_shard=(\d+)/", s["file"] + "/").group(1),
+                s["content_hash"],
+                int(s["n_rows"]),
+                0.0,
+            )
+            for s in tp_manifest["shards"]
+        ]
+        + [
+            (
+                "tokpack",
+                "verify",
+                str(tp_ok).lower(),
+                int(tp_manifest["n_shards"]),
+                0.0,
+            )
+        ],
+        "section string, k1 string, k2 string, n long, sum_score double",
+    )
+    tp_seq_rows = tp_seqs.select(
+        F.lit("tokpack").alias("section"),
+        F.concat(F.lit("seq:"), F.col("seq_id")).alias("k1"),
+        F.col("members").alias("k2"),
+        F.col("total_tokens").alias("n"),
+        F.col("n_docs").cast("double").alias("sum_score"),
+    )
     # pii (r9): regex detection + sequential redaction
     # (functions/pii.py) certified on planted literals (every count
     # and every redacted byte value-checked) plus a corpus-wide sweep
@@ -3361,6 +3511,8 @@ def text_quality_lang(spark, sf_dir):
         .unionAll(pk_rows)
         .unionAll(cmp_rows)
         .unionAll(ch_rows)
+        .unionAll(tp_seq_rows)
+        .unionAll(tp_shard_rows)
         .unionAll(pii_lit)
         .unionAll(pii_corpus)
     )

@@ -110,3 +110,33 @@ def test_nonascii_whitespace_consistent_with_learning(spark):
     enc = bpe_encode(docs, merges).first()
     rebuilt = "".join(enc["bpe_tokens"]).replace("</w>", " ").rstrip()
     assert rebuilt == "xy zw xy zw"
+
+
+def test_tokpack_closed_form_token_count_property():
+    """The tokpack driver section's oracle replays n_bpe_tokens under
+    the pinned merges [('l','o'), ('e','s</w>')] with the closed form
+    n = len(w) - #non-overlapping 'lo' pairs in w[:-1] - [w ends 'es'].
+    Property-test it against the production encode_word kernel over
+    an adversarial alphabet (dense in l/o/e/s so merge interactions,
+    overlaps, and EOW boundary cases all occur)."""
+    import random
+
+    from scida_spark.functions.bpe import encode_word
+
+    ranks = {("l", "o"): 0, ("e", "s</w>"): 1}
+
+    def closed_form(w: str) -> int:
+        x = w[:-1]
+        cnt_lo = (len(x) - len(x.replace("lo", ""))) // 2
+        return len(w) - cnt_lo - (1 if len(w) >= 2 and w.endswith("es") else 0)
+
+    fixed = ["lo", "lol", "lolo", "lolol", "llo", "lllo", "es", "les",
+             "loes", "elos", "blos", "lowes", "oles", "s", "e", "l", "o",
+             "lose", "closes", "lolesslo", "eslo", "loe", "losles"]
+    rng = random.Random(20260815)
+    rand = [
+        "".join(rng.choice("loesabx") for _ in range(rng.randint(1, 14)))
+        for _ in range(5000)
+    ]
+    for w in fixed + rand:
+        assert len(encode_word(w, ranks)) == closed_form(w), w
