@@ -1243,6 +1243,70 @@ def pagerank_fixed_point(
     return r
 
 
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Fixed-iteration semi-supervised label propagation over a
+    SYMMETRIZED edge list (the ``pagerank_fixed_point`` input
+    contract): spread integer seed labels to their graph neighborhood
+    by synchronous majority vote — the weak-supervision step over a
+    near-dup / k-NN graph (label a few documents, inherit labels
+    across the similarity structure; composes with ``knn_vote``'s
+    pair output as the graph source).
+
+    Semantics, chosen so ANY engine replays the result exactly (the
+    ``pr_rep`` convention — unrolled iterations in plain SQL):
+
+    * ``seeds`` (node, label: long) are CLAMPED — a seed never
+      changes label.
+    * Each round, every node with >= 1 labeled neighbor takes the
+      label with the highest neighbor count, ties broken by SMALLEST
+      label (integer counts + total order, so no float/order
+      nondeterminism anywhere).
+    * Updates are SYNCHRONOUS: round k votes read only round k-1
+      labels. Nodes no labeled neighbor has reached stay unlabeled
+      (absent from the result).
+
+    Scale: per round, one equi-join (edges x current labels) + one
+    groupBy(dst, label) count + a per-node argmax whose window holds
+    at most |label vocabulary| rows — O(E) per round with map-side
+    combine, ``iters`` fixed, lineage truncated per round
+    (localCheckpoint, the ``connected_components`` pattern). Labeled
+    frontier only ever grows, so cost is bounded by the final labeled
+    subgraph, never all of history."""
+    from pyspark.sql.window import Window as _W
+
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).localCheckpoint(eager=True)
+    clamp = seeds.select(
+        F.col(node_col).alias("node"), F.col(label_col).cast("long").alias("label")
+    ).localCheckpoint(eager=True)
+    labels = clamp
+    w = _W.partitionBy("_d").orderBy(F.desc("_c"), F.asc("label"))
+    for _ in range(int(iters)):
+        votes = (
+            e.join(labels.withColumnRenamed("node", "_s"), "_s")
+            .groupBy("_d", "label")
+            .agg(F.count("*").alias("_c"))
+        )
+        new = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("_d").alias("node"), "label")
+        )
+        labels = clamp.unionAll(
+            new.join(clamp, "node", "left_anti")
+        ).localCheckpoint(eager=True)
+    return labels
+
+
 def merge_cc_labels(
     labels: DataFrame,
     new_edges: DataFrame,

@@ -4065,12 +4065,46 @@ def stream_batch_windows(spark, sf_dir):
                        ROW_NUMBER() OVER (PARTITION BY l.cluster_id
                                           ORDER BY p.r DESC, p.node) AS rn
                 FROM pr5 p JOIN labels l ON l.node = p.node)
-              WHERE rn = 1)
+              WHERE rn = 1),
+    -- lp_label: 3 unrolled synchronous majority-vote rounds over the
+    -- rep graph, seeds (rep % 5 = 0 -> rep % 3) clamped, ties to the
+    -- smallest label (integer counts, so engine-exact).
+    lpseed AS (SELECT rep AS node, rep % 3 AS lab FROM creps
+               WHERE rep % 5 = 0),
+    lp1n AS (SELECT node, lab FROM (
+               SELECT e.dst AS node, s.lab,
+                      ROW_NUMBER() OVER (PARTITION BY e.dst
+                                         ORDER BY COUNT(*) DESC, s.lab) AS rn
+               FROM redges e JOIN lpseed s ON s.node = e.src
+               GROUP BY e.dst, s.lab) WHERE rn = 1),
+    lp1 AS (SELECT * FROM lpseed UNION ALL
+            SELECT * FROM lp1n WHERE node NOT IN (SELECT node FROM lpseed)),
+    lp2n AS (SELECT node, lab FROM (
+               SELECT e.dst AS node, s.lab,
+                      ROW_NUMBER() OVER (PARTITION BY e.dst
+                                         ORDER BY COUNT(*) DESC, s.lab) AS rn
+               FROM redges e JOIN lp1 s ON s.node = e.src
+               GROUP BY e.dst, s.lab) WHERE rn = 1),
+    lp2 AS (SELECT * FROM lpseed UNION ALL
+            SELECT * FROM lp2n WHERE node NOT IN (SELECT node FROM lpseed)),
+    lp3n AS (SELECT node, lab FROM (
+               SELECT e.dst AS node, s.lab,
+                      ROW_NUMBER() OVER (PARTITION BY e.dst
+                                         ORDER BY COUNT(*) DESC, s.lab) AS rn
+               FROM redges e JOIN lp2 s ON s.node = e.src
+               GROUP BY e.dst, s.lab) WHERE rn = 1),
+    lp3 AS (SELECT * FROM lpseed UNION ALL
+            SELECT * FROM lp3n WHERE node NOT IN (SELECT node FROM lpseed)),
+    crmap AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
+              FROM documents)
     SELECT CAST(p.doc_a AS BIGINT) AS doc_a, CAST(p.doc_b AS BIGINT) AS doc_b,
            p.jaccard, CAST(l.cluster_id AS BIGINT) AS cluster_id,
-           CAST(COALESCE(pr.pr_rep, l.cluster_id) AS BIGINT) AS pr_rep
+           CAST(COALESCE(pr.pr_rep, l.cluster_id) AS BIGINT) AS pr_rep,
+           CAST(COALESCE(lp.lab, -1) AS BIGINT) AS lp_label
     FROM pairs p JOIN labels l ON l.node = p.doc_a
          LEFT JOIN prrep pr ON pr.cluster_id = l.cluster_id
+         LEFT JOIN crmap cm ON cm.doc_id = p.doc_a
+         LEFT JOIN lp3 lp ON lp.node = cm.rep
     """,
 )
 def dedup_cc_clusters(spark, sf_dir):
@@ -4149,9 +4183,30 @@ def dedup_cc_clusters(spark, sf_dir):
         .filter(F.col("_rn") == 1)
         .select("cluster_id", F.col("node").alias("_prr"))
     )
+    # lp_label (r10): semi-supervised label propagation over the SAME
+    # rep graph (dedup.py::label_propagation — 3 synchronous majority
+    # rounds, clamped integer seeds rep % 5 == 0 -> rep % 3, ties to
+    # the smallest label), the weak-supervision step over dedup
+    # clusters. Docs inherit their clique rep's label (collapse-first:
+    # identical texts are one graph node), unreached docs carry -1;
+    # the oracle unrolls the three voting rounds in plain SQL (the
+    # pr_rep convention — integer counts + total-order tie-break make
+    # every round engine-exact).
+    lp_seeds = (
+        clique.select(F.col("rep").alias("node"))
+        .distinct()
+        .filter(F.col("node") % 5 == 0)
+        .withColumn("label", F.col("node") % 3)
+    )
+    lp = D.label_propagation(redges, lp_seeds, iters=3)
+    rmap = clique.select(F.col("doc").alias("_ld"), F.col("rep").alias("_lr"))
     return (
         pairs.join(cmap, pairs.doc_a == cmap._cd)
         .join(F.broadcast(prrep), "cluster_id", "left")
+        .join(rmap, pairs.doc_a == rmap._ld, "left")
+        .join(
+            F.broadcast(lp.withColumnRenamed("node", "_lr")), "_lr", "left"
+        )
         .select(
             F.col("doc_a").cast("bigint").alias("doc_a"),
             F.col("doc_b").cast("bigint").alias("doc_b"),
@@ -4160,6 +4215,9 @@ def dedup_cc_clusters(spark, sf_dir):
             F.coalesce(F.col("_prr"), F.col("cluster_id"))
             .cast("bigint")
             .alias("pr_rep"),
+            F.coalesce(F.col("label"), F.lit(-1))
+            .cast("bigint")
+            .alias("lp_label"),
         )
     )
 

@@ -698,3 +698,60 @@ def test_jaccard_prefix_exact_threshold_boundary(spark):
     assert len(got) == 1
     assert (got[0]["doc_a"], got[0]["doc_b"]) == (1, 2)
     assert abs(got[0]["jaccard"] - 0.55) < 1e-12
+
+
+def _lp_edges(spark, pairs):
+    rows = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_label_propagation_hand_computed(spark):
+    """Path 1-2-3-4-5 with seeds 1->10, 5->20 exercises every rule:
+    synchronous update (3 is unreached in round 1), clamping (1, 5
+    never change), tie-break to the SMALLEST label (3 sees 10 and 20
+    once each), and re-voting of already-labeled non-seeds (4 takes 20
+    in round 1, then flips to 10 in round 3 when neighbor 3's 10 ties
+    neighbor 5's 20). Plus a star 6,7,8 -> 9 where true majority
+    (30:2 vs 40:1) must beat the tie-break."""
+    from scida_spark.functions.dedup import label_propagation
+
+    edges = _lp_edges(
+        spark, [(1, 2), (2, 3), (3, 4), (4, 5), (6, 9), (7, 9), (8, 9)]
+    )
+    seeds = spark.createDataFrame(
+        [(1, 10), (5, 20), (6, 30), (7, 30), (8, 40)], "node long, label long"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, seeds, iters=3).collect()
+    }
+    assert got == {1: 10, 2: 10, 3: 10, 4: 10, 5: 20, 6: 30, 7: 30, 8: 40, 9: 30}
+    # after 1 round, 3 must still be unlabeled and 4 must hold 20
+    r1 = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, seeds, iters=1).collect()
+    }
+    assert 3 not in r1 and r1[4] == 20 and r1[2] == 10
+
+
+def test_label_propagation_partitioning_deterministic(spark):
+    """Same labels regardless of input partitioning (integer votes +
+    total-order tie-break leave nothing for shuffle order to vary)."""
+    from scida_spark.functions.dedup import label_propagation
+
+    pairs = [(i, i + 1) for i in range(60)] + [(i, i + 7) for i in range(50)]
+    edges = _lp_edges(spark, pairs)
+    seeds = spark.createDataFrame(
+        [(0, 3), (19, 1), (44, 2)], "node long, label long"
+    )
+    a = {
+        (r["node"], r["label"])
+        for r in label_propagation(edges, seeds, iters=4).collect()
+    }
+    b = {
+        (r["node"], r["label"])
+        for r in label_propagation(
+            edges.repartition(17, "dst"), seeds.repartition(3), iters=4
+        ).collect()
+    }
+    assert a == b and len(a) > 3
