@@ -604,6 +604,36 @@ def dedup_keep_first_latest(spark, sf_dir):
     SELECT 'ingest', CAST(MIN(doc_id) AS VARCHAR), substr(md5(text), 1, 16)
     FROM documents GROUP BY text
     UNION ALL
+    -- ingest2: near-dup-ON greedy ingest over the planted-twin corpus.
+    -- Twins differ from their original only in trailing spaces, so the
+    -- near-dup relation at threshold 0.999 degenerates to the
+    -- EQUIVALENCE "identical distinct-3-gram set" (raw md5 for docs
+    -- with < 3 tokens), and greedy keep-history-first over id-ordered
+    -- batches is exactly MIN(id) per class.
+    SELECT 'ingest2', CAST(MIN(id) AS VARCHAR),
+           substr(md5(min_by(text, id)), 1, 16)
+    FROM (
+      WITH i2max AS (SELECT MAX(doc_id) AS hi FROM documents),
+      i2drv AS (
+        SELECT 2 * doc_id AS id, text FROM documents
+        UNION ALL
+        SELECT 2 * doc_id + 1, text || ' ' FROM documents
+        WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT 2 * (SELECT hi FROM i2max) + 2 + doc_id, text || '  '
+        FROM documents WHERE doc_id % 5 = 2),
+      i2tok AS (SELECT id, text, string_split(trim(text), ' ') AS toks
+                FROM i2drv)
+      SELECT id, text,
+             CASE WHEN len(toks) >= 3
+                  THEN 'sh:' || md5(array_to_string(list_sort(list_distinct(
+                         list_transform(generate_series(1, len(toks) - 2),
+                           i -> toks[i] || ' ' || toks[i+1] || ' '
+                                || toks[i+2]))), chr(31)))
+                  ELSE 'raw:' || md5(text) END AS key
+      FROM i2tok
+    ) GROUP BY key
+    UNION ALL
     SELECT 'gate', k1, k2 FROM (
       WITH cuts AS (SELECT MAX(event_id) // 3 AS c1,
                            (2 * MAX(event_id)) // 3 AS c2 FROM events),
@@ -674,9 +704,20 @@ def stream_dedup_keys(spark, sf_dir):
     set has a closed SQL form the oracle pins exactly: keep-history-
     first over id-ordered batches ≡ MIN(doc_id) per distinct text.
     The emitted k2 = md5 prefix of each accepted doc's text attests
-    content, not just membership. (Cross-batch NEAR-dup behavior is
-    pinned by tests/test_streaming_ingest.py — its greedy acceptance
-    has no closed SQL form.)"""
+    content, not just membership.
+
+    ``ingest2`` section (r10): the same streaming ingest with near-dup
+    verification ON (threshold 0.999), over a corpus engineered so the
+    greedy acceptance HAS a closed SQL form: planted trailing-space
+    twins whose shingle sets equal their original's exactly — LSH
+    collision with probability 1, exact-verify Jaccard exactly 1.0 —
+    so acceptance == MIN(id) per shingle-set class. Twins at
+    doc_id%3==0 exercise within-batch near-dup CC; twins at
+    doc_id%5==2 land wholly in the LAST batch, guaranteeing the
+    cross-batch band-index join verifies real candidates against
+    history. (Arbitrary-threshold greedy acceptance remains pinned by
+    tests/test_streaming_ingest.py — with probabilistic banding it has
+    no closed form, by nature.)"""
     from scida_spark.streaming.dedup import dedup_stream
 
     src = _events_stream_copy(spark, sf_dir)
@@ -764,6 +805,87 @@ def stream_dedup_keys(spark, sf_dir):
     iq.awaitTermination()
     ingest_rows = spark.read.parquet(icorpus).select(
         F.lit("ingest").alias("section"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.substring(F.md5("text"), 1, 16).alias("k2"),
+    )
+
+    # --- ingest2 (r10): the cross-batch NEAR-DUP greedy path run FOR
+    # REAL (closing the one pytest-only streaming-dedup contract).
+    # Greedy near-dup acceptance has no closed SQL form in general —
+    # LSH banding is probabilistic — so the corpus is engineered so
+    # that it DOES: planted twins differ from their original only in
+    # TRAILING SPACES (shingle_hash_table strips, so the token
+    # sequence, hence the distinct-shingle SET, is IDENTICAL while
+    # md5(text) differs, defeating the exact-digest path). Identical
+    # shingle sets mean identical minhash signatures, identical band
+    # buckets — candidate generation with probability 1, not 1-eps —
+    # and exact-verify Jaccard exactly 1.0. At threshold 0.999 nothing
+    # BELOW 1.0 can verify (docs here have far fewer than 1000
+    # shingles), so near-dup equality is the EQUIVALENCE "same shingle
+    # set", and greedy keep-history-first over id-ordered batches ==
+    # MIN(id) per class — the closed form the oracle replays (docs
+    # with < 3 tokens have no shingles and dedup only by raw md5).
+    # Twins doc_id%3==0 sit ADJACENT to their original (within-batch
+    # CC edges); twins doc_id%5==2 get ids ABOVE the last batch cut,
+    # GUARANTEEING batch 3 verifies candidates against the persisted
+    # band/shingle index (the cross-batch join under test).
+    i2base = _os.path.join(
+        _tempfile.gettempdir(),
+        "ss_ingest2_cert_" + _os.path.basename(sf_dir.rstrip("/")),
+    )
+    _shutil.rmtree(i2base, ignore_errors=True)
+    i2inp = _os.path.join(i2base, "input")
+    i2corpus = _os.path.join(i2base, "corpus")
+    _os.makedirs(i2inp)
+    derived = (
+        docs.select((F.col("doc_id") * 2).alias("doc_id"), "text")
+        .unionAll(
+            docs.filter(F.col("doc_id") % 3 == 0).select(
+                (F.col("doc_id") * 2 + 1).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" ")).alias("text"),
+            )
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 5 == 2).select(
+                (F.lit(2 * hi + 2) + F.col("doc_id")).alias("doc_id"),
+                F.concat(F.col("text"), F.lit("  ")).alias("text"),
+            )
+        )
+    )
+    n_xbatch_twins = docs.filter(F.col("doc_id") % 5 == 2).count()
+    assert n_xbatch_twins > 0, "ingest2: no cross-batch twins planted"
+    hi2 = 3 * hi + 2
+    c1, c2 = hi2 // 3, 2 * hi2 // 3
+    for k, cond in enumerate(
+        [
+            F.col("doc_id") <= c1,
+            (F.col("doc_id") > c1) & (F.col("doc_id") <= c2),
+            F.col("doc_id") > c2,
+        ]
+    ):
+        part = _os.path.join(i2base, f"_stage{k}")
+        derived.filter(cond).coalesce(1).write.mode("overwrite").parquet(part)
+        src_file = next(
+            f for f in _os.listdir(part) if f.endswith(".parquet")
+        )
+        _os.rename(
+            _os.path.join(part, src_file), _os.path.join(i2inp, f"b{k}.parquet")
+        )
+        _shutil.rmtree(part)
+    iq2 = incremental_dedup_ingest(
+        spark,
+        i2inp,
+        docs.schema,
+        corpus_dir=i2corpus,
+        index_dir=_os.path.join(i2base, "index"),
+        checkpoint_dir=_os.path.join(i2base, "ckpt"),
+        id_col="doc_id",
+        text_col="text",
+        threshold=0.999,  # near-dup ON; only set-equality can verify
+    )
+    iq2.awaitTermination()
+    ingest2_rows = spark.read.parquet(i2corpus).select(
+        F.lit("ingest2").alias("section"),
         F.col("doc_id").cast("string").alias("k1"),
         F.substring(F.md5("text"), 1, 16).alias("k2"),
     )
@@ -927,8 +1049,8 @@ def stream_dedup_keys(spark, sf_dir):
             rows if gate_route_rows is None else gate_route_rows.unionAll(rows)
         )
     return stream_rows.unionAll(ingest_rows).unionAll(
-        gate_report_rows
-    ).unionAll(gate_route_rows).unionAll(cc_rows)
+        ingest2_rows
+    ).unionAll(gate_report_rows).unionAll(gate_route_rows).unionAll(cc_rows)
 
 
 def _split_thresholds_r6() -> list[int]:
