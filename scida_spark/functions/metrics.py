@@ -123,3 +123,67 @@ def confusion_at_threshold(
         rec.alias("recall"),
         f1.alias("f1"),
     )
+
+
+def isotonic_calibration(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Isotonic (PAV) calibration of a score against a boolean label —
+    the standard post-classifier step turning raw scores
+    (``quality_classifier.py`` margins, DSIR weights, linkage
+    log-ratios) into monotone empirical probabilities.
+
+    Scale is the ``auc_exact`` shape: ONE groupBy aggregates the corpus
+    to a row per DISTINCT score value (count + positive count, O(score
+    vocabulary)); pool-adjacent-violators then merges that bounded list
+    driver-side in O(V) — a billion-row corpus costs its distinct-score
+    count, and no executor ever holds more than its aggregation
+    partials. Join the result back (broadcast — it is vocabulary-sized)
+    to calibrate at row grain.
+
+    Exactness contract (the pr_rep conventions): pools carry INTEGER
+    (sum_pos, count) and violator comparisons cross-multiply integers —
+    no float compares anywhere — with ONE IEEE division per pool at the
+    end. Because integer/integer division rounds the exact rational,
+    and PAV's solution equals the min-max formula
+    ``g(i) = max_{j<=i} min_{k>=i} avg(y[j..k])`` (Barlow et al. 1972)
+    whose inner averages are the same integer ratios, any engine can
+    replay the calibrated values BIT-FOR-BIT from the per-score count
+    table (rounding to nearest is weakly monotone, so max/min commute
+    with it). Returns (``score_col``, n long, n_pos long, calibrated
+    double), monotone nondecreasing in ``score_col``.
+
+    ``score_col`` must be non-NULL (the ``auc_exact`` precondition).
+    """
+    ac = (
+        df.groupBy(score_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col(label_col).cast("int")).alias("n_pos"),
+        )
+        .orderBy(score_col)
+        .collect()
+    )
+    # PAV over the sorted vocabulary: each stack entry is one pool
+    # [sum_pos, count, n_buckets]; merge while the previous pool's mean
+    # is >= the new one's (exact integer cross-multiplication).
+    stack: list[list[int]] = []
+    for r in ac:
+        cur = [int(r["n_pos"]), int(r["n"]), 1]
+        while stack and stack[-1][0] * cur[1] >= cur[0] * stack[-1][1]:
+            top = stack.pop()
+            cur = [top[0] + cur[0], top[1] + cur[1], top[2] + cur[2]]
+        stack.append(cur)
+    rows = []
+    idx = 0
+    for np_, n_, k in stack:
+        cal = np_ / n_  # ONE IEEE division of exact integers
+        for _ in range(k):
+            r = ac[idx]
+            rows.append((r[score_col], int(r["n"]), int(r["n_pos"]), cal))
+            idx += 1
+    spark = df.sparkSession
+    out_schema = (
+        df.select(score_col).schema.add("n", "long").add("n_pos", "long")
+    ).add("calibrated", "double")
+    return spark.createDataFrame(rows, out_schema)

@@ -1554,6 +1554,43 @@ def text_train_eval_split(spark, sf_dir):
       FROM am
     )
     UNION ALL
+    -- iso: PAV via the min-max identity g(i) = max_{j<=i} min_{k>=i}
+    -- avg(y[j..k]) over integer prefix sums — every inner average is
+    -- an integer/integer IEEE division, so it matches the engine's
+    -- pooled value bit-for-bit.
+    SELECT 'iso:' || CAST(sb AS VARCHAR) AS kind,
+           cal AS exact_metric, CAST(cn AS BIGINT) AS n_rows,
+           COALESCE(cal >= LAG(cal) OVER (ORDER BY sb), TRUE) AS within_tol
+    FROM (
+      WITH iqt AS (
+        SELECT doc_id,
+               CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS n,
+               CAST(len(list_distinct(string_split(trim(text), ' '))) AS DOUBLE) AS nd,
+               CAST(list_reduce(list_transform(string_split(trim(text), ' '),
+                    x -> CAST(length(x) AS BIGINT)), (acc, x) -> acc + x) AS DOUBLE) AS totlen
+        FROM documents),
+      iqs AS (
+        SELECT d.lang = 'en' AS y,
+               CAST(FLOOR((LEAST(LOG10(t.n + 1) / 3.0, 1.0) + (t.nd / t.n) * 0.5 +
+                 CASE WHEN t.totlen / t.n >= 3 AND t.totlen / t.n <= 8
+                      THEN 0.5 ELSE 0.0 END) * 64) AS BIGINT) AS sb
+        FROM iqt t JOIN documents d ON d.doc_id = t.doc_id),
+      ic AS (SELECT sb, COUNT(*) AS cn,
+                    SUM(CASE WHEN y THEN 1 ELSE 0 END) AS np
+             FROM iqs GROUP BY sb),
+      icum AS (SELECT sb, cn, np,
+                      SUM(cn) OVER (ORDER BY sb) AS ccum,
+                      SUM(np) OVER (ORDER BY sb) AS pcum FROM ic),
+      imm AS (SELECT j.sb AS jb, i.sb AS ib,
+                     MIN(CAST(k.pcum - (j.pcum - j.np) AS DOUBLE)
+                         / CAST(k.ccum - (j.ccum - j.cn) AS DOUBLE)) AS m
+              FROM icum j JOIN icum i ON j.sb <= i.sb
+                   JOIN icum k ON k.sb >= i.sb
+              GROUP BY j.sb, i.sb),
+      ig AS (SELECT ib AS sb, MAX(m) AS cal FROM imm GROUP BY ib)
+      SELECT g.sb, g.cal, c.cn FROM ig g JOIN ic c USING (sb)
+    )
+    UNION ALL
     SELECT 'funnel:' || CAST(step AS VARCHAR) || ':' || st AS kind,
            CAST(nk AS DOUBLE) / n1 AS exact_metric,
            CAST(nk AS BIGINT) AS n_rows, TRUE AS within_tol
@@ -2101,6 +2138,30 @@ def sketch_distinct_rollup(spark, sf_dir):
         F.lit(True).alias("within_tol"),
     )
 
+    # --- iso (r10): isotonic (PAV) calibration of the SAME score
+    # (functions/metrics.py::isotonic_calibration) — one row per
+    # distinct score bucket with its pooled monotone probability. The
+    # engine pools driver-side over the vocabulary-sized count table
+    # with exact integer arithmetic; the oracle replays the values
+    # bit-for-bit through PAV's min-max identity g(i) = max_{j<=i}
+    # min_{k>=i} (pos[j..k] / n[j..k]) over the same integer prefix
+    # sums (rounding-to-nearest is weakly monotone, so the double
+    # minimax equals the double of the rational minimax). within_tol
+    # pins the monotonicity contract row-by-row.
+    from scida_spark.functions.metrics import isotonic_calibration
+
+    iso = isotonic_calibration(qsc, "sb", "y")
+    iso_rows = iso.withColumn(
+        "_prev", F.lag("calibrated").over(W.orderBy("sb"))
+    ).select(
+        F.concat(F.lit("iso:"), F.col("sb").cast("string")).alias("kind"),
+        F.col("calibrated").alias("exact_metric"),
+        F.col("n").cast("long").alias("n_rows"),
+        (
+            F.col("_prev").isNull() | (F.col("calibrated") >= F.col("_prev"))
+        ).alias("within_tol"),
+    )
+
     # --- funnel: ordered event-sequence conversion (r9;
     # operators/funnel.py) — earliest-completion click → purchase →
     # signup over events. The cascade is one filtered min-aggregation
@@ -2131,6 +2192,7 @@ def sketch_distinct_rollup(spark, sf_dir):
         .unionAll(dq_rows)
         .unionAll(diff_rows)
         .unionAll(auc_rows)
+        .unionAll(iso_rows)
         .unionAll(funnel_rows)
     )
 

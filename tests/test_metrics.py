@@ -117,3 +117,82 @@ def test_auc_randomized_reference_multi_seed(spark):
         )
         got = auc_exact(df, "s", "y").collect()[0]["auc"]
         assert got == pytest.approx(_sk_auc(scores, labels), abs=0), seed
+
+
+def test_isotonic_calibration_hand_computed(spark):
+    """Buckets (n, n_pos): 0:(2,1) 1:(1,0) 2:(2,2) 3:(1,0) 4:(1,1) —
+    PAV pools {0,1} -> 1/3 and {2,3} -> 2/3, leaves 4 at 1.0. Also
+    pins monotonicity and that pooled buckets share one exact value."""
+    from scida_spark.functions.metrics import isotonic_calibration
+
+    rows = (
+        [(0, False), (0, True), (1, False)]
+        + [(2, True), (2, True), (3, False), (4, True)]
+    )
+    df = spark.createDataFrame(rows, "sb long, y boolean")
+    got = {
+        r["sb"]: (r["n"], r["n_pos"], r["calibrated"])
+        for r in isotonic_calibration(df, "sb", "y").collect()
+    }
+    assert got == {
+        0: (2, 1, 1 / 3),
+        1: (1, 0, 1 / 3),
+        2: (2, 2, 2 / 3),
+        3: (1, 0, 2 / 3),
+        4: (1, 1, 1.0),
+    }
+
+
+def test_isotonic_calibration_already_monotone_is_identity(spark):
+    from scida_spark.functions.metrics import isotonic_calibration
+
+    rows = [(0, False), (1, True), (1, False), (2, True)]
+    df = spark.createDataFrame(rows, "sb long, y boolean")
+    got = {
+        r["sb"]: r["calibrated"]
+        for r in isotonic_calibration(df, "sb", "y").collect()
+    }
+    assert got == {0: 0.0, 1: 0.5, 2: 1.0}
+
+
+def test_isotonic_calibration_minmax_identity_randomized(spark):
+    """PAV == the min-max formula g(i) = max_{j<=i} min_{k>=i}
+    avg(y[j..k]) (Barlow et al.) — the identity the driver oracle
+    replays in SQL. Brute-force the formula in Python over random
+    count tables and require BIT equality, not approximate."""
+    import random
+
+    from scida_spark.functions.metrics import isotonic_calibration
+
+    rng = random.Random(1015)
+    for trial in range(8):
+        vocab = rng.randint(2, 12)
+        rows = []
+        for sb in range(vocab):
+            n = rng.randint(1, 5)
+            npos = rng.randint(0, n)
+            rows += [(sb, True)] * npos + [(sb, False)] * (n - npos)
+        df = spark.createDataFrame(rows, "sb long, y boolean")
+        got = {
+            r["sb"]: r["calibrated"]
+            for r in isotonic_calibration(df, "sb", "y").collect()
+        }
+        # brute-force minimax over integer prefix sums
+        import itertools
+
+        cn = [0] * vocab
+        np_ = [0] * vocab
+        for sb, y in rows:
+            cn[sb] += 1
+            np_[sb] += int(y)
+        pc = list(itertools.accumulate(np_))
+        cc = list(itertools.accumulate(cn))
+        for i in range(vocab):
+            best = None
+            for j in range(i + 1):
+                worst = None
+                for k in range(i, vocab):
+                    r = (pc[k] - (pc[j] - np_[j])) / (cc[k] - (cc[j] - cn[j]))
+                    worst = r if worst is None else min(worst, r)
+                best = worst if best is None else max(best, worst)
+            assert got[i] == best, (trial, i, got[i], best)
