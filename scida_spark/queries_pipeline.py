@@ -2359,7 +2359,7 @@ def sim_neardup_pairs(spark, sf_dir):
 # codebooks), so the contract survives a regenerated testdata seed
 # while still catching a broken index (a degenerate bucketing measures
 # recall ~0.02-0.1).
-_ANN_RECALL_FLOORS = {"lsh": 0.25, "ivf": 0.5, "pq": 0.5}
+_ANN_RECALL_FLOORS = {"lsh": 0.25, "ivf": 0.5, "pq": 0.5, "sq8": 0.8}
 
 
 # BM25 registry query set: fixed literal queries over the documents
@@ -2518,6 +2518,52 @@ _RRF_ORACLE_SECTION = f"""
            CAST(-1 AS BIGINT) AS cand_id, CAST(0.0 AS DOUBLE) AS sim_r,
            CAST(0 AS INT) AS rank, TRUE AS ok
     UNION ALL
+    SELECT 'sq8' AS method, CAST(-1 AS BIGINT) AS query_id,
+           CAST(-1 AS BIGINT) AS cand_id, CAST(0.0 AS DOUBLE) AS sim_r,
+           CAST(0 AS INT) AS rank, TRUE AS ok
+    UNION ALL
+    -- sq8c: every SQ8 code value-certified. Codes are
+    -- clamp(floor(((v-lo)*255)/(hi-lo))) over per-dim corpus min/max;
+    -- dequantization lo + (code+0.5)*((hi-lo)/255); the approximate
+    -- cosine against query 0 replays the engine's sequential zip_with
+    -- folds via ordered list_reduce (the srp convention).
+    SELECT 'sq8c' AS method, vec_id AS query_id,
+           CAST(cksum AS BIGINT) AS cand_id,
+           ROUND(dotv / (sqrt(q0n2) * sqrt(dqn2)), 6) AS sim_r,
+           CAST(mx AS INT) AS rank, TRUE AS ok
+    FROM (
+      WITH sqb AS (
+        SELECT u.i AS i,
+               MIN(CAST(e.embedding[u.i] AS DOUBLE)) AS lo,
+               MAX(CAST(e.embedding[u.i] AS DOUBLE)) AS hi
+        FROM embeddings e, UNNEST(generate_series(1, 64)) AS u(i)
+        GROUP BY u.i),
+      sqc AS (
+        SELECT e.vec_id, b.i,
+               CASE WHEN b.hi - b.lo > 0
+                    THEN LEAST(255.0, GREATEST(0.0,
+                         FLOOR((CAST(e.embedding[b.i] AS DOUBLE) - b.lo)
+                               * 255.0 / (b.hi - b.lo))))
+                    ELSE 0.0 END AS code,
+               b.lo, b.hi
+        FROM embeddings e CROSS JOIN sqb b),
+      sq0 AS (SELECT embedding AS q0e FROM embeddings WHERE vec_id = 0),
+      sqd AS (
+        SELECT c.vec_id, c.i, CAST(c.code AS BIGINT) AS codei,
+               c.lo + (c.code + 0.5) * ((c.hi - c.lo) / 255.0) AS dq,
+               CAST(z.q0e[c.i] AS DOUBLE) AS q0v
+        FROM sqc c CROSS JOIN sq0 z)
+      SELECT vec_id,
+             SUM(codei * i) AS cksum, MAX(codei) AS mx,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(q0v * dq ORDER BY i)), (a, x) -> a + x) AS dotv,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(q0v * q0v ORDER BY i)), (a, x) -> a + x) AS q0n2,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(dq * dq ORDER BY i)), (a, x) -> a + x) AS dqn2
+      FROM sqd GROUP BY vec_id
+    )
+    UNION ALL
     """
     + _BM25_ORACLE_SECTION
     + "\n    UNION ALL\n"
@@ -2642,10 +2688,17 @@ def sim_topk(spark, sf_dir):
         "rank",
         F.lit(True).alias("ok"),
     )
+    # sq8 (r10): per-dimension scalar quantization. Bounds are trained
+    # ONCE here (one map-side-combined 2*dim-expression aggregate — at
+    # real scale this is an ingest-time statistic persisted next to
+    # the codes, the vector_index_ingest pattern) and shared by the
+    # recall-cert path and the sq8c code-certification rows below.
+    sq8_lo, sq8_hi = SIM.sq8_bounds(emb, 64)
     ann = {
         "lsh": SIM.lsh_topk(emb, q, k=10, nbits=None, n_vectors=n),
         "ivf": SIM.ivf_topk(emb, q, k=10, nlist=None, nprobe=None, n_vectors=n),
         "pq": SIM.pq_topk(emb, q, k=10, nbits=6, refine=8),
+        "sq8": SIM.sq8_topk(emb, q, k=10, refine=8, bounds=(sq8_lo, sq8_hi)),
     }
     cert_dfs = []
     ex_pairs = exact.select("query_id", "cand_id")
@@ -2684,7 +2737,9 @@ def sim_topk(spark, sf_dir):
                 ).alias("ok"),
             )
         )
-    cert_rows = cert_dfs[0].unionAll(cert_dfs[1]).unionAll(cert_dfs[2])
+    cert_rows = (
+        cert_dfs[0].unionAll(cert_dfs[1]).unionAll(cert_dfs[2]).unionAll(cert_dfs[3])
+    )
     from scida_spark.functions.retrieval import (
         bm25_topk,
         query_likelihood_topk,
@@ -2786,6 +2841,42 @@ def sim_topk(spark, sf_dir):
         F.bit_count("srp_sig").cast("int").alias("rank"),
         F.lit(True).alias("ok"),
     )
+    # --- sq8c (r10): the SQ8 code table VALUE-certified per vector
+    # (functions/similarity.py::sq8_encode) — like srp, the codes are
+    # a closed-form function of (vector, corpus min/max), so the
+    # oracle recomputes every one: cand_id = the position-weighted
+    # code checksum sum(i * code_i), sim_r = the ADC approximate
+    # cosine of the dequantized vector against query 0's raw vector
+    # (the sequential-fold IEEE chain both engines replay), rank = the
+    # max code (saturation pin: 255 must be reachable, the bounds are
+    # corpus min/max). Map-only zip_with over literal bound arrays —
+    # zero shuffle, no UDF.
+    sq8_codes = SIM.sq8_encode(emb.select("vec_id", "embedding"), sq8_lo, sq8_hi)
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("q0v")
+    )
+    sq8c_rows = (
+        sq8_codes.withColumn(
+            "dqv", SIM.sq8_dequantize(F.col("codes"), sq8_lo, sq8_hi)
+        )
+        .crossJoin(F.broadcast(q0))
+        .select(
+            F.lit("sq8c").alias("method"),
+            F.col("vec_id").alias("query_id"),
+            F.aggregate(
+                F.zip_with(
+                    "codes",
+                    F.sequence(F.lit(1), F.lit(64)),
+                    lambda c, i: (c * i).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ).alias("cand_id"),
+            F.round(SIM.cosine(F.col("q0v"), F.col("dqv")), 6).alias("sim_r"),
+            F.array_max("codes").cast("int").alias("rank"),
+            F.lit(True).alias("ok"),
+        )
+    )
     return (
         ex_rows.unionAll(cert_rows)
         .unionAll(bm25)
@@ -2794,6 +2885,7 @@ def sim_topk(spark, sf_dir):
         .unionAll(knn_rows)
         .unionAll(hn_rows)
         .unionAll(srp_rows)
+        .unionAll(sq8c_rows)
     )
 
 
