@@ -93,3 +93,64 @@ def diff_summary(
     return diff.groupBy(*list(facet_cols), "status").agg(
         F.count("*").alias("n")
     )
+
+
+def scd2_history(
+    snapshots: DataFrame,
+    id_col: str,
+    content_cols,
+    version_col: str = "version",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from a stack of
+    snapshots: one row per (id, maximal run of CONSECUTIVE versions
+    with unchanged content), with ``valid_from`` / ``valid_to`` /
+    ``n_versions`` / ``is_current`` — the temporal complement of
+    :func:`dataset_diff` (diff answers "what changed between two
+    versions"; this answers "when was each record what").
+
+    Runs break on content change (via the injective :func:`_digest`)
+    AND on absence: an id that disappears in version k and reappears
+    in k+2 gets two rows even if the content returns unchanged —
+    presence is part of history. ``is_current`` marks runs that reach
+    the latest version in the stack.
+
+    Scale: digest map-side, ONE shuffle on the id for the per-id
+    version window (rows per id = number of versions the id appears
+    in, bounded by the snapshot count, so no hot partition), one
+    groupBy at (id, run) grain; the global latest version is a 1-row
+    broadcast. Deterministic: a pure function of the snapshot stack."""
+    from pyspark.sql.window import Window as _W
+
+    d = snapshots.select(
+        F.col(id_col).alias("__id"),
+        F.col(version_col).cast("long").alias("__v"),
+        _digest(list(content_cols)).alias("__h"),
+    )
+    w = _W.partitionBy("__id").orderBy("__v")
+    flagged = d.withColumn(
+        "__new_run",
+        (
+            F.lag("__h").over(w).isNull()
+            | (F.lag("__h").over(w) != F.col("__h"))
+            | (F.lag("__v").over(w) != F.col("__v") - 1)
+        ).cast("int"),
+    ).withColumn("__run", F.sum("__new_run").over(w))
+    vmax = snapshots.agg(
+        F.max(F.col(version_col).cast("long")).alias("__vmax")
+    )
+    return (
+        flagged.groupBy("__id", "__run")
+        .agg(
+            F.min("__v").alias("valid_from"),
+            F.max("__v").alias("valid_to"),
+            F.count("*").alias("n_versions"),
+        )
+        .crossJoin(F.broadcast(vmax))
+        .select(
+            F.col("__id").alias(id_col),
+            "valid_from",
+            "valid_to",
+            "n_versions",
+            (F.col("valid_to") == F.col("__vmax")).alias("is_current"),
+        )
+    )

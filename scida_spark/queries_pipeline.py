@@ -1527,6 +1527,41 @@ def text_train_eval_split(spark, sf_dir):
         ON o.doc_id = n.doc_id
     ) GROUP BY lang, status
     UNION ALL
+    -- scd2: run detection replayed with the identical lag window —
+    -- change boundaries, presence gaps, and is_current bits all
+    -- certified per (id, run).
+    SELECT 'scd2:' || CAST(doc_id AS VARCHAR) || ':'
+                   || CAST(valid_from AS VARCHAR) AS kind,
+           CAST(valid_to AS DOUBLE) AS exact_metric,
+           CAST(nv AS BIGINT) AS n_rows,
+           valid_to = 2 AS within_tol
+    FROM (
+      WITH s0 AS (SELECT doc_id,
+                         CASE WHEN doc_id % 11 = 1 THEN text || ' OLD'
+                              ELSE text END AS t, 0 AS v
+                  FROM documents WHERE doc_id % 11 <> 0),
+      s1 AS (SELECT doc_id, text AS t, 1 AS v FROM documents
+             WHERE doc_id % 11 <> 2),
+      s2 AS (SELECT doc_id,
+                    CASE WHEN doc_id % 11 = 4 THEN text || ' NEW'
+                         ELSE text END AS t, 2 AS v
+             FROM documents WHERE doc_id % 11 <> 0 AND doc_id % 11 <> 5),
+      sall AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+               UNION ALL SELECT * FROM s2),
+      sfl AS (SELECT doc_id, v,
+                     CASE WHEN LAG(t) OVER w IS NULL
+                            OR LAG(t) OVER w <> t
+                            OR LAG(v) OVER w <> v - 1
+                          THEN 1 ELSE 0 END AS nr
+              FROM sall WINDOW w AS (PARTITION BY doc_id ORDER BY v)),
+      srun AS (SELECT doc_id, v,
+                      SUM(nr) OVER (PARTITION BY doc_id ORDER BY v) AS run
+               FROM sfl)
+      SELECT doc_id, MIN(v) AS valid_from, MAX(v) AS valid_to,
+             COUNT(*) AS nv
+      FROM srun GROUP BY doc_id, run
+    )
+    UNION ALL
     SELECT 'auc:quality_en' AS kind,
            CAST(rsum2 - npos * (npos + 1) AS DOUBLE)
              / CAST(2 * npos * nneg AS DOUBLE) AS exact_metric,
@@ -2105,6 +2140,42 @@ def sketch_distinct_rollup(spark, sf_dir):
         F.lit(True).alias("within_tol"),
     )
 
+    # --- scd2 (r10): slowly-changing-dimension history over a THREE-
+    # snapshot stack (functions/diff.py::scd2_history — the temporal
+    # complement of the diff section, same engineered %11 variants
+    # plus a v2 that deletes %11==5 and rewrites %11==4): one row per
+    # (id, unchanged-consecutive run), so the oracle's identical
+    # lag-window replay certifies every change boundary, every
+    # presence gap (id %11==2 vanishes in v1 and returns in v2 — two
+    # runs with equal content), every n_versions, and every
+    # is_current bit. One id-shuffle window at (id, version) grain.
+    from scida_spark.functions.diff import scd2_history
+
+    ver2 = basev.filter(
+        (F.col("doc_id") % 11 != 0) & (F.col("doc_id") % 11 != 5)
+    ).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 4, F.concat(F.col("text"), F.lit(" NEW"))
+        ).otherwise(F.col("text")),
+    )
+    snaps = (
+        oldv.withColumn("version", F.lit(0))
+        .unionAll(newv.withColumn("version", F.lit(1)))
+        .unionAll(ver2.withColumn("version", F.lit(2)))
+    )
+    scd2_rows = scd2_history(snaps, "doc_id", ["text"]).select(
+        F.concat(
+            F.lit("scd2:"),
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("valid_from").cast("string"),
+        ).alias("kind"),
+        F.col("valid_to").cast("double").alias("exact_metric"),
+        F.col("n_versions").cast("long").alias("n_rows"),
+        F.col("is_current").alias("within_tol"),
+    )
+
     # --- auc: exact ranking-quality evaluation (r9;
     # functions/metrics.py::auc_exact) — tie-corrected Mann-Whitney
     # AUC of the heuristic quality score at separating English docs,
@@ -2191,6 +2262,7 @@ def sketch_distinct_rollup(spark, sf_dir):
         .unionAll(cms_rows)
         .unionAll(dq_rows)
         .unionAll(diff_rows)
+        .unionAll(scd2_rows)
         .unionAll(auc_rows)
         .unionAll(iso_rows)
         .unionAll(funnel_rows)

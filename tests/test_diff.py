@@ -113,3 +113,51 @@ def test_dataset_diff_null_position_and_separator_injective(spark):
         for r in dataset_diff(old, new, "id", ["x", "y", "z"]).collect()
     }
     assert got == {1: "changed", 2: "changed", 3: "unchanged", 4: "unchanged"}
+
+
+def test_scd2_history_hand_computed(spark):
+    """Every SCD2 rule on one fixture: change splits a run, a presence
+    GAP splits a run even with identical content, late appearance,
+    deletion before the end, is_current only for runs reaching the
+    latest version."""
+    from scida_spark.functions.diff import scd2_history
+
+    rows = [
+        (1, 0, "a"), (1, 1, "a"), (1, 2, "b"),   # change at v2
+        (2, 0, "x"), (2, 2, "x"),                 # gap -> two runs
+        (3, 1, "z"), (3, 2, "z"),                 # late, current
+        (4, 0, "q"),                              # deleted after v0
+    ]
+    df = spark.createDataFrame(rows, "id long, version long, text string")
+    got = {
+        (r["id"], r["valid_from"]): (
+            r["valid_to"], r["n_versions"], r["is_current"]
+        )
+        for r in scd2_history(df, "id", ["text"]).collect()
+    }
+    assert got == {
+        (1, 0): (1, 2, False),
+        (1, 2): (2, 1, True),
+        (2, 0): (0, 1, False),
+        (2, 2): (2, 1, True),
+        (3, 1): (2, 2, True),
+        (4, 0): (0, 1, False),
+    }
+
+
+def test_scd2_history_layout_independent(spark):
+    from scida_spark.functions.diff import scd2_history
+
+    rows = [
+        (i, v, f"t{i}" if (i + v) % 3 else "mut")
+        for i in range(40)
+        for v in range(4)
+        if (i * v) % 5 != 3
+    ]
+    df = spark.createDataFrame(rows, "id long, version long, text string")
+    a = {tuple(r) for r in scd2_history(df, "id", ["text"]).collect()}
+    b = {
+        tuple(r)
+        for r in scd2_history(df.repartition(11, "version"), "id", ["text"]).collect()
+    }
+    assert a == b and len(a) > 40
