@@ -3353,6 +3353,33 @@ def _pii_oracle_section() -> str:
          LATERAL UNNEST(generate_series(0,
            (greatest(len(t) - 128, 0) + 95) // 96)) AS u(i)
     UNION ALL
+    -- tfidf: idf = ln(N+1) - ln(df+1) + 1 over libm ln of exact
+    -- integer+1.0 operands; one double multiply per (doc, term); ties
+    -- (score desc, term asc).
+    SELECT 'tfidf' AS section, CAST(doc_id AS VARCHAR) AS k1,
+           CAST(rank AS VARCHAR) || ':' || term AS k2,
+           CAST(tf AS BIGINT) AS n, ROUND(score, 6) AS sum_score
+    FROM (
+      WITH ti_tok AS (SELECT doc_id,
+                             unnest(string_split(trim(text), ' ')) AS tok
+                      FROM documents),
+      ti_tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM ti_tok
+                GROUP BY doc_id, tok),
+      ti_df AS (SELECT tok, COUNT(*) AS df
+                FROM (SELECT DISTINCT doc_id, tok FROM ti_tok)
+                GROUP BY tok),
+      ti_n AS (SELECT COUNT(*) AS n FROM documents),
+      ti_sc AS (SELECT doc_id, tok AS term, tf,
+                       CAST(tf AS DOUBLE)
+                         * ((ln((SELECT n FROM ti_n) + 1.0)
+                             - ln(df + 1.0)) + 1.0) AS score
+                FROM ti_tf JOIN ti_df USING (tok))
+      SELECT doc_id, term, tf, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rank
+      FROM ti_sc
+    ) WHERE rank <= 3
+    UNION ALL
     -- tokpack: end-to-end tokenize -> pack -> shard replay. Token
     -- count per word under the pinned merges [('l','o'),('e','s</w>')]
     -- has the closed form len(w) - #'lo' pairs excluding the EOW-fused
@@ -3720,6 +3747,25 @@ def text_quality_lang(spark, sf_dir):
         F.col("n_chunk_tokens").alias("n"),
         F.lit(0.0).alias("sum_score"),
     )
+    # tfidf (r10): per-document top-3 TF-IDF keywords
+    # (functions/retrieval.py::tfidf_keywords — document
+    # fingerprinting for corpus cards). Fully value-checked: idf comes
+    # from driver-side libm ln over the DISTINCT df VALUES (the bm25
+    # transcendental rule — metadata-sized at any corpus), the score
+    # is one double multiply, and the oracle recomputes every (doc,
+    # rank, term, tf, score) row with the identical formula and
+    # (score desc, term) tie-break.
+    from scida_spark.functions.retrieval import tfidf_keywords
+
+    tfidf_rows = tfidf_keywords(docs, k=3).select(
+        F.lit("tfidf").alias("section"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.concat(F.col("rank").cast("string"), F.lit(":"), F.col("term")).alias(
+            "k2"
+        ),
+        F.col("tf").cast("long").alias("n"),
+        F.round("score", 6).alias("sum_score"),
+    )
     # tokpack (r10): the END-TO-END "corpus in, training shards out"
     # composition certified as ONE chain rather than three green
     # parts: bpe_encode with PINNED literal merges [('l','o'),
@@ -3859,6 +3905,7 @@ def text_quality_lang(spark, sf_dir):
         .unionAll(pk_rows)
         .unionAll(cmp_rows)
         .unionAll(ch_rows)
+        .unionAll(tfidf_rows)
         .unionAll(tp_seq_rows)
         .unionAll(tp_shard_rows)
         .unionAll(pii_lit)

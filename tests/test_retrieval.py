@@ -178,3 +178,48 @@ def test_rrf_fuse_combines_and_breaks_ties(spark):
     assert abs(rows[0]["score"] - (1 / 62 + 1 / 61)) < 1e-15
     # docs 10 (rank1 in a) vs 12 (rank2 in b): 1/61 > 1/62
     assert rows[1]["doc_id"] == 10 and rows[2]["doc_id"] == 12
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    """idf = ln(N+1) - ln(df+1) + 1; per-doc top-k by (score desc,
+    term asc). 'rare' appears in one doc (max idf); 'common' in all
+    (min idf); tf breaks within-doc ordering."""
+    import math
+
+    from scida_spark.functions.retrieval import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare common"),
+            (2, "common mid"),
+            (3, "common mid"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["score"])
+        for r in tfidf_keywords(docs, k=2).collect()
+    }
+    ln4 = math.log(4.0)
+
+    def idf(df):
+        return (ln4 - math.log(df + 1.0)) + 1.0
+
+    assert got[(1, 1)] == ("common", 2, 2.0 * idf(3))
+    assert got[(1, 2)] == ("rare", 1, 1.0 * idf(1))
+    # doc 2: mid (df=2) vs common (df=3), both tf=1 -> mid scores higher
+    assert got[(2, 1)][0] == "mid" and got[(2, 2)][0] == "common"
+    # tie-break: equal scores order by ascending term
+    t = spark.createDataFrame([(9, "b a")], "doc_id long, text string")
+    tied = [r["term"] for r in tfidf_keywords(t, k=2).orderBy("rank").collect()]
+    assert tied == ["a", "b"]
+
+
+def test_tfidf_keywords_layout_independent(spark, sf_dir):
+    from scida_spark.functions.retrieval import tfidf_keywords
+    from scida_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = {tuple(r) for r in tfidf_keywords(docs, k=3).collect()}
+    b = {tuple(r) for r in tfidf_keywords(docs.repartition(7), k=3).collect()}
+    assert a == b and len(a) > 100
