@@ -119,3 +119,52 @@ def funnel_conversion(
         )
         rows = r if rows is None else rows.unionAll(r)
     return rows
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_us: int = 604_800_000_000,  # one week of microseconds
+) -> DataFrame:
+    """Cohort retention — the product-analytics triangle next to the
+    funnel: bucket every user into the period of their FIRST event
+    (the cohort), then for each (cohort, offset) count how many of
+    that cohort were active ``offset`` periods later and what fraction
+    of the cohort that is.
+
+    Exactness: periods are integer ``epoch_us DIV period_us`` (the
+    sessionization lesson — whole-second/naive-date truncation drifts
+    across engines, integer microsecond division does not); retention
+    is ONE division of exact integers, so any engine replays the
+    triangle bit-for-bit.
+
+    Scale: one groupBy(user) min for cohorts (map-side combined), one
+    distinct over (user, period) — activity grain, not event grain —
+    one broadcast-sized join (cohort table is users-sized but the
+    aggregate it joins INTO is (cohort, offset)-sized), one final
+    count. No windows, no per-user history sort; a hot user costs one
+    distinct row per active period."""
+    # 64-bit integer DIV — never a double quotient (the split_thresholds
+    # lesson); ts >= epoch so DIV == floor.
+    pw = F.expr(f"unix_micros({ts_col}) DIV {int(period_us)}L")
+    first = events.groupBy(F.col(user_col).alias("__u")).agg(
+        F.min(pw).alias("__cw")
+    )
+    act = events.select(
+        F.col(user_col).alias("__u"), pw.alias("__w")
+    ).distinct()
+    sizes = first.groupBy("__cw").agg(F.count("*").alias("__size"))
+    tri = (
+        act.join(first, "__u")
+        .groupBy("__cw", (F.col("__w") - F.col("__cw")).alias("offset"))
+        .agg(F.count("*").alias("n_users"))
+        .join(F.broadcast(sizes), "__cw")
+    )
+    return tri.select(
+        F.col("__cw").alias("cohort"),
+        "offset",
+        "n_users",
+        F.col("__size").alias("cohort_size"),
+        (F.col("n_users").cast("double") / F.col("__size")).alias("retention"),
+    )

@@ -133,3 +133,46 @@ def linear_interp(
         F.when(prev_v.isNotNull() & next_v.isNotNull(), interp)
     )
     return df.withColumn(out, filled)
+
+
+def rolling_anomaly_flags(
+    buckets: DataFrame,
+    group_cols,
+    n_col: str = "n",
+    bucket_col: str = "bkt",
+    window: int = 6,
+    factor: int = 2,
+) -> DataFrame:
+    """Spike detection over a resampled (group, bucket, count) grid:
+    flag buckets whose count exceeds ``factor`` x the rolling MEAN of
+    the previous ``window`` buckets — evaluated as the ALL-INTEGER
+    predicate ``n * frame_count > factor * frame_sum`` (never a float
+    mean: division order can differ across engines; the cross-
+    multiplied form is exact, the sampling.py lesson). Buckets with an
+    empty preceding frame (series head) are never flagged.
+
+    Returns only the flagged rows: (group_cols..., bucket, n,
+    rolling_sum, rolling_cnt). Run it on the gap-FILLED grid
+    (:func:`fill_gaps`) so quiet periods count as zeros instead of
+    silently shrinking the frame.
+
+    Scale: the input is bucket grain (days x buckets-per-day per
+    group — metadata-sized at any event volume; the one event-grain
+    shuffle already happened in :func:`resample`), so the per-group
+    ordered window is cheap and bounded."""
+    group_cols = list(group_cols)
+    w = (
+        W.partitionBy(*group_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(-int(window), -1)
+    )
+    flagged = buckets.withColumn(
+        "rolling_sum", F.sum(n_col).over(w)
+    ).withColumn("rolling_cnt", F.count(n_col).over(w))
+    return flagged.filter(
+        (F.col("rolling_cnt") > 0)
+        & (
+            F.col(n_col) * F.col("rolling_cnt")
+            > F.lit(int(factor)) * F.col("rolling_sum")
+        )
+    ).select(*group_cols, bucket_col, n_col, "rolling_sum", "rolling_cnt")

@@ -1647,6 +1647,24 @@ def text_train_eval_split(spark, sf_dir):
       UNION ALL SELECT 2, 'purchase', n2, n1 FROM c
       UNION ALL SELECT 3, 'signup', n3, n1 FROM c
     )
+    UNION ALL
+    -- cohort: weekly retention triangle over integer epoch-week DIV.
+    SELECT 'cohort:' || CAST(cohort AS VARCHAR) || ':'
+                     || CAST(coff AS VARCHAR) AS kind,
+           CAST(n AS DOUBLE) / csize AS exact_metric,
+           CAST(n AS BIGINT) AS n_rows,
+           n <= csize AS within_tol
+    FROM (
+      WITH ce AS (SELECT user_id, epoch_us(ts) // 604800000000 AS w
+                  FROM events),
+      cfir AS (SELECT user_id, MIN(w) AS cw FROM ce GROUP BY user_id),
+      cact AS (SELECT DISTINCT user_id, w FROM ce),
+      csz AS (SELECT cw, COUNT(*) AS csize FROM cfir GROUP BY cw)
+      SELECT f.cw AS cohort, a.w - f.cw AS coff,
+             COUNT(*) AS n, ANY_VALUE(s.csize) AS csize
+      FROM cact a JOIN cfir f USING (user_id) JOIN csz s ON s.cw = f.cw
+      GROUP BY f.cw, a.w - f.cw
+    )
     """,
 )
 def sketch_distinct_rollup(spark, sf_dir):
@@ -2239,7 +2257,7 @@ def sketch_distinct_rollup(spark, sf_dir):
     # per step (map-side combinable, no per-user history ever sorted),
     # and the oracle replays the identical cascade in SQL: per-step
     # user counts and conversion fractions value-check exactly.
-    from scida_spark.operators.funnel import funnel_conversion
+    from scida_spark.operators.funnel import cohort_retention, funnel_conversion
 
     funnel_rows = funnel_conversion(
         ev, "user_id", "event_type", "ts", ["click", "purchase", "signup"]
@@ -2251,6 +2269,24 @@ def sketch_distinct_rollup(spark, sf_dir):
         F.col("conversion").alias("exact_metric"),
         F.col("n_users").cast("long").alias("n_rows"),
         F.lit(True).alias("within_tol"),
+    )
+
+    # --- cohort (r10): weekly cohort retention triangle
+    # (operators/funnel.py::cohort_retention) — integer epoch-week
+    # periods (unix_micros DIV, the sessionization lesson), retention
+    # = one division of exact integers, so the oracle replays every
+    # (cohort, offset, count, fraction) cell; within_tol pins the
+    # n <= cohort_size invariant.
+    cohort_rows = cohort_retention(ev, "user_id", "ts").select(
+        F.concat(
+            F.lit("cohort:"),
+            F.col("cohort").cast("string"),
+            F.lit(":"),
+            F.col("offset").cast("string"),
+        ).alias("kind"),
+        F.col("retention").alias("exact_metric"),
+        F.col("n_users").cast("long").alias("n_rows"),
+        (F.col("n_users") <= F.col("cohort_size")).alias("within_tol"),
     )
 
     return (
@@ -2266,6 +2302,7 @@ def sketch_distinct_rollup(spark, sf_dir):
         .unionAll(auc_rows)
         .unionAll(iso_rows)
         .unionAll(funnel_rows)
+        .unionAll(cohort_rows)
     )
 
 
@@ -3301,7 +3338,9 @@ def _pii_oracle_section() -> str:
            CAST(SUM(fp) AS VARCHAR) AS k2, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(0.0 AS DOUBLE) AS sum_score
     FROM (
-      WITH ns AS (SELECT (COUNT(*) + 149) // 150 AS k FROM documents)
+      WITH ns AS (SELECT (COUNT(*) + GREATEST(150, (COUNT(*) + 31) // 32) - 1)
+                         // GREATEST(150, (COUNT(*) + 31) // 32) AS k
+                  FROM documents)
       SELECT (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'exp8'), 1, 8)) AS UBIGINT)
               * (SELECT k FROM ns)) // 4294967296 AS s,
              CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || lang), 1, 14)) AS UBIGINT)
@@ -3310,7 +3349,9 @@ def _pii_oracle_section() -> str:
     GROUP BY s
     UNION ALL
     SELECT 'export', 'verify', 'true',
-           (SELECT (COUNT(*) + 149) // 150 FROM documents), CAST(0.0 AS DOUBLE)
+           (SELECT (COUNT(*) + GREATEST(150, (COUNT(*) + 31) // 32) - 1)
+                   // GREATEST(150, (COUNT(*) + 31) // 32)
+            FROM documents), CAST(0.0 AS DOUBLE)
     UNION ALL
     SELECT 'packing' AS section,
            CAST(mn AS VARCHAR) || ':' || CAST(bin AS VARCHAR) AS k1,
@@ -3318,7 +3359,7 @@ def _pii_oracle_section() -> str:
            CAST(SUM(ntok) AS BIGINT) AS n,
            CAST(COUNT(*) AS DOUBLE) AS sum_score
     FROM (
-      WITH RECURSIVE pd AS (
+      WITH RECURSIVE pd AS MATERIALIZED (
         SELECT doc_id % 8 AS dom, doc_id,
                CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ntok,
                ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn,
@@ -3390,7 +3431,7 @@ def _pii_oracle_section() -> str:
     -- the shard hash the order-invariant 56-bit fingerprint sum, both
     -- over (members, seq_id, total_tokens) sorted by column name.
     SELECT section, k1, k2, n, sum_score FROM (
-      WITH RECURSIVE tp_nt AS (
+      WITH RECURSIVE tp_nt AS MATERIALIZED (
         SELECT doc_id,
                CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
                  list_transform(
@@ -3402,7 +3443,7 @@ def _pii_oracle_section() -> str:
                                THEN 1 ELSE 0 END)),
                  (a, x) -> a + x) AS BIGINT) AS ntok
         FROM documents),
-      tp_pd AS (
+      tp_pd AS MATERIALIZED (
         SELECT doc_id % 4 AS dom, doc_id, ntok,
                ROW_NUMBER() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) AS rn,
                MIN(doc_id) OVER (PARTITION BY doc_id % 4) AS mn
@@ -3425,7 +3466,8 @@ def _pii_oracle_section() -> str:
                CAST(SUM(ntok) AS BIGINT) AS total,
                CAST(COUNT(*) AS BIGINT) AS nd
         FROM tp_pk GROUP BY mn, bin),
-      tp_k AS (SELECT (COUNT(*) + 31) // 32 AS k,
+      tp_k AS (SELECT (COUNT(*) + GREATEST(32, (COUNT(*) + 15) // 16) - 1)
+                      // GREATEST(32, (COUNT(*) + 15) // 16) AS k,
                       CAST(COUNT(*) AS BIGINT) AS nseq FROM tp_seq),
       tp_fp AS (
         SELECT (CAST(('0x' || substr(md5(seq_id || 'tkp10'), 1, 8)) AS UBIGINT)
@@ -3660,8 +3702,17 @@ def text_quality_lang(spark, sf_dir):
         _tempfile.gettempdir(),
         "ss_export_cert_" + _os.path.basename(sf_dir.rstrip("/")),
     )
+    # Adaptive shard size (r10): rows_per_shard = max(150, ceil(n/32))
+    # caps the export at ~32 shard FILES at any SF — the fixed 150 was
+    # writing 3,333 directories at the x100 corpus and the eager write
+    # dominated slot construction (192-237 s), billed to EVERY
+    # section. Small SFs are unchanged (n <= 4800 -> rps = 150); the
+    # oracle computes the identical integer formula.
+    n_exp_docs = docs.count()
+    exp_rps = max(150, -(-n_exp_docs // 32))
     manifest = export_training_shards(
-        docs.select("doc_id", "lang"), "doc_id", dst, rows_per_shard=150, salt="exp8"
+        docs.select("doc_id", "lang"), "doc_id", dst,
+        rows_per_shard=exp_rps, salt="exp8",
     )
     ok = verify_shards(spark, dst)["ok"]
     exp_rows = spark.createDataFrame(
@@ -3785,14 +3836,27 @@ def text_quality_lang(spark, sf_dir):
     # certificate from raw text to training shards.
     from scida_spark.functions.bpe import bpe_encode
 
-    tp_enc = bpe_encode(
-        docs.select("doc_id", "text"), [("l", "o"), ("e", "s</w>")]
+    # Collapse-first (the r8 rule): token counts are a pure function
+    # of the text, so encode each DISTINCT text once and join the
+    # count back by digest — a replica-heavy corpus (the x100 stress
+    # regime) pays its distinct-text count through the pandas-UDF
+    # encoder, not its row count.
+    tp_dist = docs.select(F.md5("text").alias("_dg"), "text").dropDuplicates(
+        ["_dg"]
+    )
+    tp_cnt = bpe_encode(tp_dist, [("l", "o"), ("e", "s</w>")]).select(
+        "_dg", "n_bpe_tokens"
+    )
+    tp_in = (
+        docs.select("doc_id", F.md5("text").alias("_dg"))
+        .join(tp_cnt, "_dg")
+        .select(
+            "doc_id", (F.col("doc_id") % 4).alias("dom"), "n_bpe_tokens"
+        )
     )
     tp_seqs = (
         pack_sequences_by(
-            tp_enc.select(
-                "doc_id", (F.col("doc_id") % 4).alias("dom"), "n_bpe_tokens"
-            ),
+            tp_in,
             "doc_id",
             "n_bpe_tokens",
             1024,
@@ -3812,11 +3876,16 @@ def text_quality_lang(spark, sf_dir):
         _tempfile.gettempdir(),
         "ss_tokpack_cert_" + _os.path.basename(sf_dir.rstrip("/")),
     )
+    # Adaptive shard size (the exp8 rule): max(32, ceil(nseq/16)) caps
+    # the tokpack export at ~16 shard files at any SF; <= 512
+    # sequences (every driver SF) keeps rps = 32 unchanged.
+    n_tp_seqs = tp_seqs.count()
+    tp_rps = max(32, -(-n_tp_seqs // 16))
     tp_manifest = export_training_shards(
         tp_seqs.select("seq_id", "members", "total_tokens"),
         "seq_id",
         tp_dst,
-        rows_per_shard=32,
+        rows_per_shard=tp_rps,
         salt="tkp10",
     )
     tp_ok = verify_shards(spark, tp_dst)["ok"]
@@ -4261,6 +4330,41 @@ def stream_session_windows(spark, sf_dir):
              pv + (nv - pv) * (CAST(bkt - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
       FROM w2 WHERE n = 0 AND pv IS NOT NULL AND nv IS NOT NULL
     ) ts_fam
+    UNION ALL
+    -- anom: rolling spike flags over the filled 5-min grid; the
+    -- all-integer predicate n * frame_count > 2 * frame_sum over the
+    -- previous 6 buckets replays exactly.
+    SELECT 'anom' AS kind,
+           strftime(make_timestamp(bkt * 1000000), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type AS grp, CAST(n AS BIGINT) AS n,
+           CAST(rsum AS DOUBLE) AS sum_value
+    FROM (
+      WITH ars AS (
+        SELECT event_type, CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS bkt,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      abounds AS (SELECT MIN(bkt) AS mn, MAX(bkt) AS mx FROM ars),
+      agrid AS (
+        SELECT t.event_type, g.bkt
+        FROM (SELECT DISTINCT event_type FROM events) t,
+             (SELECT unnest(generate_series((SELECT mn FROM abounds),
+                                            (SELECT mx FROM abounds), 300))
+                AS bkt) g),
+      af AS (
+        SELECT agrid.event_type, agrid.bkt, COALESCE(ars.n, 0) AS n
+        FROM agrid LEFT JOIN ars
+          ON ars.event_type = agrid.event_type AND ars.bkt = agrid.bkt),
+      aw AS (
+        SELECT event_type, bkt, n,
+               SUM(n) OVER (PARTITION BY event_type ORDER BY bkt
+                            ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS rsum,
+               COUNT(n) OVER (PARTITION BY event_type ORDER BY bkt
+                              ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS rcnt
+        FROM af)
+      SELECT event_type, bkt, n, rsum FROM aw
+      WHERE rcnt > 0 AND n * rcnt > 2 * rsum
+    )
     """,
 )
 def stream_batch_windows(spark, sf_dir):
@@ -4376,10 +4480,26 @@ def stream_batch_windows(spark, sf_dir):
         F.lit(0).cast("long").alias("n"),
         F.col("ipv").alias("sum_value"),
     )
+    # anom (r10): rolling spike detection over the SAME gap-filled
+    # 5-min grid (operators/timeseries.py::rolling_anomaly_flags) —
+    # flag = n * frame_count > 2 * frame_sum over the previous 6
+    # buckets, an all-integer predicate both engines evaluate exactly;
+    # sum_value carries the frame sum so the oracle certifies the
+    # evidence, not just the verdict. Bucket-grain window: metadata-
+    # sized at any event volume.
+    anom_rows = TS.rolling_anomaly_flags(
+        filled.select("event_type", "bkt", "n"), ["event_type"]
+    ).select(
+        F.lit("anom").alias("kind"),
+        ws.alias("window_start"),
+        F.col("event_type").alias("grp"),
+        "n",
+        F.col("rolling_sum").cast("double").alias("sum_value"),
+    )
 
     return tum.unionAll(sli).unionAll(ses).unionAll(rs_rows).unionAll(
         ff_rows
-    ).unionAll(ip_rows)
+    ).unionAll(ip_rows).unionAll(anom_rows)
 
 
 @query(

@@ -107,3 +107,36 @@ def test_funnel_no_cartesian_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cohort_retention_hand_computed(spark):
+    """Two cohorts over 3 weekly periods: cohort 0 = users 1,2 (user 1
+    active weeks 0,1,2; user 2 only week 0); cohort 1 = user 3 (active
+    weeks 1,2). Retention is exact integer division; repeat events in
+    one period count once."""
+    import datetime as dt
+
+    from scida_spark.operators.funnel import cohort_retention
+
+    wk = 7 * 86400
+
+    def ts(week, sec=0):
+        return dt.datetime.utcfromtimestamp(week * wk + sec)
+
+    rows = [
+        (1, ts(0)), (1, ts(0, 60)), (1, ts(1)), (1, ts(2)),
+        (2, ts(0, 5)),
+        (3, ts(1, 9)), (3, ts(2, 3)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["cohort"], r["offset"]): (r["n_users"], r["cohort_size"], r["retention"])
+        for r in cohort_retention(df, "user_id", "ts").collect()
+    }
+    assert got == {
+        (0, 0): (2, 2, 1.0),
+        (0, 1): (1, 2, 0.5),
+        (0, 2): (1, 2, 0.5),
+        (1, 0): (1, 1, 1.0),
+        (1, 1): (1, 1, 1.0),
+    }

@@ -78,3 +78,34 @@ def test_fill_gaps_completeness_events(spark, sf_dir):
     # row-count conservation: filled non-gap buckets sum to the table size
     total = filled.agg(F.sum("n")).collect()[0][0]
     assert total == ev.count()
+
+
+def test_rolling_anomaly_flags_hand_computed(spark):
+    """n * frame_count > 2 * frame_sum over the previous 6 buckets.
+    Series a: flat 10s then a 25 spike -> only the spike flags (25*6 >
+    2*60). Head bucket (empty frame) never flags even when huge. A
+    zero-history run (all zeros then 1) flags the 1 (1*6 > 0)."""
+    from scida_spark.operators.timeseries import rolling_anomaly_flags
+
+    rows = (
+        [("a", 300 * i, 10) for i in range(6)]
+        + [("a", 1800, 25)]
+        + [("b", 0, 999)]                      # head: no frame, no flag
+        + [("c", 300 * i, 0) for i in range(6)]
+        + [("c", 1800, 1)]
+    )
+    df = spark.createDataFrame(rows, "event_type string, bkt long, n long")
+    got = {
+        (r["event_type"], r["bkt"]): (r["n"], r["rolling_sum"], r["rolling_cnt"])
+        for r in rolling_anomaly_flags(df, ["event_type"]).collect()
+    }
+    assert got == {("a", 1800): (25, 60, 6), ("c", 1800): (1, 0, 6)}
+
+
+def test_rolling_anomaly_boundary_not_flagged(spark):
+    """Exactly 2x the rolling mean is NOT an anomaly (strict >)."""
+    from scida_spark.operators.timeseries import rolling_anomaly_flags
+
+    rows = [("a", 300 * i, 10) for i in range(6)] + [("a", 1800, 20)]
+    df = spark.createDataFrame(rows, "event_type string, bkt long, n long")
+    assert rolling_anomaly_flags(df, ["event_type"]).count() == 0
