@@ -1697,6 +1697,16 @@ def sketch_distinct_rollup(spark, sf_dir):
       intersect [q−eps, q+eps] — with heavy ties a point rank can sit
       past eps while the estimate is exactly an order statistic.
 
+    Plus the data-ops families sharing the slot's (kind, metric, n,
+    verdict) shape: ``cms:*``/``dq:*``/``diff:*``/``auc:*``/
+    ``funnel:*`` (r9 — Count-Min, expectations, version diff, exact
+    AUC, funnel), and r10's ``scd2:*`` (snapshot history runs — every
+    change boundary, presence gap, and is_current bit replayed by the
+    oracle's lag window), ``iso:*`` (PAV calibration — values
+    bit-checked through the min-max identity, monotonicity pinned per
+    row), and ``cohort:*`` (weekly retention triangle — integer
+    epoch-week DIV periods, one exact division per cell).
+
     DuckDB cannot reproduce the randomized estimates, so the oracle
     verifies ACCURACY CONTRACTS: each row emits ``within_tol`` and the
     oracle pins it TRUE next to exactly-reproducible anchors (exact
@@ -2744,12 +2754,16 @@ def sim_topk(spark, sf_dir):
       — broadcast queries × streamed candidates, JVM-side fold; the
       oracle recomputes every (query, cand, sim, rank) value, hash-
       checked per pair.
-    * ``lsh`` / ``ivf`` / ``pq`` certification rows: each ANN path
-      (hyperplane multi-probe LSH; IVF inverted lists — both sized from
-      parquet footer stats, no count job; PQ compressed ADC scan with
-      exact re-rank, 32x compression at m=8) is run against the SAME
+    * ``lsh`` / ``ivf`` / ``pq`` / ``sq8`` certification rows: each
+      ANN path (hyperplane multi-probe LSH; IVF inverted lists — both
+      sized from parquet footer stats, no count job; PQ compressed ADC
+      scan with exact re-rank, 32x compression at m=8; r10 SQ8
+      per-dimension scalar quantization — pure-JVM ADC scan, 4x
+      compression, plus the separate ``sq8c`` rows below where the
+      CODES themselves are value-certified) is run against the SAME
       exact top-10 and its mean recall@10 across the query set is
-      compared to the pinned floor (lsh ≥ 0.25, ivf ≥ 0.5, pq ≥ 0.5 —
+      compared to the pinned floor (lsh ≥ 0.25, ivf ≥ 0.5, pq ≥ 0.5,
+      sq8 ≥ 0.8 —
       see _ANN_RECALL_FLOORS);
       ``ok`` carries the verdict and the oracle pins it TRUE, the same
       accuracy-contract pattern as sketch_distinct_rollup. Approximate
@@ -3513,6 +3527,16 @@ def text_quality_lang(spark, sf_dir):
       rebuilds the identical integer model and folds per-doc log-probs
       in token order, so the doubles match bit-for-bit (ln-of-integer
       + left-to-right IEEE addition; see functions/lm.py docstring).
+
+    Later sections (see the inline comments at each construction):
+    ``lm2_nll``/``ccnet`` (r9 bigram LM + perplexity buckets),
+    ``line_dedup`` (CCNet line dedup), ``bpe`` (learned tokenizer
+    certs), ``export``/``packing``/``compact``/``chunk`` (r8 shard
+    lifecycle), ``pii`` (r9), and r10's ``tfidf`` (per-doc top-3
+    keywords, every score value-checked via driver-side libm idf over
+    distinct df values) and ``tokpack`` (the END-TO-END tokenize →
+    pack → shard chain certified as one pipeline: closed-form BPE
+    counts → recursive-CTE greedy replay → on-disk shard hashes).
 
     The first two halves are pure JVM Column expressions over one
     documents scan each — no UDF, no shuffle beyond the final tiny
@@ -4394,6 +4418,10 @@ def stream_batch_windows(spark, sf_dir):
       between their nearest non-empty neighbors; both engines
       evaluate the identical double expression, so even the float
       arithmetic hash-matches bit-for-bit.
+    * ``anom`` (r10): rolling spike flags over the same filled grid —
+      the all-integer predicate n * frame_count > 2 * frame_sum
+      (previous 6 buckets), with the frame sum emitted as
+      oracle-certified evidence.
 
     Identical window semantics to the Structured Streaming versions in
     scida_spark.streaming (same F.window / session merge rules), run
@@ -4631,6 +4659,10 @@ def dedup_cc_clusters(spark, sf_dir):
     slot — the pairs ARE the CC input, so one result value-checks both).
     The DuckDB oracle recomputes the same transitive closure with a
     recursive CTE, so the distributed loop is value-checked exactly.
+    Per-pair columns: ``cluster_id`` (CC min-label), ``pr_rep`` (r9
+    fixed-point-PageRank canonical member), and ``lp_label`` (r10
+    semi-supervised label propagation — 3 clamped majority rounds over
+    the rep graph, oracle-unrolled in SQL; -1 = unreached).
 
     Scale: candidate generation is the exact inverted-index baseline
     with hot-shingle df-cap (shingles with document frequency > 256 are

@@ -225,3 +225,46 @@ def test_q18_aggregates_lineitem_once(spark, sf_dir, reg):
     assert p.count("lineitem.parquet") == 1, p
     assert tree.count("HashAggregate") == 2  # partial + final of the one agg
     assert "BroadcastHashJoin" in tree
+
+
+def test_sq8_encode_is_map_only(spark, sf_dir):
+    """SQ8 encoding promises map-only zip_with over literal bound
+    arrays: no Exchange, no Python UDF (BatchEvalPython/ArrowEval) in
+    the plan — the codes are produced inside codegen."""
+    from scida_spark.functions.similarity import sq8_bounds, sq8_encode
+    from scida_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    lo, hi = sq8_bounds(emb, 64)
+    p = _plan(spark, sq8_encode(emb, lo, hi))
+    assert "Exchange" not in p, p
+    assert "EvalPython" not in p and "FlatMapsInPandas" not in p
+
+
+def test_tfidf_topk_is_window_group_limited(spark, sf_dir):
+    """The per-doc top-k rank filter must plan as WindowGroupLimit
+    (Partial below the Exchange — the r9 grouped-topn rule), and the
+    df-value idf table must broadcast."""
+    from scida_spark.functions.retrieval import tfidf_keywords
+    from scida_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    p = _plan(spark, tfidf_keywords(docs, k=3))
+    assert "WindowGroupLimit" in p, p
+    assert "BroadcastHashJoin" in p
+
+
+def test_scd2_single_id_exchange(spark):
+    """SCD2 shuffles once on the id for the version window; the
+    latest-version lookup is a broadcast, never a second shuffle of
+    the snapshot stack."""
+    from scida_spark.functions.diff import scd2_history
+
+    rows = [(i % 20, v, f"t{i % 7}") for i in range(100) for v in range(3)]
+    df = spark.createDataFrame(rows, "id long, version long, text string")
+    p = _plan(spark, scd2_history(df, "id", ["text"]))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    # exactly one hashpartitioning exchange of the stack: the (id)
+    # window's — the (id, run) groupBy rides it (superset-key reuse),
+    # and the only other exchange is the 1-row vmax SinglePartition.
+    assert p.count("hashpartitioning") == 1, p
