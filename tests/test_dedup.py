@@ -755,3 +755,59 @@ def test_label_propagation_partitioning_deterministic(spark):
         ).collect()
     }
     assert a == b and len(a) > 3
+
+
+def test_label_propagation_randomized_vs_simulation(spark):
+    """Randomized graphs vs a pure-Python synchronous simulation —
+    the operator's exact semantics (clamped seeds, majority with
+    smallest-label ties, frontier growth) on shapes a fixture can't
+    enumerate."""
+    import random
+    from collections import defaultdict
+
+    from scida_spark.functions.dedup import label_propagation
+
+    rng = random.Random(808)
+    for trial in range(4):
+        n = rng.randint(6, 24)
+        pairs = {
+            (a, b)
+            for _ in range(rng.randint(n, 3 * n))
+            for a, b in [sorted(rng.sample(range(n), 2))]
+        }
+        seeds = {
+            u: rng.randint(0, 2)
+            for u in rng.sample(range(n), rng.randint(1, max(1, n // 3)))
+        }
+        iters = rng.randint(1, 4)
+        adj = defaultdict(set)
+        for a, b in pairs:
+            adj[a].add(b)
+            adj[b].add(a)
+        lab = dict(seeds)
+        for _ in range(iters):
+            new = dict(seeds)
+            for u in range(n):
+                if u in seeds:
+                    continue
+                votes = defaultdict(int)
+                for v in adj[u]:
+                    if v in lab:
+                        votes[lab[v]] += 1
+                if votes:
+                    new[u] = min(votes, key=lambda L: (-votes[L], L))
+                elif u in lab:
+                    new[u] = lab[u]
+            lab = new
+        edges = spark.createDataFrame(
+            [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+            "src long, dst long",
+        )
+        sdf = spark.createDataFrame(
+            list(seeds.items()), "node long, label long"
+        )
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(edges, sdf, iters=iters).collect()
+        }
+        assert got == lab, (trial, got, lab)
