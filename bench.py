@@ -143,6 +143,13 @@ def _section_timings(spark, reg, sf_dir, names, errors):
                 .collect()
             )
             secs = {}
+            # Slot CONSTRUCTION alone (eager stats collects, cert
+            # writes) — every section probe below pays this floor, so
+            # report it once: a section's marginal cost is its number
+            # minus __construct.
+            t0 = time.perf_counter()
+            reg[name].fn(spark, sf_dir)
+            secs["__construct"] = round(time.perf_counter() - t0, 4)
             for fam in fams:
                 t0 = time.perf_counter()
                 (
