@@ -1437,6 +1437,20 @@ def text_train_eval_split(spark, sf_dir):
            CAST(COUNT(*) AS BIGINT) AS n_rows, TRUE AS within_tol
     FROM events GROUP BY event_type
     UNION ALL
+    -- res: the deterministic reservoir is min-k over md5(id||salt) —
+    -- a pure function of the data, so the full sample replays exactly.
+    SELECT 'res:' || event_type || ':' || CAST(rnk AS VARCHAR) AS kind,
+           CAST(user_id AS DOUBLE) AS exact_metric,
+           CAST(user_id AS BIGINT) AS n_rows, TRUE AS within_tol
+    FROM (
+      SELECT event_type, user_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY rkey, user_id) AS rnk
+      FROM (SELECT DISTINCT event_type, user_id,
+                   md5(CAST(user_id AS VARCHAR) || 'res10') AS rkey
+            FROM events)
+    ) WHERE rnk <= 5
+    UNION ALL
     SELECT 'freq:' || t.event_type AS kind,
            CAST(h.mx AS DOUBLE) AS exact_metric,
            CAST(t.n AS BIGINT) AS n_rows, TRUE AS within_tol
@@ -1700,7 +1714,11 @@ def sketch_distinct_rollup(spark, sf_dir):
     Plus the data-ops families sharing the slot's (kind, metric, n,
     verdict) shape: ``cms:*``/``dq:*``/``diff:*``/``auc:*``/
     ``funnel:*`` (r9 — Count-Min, expectations, version diff, exact
-    AUC, funnel), and r10's ``scd2:*`` (snapshot history runs — every
+    AUC, funnel), and r10's ``res:*`` (a TRUE-streaming deterministic
+    reservoir: min-k-by-md5 uniform user sample per type maintained
+    across the 3-batch re-feed — a mergeable monoid, so the oracle
+    replays the whole sample and within_tol pins serve-after-compact
+    bit-equality), ``scd2:*`` (snapshot history runs — every
     change boundary, presence gap, and is_current bit replayed by the
     oracle's lag window), ``iso:*`` (PAV calibration — values
     bit-checked through the min-max identity, monotonicity pinned per
@@ -1972,6 +1990,58 @@ def sketch_distinct_rollup(spark, sf_dir):
                 <= F.greatest(F.lit(2.0), F.col("exact_distinct") * 0.05)
             )
         ).alias("within_tol"),
+    )
+
+    # --- res (r10): DETERMINISTIC streaming reservoir run FOR REAL --
+    # (streaming/rollup.py::incremental_reservoir_ingest): the same
+    # 3-file event re-feed maintains a min-k-by-md5 uniform sample of
+    # users per event_type — a mergeable MONOID, so the streaming
+    # store is EXACTLY the batch top-k over distinct ids, which the
+    # oracle replays row-for-row (rank, id, and all); within_tol
+    # additionally pins serve-after-compact bit-equality (min-k is a
+    # fixed point). The no-rand() reservoir: priority = md5(id||salt),
+    # a pure function of the data.
+    from scida_spark.streaming.rollup import (
+        compact_reservoir,
+        incremental_reservoir_ingest,
+        read_reservoir,
+    )
+
+    res_store = _os.path.join(rbase, "res_store")
+    rq = incremental_reservoir_ingest(
+        spark,
+        rinp,
+        evr.schema,
+        store_dir=res_store,
+        checkpoint_dir=_os.path.join(rbase, "res_ckpt"),
+        group_cols=["event_type"],
+        id_col="user_id",
+        k=5,
+        salt="res10",
+        max_files_per_trigger=1,
+    )
+    rq.awaitTermination()
+    res_pre = {
+        (r["event_type"], r["sample_rank"]): r["rid"]
+        for r in read_reservoir(spark, res_store, ["event_type"], k=5).collect()
+    }
+    compact_reservoir(spark, res_store, ["event_type"], k=5)
+    res_served = read_reservoir(spark, res_store, ["event_type"], k=5)
+    res_post = {
+        (r["event_type"], r["sample_rank"]): r["rid"]
+        for r in res_served.collect()
+    }
+    res_equiv = res_pre == res_post and len(res_pre) > 0
+    res_rows = res_served.select(
+        F.concat(
+            F.lit("res:"),
+            F.col("event_type"),
+            F.lit(":"),
+            F.col("sample_rank").cast("string"),
+        ).alias("kind"),
+        F.col("rid").cast("double").alias("exact_metric"),
+        F.col("rid").cast("long").alias("n_rows"),
+        F.lit(res_equiv).alias("within_tol"),
     )
 
     # --- freq (r9): Misra-Gries heavy hitters per event_type --------
@@ -2304,6 +2374,7 @@ def sketch_distinct_rollup(spark, sf_dir):
         .unionAll(theta_rows)
         .unionAll(facet_rows)
         .unionAll(rollup_rows)
+        .unionAll(res_rows)
         .unionAll(freq_rows)
         .unionAll(cms_rows)
         .unionAll(dq_rows)

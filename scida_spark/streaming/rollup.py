@@ -236,3 +236,129 @@ def compact_freq(
         shutil.rmtree(dest)
     os.rename(tmp, dest)
     return len(batches)
+
+
+# --------------------------------------------------------------------------
+# Deterministic streaming reservoir (min-k-by-hash uniform sample)
+# --------------------------------------------------------------------------
+
+
+def _reservoir_partial(
+    batch_df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    k: int,
+    salt: str,
+) -> DataFrame:
+    """Per-group k smallest md5(id || salt) rows of one batch — the
+    min-k monoid partial. The rank filter plans as WindowGroupLimit
+    (map-side prune before the exchange)."""
+    from pyspark.sql.window import Window as W
+
+    keyed = batch_df.select(
+        *group_cols,
+        F.col(id_col).alias("rid"),
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))).alias(
+            "rkey"
+        ),
+    ).dropDuplicates(group_cols + ["rkey"])
+    w = W.partitionBy(*group_cols).orderBy("rkey", "rid")
+    return (
+        keyed.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= int(k))
+        .drop("_r")
+    )
+
+
+def incremental_reservoir_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    *,
+    store_dir: str,
+    checkpoint_dir: str,
+    group_cols: list[str],
+    id_col: str,
+    k: int = 64,
+    salt: str = "res",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Maintain a DETERMINISTIC streaming reservoir: a uniform
+    without-replacement sample of k ids per group over the whole
+    ingested history, kept incrementally — the dataset-card /
+    eyeball-sample primitive at 100 TB (you never rescan the corpus to
+    draw a sample).
+
+    Determinism is the whole design (the sampling.py no-rand() rule):
+    the "random" priority of an id is md5(id || salt), so the
+    reservoir is min-k over a pure function of the data — a mergeable
+    MONOID (merge = union, keep k smallest), which makes the streaming
+    store EXACTLY equal to a batch top-k over all distinct ids: no
+    probabilistic reservoir state, no replay sensitivity, idempotent
+    per-batch overwrite like every store here. Each batch writes O(k x
+    groups) rows; serving merges partials; compaction folds to one
+    base partial and is a FIXED POINT (serve-after-compact is
+    bit-identical — min-k of a min-k is itself)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        part = _reservoir_partial(batch_df, group_cols, id_col, k, salt)
+        part.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"batch_id={batch_id}")
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(input_dir)
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_reservoir(
+    spark: SparkSession, store_dir: str, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Serve the reservoir: merge all partials, dedupe on the hash key
+    (the same id may survive several batches' partials), keep the k
+    smallest per group. Returns (group..., rid, rkey, sample_rank)."""
+    from pyspark.sql.window import Window as W
+
+    partials = spark.read.option("basePath", store_dir).parquet(store_dir)
+    w = W.partitionBy(*group_cols).orderBy("rkey", "rid")
+    return (
+        partials.select(*group_cols, "rid", "rkey")
+        .dropDuplicates(group_cols + ["rkey"])
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= int(k))
+    )
+
+
+def compact_reservoir(
+    spark: SparkSession, store_dir: str, group_cols: list[str], k: int = 64
+) -> int:
+    """Fold all reservoir partials into one base partial
+    (``batch_id=-1``); min-k is idempotent, so serving afterwards is
+    bit-identical. Returns the number of batch dirs folded."""
+    import shutil
+
+    batches = [
+        d
+        for d in os.listdir(store_dir)
+        if d.startswith("batch_id=") and d != "batch_id=-1"
+    ]
+    if not batches:
+        return 0
+    base = read_reservoir(spark, store_dir, group_cols, k).drop("sample_rank")
+    tmp = os.path.join(store_dir, "_compact_tmp")
+    base.write.mode("overwrite").parquet(tmp)
+    for d in batches:
+        shutil.rmtree(os.path.join(store_dir, d))
+    dest = os.path.join(store_dir, "batch_id=-1")
+    if os.path.isdir(dest):
+        shutil.rmtree(dest)
+    os.rename(tmp, dest)
+    return len(batches)

@@ -215,3 +215,75 @@ def test_freq_compact_then_serve_is_identical(spark, dirs):
         read_freq(spark, dirs["store"], ["event_type"], k=16).collect(),
         16,
     )
+
+
+def _run_res(spark, dirs, k=4):
+    from scida_spark.streaming.rollup import incremental_reservoir_ingest
+
+    q = incremental_reservoir_ingest(
+        spark,
+        dirs["input"],
+        SCHEMA,
+        store_dir=dirs["store"] + "_res",
+        checkpoint_dir=dirs["ckpt"] + "_res",
+        group_cols=["event_type"],
+        id_col="user_id",
+        k=k,
+        salt="t",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def _res_batch_truth(spark, dirs, k=4):
+    from pyspark.sql.window import Window as W
+
+    raw = spark.read.schema(SCHEMA).parquet(dirs["input"])
+    keyed = raw.select(
+        "event_type",
+        "user_id",
+        F.md5(F.concat(F.col("user_id").cast("string"), F.lit("t"))).alias(
+            "rkey"
+        ),
+    ).distinct()
+    w = W.partitionBy("event_type").orderBy("rkey", "user_id")
+    return {
+        (r["event_type"], r["rnk"]): r["user_id"]
+        for r in keyed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .collect()
+    }
+
+
+def test_reservoir_equals_batch_topk_and_compacts(spark, dirs):
+    """3-wave streaming reservoir == batch min-k-by-hash over all
+    distinct (group, id); compaction is a fixed point (bit-identical
+    serve); ids overlapping across waves (user_id % 7 repeats every
+    wave) are deduped, not double-sampled."""
+    from scida_spark.streaming.rollup import (
+        compact_reservoir,
+        read_reservoir,
+    )
+
+    _wave(os.path.join(dirs["input"], "w1.parquet"), 0, 40)
+    _wave(os.path.join(dirs["input"], "w2.parquet"), 40, 25,
+          types=("click", "purchase"))
+    _wave(os.path.join(dirs["input"], "w3.parquet"), 65, 30,
+          types=("view", "signup"))
+    _run_res(spark, dirs)
+    store = dirs["store"] + "_res"
+    got = {
+        (r["event_type"], r["sample_rank"]): r["rid"]
+        for r in read_reservoir(spark, store, ["event_type"], k=4).collect()
+    }
+    assert got == _res_batch_truth(spark, dirs)
+    assert compact_reservoir(spark, store, ["event_type"], k=4) >= 3
+    post = {
+        (r["event_type"], r["sample_rank"]): r["rid"]
+        for r in read_reservoir(spark, store, ["event_type"], k=4).collect()
+    }
+    assert post == got
+    # small groups: purchase/signup have < 4+ distinct users? every
+    # group reports min(k, distinct) rows
+    assert all(rank <= 4 for _, rank in got)
