@@ -1954,15 +1954,29 @@ def sketch_distinct_rollup(spark, sf_dir):
     rstore = _os.path.join(rbase, "store")
     evr = ev.select("event_type", "user_id", "value")
     evr.repartition(3).write.mode("overwrite").parquet(rinp)
-    sq = incremental_rollup_ingest(
+    # ONE streaming pass feeds BOTH stores (rollup partials + the r10
+    # reservoir partials) — incremental_multi_store_ingest persists
+    # each micro-batch once and every store derives from the same
+    # in-memory batch; a second pass over the 10M-event x100 re-feed
+    # cost ~20 s before this composition.
+    from scida_spark.streaming.rollup import (
+        incremental_multi_store_ingest,
+        reservoir_writer,
+        rollup_writer,
+    )
+
+    res_store = _os.path.join(rbase, "res_store")
+    sq = incremental_multi_store_ingest(
         spark,
         rinp,
         evr.schema,
-        store_dir=rstore,
         checkpoint_dir=_os.path.join(rbase, "ckpt"),
-        key_cols=["event_type"],
-        sum_col="value",
-        distinct_col="user_id",
+        writers=[
+            rollup_writer(rstore, ["event_type"], "value", "user_id"),
+            reservoir_writer(
+                res_store, ["event_type"], "user_id", k=5, salt="res10"
+            ),
+        ],
         max_files_per_trigger=1,
     )
     sq.awaitTermination()
@@ -1993,9 +2007,9 @@ def sketch_distinct_rollup(spark, sf_dir):
     )
 
     # --- res (r10): DETERMINISTIC streaming reservoir run FOR REAL --
-    # (streaming/rollup.py::incremental_reservoir_ingest): the same
-    # 3-file event re-feed maintains a min-k-by-md5 uniform sample of
-    # users per event_type — a mergeable MONOID, so the streaming
+    # (streaming/rollup.py — partials written by the SHARED multi-store
+    # ingest pass above): the 3-file event re-feed maintains a
+    # min-k-by-md5 uniform sample of users per event_type — a mergeable MONOID, so the streaming
     # store is EXACTLY the batch top-k over distinct ids, which the
     # oracle replays row-for-row (rank, id, and all); within_tol
     # additionally pins serve-after-compact bit-equality (min-k is a
@@ -2003,24 +2017,9 @@ def sketch_distinct_rollup(spark, sf_dir):
     # a pure function of the data.
     from scida_spark.streaming.rollup import (
         compact_reservoir,
-        incremental_reservoir_ingest,
         read_reservoir,
     )
 
-    res_store = _os.path.join(rbase, "res_store")
-    rq = incremental_reservoir_ingest(
-        spark,
-        rinp,
-        evr.schema,
-        store_dir=res_store,
-        checkpoint_dir=_os.path.join(rbase, "res_ckpt"),
-        group_cols=["event_type"],
-        id_col="user_id",
-        k=5,
-        salt="res10",
-        max_files_per_trigger=1,
-    )
-    rq.awaitTermination()
     res_pre = {
         (r["event_type"], r["sample_rank"]): r["rid"]
         for r in read_reservoir(spark, res_store, ["event_type"], k=5).collect()

@@ -362,3 +362,83 @@ def compact_reservoir(
         shutil.rmtree(dest)
     os.rename(tmp, dest)
     return len(batches)
+
+
+# --------------------------------------------------------------------------
+# One ingest pass, many stores
+# --------------------------------------------------------------------------
+
+
+def rollup_writer(
+    store_dir: str,
+    key_cols: list[str],
+    sum_col: str,
+    distinct_col: str,
+    lgk: int = 12,
+):
+    """Per-batch writer for the count/sum/HLL rollup store (the
+    ``incremental_rollup_ingest`` partial), composable under
+    :func:`incremental_multi_store_ingest`."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        _partial(batch_df, key_cols, sum_col, distinct_col, lgk).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(store_dir, f"batch_id={batch_id}"))
+
+    return write
+
+
+def reservoir_writer(
+    store_dir: str,
+    group_cols: list[str],
+    id_col: str,
+    k: int = 64,
+    salt: str = "res",
+):
+    """Per-batch writer for the deterministic reservoir store,
+    composable under :func:`incremental_multi_store_ingest`."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        _reservoir_partial(batch_df, group_cols, id_col, k, salt).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(store_dir, f"batch_id={batch_id}"))
+
+    return write
+
+
+def incremental_multi_store_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    *,
+    checkpoint_dir: str,
+    writers,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """ONE streaming pass maintaining MANY mergeable stores: every
+    micro-batch is persisted once and each writer derives its partial
+    from the same in-memory batch — the production shape at 100 TB,
+    where the event stream is read once per trigger no matter how many
+    materializations (rollup, heavy hitters, reservoir, ...) ride it.
+    Each writer keeps the idempotent ``batch_id=N`` overwrite
+    contract, so replay safety composes."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for w in writers:
+                w(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(input_dir)
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

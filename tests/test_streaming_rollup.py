@@ -287,3 +287,46 @@ def test_reservoir_equals_batch_topk_and_compacts(spark, dirs):
     # small groups: purchase/signup have < 4+ distinct users? every
     # group reports min(k, distinct) rows
     assert all(rank <= 4 for _, rank in got)
+
+
+def test_multi_store_ingest_one_pass_feeds_both(spark, dirs):
+    """incremental_multi_store_ingest: ONE streaming pass writes both
+    the rollup and reservoir partials; each served view equals its
+    single-ingest / batch truth exactly."""
+    from scida_spark.streaming.rollup import (
+        incremental_multi_store_ingest,
+        read_reservoir,
+        reservoir_writer,
+        rollup_writer,
+    )
+
+    _wave(os.path.join(dirs["input"], "w1.parquet"), 0, 40)
+    _wave(os.path.join(dirs["input"], "w2.parquet"), 40, 25,
+          types=("click", "purchase"))
+    res_store = dirs["store"] + "_res2"
+    q = incremental_multi_store_ingest(
+        spark,
+        dirs["input"],
+        SCHEMA,
+        checkpoint_dir=dirs["ckpt"] + "_multi",
+        writers=[
+            rollup_writer(dirs["store"], ["event_type"], "value", "user_id"),
+            reservoir_writer(res_store, ["event_type"], "user_id", k=4,
+                             salt="t"),
+        ],
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    # rollup half == one-shot batch aggregate (exact components)
+    truth = _batch_truth(spark, dirs)
+    served = _served(spark, dirs)
+    assert set(served) == set(truth)
+    for t in truth:
+        assert served[t][0] == truth[t][0] and served[t][1] == truth[t][1]
+    # reservoir half == batch min-k-by-hash
+    got = {
+        (r["event_type"], r["sample_rank"]): r["rid"]
+        for r in read_reservoir(spark, res_store, ["event_type"], k=4).collect()
+    }
+    assert got == _res_batch_truth(spark, dirs)
