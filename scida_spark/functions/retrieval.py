@@ -58,6 +58,7 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    corpus_stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Top-``k`` documents per query by BM25 score.
 
@@ -81,17 +82,22 @@ def bm25_topk(
     dl = docs.select(
         F.col(id_col), TX.token_count(F.col(text_col)).alias("_dl")
     )
-    stats = dl.agg(
-        F.count("*").alias("n"), F.sum("_dl").alias("tot")
-    ).collect()[0]  # eager by necessity: avgdl is a literal in the plan
-    n_docs = int(stats["n"])
+    # corpus_stats = (n_docs, total_tokens): shareable with
+    # query_likelihood_topk (identical aggregate); eager by necessity
+    # when absent — avgdl is a literal in the plan.
+    if corpus_stats is None:
+        stats = dl.agg(
+            F.count("*").alias("n"), F.sum("_dl").alias("tot")
+        ).collect()[0]
+        corpus_stats = (int(stats["n"]), int(stats["tot"] or 0))
+    n_docs = corpus_stats[0]
     if n_docs == 0:
         # Empty corpus → empty result (the repo-wide "card zeros, don't
         # crash" convention); stats['tot'] is NULL here.
         return spark.createDataFrame(
             [], f"query_id long, {id_col} long, score double, rank int"
         )
-    avgdl = float(stats["tot"]) / n_docs
+    avgdl = float(corpus_stats[1]) / n_docs
 
     # Postings of query terms only: explode → immediate literal-list
     # filter → per-(doc, term) tf. The groupBy shuffles only matching
@@ -195,6 +201,7 @@ def query_likelihood_topk(
     mu: float = 300.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    corpus_stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Top-``k`` documents per query under the Dirichlet-smoothed
     query-likelihood model (Zhai & Lafferty 2001) — the language-model
@@ -229,12 +236,17 @@ def query_likelihood_topk(
     all_terms = sorted({t for _, t in qterm_rows})
 
     dl = docs.select(F.col(id_col), TX.token_count(F.col(text_col)).alias("_dl"))
-    stats = dl.agg(F.count("*").alias("n"), F.sum("_dl").alias("tot")).collect()[0]
-    if int(stats["n"]) == 0:
+    # corpus_stats = (n_docs, total_tokens), shareable with bm25_topk
+    # (both need the identical count/sum aggregate; at real scale it is
+    # an ingest-time statistic computed once, not a per-ranker job).
+    if corpus_stats is None:
+        stats = dl.agg(F.count("*").alias("n"), F.sum("_dl").alias("tot")).collect()[0]
+        corpus_stats = (int(stats["n"]), int(stats["tot"] or 0))
+    if corpus_stats[0] == 0:
         return spark.createDataFrame(
             [], f"query_id long, {id_col} long, score double, rank int"
         )
-    c_total = int(stats["tot"])
+    c_total = int(corpus_stats[1])
 
     tok_stream = docs.select(
         F.col(id_col), F.explode(TX.tokens(F.col(text_col))).alias("tok")

@@ -2940,7 +2940,18 @@ def sim_topk(spark, sf_dir):
     )
 
     docs = table(spark, sf_dir, "documents")
-    bm25_raw = bm25_topk(docs, _BM25_QUERIES, k=10, k1=_BM25_K1, b=_BM25_B)
+    # Shared corpus stats: bm25 and ql need the IDENTICAL (n_docs,
+    # total_tokens) aggregate — compute it once and inject (at real
+    # scale this is an ingest-time statistic, not a per-ranker job).
+    _st = (
+        docs.select(TX.token_count(F.col("text")).alias("_dl"))
+        .agg(F.count("*").alias("n"), F.sum("_dl").alias("tot"))
+        .first()
+    )
+    _cs = (int(_st["n"]), int(_st["tot"] or 0))
+    bm25_raw = bm25_topk(
+        docs, _BM25_QUERIES, k=10, k1=_BM25_K1, b=_BM25_B, corpus_stats=_cs
+    )
     bm25 = bm25_raw.select(
         F.lit("bm25").alias("method"),
         F.col("query_id"),
@@ -2953,7 +2964,9 @@ def sim_topk(spark, sf_dir):
     # rank fusion of the two text rankers (functions/retrieval.py) —
     # the standard hybrid-search pair; both fully value-checked
     # (same bit-stability conventions as bm25).
-    ql_raw = query_likelihood_topk(docs, _BM25_QUERIES, k=10, mu=_QL_MU)
+    ql_raw = query_likelihood_topk(
+        docs, _BM25_QUERIES, k=10, mu=_QL_MU, corpus_stats=_cs
+    )
     ql_rows = ql_raw.select(
         F.lit("ql").alias("method"),
         F.col("query_id"),
