@@ -45,6 +45,21 @@ def _spread_small_input(df: DataFrame, probe: bool = True) -> DataFrame:
     return df
 
 
+def jaccard_accept(n_inter, n_union, threshold: float):
+    """THE acceptance predicate for near-dup verify joins:
+    ``n_inter / n_union >= threshold`` in this exact IEEE form
+    (cast-to-double division FIRST, then compare). Every verify site —
+    batch (``ngram_jaccard_pairs*``, minhash/prefix verifies) and
+    streaming (``streaming/ingest.py``, ``streaming/cc.py``) — must go
+    through this helper: the algebraically-equal multiplied form
+    ``n_inter >= threshold * n_union`` can disagree at exact-threshold
+    rounding boundaries, which would break the pinned "N-batch ingest
+    == one-batch CC" invariant for a boundary pair."""
+    return (n_inter.cast("double") / n_union.cast("double")) >= F.lit(
+        float(threshold)
+    )
+
+
 # --------------------------------------------------------------------------
 # Exact dedup
 # --------------------------------------------------------------------------
@@ -424,13 +439,22 @@ def jaccard_pairs_prefix_from_shingles(
     # product lands epsilon above an exact integer (e.g. t=0.55,
     # sz=100 -> 55.000000000000007, naive ceil=56 -> prefix one short,
     # pairs with Jaccard exactly at the threshold missed). Subtracting
-    # a sub-ulp slack before the ceil makes boundary cases err long; a
-    # longer prefix only adds candidates the exact verify step filters,
-    # so completeness is preserved in BOTH directions.
+    # slack before the ceil makes boundary cases err long; a longer
+    # prefix only adds candidates the exact verify step filters, so
+    # completeness is preserved in BOTH directions. The slack is
+    # absolute 1e-9 PLUS relative sz*1e-12: the rounding error of
+    # t*sz scales with sz (ulp(t*sz) ~ sz*2^-52), so a purely absolute
+    # slack stops covering it above ~1e7-element shingle sets, while
+    # the relative term stays >= 4500 ulps at every size. Over-slack
+    # only ever lengthens the prefix (never misses a pair).
     pre = ranked.join(F.broadcast(sizes), "doc").filter(
         F.col("_r")
         <= F.col("_sz")
-        - F.ceil(F.lit(float(threshold)) * F.col("_sz") - F.lit(1e-9))
+        - F.ceil(
+            F.lit(float(threshold)) * F.col("_sz")
+            - F.lit(1e-9)
+            - F.col("_sz") * F.lit(1e-12)
+        )
         + 1
     )
     cand = (

@@ -118,13 +118,35 @@ def scd2_history(
     version window (rows per id = number of versions the id appears
     in, bounded by the snapshot count, so no hot partition), one
     groupBy at (id, run) grain; the global latest version is a 1-row
-    broadcast. Deterministic: a pure function of the snapshot stack."""
+    broadcast. Deterministic: a pure function of the snapshot stack.
+
+    PRECONDITION — one row per (id, version): a snapshot is a keyed
+    table, so the same id appearing twice IN THE SAME version with
+    DIFFERENT content is a contract violation (the lag window would
+    see an arbitrary interleaving and run breaks become
+    nondeterministic). Exact duplicate rows (same id, version, AND
+    content — e.g. a snapshot appended twice) are tolerated: they are
+    dropped on the digest grain below, which is deterministic."""
     from pyspark.sql.window import Window as _W
 
     d = snapshots.select(
         F.col(id_col).alias("__id"),
         F.col(version_col).cast("long").alias("__v"),
         _digest(list(content_cols)).alias("__h"),
+    )
+    # Exact-duplicate drop WITHOUT a second exchange: repartition on
+    # __id up front, and BOTH windows ride that one shuffle — the
+    # (__id, __v, __h) dedup window's ClusteredDistribution is
+    # satisfied by hashpartitioning(__id) (subset key), same as the
+    # (__id) lag window and the (__id, __run) groupBy below. A
+    # dropDuplicates([...3 cols]) here would hash-exchange the stack
+    # twice.
+    d = d.repartition("__id")
+    w_dup = _W.partitionBy("__id", "__v", "__h").orderBy("__v")
+    d = (
+        d.withColumn("__rn", F.row_number().over(w_dup))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
     w = _W.partitionBy("__id").orderBy("__v")
     flagged = d.withColumn(

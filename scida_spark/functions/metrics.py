@@ -153,13 +153,20 @@ def isotonic_calibration(
     with it). Returns (``score_col``, n long, n_pos long, calibrated
     double), monotone nondecreasing in ``score_col``.
 
-    ``score_col`` must be non-NULL (the ``auc_exact`` precondition).
+    ``score_col`` must be non-NULL (the ``auc_exact`` precondition);
+    NULL labels count as 0 (not positive). The driver-side pass is
+    O(score vocabulary), so CONTINUOUS scores must be bucketed first
+    (e.g. ``F.floor(F.col(s) * 64)`` — the driver section's shape):
+    an unbucketed double score makes V = corpus size and the
+    ``collect`` below is no longer metadata-sized.
     """
     ac = (
         df.groupBy(score_col)
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col(label_col).cast("int")).alias("n_pos"),
+            F.coalesce(
+                F.sum(F.col(label_col).cast("int")), F.lit(0)
+            ).alias("n_pos"),
         )
         .orderBy(score_col)
         .collect()

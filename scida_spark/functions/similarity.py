@@ -1505,7 +1505,7 @@ def sq8_topk(
     k: int = 10,
     refine: int = 4,
     bounds: tuple[list[float], list[float]] | None = None,
-    dim: int = 64,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1523,6 +1523,16 @@ def sq8_topk(
     those vectors). Returns (query_id, cand_id, sim, rank), exact sims
     for the final k."""
     if bounds is None:
+        if dim is None:
+            # Infer from the data rather than silently defaulting: a
+            # wrong dim would train bounds on a prefix and the missing
+            # dimensions would never be scored.
+            first = embeddings.select(
+                F.size(F.col(vec_col)).alias("__d")
+            ).first()
+            if first is None:
+                raise ValueError("sq8_topk: empty embeddings; pass bounds/dim")
+            dim = int(first["__d"])
         bounds = sq8_bounds(embeddings, dim, vec_col=vec_col)
     lo, hi = bounds
     encoded = sq8_encode(embeddings, lo, hi, id_col=id_col, vec_col=vec_col)

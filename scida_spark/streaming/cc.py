@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from scida_spark.functions.dedup import (
     _band_signatures,
+    jaccard_accept,
     merge_cc_labels,
     minhash_dedup_pairs_from_shingles,
     minhash_signatures_from_shingles,
@@ -154,10 +155,7 @@ def incremental_cc_ingest(
                     "n_union",
                     F.size("sh_a") + F.size("sh_b") - F.col("n_inter"),
                 )
-                .filter(
-                    F.col("n_inter").cast("double")
-                    >= F.lit(threshold) * F.col("n_union").cast("double")
-                )
+                .filter(jaccard_accept(F.col("n_inter"), F.col("n_union"), threshold))
                 .select("doc_a", "doc_b")
             )
             edges = edges.unionAll(e_x)

@@ -38,6 +38,7 @@ from scida_spark.functions.dedup import (
     _band_signatures,
     connected_components,
     exact_dedup,
+    jaccard_accept,
     minhash_signatures_from_shingles,
     shingle_hash_table,
 )
@@ -151,10 +152,7 @@ def incremental_dedup_ingest(
                 .withColumn(
                     "n_union", F.size("sh_a") + F.size("sh_b") - F.col("n_inter")
                 )
-                .filter(
-                    F.col("n_inter").cast("double")
-                    >= F.lit(threshold) * F.col("n_union").cast("double")
-                )
+                .filter(jaccard_accept(F.col("n_inter"), F.col("n_union"), threshold))
                 .select(F.col("new_doc").alias("doc"))
                 .distinct()
             )

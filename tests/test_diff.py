@@ -161,3 +161,21 @@ def test_scd2_history_layout_independent(spark):
         for r in scd2_history(df.repartition(11, "version"), "id", ["text"]).collect()
     }
     assert a == b and len(a) > 40
+
+
+def test_scd2_history_tolerates_exact_duplicate_rows(spark):
+    """Appending the same snapshot twice (exact duplicate (id, version,
+    content) rows) must NOT create spurious run breaks: the digest-grain
+    drop makes the result identical to the clean stack — the ADVICE r10
+    regression. Conflicting content per (id, version) stays a documented
+    contract violation."""
+    from scida_spark.functions.diff import scd2_history
+
+    clean = [(1, 0, "a"), (1, 1, "a"), (1, 2, "b"), (2, 0, "x")]
+    df_clean = spark.createDataFrame(clean, "id long, version long, text string")
+    df_dup = spark.createDataFrame(
+        clean + clean[:2], "id long, version long, text string"
+    )
+    a = {tuple(r) for r in scd2_history(df_clean, "id", ["text"]).collect()}
+    b = {tuple(r) for r in scd2_history(df_dup, "id", ["text"]).collect()}
+    assert a == b and len(a) == 3

@@ -196,3 +196,19 @@ def test_isotonic_calibration_minmax_identity_randomized(spark):
                     worst = r if worst is None else min(worst, r)
                 best = worst if best is None else max(best, worst)
             assert got[i] == best, (trial, i, got[i], best)
+
+
+def test_isotonic_calibration_all_null_label_bucket(spark):
+    """A score bucket whose labels are ALL NULL must count 0 positives
+    (coalesce), not raise TypeError on int(None) — the ADVICE r10
+    regression. NULL labels never count as positive anywhere."""
+    from scida_spark.functions.metrics import isotonic_calibration
+
+    rows = [(0, True), (1, None), (1, None), (2, True)]
+    df = spark.createDataFrame(rows, "sb long, y boolean")
+    got = {
+        r["sb"]: (r["n"], r["n_pos"], r["calibrated"])
+        for r in isotonic_calibration(df, "sb", "y").collect()
+    }
+    # counts: 0:(1,1) 1:(2,0) 2:(1,1) -> PAV pools {0,1} to 1/3
+    assert got == {0: (1, 1, 1 / 3), 1: (2, 0, 1 / 3), 2: (1, 1, 1.0)}
