@@ -126,7 +126,17 @@ SECTIONED = {
 
 def _section_timings(spark, reg, sf_dir, names, errors):
     """One timed pass per section of each composite slot (single run:
-    these are attribution numbers, not the headline medians)."""
+    these are attribution numbers, not the headline medians).
+
+    The slot's fn() is called exactly ONCE per slot (r10 fix: it used
+    to be called afresh per section probe, so slots with eager Python
+    construction — streaming re-feeds, stats collects, cert writes —
+    re-billed that fixed cost into EVERY section and the attribution
+    numbers overstated marginal cost several-fold, e.g. scd2 read
+    31.4 s against a 7.77 s slot median). Section probes now filter
+    the one cached lazy DataFrame, so each number is that branch's
+    pure execution marginal; the one-time eager construction is
+    reported separately as __construct."""
     from pyspark.sql import functions as F
 
     out: dict[str, dict[str, float]] = {}
@@ -144,17 +154,15 @@ def _section_timings(spark, reg, sf_dir, names, errors):
             )
             secs = {}
             # Slot CONSTRUCTION alone (eager stats collects, cert
-            # writes) — every section probe below pays this floor, so
-            # report it once: a section's marginal cost is its number
-            # minus __construct.
+            # writes, streaming re-feeds) — paid once here; the
+            # section probes below reuse this lazy DataFrame.
             t0 = time.perf_counter()
-            reg[name].fn(spark, sf_dir)
+            slot_df = reg[name].fn(spark, sf_dir)
             secs["__construct"] = round(time.perf_counter() - t0, 4)
             for fam in fams:
                 t0 = time.perf_counter()
                 (
-                    reg[name]
-                    .fn(spark, sf_dir)
+                    slot_df
                     .filter(F.substring_index(F.col(col), ":", 1) == fam)
                     .count()
                 )

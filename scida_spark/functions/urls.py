@@ -1,0 +1,206 @@
+"""URL canonicalization, registered-domain extraction, and
+canonical-URL dedup — the CommonCrawl-pipeline staples.
+
+Web corpora key almost everything on the URL: exact-URL dedup between
+crawls, per-domain caps and temperature mixing, domain-level quality
+priors. All of those are wrong when run on RAW url strings — the same
+page appears as ``HTTP://WWW.Example.COM:80/a/?utm_source=x`` and
+``http://example.com/a`` — and wrong again when "domain" means the
+hostname instead of the REGISTERED domain (``a.example.com`` and
+``b.example.com`` are one publisher; ``a.co.uk`` and ``b.co.uk`` are
+two). No reference counterpart (scida has no web surface) — net-new
+engine capability, sibling of ``functions/pii.py``.
+
+Spark-first design, sized for 100 TB:
+
+* **Map-only, zero shuffle, zero UDF.** Canonicalization is chained
+  ``regexp_extract`` / ``regexp_replace`` / ``array_sort`` Column
+  expressions inside whole-stage codegen (the ``pii.py`` precedent);
+  a canonicalization pass over the full corpus is exactly one parquet
+  scan with nothing exchanged. ``canonical_url_dedup`` is ONE
+  map-side-combined groupBy on the canonical string.
+* **Cross-engine replayable.** Every step is deterministic string
+  surgery (no IDNA, no percent-re-encoding, no network), so an oracle
+  can pin the canonical form of any input byte-for-byte.
+
+Canonical form (documented contract, applied in this order):
+
+1. trim whitespace; strip the fragment (first ``#`` to end).
+2. If the result has no ``scheme://`` prefix, it is returned as-is
+   (steps 1 applied) — only absolute URLs are normalized.
+3. scheme: lowercased.
+4. authority: userinfo (``user:pass@``) stripped; host lowercased;
+   trailing dot stripped; leading ``www.`` stripped; the port is
+   dropped when it is the scheme default (``:80`` for http, ``:443``
+   for https) and kept otherwise.
+5. path: trailing slashes stripped; empty path becomes ``/``. Percent
+   escapes and path case are PRESERVED (paths are case-sensitive).
+6. query: split on ``&``; empty params and tracking params dropped
+   (``utm_*``, ``gclid``, ``fbclid``, ``msclkid``, ``igshid``,
+   ``mc_cid``, ``mc_eid``, ``ref``, ``ref_src``); survivors sorted
+   byte-wise and rejoined; an empty survivor set drops the ``?``.
+
+Registered domain (public-suffix-list-lite): the last label pair,
+extended to three labels when the pair is a known two-level public
+suffix (``co.uk``, ``com.au``, ...). IPv4 literals and single-label
+hosts are returned whole. The full Mozilla PSL is thousands of rules
+and changes monthly; the curated list below covers the high-traffic
+two-level suffixes, and the lookup is an ``isin`` over a ~30-element
+literal set — constant-folded, never a join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "TRACKING_PARAM_RE",
+    "TWO_LEVEL_SUFFIXES",
+    "canonicalize_url",
+    "url_host",
+    "registered_domain",
+    "url_registered_domain",
+    "canonical_url_dedup",
+]
+
+# Anchored at the param start; matches the bare name ("ref") and the
+# valued form ("ref=home"). RE2/Java-compatible (no lookaround).
+TRACKING_PARAM_RE = (
+    "^(utm_[^=&]*|gclid|fbclid|msclkid|igshid|mc_cid|mc_eid|ref|ref_src)(=.*)?$"
+)
+
+# Curated high-traffic two-level public suffixes (PSL-lite).
+TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
+    "co.nz", "net.nz", "org.nz",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in",
+    "co.kr", "or.kr", "ne.kr",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn",
+    "com.mx", "com.tr", "com.ar", "com.sg", "com.hk", "com.tw",
+    "co.za", "org.za", "co.th", "co.id",
+)
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+
+
+def _defrag(url) -> Column:
+    u = F.trim(url if isinstance(url, Column) else F.col(url))
+    return F.regexp_replace(u, "#.*", "")
+
+
+def _parts(url):
+    """(scheme, hostport-after-userinfo, path, query) of a defragged
+    absolute URL; scheme is '' for scheme-less input."""
+    u = _defrag(url)
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    rest = F.regexp_replace(u, _SCHEME_RE, "")
+    authority = F.regexp_extract(rest, "^([^/?]*)", 1)
+    pq = F.substring(rest, F.length(authority) + F.lit(1), F.lit(1 << 30))
+    path = F.regexp_extract(pq, "^([^?]*)", 1)
+    query = F.regexp_extract(pq, r"\?(.*)$", 1)
+    hostport = F.regexp_replace(authority, "^[^@]*@", "")
+    return scheme, hostport, path, query
+
+
+def _canonical_host(scheme: Column, hostport: Column):
+    """(host, port-suffix-to-keep) under rules 4 of the contract."""
+    host = F.lower(F.regexp_extract(hostport, "^([^:]*)", 1))
+    host = F.regexp_replace(host, r"\.$", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    default = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    keep = F.when(
+        (port != "") & ~default, F.concat(F.lit(":"), port)
+    ).otherwise(F.lit(""))
+    return host, keep
+
+
+def canonicalize_url(url) -> Column:
+    """Canonical form of a URL column per the module contract —
+    pure Column expressions (chained regexes + array_sort), zero UDF,
+    zero shuffle. Scheme-less input passes through trimmed+defragged;
+    NULL stays NULL."""
+    u = _defrag(url)
+    scheme, hostport, path, query = _parts(url)
+    host, portkeep = _canonical_host(scheme, hostport)
+    p = F.regexp_replace(path, "/+$", "")
+    p = F.when(p == "", F.lit("/")).otherwise(p)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda x: (x != "") & ~x.rlike(TRACKING_PARAM_RE),
+    )
+    qn = F.array_join(F.array_sort(params), "&")
+    q = F.when(qn != "", F.concat(F.lit("?"), qn)).otherwise(F.lit(""))
+    return F.when(scheme == "", u).otherwise(
+        F.concat(scheme, F.lit("://"), host, portkeep, p, q)
+    )
+
+
+def url_host(url) -> Column:
+    """Canonical host of an absolute URL ('' for scheme-less input)."""
+    scheme, hostport, _, _ = _parts(url)
+    host, _ = _canonical_host(scheme, hostport)
+    return F.when(scheme == "", F.lit("")).otherwise(host)
+
+
+def registered_domain(host) -> Column:
+    """Registered (pay-level) domain of a HOST column: the last two
+    labels, or three when the final pair is a known two-level public
+    suffix; IPv4 literals and single-label hosts pass through. The
+    suffix check is a literal ``isin`` — constant-folded JVM-side."""
+    h = F.lower(F.trim(host if isinstance(host, Column) else F.col(host)))
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    last3 = F.concat_ws(
+        ".",
+        F.element_at(labels, -3),
+        F.element_at(labels, -2),
+        F.element_at(labels, -1),
+    )
+    is_ip = h.rlike(r"^[0-9]+(\.[0-9]+){3}$")
+    return (
+        # explicit NULL guard: concat_ws below would fold a NULL host
+        # to '' instead of propagating NULL
+        F.when(h.isNull(), F.lit(None).cast("string"))
+        .when(is_ip | (n <= 1), h)
+        .when(last2.isin(*TWO_LEVEL_SUFFIXES) & (n >= 3), last3)
+        .when(last2.isin(*TWO_LEVEL_SUFFIXES), h)
+        .otherwise(last2)
+    )
+
+
+def url_registered_domain(url) -> Column:
+    """Registered domain straight from a URL column ('' when the URL
+    is scheme-less) — the key per-domain caps and temperature mixing
+    should group on."""
+    return F.when(url_host(url) == "", F.lit("")).otherwise(
+        registered_domain(url_host(url))
+    )
+
+
+def canonical_url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """Keep-first dedup by CANONICAL URL: one row per canonical form
+    with the kept id (min — deterministic) and the duplicate count.
+    ONE map-side-combined groupBy on the canonical string; at 100 TB
+    this is a single shuffle of (canonical, id) pairs, and the
+    canonicalization itself adds zero exchanges to the scan."""
+    return (
+        df.select(
+            F.col(id_col),
+            canonicalize_url(F.col(url_col)).alias("canonical_url"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_urls"),
+        )
+    )
