@@ -47,7 +47,13 @@ from pyspark.sql.window import Window as W
 
 from scida_spark.functions import text as TX
 
-__all__ = ["bm25_topk", "query_likelihood_topk", "rrf_fuse"]
+__all__ = [
+    "bm25_topk",
+    "bm25_topk_from_index",
+    "query_likelihood_topk",
+    "ql_topk_from_index",
+    "rrf_fuse",
+]
 
 
 def bm25_topk(
@@ -68,15 +74,18 @@ def bm25_topk(
     ``(query_id, doc_id, score, rank)`` with rank 1..k per query,
     ordered ties broken by ascending doc id. Documents matching no
     query term are absent (score 0 rows are not emitted).
+
+    This is the scan-the-corpus wrapper around
+    :func:`bm25_topk_from_index`; a pipeline that maintains a
+    persisted postings/doclen/stats index (``streaming/postings.py``)
+    calls the ``_from_index`` form directly and skips the corpus
+    tokenization entirely — the two paths share every line of scoring
+    code, so served results are bit-identical to a batch rebuild.
     """
     spark = docs.sparkSession
-
-    # Query terms: deduped per query (BM25 scores the term set; a
-    # term repeated in a query would double-count its contribution).
-    qterm_rows = sorted(
-        {(int(qid), t) for qid, qtext in queries for t in qtext.strip().split(" ")}
+    all_terms = sorted(
+        {t for _, qtext in queries for t in qtext.strip().split(" ")}
     )
-    all_terms = sorted({t for _, t in qterm_rows})
 
     # Corpus stats: one aggregate over row-local token counts.
     dl = docs.select(
@@ -90,14 +99,6 @@ def bm25_topk(
             F.count("*").alias("n"), F.sum("_dl").alias("tot")
         ).collect()[0]
         corpus_stats = (int(stats["n"]), int(stats["tot"] or 0))
-    n_docs = corpus_stats[0]
-    if n_docs == 0:
-        # Empty corpus → empty result (the repo-wide "card zeros, don't
-        # crash" convention); stats['tot'] is NULL here.
-        return spark.createDataFrame(
-            [], f"query_id long, {id_col} long, score double, rank int"
-        )
-    avgdl = float(corpus_stats[1]) / n_docs
 
     # Postings of query terms only: explode → immediate literal-list
     # filter → per-(doc, term) tf. The groupBy shuffles only matching
@@ -110,6 +111,44 @@ def bm25_topk(
         .groupBy(id_col, "tok")
         .agg(F.count("*").alias("tf"))
     )
+    return bm25_topk_from_index(
+        spark, postings, dl, corpus_stats, queries,
+        k=k, k1=k1, b=b, id_col=id_col,
+    )
+
+
+def bm25_topk_from_index(
+    spark,
+    postings: DataFrame,
+    dl: DataFrame,
+    corpus_stats: tuple[int, int],
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k straight from index tables — ``postings`` is
+    ``(id_col, tok, tf)`` (may contain non-query terms; they are
+    filtered here), ``dl`` is ``(id_col, _dl)``, ``corpus_stats`` is
+    ``(n_docs, total_tokens)``. This is the serve path of the
+    incremental postings store (streaming/postings.py): given the
+    same logical index content, results are bit-identical to
+    :func:`bm25_topk` over the original corpus because this IS the
+    same code."""
+    qterm_rows = sorted(
+        {(int(qid), t) for qid, qtext in queries for t in qtext.strip().split(" ")}
+    )
+    all_terms = sorted({t for _, t in qterm_rows})
+    n_docs = corpus_stats[0]
+    if n_docs == 0:
+        # Empty corpus → empty result (the repo-wide "card zeros, don't
+        # crash" convention).
+        return spark.createDataFrame(
+            [], f"query_id long, {id_col} long, score double, rank int"
+        )
+    avgdl = float(corpus_stats[1]) / n_docs
+    postings = postings.filter(F.col("tok").isin(all_terms))
     # df_t → idf on the driver (math.log = libm; tiny: |terms| rows).
     # This aggregate is the ONLY other eager job; the scoring pipeline
     # below stays fully lazy (postings are recomputed inside it — a
@@ -228,12 +267,14 @@ def query_likelihood_topk(
     double.
 
     Scale: identical shape to ``bm25_topk`` — literal-filtered
-    postings, broadcast term/query tables, two-phase top-k."""
+    postings, broadcast term/query tables, two-phase top-k. Like
+    bm25, this is the scan wrapper around :func:`ql_topk_from_index`
+    (the incremental-postings-store serve path shares every scoring
+    line)."""
     spark = docs.sparkSession
-    qterm_rows = sorted(
-        {(int(qid), t) for qid, qtext in queries for t in qtext.strip().split(" ")}
+    all_terms = sorted(
+        {t for _, qtext in queries for t in qtext.strip().split(" ")}
     )
-    all_terms = sorted({t for _, t in qterm_rows})
 
     dl = docs.select(F.col(id_col), TX.token_count(F.col(text_col)).alias("_dl"))
     # corpus_stats = (n_docs, total_tokens), shareable with bm25_topk
@@ -242,18 +283,48 @@ def query_likelihood_topk(
     if corpus_stats is None:
         stats = dl.agg(F.count("*").alias("n"), F.sum("_dl").alias("tot")).collect()[0]
         corpus_stats = (int(stats["n"]), int(stats["tot"] or 0))
+
+    postings = (
+        docs.select(
+            F.col(id_col), F.explode(TX.tokens(F.col(text_col))).alias("tok")
+        )
+        .filter(F.col("tok").isin(all_terms))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    return ql_topk_from_index(
+        spark, postings, dl, corpus_stats, queries, k=k, mu=mu, id_col=id_col
+    )
+
+
+def ql_topk_from_index(
+    spark,
+    postings: DataFrame,
+    dl: DataFrame,
+    corpus_stats: tuple[int, int],
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    mu: float = 300.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dirichlet query-likelihood top-k straight from index tables
+    (same contract as :func:`bm25_topk_from_index`). The collection
+    frequency ``cf_t`` is SUM(tf) over the term's postings — the same
+    integer the corpus scan counts, so serve-from-store stays
+    bit-identical to the batch path."""
+    qterm_rows = sorted(
+        {(int(qid), t) for qid, qtext in queries for t in qtext.strip().split(" ")}
+    )
+    all_terms = sorted({t for _, t in qterm_rows})
     if corpus_stats[0] == 0:
         return spark.createDataFrame(
             [], f"query_id long, {id_col} long, score double, rank int"
         )
     c_total = int(corpus_stats[1])
-
-    tok_stream = docs.select(
-        F.col(id_col), F.explode(TX.tokens(F.col(text_col))).alias("tok")
-    ).filter(F.col("tok").isin(all_terms))
+    postings = postings.filter(F.col("tok").isin(all_terms))
     cf = {
         r["tok"]: int(r["cf"])
-        for r in tok_stream.groupBy("tok").agg(F.count("*").alias("cf")).collect()
+        for r in postings.groupBy("tok").agg(F.sum("tf").alias("cf")).collect()
     }
     mucf = {t: mu * c / c_total for t, c in cf.items()}
     if not mucf:
@@ -278,8 +349,6 @@ def query_likelihood_topk(
     qmeta = F.broadcast(
         spark.createDataFrame(qmeta_rows, "query_id long, nq int, bq double")
     )
-
-    postings = tok_stream.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
 
     @F.pandas_udf("double")
     def _addend(tf: pd.Series, m: pd.Series) -> pd.Series:

@@ -2759,6 +2759,22 @@ _RRF_ORACLE_SECTION = f"""
     + _QL_ORACLE_SECTION
     + "\n    UNION ALL\n"
     + _RRF_ORACLE_SECTION
+    # bm25s / qls (r11): the SAME ranked CTEs — the streaming-served
+    # index is bit-identical to a batch rebuild (shared scorer over an
+    # identical postings multiset), so the oracle for "served from the
+    # incrementally maintained store" IS the batch oracle. A green row
+    # therefore certifies the whole chain: 3 real micro-batches →
+    # per-batch postings/doclen/stats partials → merged serve.
+    + "\n    UNION ALL\n"
+    + _BM25_ORACLE_SECTION.replace("'bm25'", "'bm25s'")
+    + "\n    UNION ALL\n"
+    + _QL_ORACLE_SECTION.replace("'ql'", "'qls'")
+    + """
+    UNION ALL
+    SELECT 'idxcompact' AS method, CAST(-1 AS BIGINT) AS query_id,
+           CAST(-1 AS BIGINT) AS cand_id, CAST(0.0 AS DOUBLE) AS sim_r,
+           CAST(0 AS INT) AS rank, TRUE AS ok
+    """
     + """
     UNION ALL
     SELECT 'knn' AS method, query_id, CAST(pred AS BIGINT) AS cand_id,
@@ -2983,6 +2999,118 @@ def sim_topk(spark, sf_dir):
         "rank",
         F.lit(True).alias("ok"),
     )
+    # --- bm25s / qls / idxcompact (r11): the INCREMENTAL retrieval
+    # index run for real — documents split into 3 id-range batch files
+    # consumed oldest-first (maxFilesPerTrigger=1, the ingest-section
+    # pattern), each micro-batch reduced to postings/doclen/stats
+    # partials under its own batch_id (streaming/postings.py). bm25s
+    # and qls are then SERVED from the accumulated store through the
+    # same scorer the batch rankers use, so a green row proves
+    # serve-from-store == batch-rebuild bit-for-bit after true
+    # streaming maintenance. idxcompact folds the 3 partials to one
+    # base partial and pins that the served rankings are unchanged
+    # (the store is an append/sum monoid — compaction is a fixed
+    # point). The serve itself reads only the query terms' tok_bucket
+    # partitions — the 100 TB path (posting-list sharding).
+    import os as _os2
+    import shutil as _shutil2
+    import tempfile as _tempfile2
+
+    from scida_spark.streaming.postings import (
+        bm25_topk_from_store,
+        compact_postings,
+        incremental_postings_ingest,
+        ql_topk_from_store,
+    )
+
+    pbase = _os2.path.join(
+        _tempfile2.gettempdir(),
+        "ss_postidx_cert_" + _os2.path.basename(sf_dir.rstrip("/")),
+    )
+    _shutil2.rmtree(pbase, ignore_errors=True)
+    pinp = _os2.path.join(pbase, "input")
+    pstore = _os2.path.join(pbase, "store")
+    _os2.makedirs(pinp)
+    docs_dt = docs.select("doc_id", "text")
+    _hi = docs_dt.agg(F.max("doc_id")).first()[0]
+    _c1, _c2 = _hi // 3, 2 * _hi // 3
+    for _k, _cond in enumerate(
+        [
+            F.col("doc_id") <= _c1,
+            (F.col("doc_id") > _c1) & (F.col("doc_id") <= _c2),
+            F.col("doc_id") > _c2,
+        ]
+    ):
+        _part = _os2.path.join(pbase, f"_stage{_k}")
+        docs_dt.filter(_cond).coalesce(1).write.mode("overwrite").parquet(_part)
+        _src = next(f for f in _os2.listdir(_part) if f.endswith(".parquet"))
+        _os2.rename(
+            _os2.path.join(_part, _src), _os2.path.join(pinp, f"b{_k}.parquet")
+        )
+        _shutil2.rmtree(_part)
+    pq_q = incremental_postings_ingest(
+        spark,
+        pinp,
+        docs_dt.schema,
+        store_dir=pstore,
+        checkpoint_dir=_os2.path.join(pbase, "ckpt"),
+        max_files_per_trigger=1,
+    )
+    pq_q.awaitTermination()
+    _nb = len(
+        [
+            d
+            for d in _os2.listdir(_os2.path.join(pstore, "postings"))
+            if d.startswith("batch_id=")
+        ]
+    )
+    if _nb != 3:  # pragma: no cover - layout regression guard
+        raise AssertionError(
+            f"postings ingest: expected 3 micro-batch partials, got {_nb}"
+        )
+    # Pre-compaction serve, PINNED eagerly (compaction deletes the
+    # batch dirs this plan reads).
+    bm25s_pre = bm25_topk_from_store(
+        spark, pstore, _BM25_QUERIES, k=10, k1=_BM25_K1, b=_BM25_B
+    ).localCheckpoint(eager=True)
+    qls_pre = ql_topk_from_store(
+        spark, pstore, _BM25_QUERIES, k=10, mu=_QL_MU
+    ).localCheckpoint(eager=True)
+    compact_postings(spark, pstore)
+    bm25s_post = bm25_topk_from_store(
+        spark, pstore, _BM25_QUERIES, k=10, k1=_BM25_K1, b=_BM25_B
+    )
+    qls_post = ql_topk_from_store(spark, pstore, _BM25_QUERIES, k=10, mu=_QL_MU)
+    bm25s_rows = bm25s_pre.select(
+        F.lit("bm25s").alias("method"),
+        F.col("query_id"),
+        F.col("doc_id").alias("cand_id"),
+        F.round("score", 6).alias("sim_r"),
+        "rank",
+        F.lit(True).alias("ok"),
+    )
+    qls_rows = qls_pre.select(
+        F.lit("qls").alias("method"),
+        F.col("query_id"),
+        F.col("doc_id").alias("cand_id"),
+        F.round("score", 6).alias("sim_r"),
+        "rank",
+        F.lit(True).alias("ok"),
+    )
+    _idx_diff = (
+        bm25s_pre.exceptAll(bm25s_post)
+        .unionAll(bm25s_post.exceptAll(bm25s_pre))
+        .unionAll(qls_pre.exceptAll(qls_post))
+        .unionAll(qls_post.exceptAll(qls_pre))
+    )
+    idxcompact_rows = _idx_diff.agg(F.count("*").alias("nd")).select(
+        F.lit("idxcompact").alias("method"),
+        F.lit(-1).cast("long").alias("query_id"),
+        F.lit(-1).cast("long").alias("cand_id"),
+        F.lit(0.0).alias("sim_r"),
+        F.lit(0).cast("int").alias("rank"),
+        (F.col("nd") == 0).alias("ok"),
+    )
     # --- knn (r9): k-NN majority-vote label classification -----------
     # The standard weak-supervision / label-propagation primitive on
     # top of similarity search: predicted label = majority vote of the
@@ -3088,6 +3216,9 @@ def sim_topk(spark, sf_dir):
         .unionAll(bm25)
         .unionAll(ql_rows)
         .unionAll(rrf_rows)
+        .unionAll(bm25s_rows)
+        .unionAll(qls_rows)
+        .unionAll(idxcompact_rows)
         .unionAll(knn_rows)
         .unionAll(hn_rows)
         .unionAll(srp_rows)

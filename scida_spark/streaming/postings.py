@@ -1,0 +1,310 @@
+"""Incremental full-text retrieval index maintained over a stream.
+
+The production shape for retrieval at 100 TB with a GROWING corpus:
+``bm25_topk`` / ``query_likelihood_topk`` recompute postings and
+corpus stats from the raw text per invocation — fine for a one-shot
+batch job, wrong for a serving pipeline where documents arrive
+continuously. Here each micro-batch is reduced ONCE to the three
+index tables every lexical ranker needs, and queries are served from
+the accumulated store without ever re-tokenizing history:
+
+* ``postings/batch_id=N/tok_bucket=B/`` — (id, tok, tf), hash-sharded
+  by ``crc32(tok) % n_buckets`` so a query touches only its terms'
+  buckets (partition pruning — the on-disk analog of posting-list
+  sharding in a search engine).
+* ``doclen/batch_id=N/`` — (id, dl): the per-document length BM25's
+  normalization and QL's ``ln(dl + mu)`` need, only ever joined
+  against the (tiny) candidate set.
+* ``stats/batch_id=N/`` — ONE row (n_docs, total_tokens) per batch:
+  corpus statistics become an O(batches) merge instead of an
+  O(corpus) rescan.
+
+Everything is a mergeable monoid (append / integer sum), so this is
+the ``streaming/rollup.py`` store pattern: per-batch partials under
+``batch_id=N`` with idempotent ``mode("overwrite")`` (replayed batches
+never double-count), serve = merge partials, compaction folds to one
+base partial (``batch_id=-1``) and is a FIXED POINT — the postings
+multiset is unchanged, so served rankings are bit-identical.
+
+Serve ≡ batch, exactly: ``bm25_topk_from_store`` feeds the merged
+index tables into ``functions/retrieval.py::bm25_topk_from_index`` —
+the SAME code path the batch ``bm25_topk`` wrapper uses — and each
+document contributes identical (tok, tf)/(dl) rows whichever batch it
+arrived in, so the served top-k equals a batch rebuild over the full
+corpus row-for-row, bit-for-bit (pinned in
+tests/test_streaming_postings.py and driver-attested in sim_topk).
+
+CONTRACT: each document id is ingested exactly once across the
+stream's lifetime (the standard index-build grain; exact/near-dup
+upstream is ``streaming/ingest.py``'s job). Replays of the same
+micro-batch are safe (idempotent overwrite); the same doc arriving in
+TWO DIFFERENT batches would double its postings, exactly as it would
+double its rows in a batch corpus.
+
+Net-new surface (no reference counterpart — the reference has no text
+or streaming support; SURVEY §2.7).
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scida_spark.functions import text as TX
+from scida_spark.functions.retrieval import (
+    bm25_topk_from_index,
+    ql_topk_from_index,
+)
+
+__all__ = [
+    "postings_writer",
+    "incremental_postings_ingest",
+    "read_postings",
+    "read_doclen",
+    "read_corpus_stats",
+    "bm25_topk_from_store",
+    "ql_topk_from_store",
+    "compact_postings",
+]
+
+DEFAULT_BUCKETS = 16
+
+
+def term_bucket(term: str, n_buckets: int = DEFAULT_BUCKETS) -> int:
+    """Python twin of the JVM bucket function — zlib.crc32 and Spark's
+    ``crc32`` both implement the IEEE CRC-32 of the UTF-8 bytes, so
+    the driver can compute exactly which buckets a query's terms live
+    in and prune the postings scan to them."""
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def _index_partials(
+    batch_df: DataFrame, id_col: str, text_col: str, n_buckets: int
+):
+    """(postings, doclen, stats) partials of one micro-batch — one
+    tokenization, three consumers (the caller persists the batch)."""
+    toks = batch_df.select(
+        F.col(id_col), F.explode(TX.tokens(F.col(text_col))).alias("tok")
+    )
+    postings = (
+        toks.groupBy(id_col, "tok")
+        .agg(F.count("*").alias("tf"))
+        .withColumn(
+            "tok_bucket",
+            (F.crc32(F.col("tok").cast("binary")) % F.lit(n_buckets)).cast(
+                "int"
+            ),
+        )
+    )
+    doclen = batch_df.select(
+        F.col(id_col), TX.token_count(F.col(text_col)).alias("dl")
+    )
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_tokens"),
+    )
+    return postings, doclen, stats
+
+
+def postings_writer(
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+):
+    """Per-batch writer maintaining the three index substores —
+    composable under ``streaming/rollup.py::incremental_multi_store_
+    ingest`` (ONE readStream pass can maintain the retrieval index
+    alongside rollup/freq/reservoir stores)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        postings, doclen, stats = _index_partials(
+            batch_df, id_col, text_col, n_buckets
+        )
+        postings.write.mode("overwrite").partitionBy("tok_bucket").parquet(
+            os.path.join(store_dir, "postings", f"batch_id={batch_id}")
+        )
+        doclen.write.mode("overwrite").parquet(
+            os.path.join(store_dir, "doclen", f"batch_id={batch_id}")
+        )
+        stats.write.mode("overwrite").parquet(
+            os.path.join(store_dir, "stats", f"batch_id={batch_id}")
+        )
+
+    return write
+
+
+def incremental_postings_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    *,
+    store_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Watch ``input_dir`` for new document files and maintain the
+    postings/doclen/stats store; returns the StreamingQuery. The
+    micro-batch is persisted once and feeds all three substores (the
+    one-pass multi-store rule)."""
+    writer_fn = postings_writer(store_dir, id_col, text_col, n_buckets)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            writer_fn(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(input_dir)
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_postings(
+    spark: SparkSession,
+    store_dir: str,
+    terms=None,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Postings of the accumulated index; with ``terms`` the scan is
+    pruned to the terms' buckets (partition pruning on ``tok_bucket``
+    — at scale this reads |query-term buckets| / n_buckets of the
+    index) and filtered to the terms themselves."""
+    p = spark.read.option(
+        "basePath", os.path.join(store_dir, "postings")
+    ).parquet(os.path.join(store_dir, "postings"))
+    if terms is not None:
+        terms = sorted(set(terms))
+        buckets = sorted({term_bucket(t, n_buckets) for t in terms})
+        p = p.filter(F.col("tok_bucket").isin(buckets)).filter(
+            F.col("tok").isin(terms)
+        )
+    return p
+
+
+def read_doclen(spark: SparkSession, store_dir: str) -> DataFrame:
+    return spark.read.option(
+        "basePath", os.path.join(store_dir, "doclen")
+    ).parquet(os.path.join(store_dir, "doclen"))
+
+
+def read_corpus_stats(spark: SparkSession, store_dir: str) -> tuple[int, int]:
+    """(n_docs, total_tokens) over the whole ingested history — an
+    O(batches)-row sum of 1-row partials, never a corpus scan."""
+    row = (
+        spark.read.option("basePath", os.path.join(store_dir, "stats"))
+        .parquet(os.path.join(store_dir, "stats"))
+        .agg(
+            F.sum("n_docs").alias("n"), F.sum("total_tokens").alias("tot")
+        )
+        .first()
+    )
+    return (int(row["n"] or 0), int(row["tot"] or 0))
+
+
+def _index_tables(spark, store_dir, queries, id_col, n_buckets):
+    terms = {t for _, qtext in queries for t in qtext.strip().split(" ")}
+    postings = read_postings(spark, store_dir, terms, n_buckets).select(
+        F.col(id_col), "tok", "tf"
+    )
+    dl = read_doclen(spark, store_dir).select(
+        F.col(id_col), F.col("dl").alias("_dl")
+    )
+    return postings, dl, read_corpus_stats(spark, store_dir)
+
+
+def bm25_topk_from_store(
+    spark: SparkSession,
+    store_dir: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """BM25 top-k served from the incremental store — bit-identical to
+    ``bm25_topk`` over the same accumulated corpus (shared scorer)."""
+    postings, dl, cs = _index_tables(spark, store_dir, queries, id_col, n_buckets)
+    return bm25_topk_from_index(
+        spark, postings, dl, cs, queries, k=k, k1=k1, b=b, id_col=id_col
+    )
+
+
+def ql_topk_from_store(
+    spark: SparkSession,
+    store_dir: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    mu: float = 300.0,
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Dirichlet query-likelihood top-k served from the incremental
+    store — bit-identical to ``query_likelihood_topk`` over the same
+    accumulated corpus (shared scorer; cf_t = SUM(tf) both ways)."""
+    postings, dl, cs = _index_tables(spark, store_dir, queries, id_col, n_buckets)
+    return ql_topk_from_index(
+        spark, postings, dl, cs, queries, k=k, mu=mu, id_col=id_col
+    )
+
+
+def compact_postings(spark: SparkSession, store_dir: str) -> int:
+    """Fold every batch partial of all three substores into one base
+    partial (``batch_id=-1``). The postings/doclen row multisets are
+    unchanged (append monoid) and the stats fold to their sum, so
+    serving after compaction is bit-identical — a fixed point, like
+    the reservoir/freq stores. Returns batch dirs folded (max over
+    substores)."""
+    import shutil
+
+    folded = 0
+    for sub, rewrite in (
+        ("postings", lambda df: df.drop("batch_id")),
+        ("doclen", lambda df: df.drop("batch_id")),
+        (
+            "stats",
+            lambda df: df.agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("total_tokens").cast("long").alias("total_tokens"),
+            ),
+        ),
+    ):
+        root = os.path.join(store_dir, sub)
+        batches = [
+            d
+            for d in os.listdir(root)
+            if d.startswith("batch_id=") and d != "batch_id=-1"
+        ]
+        if not batches:
+            continue
+        df = spark.read.option("basePath", root).parquet(root)
+        base = rewrite(df)
+        tmp = os.path.join(root, "_compact_tmp")
+        w = base.write.mode("overwrite")
+        if sub == "postings":
+            w = w.partitionBy("tok_bucket")
+        w.parquet(tmp)
+        for d in batches:
+            shutil.rmtree(os.path.join(root, d))
+        dest = os.path.join(root, "batch_id=-1")
+        if os.path.isdir(dest):
+            shutil.rmtree(dest)
+        os.replace(tmp, dest)
+        folded = max(folded, len(batches))
+    return folded

@@ -1,0 +1,194 @@
+"""Incremental retrieval-index store (streaming/postings.py): serve
+from the accumulated postings/doclen/stats partials must equal a batch
+bm25/QL rebuild over the full corpus BIT-FOR-BIT, before and after
+compaction; bucket pruning must reach the parquet scan."""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from scida_spark.functions.retrieval import bm25_topk, query_likelihood_topk
+from scida_spark.streaming.postings import (
+    DEFAULT_BUCKETS,
+    bm25_topk_from_store,
+    compact_postings,
+    incremental_postings_ingest,
+    ql_topk_from_store,
+    read_corpus_stats,
+    term_bucket,
+)
+
+SCHEMA = "doc_id long, text string"
+
+TEXTS = [
+    "hash join order scan",
+    "stream window agg window",
+    "the dup the dup the",
+    "sort merge join hash hash",
+    "scan scan scan",
+    "window stream batch",
+    "the quick brown fox",
+    "join hash stream",
+    "",
+]
+
+QUERIES = [(0, "hash join"), (1, "stream window"), (2, "the dup")]
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {
+        "input": tmp_path / "in",
+        "store": tmp_path / "store",
+        "ckpt": tmp_path / "ckpt",
+    }
+    d["input"].mkdir()
+    return {k: str(v) for k, v in d.items()}
+
+
+def _wave(path: str, lo: int, hi: int) -> None:
+    rows = [
+        (i, TEXTS[i % len(TEXTS)] + (" extra" if i % 4 == 0 else ""))
+        for i in range(lo, hi)
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(path)
+
+
+def _ingest(spark, dirs, **kw):
+    q = incremental_postings_ingest(
+        spark,
+        dirs["input"],
+        SCHEMA,
+        store_dir=dirs["store"],
+        checkpoint_dir=dirs["ckpt"],
+        **kw,
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def _rows(df):
+    return sorted(
+        (r["query_id"], r["doc_id"], r["score"], r["rank"])
+        for r in df.collect()
+    )
+
+
+def test_serve_equals_batch_bitwise(spark, dirs):
+    """3 ingested waves; bm25 and QL served from the store must match
+    the batch rankers over the concatenated corpus EXACTLY (same
+    doubles — shared scorer, identical index content)."""
+    _wave(os.path.join(dirs["input"], "w0.parquet"), 0, 30)
+    _ingest(spark, dirs, max_files_per_trigger=1)
+    _wave(os.path.join(dirs["input"], "w1.parquet"), 30, 55)
+    _wave(os.path.join(dirs["input"], "w2.parquet"), 55, 80)
+    _ingest(spark, dirs, max_files_per_trigger=1)
+
+    # the store really is incremental: one dir per micro-batch
+    batches = [
+        d
+        for d in os.listdir(os.path.join(dirs["store"], "postings"))
+        if d.startswith("batch_id=")
+    ]
+    assert len(batches) == 3, batches
+
+    docs = spark.read.schema(SCHEMA).parquet(dirs["input"])
+    assert read_corpus_stats(spark, dirs["store"]) == (
+        80,
+        docs.select(
+            F.coalesce(
+                F.sum(F.size(F.split(F.trim("text"), r"\s+"))), F.lit(0)
+            )
+        ).first()[0],
+    )
+
+    got_bm = _rows(bm25_topk_from_store(spark, dirs["store"], QUERIES, k=5))
+    want_bm = _rows(bm25_topk(docs, QUERIES, k=5))
+    assert got_bm == want_bm and len(got_bm) > 0
+
+    got_ql = _rows(ql_topk_from_store(spark, dirs["store"], QUERIES, k=5))
+    want_ql = _rows(query_likelihood_topk(docs, QUERIES, k=5))
+    assert got_ql == want_ql and len(got_ql) > 0
+
+
+def test_compaction_is_fixed_point(spark, dirs):
+    _wave(os.path.join(dirs["input"], "w0.parquet"), 0, 20)
+    _ingest(spark, dirs, max_files_per_trigger=1)
+    _wave(os.path.join(dirs["input"], "w1.parquet"), 20, 45)
+    _ingest(spark, dirs, max_files_per_trigger=1)
+
+    before_bm = _rows(bm25_topk_from_store(spark, dirs["store"], QUERIES))
+    before_ql = _rows(ql_topk_from_store(spark, dirs["store"], QUERIES))
+    before_cs = read_corpus_stats(spark, dirs["store"])
+    assert compact_postings(spark, dirs["store"]) == 2
+    for sub in ("postings", "doclen", "stats"):
+        dirs_left = [
+            d
+            for d in os.listdir(os.path.join(dirs["store"], sub))
+            if d.startswith("batch_id=")
+        ]
+        assert dirs_left == ["batch_id=-1"], (sub, dirs_left)
+    assert read_corpus_stats(spark, dirs["store"]) == before_cs
+    assert _rows(bm25_topk_from_store(spark, dirs["store"], QUERIES)) == before_bm
+    assert _rows(ql_topk_from_store(spark, dirs["store"], QUERIES)) == before_ql
+    # compacting a compacted store is a no-op
+    assert compact_postings(spark, dirs["store"]) == 0
+
+
+def test_replayed_batch_is_idempotent(spark, dirs):
+    """Re-running the SAME writer for a batch id overwrites instead of
+    double-counting (the batch_id=N overwrite contract)."""
+    from scida_spark.streaming.postings import postings_writer
+
+    docs = spark.createDataFrame(
+        [(i, TEXTS[i % len(TEXTS)]) for i in range(25)], SCHEMA
+    )
+    w = postings_writer(dirs["store"])
+    w(docs, 0)
+    first = _rows(bm25_topk_from_store(spark, dirs["store"], QUERIES))
+    w(docs, 0)  # replay
+    assert read_corpus_stats(spark, dirs["store"])[0] == 25
+    assert _rows(bm25_topk_from_store(spark, dirs["store"], QUERIES)) == first
+
+
+def test_bucket_function_matches_jvm(spark):
+    """term_bucket (zlib.crc32) must equal the JVM crc32 the writer
+    partitions by, or pruning would silently drop postings."""
+    terms = ["hash", "join", "stream", "window", "the", "dup", "zzz", "é"]
+    df = spark.createDataFrame([(t,) for t in terms], "tok string")
+    got = {
+        r["tok"]: r["b"]
+        for r in df.select(
+            "tok",
+            (F.crc32(F.col("tok").cast("binary")) % DEFAULT_BUCKETS)
+            .cast("int")
+            .alias("b"),
+        ).collect()
+    }
+    assert got == {t: term_bucket(t) for t in terms}
+
+
+def test_bucket_pruning_reaches_scan(spark, dirs):
+    """The served plan must show partition pruning on tok_bucket —
+    the point of sharding the postings (only the query terms' buckets
+    are read)."""
+    from scida_spark.streaming.postings import read_postings, postings_writer
+
+    docs = spark.createDataFrame(
+        [(i, TEXTS[i % len(TEXTS)]) for i in range(25)], SCHEMA
+    )
+    postings_writer(dirs["store"])(docs, 0)
+    p = read_postings(spark, dirs["store"], terms={"hash", "join"})
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    assert "tok_bucket" in plan
+    # the scan's partition filter prunes buckets: reading ALL postings
+    # would list every bucket dir; the pruned scan reads at most the
+    # buckets of the two terms.
+    want = {term_bucket("hash"), term_bucket("join")}
+    n_parts = p.select("tok_bucket").distinct().count()
+    assert n_parts <= len(want)
