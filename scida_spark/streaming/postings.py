@@ -58,6 +58,7 @@ from scida_spark.functions.retrieval import (
     bm25_topk_from_index,
     ql_topk_from_index,
 )
+from scida_spark.streaming import storefs
 
 __all__ = [
     "postings_writer",
@@ -68,9 +69,56 @@ __all__ = [
     "bm25_topk_from_store",
     "ql_topk_from_store",
     "compact_postings",
+    "store_meta",
 ]
 
 DEFAULT_BUCKETS = 16
+
+META_FILE = "_meta.json"
+
+
+def _ensure_meta(store_dir: str, n_buckets: int) -> None:
+    """Persist the store's sharding parameter at ingest time (r11
+    ADVICE #1): ``n_buckets`` determines which ``tok_bucket``
+    partitions hold a term's postings, so a reader that assumes the
+    wrong value prunes to the WRONG buckets and silently drops
+    query-term postings. The meta file makes the store self-
+    describing; a writer re-opening an existing store with a different
+    n_buckets is refused (a mixed-shard store is unreadable)."""
+    os.makedirs(store_dir, exist_ok=True)
+    path = os.path.join(store_dir, META_FILE)
+    if os.path.isfile(path):
+        have = storefs.read_json(path).get("n_buckets")
+        if have != n_buckets:
+            raise ValueError(
+                f"postings store {store_dir} was written with "
+                f"n_buckets={have}; refusing to append with "
+                f"n_buckets={n_buckets}"
+            )
+        return
+    storefs.write_json_atomic(path, {"n_buckets": int(n_buckets)})
+
+
+def store_meta(store_dir: str) -> dict:
+    """The store's persisted parameters ({} for a pre-meta store)."""
+    path = os.path.join(store_dir, META_FILE)
+    return storefs.read_json(path) if os.path.isfile(path) else {}
+
+
+def _resolve_buckets(store_dir: str, n_buckets: int | None) -> int:
+    """Reader-side n_buckets: the store's own meta wins; an explicit
+    caller value is VALIDATED against it (a mismatch would silently
+    mis-prune — raise instead); only a meta-less legacy store trusts
+    the caller / default."""
+    have = store_meta(store_dir).get("n_buckets")
+    if have is not None:
+        if n_buckets is not None and int(n_buckets) != int(have):
+            raise ValueError(
+                f"postings store {store_dir} has n_buckets={have}; "
+                f"caller asked for {n_buckets}"
+            )
+        return int(have)
+    return DEFAULT_BUCKETS if n_buckets is None else int(n_buckets)
 
 
 def term_bucket(term: str, n_buckets: int = DEFAULT_BUCKETS) -> int:
@@ -121,6 +169,7 @@ def postings_writer(
     alongside rollup/freq/reservoir stores)."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        _ensure_meta(store_dir, n_buckets)
         postings, doclen, stats = _index_partials(
             batch_df, id_col, text_col, n_buckets
         )
@@ -179,12 +228,17 @@ def read_postings(
     spark: SparkSession,
     store_dir: str,
     terms=None,
-    n_buckets: int = DEFAULT_BUCKETS,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Postings of the accumulated index; with ``terms`` the scan is
     pruned to the terms' buckets (partition pruning on ``tok_bucket``
     — at scale this reads |query-term buckets| / n_buckets of the
-    index) and filtered to the terms themselves."""
+    index) and filtered to the terms themselves. The bucket count
+    comes from the store's own ``_meta.json`` (written at ingest); an
+    explicit ``n_buckets`` is validated against it — a mismatch would
+    silently prune the wrong partitions."""
+    n_buckets = _resolve_buckets(store_dir, n_buckets)
+    storefs.recover_pending(os.path.join(store_dir, "postings"))
     p = spark.read.option(
         "basePath", os.path.join(store_dir, "postings")
     ).parquet(os.path.join(store_dir, "postings"))
@@ -198,6 +252,7 @@ def read_postings(
 
 
 def read_doclen(spark: SparkSession, store_dir: str) -> DataFrame:
+    storefs.recover_pending(os.path.join(store_dir, "doclen"))
     return spark.read.option(
         "basePath", os.path.join(store_dir, "doclen")
     ).parquet(os.path.join(store_dir, "doclen"))
@@ -206,6 +261,7 @@ def read_doclen(spark: SparkSession, store_dir: str) -> DataFrame:
 def read_corpus_stats(spark: SparkSession, store_dir: str) -> tuple[int, int]:
     """(n_docs, total_tokens) over the whole ingested history — an
     O(batches)-row sum of 1-row partials, never a corpus scan."""
+    storefs.recover_pending(os.path.join(store_dir, "stats"))
     row = (
         spark.read.option("basePath", os.path.join(store_dir, "stats"))
         .parquet(os.path.join(store_dir, "stats"))
@@ -236,7 +292,7 @@ def bm25_topk_from_store(
     k1: float = 1.2,
     b: float = 0.75,
     id_col: str = "doc_id",
-    n_buckets: int = DEFAULT_BUCKETS,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """BM25 top-k served from the incremental store — bit-identical to
     ``bm25_topk`` over the same accumulated corpus (shared scorer)."""
@@ -253,7 +309,7 @@ def ql_topk_from_store(
     k: int = 10,
     mu: float = 300.0,
     id_col: str = "doc_id",
-    n_buckets: int = DEFAULT_BUCKETS,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Dirichlet query-likelihood top-k served from the incremental
     store — bit-identical to ``query_likelihood_topk`` over the same
@@ -270,9 +326,14 @@ def compact_postings(spark: SparkSession, store_dir: str) -> int:
     unchanged (append monoid) and the stats fold to their sum, so
     serving after compaction is bit-identical — a fixed point, like
     the reservoir/freq stores. Returns batch dirs folded (max over
-    substores)."""
-    import shutil
+    substores).
 
+    Crash-safe via :mod:`scida_spark.streaming.storefs` (r11 ADVICE
+    #2): the fold is staged in an underscore-prefixed scratch dir,
+    committed by an atomic manifest, and only then are the batch dirs
+    retired — an interruption anywhere is repaired by the
+    ``recover_pending`` call at the top of the next compaction or
+    store read."""
     folded = 0
     for sub, rewrite in (
         ("postings", lambda df: df.drop("batch_id")),
@@ -286,25 +347,16 @@ def compact_postings(spark: SparkSession, store_dir: str) -> int:
         ),
     ):
         root = os.path.join(store_dir, sub)
-        batches = [
-            d
-            for d in os.listdir(root)
-            if d.startswith("batch_id=") and d != "batch_id=-1"
-        ]
+        storefs.recover_pending(root)
+        batches = storefs.list_batches(root)
         if not batches:
             continue
         df = spark.read.option("basePath", root).parquet(root)
         base = rewrite(df)
-        tmp = os.path.join(root, "_compact_tmp")
         w = base.write.mode("overwrite")
         if sub == "postings":
             w = w.partitionBy("tok_bucket")
-        w.parquet(tmp)
-        for d in batches:
-            shutil.rmtree(os.path.join(root, d))
-        dest = os.path.join(root, "batch_id=-1")
-        if os.path.isdir(dest):
-            shutil.rmtree(dest)
-        os.replace(tmp, dest)
+        w.parquet(storefs.scratch_dir(root))
+        storefs.promote_compacted(root, batches)
         folded = max(folded, len(batches))
     return folded

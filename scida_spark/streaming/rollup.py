@@ -105,14 +105,12 @@ def compact_rollup(
     convention, read like any other partial), then remove the folded
     batch directories. Serving cost drops back to O(keys); the merged
     view is unchanged because every component is mergeable. Returns
-    the number of batch directories folded."""
-    import shutil
+    the number of batch directories folded. Crash-safe via
+    ``streaming/storefs`` (scratch + manifest + recover)."""
+    from scida_spark.streaming import storefs
 
-    batches = [
-        d
-        for d in os.listdir(store_dir)
-        if d.startswith("batch_id=") and d != "batch_id=-1"
-    ]
+    storefs.recover_pending(store_dir)
+    batches = storefs.list_batches(store_dir)
     if not batches:
         return 0
     partials = spark.read.option("basePath", store_dir).parquet(store_dir)
@@ -121,15 +119,8 @@ def compact_rollup(
         F.sum("sum_val").alias("sum_val"),
         F.hll_union_agg("distinct_sketch").alias("distinct_sketch"),
     )
-    # leading "_" keeps Spark readers from listing the scratch dir
-    tmp = os.path.join(store_dir, "_compact_tmp")
-    base.write.mode("overwrite").parquet(tmp)
-    for d in batches:
-        shutil.rmtree(os.path.join(store_dir, d))
-    dest = os.path.join(store_dir, "batch_id=-1")
-    if os.path.isdir(dest):
-        shutil.rmtree(dest)
-    os.replace(tmp, dest)
+    base.write.mode("overwrite").parquet(storefs.scratch_dir(store_dir))
+    storefs.promote_compacted(store_dir, batches)
     return len(batches)
 
 
@@ -214,27 +205,19 @@ def compact_freq(
     spark: SparkSession, store_dir: str, group_cols: list[str], k: int = 32
 ) -> int:
     """Fold all heavy-hitter partials into one base partial
-    (``batch_id=-1``). Returns the number of batch dirs folded."""
-    import shutil
+    (``batch_id=-1``). Returns the number of batch dirs folded.
+    Crash-safe via ``streaming/storefs``."""
+    from scida_spark.streaming import storefs
 
-    batches = [
-        d
-        for d in os.listdir(store_dir)
-        if d.startswith("batch_id=") and d != "batch_id=-1"
-    ]
+    storefs.recover_pending(store_dir)
+    batches = storefs.list_batches(store_dir)
     if not batches:
         return 0
     base = _freq_summary_to_partials(
         read_freq(spark, store_dir, group_cols, k), group_cols
     )
-    tmp = os.path.join(store_dir, "_compact_tmp")
-    base.write.mode("overwrite").parquet(tmp)
-    for d in batches:
-        shutil.rmtree(os.path.join(store_dir, d))
-    dest = os.path.join(store_dir, "batch_id=-1")
-    if os.path.isdir(dest):
-        shutil.rmtree(dest)
-    os.rename(tmp, dest)
+    base.write.mode("overwrite").parquet(storefs.scratch_dir(store_dir))
+    storefs.promote_compacted(store_dir, batches)
     return len(batches)
 
 
@@ -342,25 +325,17 @@ def compact_reservoir(
 ) -> int:
     """Fold all reservoir partials into one base partial
     (``batch_id=-1``); min-k is idempotent, so serving afterwards is
-    bit-identical. Returns the number of batch dirs folded."""
-    import shutil
+    bit-identical. Returns the number of batch dirs folded.
+    Crash-safe via ``streaming/storefs``."""
+    from scida_spark.streaming import storefs
 
-    batches = [
-        d
-        for d in os.listdir(store_dir)
-        if d.startswith("batch_id=") and d != "batch_id=-1"
-    ]
+    storefs.recover_pending(store_dir)
+    batches = storefs.list_batches(store_dir)
     if not batches:
         return 0
     base = read_reservoir(spark, store_dir, group_cols, k).drop("sample_rank")
-    tmp = os.path.join(store_dir, "_compact_tmp")
-    base.write.mode("overwrite").parquet(tmp)
-    for d in batches:
-        shutil.rmtree(os.path.join(store_dir, d))
-    dest = os.path.join(store_dir, "batch_id=-1")
-    if os.path.isdir(dest):
-        shutil.rmtree(dest)
-    os.rename(tmp, dest)
+    base.write.mode("overwrite").parquet(storefs.scratch_dir(store_dir))
+    storefs.promote_compacted(store_dir, batches)
     return len(batches)
 
 

@@ -192,3 +192,145 @@ def test_bucket_pruning_reaches_scan(spark, dirs):
     want = {term_bucket("hash"), term_bucket("join")}
     n_parts = p.select("tok_bucket").distinct().count()
     assert n_parts <= len(want)
+
+
+def test_meta_n_buckets_persisted_and_validated(spark, dirs):
+    """The store is self-describing (r11 ADVICE #1): n_buckets is
+    written to _meta.json at ingest, readers resolve it from there, and
+    a conflicting explicit value (reader or appending writer) raises
+    instead of silently pruning / sharding the wrong buckets."""
+    from scida_spark.streaming.postings import (
+        postings_writer,
+        read_postings,
+        store_meta,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, TEXTS[i % len(TEXTS)]) for i in range(25)], SCHEMA
+    )
+    postings_writer(dirs["store"], n_buckets=8)(docs, 0)
+    assert store_meta(dirs["store"])["n_buckets"] == 8
+
+    # reader with no explicit value uses the store's own meta (NOT the
+    # 16-bucket default) — serve works and pruning stays consistent
+    rows = _rows(bm25_topk_from_store(spark, dirs["store"], QUERIES, k=5))
+    assert rows == _rows(bm25_topk(docs, QUERIES, k=5))
+
+    # conflicting reader value → refuse, don't mis-prune
+    with pytest.raises(ValueError, match="n_buckets"):
+        read_postings(spark, dirs["store"], terms={"hash"}, n_buckets=16)
+    # conflicting appending writer → refuse, don't mix shardings
+    with pytest.raises(ValueError, match="n_buckets"):
+        postings_writer(dirs["store"], n_buckets=16)(docs, 1)
+
+
+def test_storefs_crash_recovery_states(tmp_path):
+    """recover_pending repairs every interruption point of the
+    scratch → manifest → delete → promote sequence (r11 ADVICE #2)."""
+    import shutil
+
+    from scida_spark.streaming import storefs
+
+    def mk_store():
+        root = tmp_path / "s"
+        shutil.rmtree(root, ignore_errors=True)
+        for b in (0, 1):
+            d = root / f"batch_id={b}"
+            d.mkdir(parents=True)
+            pd.DataFrame({"v": [b]}).to_parquet(d / "part.parquet")
+        return str(root)
+
+    def mk_scratch(root):
+        sc = storefs.scratch_dir(root)
+        os.makedirs(sc)
+        pd.DataFrame({"v": [0, 1]}).to_parquet(
+            os.path.join(sc, "part.parquet")
+        )
+
+    # A: crash BEFORE the manifest commit point — the (possibly torn)
+    # scratch is dropped, the store is untouched
+    root = mk_store()
+    mk_scratch(root)
+    assert storefs.recover_pending(root)
+    assert storefs.list_batches(root) == ["batch_id=0", "batch_id=1"]
+    assert not os.path.isdir(storefs.scratch_dir(root))
+
+    # B: crash right AFTER the manifest commit — the fold is replayed:
+    # batches retired, scratch promoted to the base
+    root = mk_store()
+    mk_scratch(root)
+    storefs.write_json_atomic(
+        os.path.join(root, storefs.MANIFEST),
+        {"folded": ["batch_id=0", "batch_id=1"]},
+    )
+    assert storefs.recover_pending(root)
+    assert storefs.list_batches(root) == []
+    assert os.path.isdir(os.path.join(root, "batch_id=-1"))
+    assert not os.path.isfile(os.path.join(root, storefs.MANIFEST))
+
+    # C: crash MID-DELETE (one batch already gone) — same outcome
+    root = mk_store()
+    mk_scratch(root)
+    storefs.write_json_atomic(
+        os.path.join(root, storefs.MANIFEST),
+        {"folded": ["batch_id=0", "batch_id=1"]},
+    )
+    shutil.rmtree(os.path.join(root, "batch_id=0"))
+    assert storefs.recover_pending(root)
+    assert storefs.list_batches(root) == []
+    assert os.path.isdir(os.path.join(root, "batch_id=-1"))
+
+    # D: crash AFTER the promote, before the manifest removal — the
+    # leftover manifest is cleared, the promoted base survives
+    root = mk_store()
+    mk_scratch(root)
+    storefs.promote_compacted(root, ["batch_id=0", "batch_id=1"])
+    storefs.write_json_atomic(
+        os.path.join(root, storefs.MANIFEST), {"folded": []}
+    )
+    assert storefs.recover_pending(root)
+    assert os.path.isdir(os.path.join(root, "batch_id=-1"))
+    assert not os.path.isfile(os.path.join(root, storefs.MANIFEST))
+
+    # clean store: nothing to do
+    assert not storefs.recover_pending(root)
+
+
+def test_compaction_crash_heals_on_next_read(spark, dirs, monkeypatch):
+    """A compaction killed right after its commit point must not lose
+    (or double-count) any postings: the next store READ self-heals via
+    recover_pending and serves the identical rankings."""
+    from scida_spark.streaming import storefs
+    from scida_spark.streaming.postings import postings_writer
+
+    docs = spark.createDataFrame(
+        [(i, TEXTS[i % len(TEXTS)]) for i in range(40)], SCHEMA
+    )
+    w = postings_writer(dirs["store"])
+    w(docs.filter(F.col("doc_id") < 20), 0)
+    w(docs.filter(F.col("doc_id") >= 20), 1)
+    before = _rows(bm25_topk_from_store(spark, dirs["store"], QUERIES))
+
+    # kill the fold at the commit point: scratch + manifest written,
+    # batches not yet retired, base not yet promoted
+    real_finish = storefs._finish
+
+    def boom(root, folded):
+        raise RuntimeError("simulated crash at the commit point")
+
+    monkeypatch.setattr(storefs, "_finish", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact_postings(spark, dirs["store"])
+    monkeypatch.setattr(storefs, "_finish", real_finish)
+
+    # the crash window really exists (manifest + scratch on disk)
+    proot = os.path.join(dirs["store"], "postings")
+    assert os.path.isfile(os.path.join(proot, storefs.MANIFEST))
+    assert os.path.isdir(storefs.scratch_dir(proot))
+
+    # the next serve heals the store and returns identical rankings
+    assert _rows(bm25_topk_from_store(spark, dirs["store"], QUERIES)) == before
+    assert not os.path.isfile(os.path.join(proot, storefs.MANIFEST))
+    # and a rerun compaction completes normally, still a fixed point
+    compact_postings(spark, dirs["store"])
+    assert _rows(bm25_topk_from_store(spark, dirs["store"], QUERIES)) == before
