@@ -1347,14 +1347,35 @@ def srp_project(
     dimensionality reduction keep the raw projections; for LSH take
     their signs (:func:`srp_signature`)."""
     signs = srp_signs(n_bits, dim, salt)
-    out = df
-    v = F.col(vec_col).cast("array<double>")
-    for j in range(n_bits):
-        row = F.array(*[F.lit(s) for s in signs[j]])
-        out = out.withColumn(
-            f"{out_prefix}{j}", _fold_sum(F.zip_with(v, row, lambda x, s: x * s))
+    # The whole sign matrix ships as ONE SQL array-of-arrays literal
+    # (r12): the previous per-bit loop built n_bits x dim separate
+    # F.lit columns — ~2400 py4j gateway round-trips, 2.8 s of pure
+    # client-side plan construction at (32, 64). One expr + one
+    # transform is ~30 calls for identical per-row arithmetic: each
+    # projection is still the SAME sequential zip_with+fold over the
+    # same sign row, so the doubles stay bit-identical to the oracle.
+    mat = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{s!r}D" for s in row) + ")" for row in signs
         )
-    return out
+        + ")"
+    )
+    v = F.col(vec_col).cast("array<double>")
+    projs = F.transform(
+        mat, lambda row: _fold_sum(F.zip_with(v, row, lambda x, s: x * s))
+    )
+    # two projections: __projs materializes once per row (CollapseProject
+    # keeps non-cheap aliases referenced >1x in their own project), the
+    # second fans it out into the scalar proj<j> columns
+    tmp = df.withColumn("__srp_projs", projs)
+    return tmp.select(
+        "*",
+        *[
+            F.col("__srp_projs")[j].alias(f"{out_prefix}{j}")
+            for j in range(n_bits)
+        ],
+    ).drop("__srp_projs")
 
 
 def srp_signature(
@@ -1445,6 +1466,20 @@ def sq8_bounds(
     return lo, hi
 
 
+def _dlit_array(xs) -> Column:
+    """A list of doubles as ONE SQL array literal (r12): building
+    ``F.array(*[F.lit(x) ...])`` costs a py4j round-trip per element —
+    ~10 ms each, so a 64-dim bound array is ~0.7 s of pure client-side
+    chatter. ``CAST('<repr>' AS DOUBLE)`` is value-exact: Python repr
+    is the shortest decimal that round-trips, and the JVM's correctly-
+    rounded parser returns the identical IEEE double."""
+    return F.expr(
+        "array("
+        + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in xs)
+        + ")"
+    )
+
+
 def sq8_encode(
     embeddings: DataFrame,
     lo: list[float],
@@ -1465,8 +1500,8 @@ def sq8_encode(
     srp_signature property) — SQ8 is the second ANN family here whose
     index contents are value-certified, not just recall-floored."""
     v = F.col(vec_col).cast("array<double>")
-    lo_arr = F.array(*[F.lit(float(x)) for x in lo])
-    rng_arr = F.array(*[F.lit(float(h) - float(l)) for l, h in zip(lo, hi)])
+    lo_arr = _dlit_array(lo)
+    rng_arr = _dlit_array([float(h) - float(l) for l, h in zip(lo, hi)])
     shifted = F.zip_with(v, lo_arr, lambda x, l: x - l)
     codes = F.zip_with(
         shifted,
@@ -1489,10 +1524,8 @@ def sq8_dequantize(codes_col: Column, lo: list[float], hi: list[float]) -> Colum
     with step_i = (hi_i - lo_i) / 255 — the reconstruction the ADC
     scan scores against. Same closed-form/IEEE contract as the
     encoder."""
-    lo_arr = F.array(*[F.lit(float(x)) for x in lo])
-    step_arr = F.array(
-        *[F.lit((float(h) - float(l)) / 255.0) for l, h in zip(lo, hi)]
-    )
+    lo_arr = _dlit_array(lo)
+    step_arr = _dlit_array([(float(h) - float(l)) / 255.0 for l, h in zip(lo, hi)])
     scaled = F.zip_with(
         codes_col.cast("array<double>"), step_arr, lambda c, s: (c + 0.5) * s
     )

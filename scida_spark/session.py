@@ -65,6 +65,12 @@ def get_spark(
         # stabilizes at ~42-46 s). Two minutes bounds the creep at
         # negligible GC cost.
         .config("spark.cleaner.periodicGC.interval", "2min")
+        # PySpark 4 captures the Python call site for EVERY DataFrame
+        # API call (errors/utils.py::_with_origin) — a getActiveSession
+        # + JVM round-trip per call. On plan-construction-heavy queries
+        # (sim_topk builds ~10k Column expressions) this is ~10% of
+        # wall time and buys nothing outside interactive debugging.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
@@ -90,4 +96,7 @@ def ensure_session_defaults(spark: SparkSession) -> SparkSession:
     # Externally-created sessions default to 200 shuffle partitions —
     # pointless task overhead at test scale; AQE still re-coalesces.
     spark.conf.set("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+    # (spark.python.sql.dataFrameDebugging.enabled is STATIC — only
+    # settable at session build; see get_spark. An externally-created
+    # session keeps whatever its creator chose.)
     return spark

@@ -273,7 +273,7 @@ def read_corpus_stats(spark: SparkSession, store_dir: str) -> tuple[int, int]:
     return (int(row["n"] or 0), int(row["tot"] or 0))
 
 
-def _index_tables(spark, store_dir, queries, id_col, n_buckets):
+def _index_tables(spark, store_dir, queries, id_col, n_buckets, corpus_stats):
     terms = {t for _, qtext in queries for t in qtext.strip().split(" ")}
     postings = read_postings(spark, store_dir, terms, n_buckets).select(
         F.col(id_col), "tok", "tf"
@@ -281,7 +281,9 @@ def _index_tables(spark, store_dir, queries, id_col, n_buckets):
     dl = read_doclen(spark, store_dir).select(
         F.col(id_col), F.col("dl").alias("_dl")
     )
-    return postings, dl, read_corpus_stats(spark, store_dir)
+    if corpus_stats is None:
+        corpus_stats = read_corpus_stats(spark, store_dir)
+    return postings, dl, corpus_stats
 
 
 def bm25_topk_from_store(
@@ -293,10 +295,16 @@ def bm25_topk_from_store(
     b: float = 0.75,
     id_col: str = "doc_id",
     n_buckets: int | None = None,
+    corpus_stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """BM25 top-k served from the incremental store — bit-identical to
-    ``bm25_topk`` over the same accumulated corpus (shared scorer)."""
-    postings, dl, cs = _index_tables(spark, store_dir, queries, id_col, n_buckets)
+    ``bm25_topk`` over the same accumulated corpus (shared scorer).
+    ``corpus_stats`` lets a caller serving several rankers read the
+    O(batches) stats partials ONCE (one driver job instead of one per
+    ranker — the shared-ingest-statistic rule)."""
+    postings, dl, cs = _index_tables(
+        spark, store_dir, queries, id_col, n_buckets, corpus_stats
+    )
     return bm25_topk_from_index(
         spark, postings, dl, cs, queries, k=k, k1=k1, b=b, id_col=id_col
     )
@@ -310,11 +318,14 @@ def ql_topk_from_store(
     mu: float = 300.0,
     id_col: str = "doc_id",
     n_buckets: int | None = None,
+    corpus_stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Dirichlet query-likelihood top-k served from the incremental
     store — bit-identical to ``query_likelihood_topk`` over the same
     accumulated corpus (shared scorer; cf_t = SUM(tf) both ways)."""
-    postings, dl, cs = _index_tables(spark, store_dir, queries, id_col, n_buckets)
+    postings, dl, cs = _index_tables(
+        spark, store_dir, queries, id_col, n_buckets, corpus_stats
+    )
     return ql_topk_from_index(
         spark, postings, dl, cs, queries, k=k, mu=mu, id_col=id_col
     )
