@@ -30,9 +30,15 @@ Canonical form (documented contract, applied in this order):
    (steps 1 applied) — only absolute URLs are normalized.
 3. scheme: lowercased.
 4. authority: userinfo (``user:pass@``) stripped; host lowercased;
-   trailing dot stripped; leading ``www.`` stripped; the port is
-   dropped when it is the scheme default (``:80`` for http, ``:443``
-   for https) and kept otherwise.
+   trailing dot stripped; leading ``www.`` stripped ONLY when >=2
+   labels remain and the remainder is not itself a listed two-level
+   public suffix (``www.example.com`` -> ``example.com``, but
+   ``www.com`` and ``www.co.uk`` are registrable hosts, kept); the
+   port is dropped when it is the scheme default (``:80`` for http,
+   ``:443`` for https) and kept otherwise. A bracketed IPv6 authority
+   (``[::1]``, ``[2001:db8::1]:8080``) keeps the bracketed literal as
+   the host (lowercased, no www/trailing-dot rules) with the same
+   default-port drop on the ``]:port`` suffix.
 5. path: trailing slashes stripped; empty path becomes ``/``. Percent
    escapes and path case are PRESERVED (paths are case-sensitive).
 6. query: split on ``&``; empty params and tracking params dropped
@@ -108,10 +114,31 @@ def _parts(url):
 
 def _canonical_host(scheme: Column, hostport: Column):
     """(host, port-suffix-to-keep) under rules 4 of the contract."""
+    # Bracketed IPv6 authority ([::1], [2001:db8::1]:8080): the colons
+    # inside the brackets would corrupt the plain host/port split, so
+    # the host is the bracketed literal (lowercased) and the port is
+    # whatever follows "]:". www-strip and trailing-dot rules don't
+    # apply to address literals (r11 VERDICT #3).
+    is_v6 = F.startswith(hostport, F.lit("["))
     host = F.lower(F.regexp_extract(hostport, "^([^:]*)", 1))
     host = F.regexp_replace(host, r"\.$", "")
-    host = F.regexp_replace(host, r"^www\.", "")
-    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    # Strip a leading "www." ONLY when >=2 labels remain (the host had
+    # >=3) AND the remainder isn't itself a two-level public suffix:
+    # www.example.com -> example.com, but www.com is a registrable
+    # host (stripping would corrupt it to the bare TLD — r11 VERDICT
+    # #2), and www.co.uk is the registrable "www" under co.uk.
+    stripped = F.regexp_replace(host, r"^www\.", "")
+    host = F.when(
+        host.rlike(r"^www\.[^.]+\..+$")
+        & ~stripped.isin(*TWO_LEVEL_SUFFIXES),
+        stripped,
+    ).otherwise(host)
+    host = F.when(
+        is_v6, F.lower(F.regexp_extract(hostport, r"^(\[[^\]]*\])", 1))
+    ).otherwise(host)
+    port = F.when(
+        is_v6, F.regexp_extract(hostport, r"\]:([0-9]+)$", 1)
+    ).otherwise(F.regexp_extract(hostport, ":([0-9]+)$", 1))
     default = ((scheme == "http") & (port == "80")) | (
         (scheme == "https") & (port == "443")
     )
@@ -153,8 +180,15 @@ def registered_domain(host) -> Column:
     """Registered (pay-level) domain of a HOST column: the last two
     labels, or three when the final pair is a known two-level public
     suffix; IPv4 literals and single-label hosts pass through. The
-    suffix check is a literal ``isin`` — constant-folded JVM-side."""
+    suffix check is a literal ``isin`` — constant-folded JVM-side.
+
+    Safe standalone on RAW hosts (r11 ADVICE #3): a trailing dot
+    (``example.com.`` — the DNS-absolute form) is stripped here, not
+    just in the URL-canonical path, and the IPv4 literal check is
+    range-validated (``999.999.999.999`` is NOT an address; it falls
+    through to the normal last-two-labels rule)."""
     h = F.lower(F.trim(host if isinstance(host, Column) else F.col(host)))
+    h = F.regexp_replace(h, r"\.$", "")
     labels = F.split(h, r"\.")
     n = F.size(labels)
     last2 = F.concat_ws(
@@ -166,7 +200,8 @@ def registered_domain(host) -> Column:
         F.element_at(labels, -2),
         F.element_at(labels, -1),
     )
-    is_ip = h.rlike(r"^[0-9]+(\.[0-9]+){3}$")
+    _oct = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    is_ip = h.rlike(rf"^{_oct}(\.{_oct}){{3}}$")
     return (
         # explicit NULL guard: concat_ws below would fold a NULL host
         # to '' instead of propagating NULL

@@ -3640,6 +3640,22 @@ _URL_CASES = [
     ("t11", "http://localhost/", "http://localhost/", "localhost"),
     ("t12", "http://deep.sub.example.com/p?a=1&a=0",
      "http://deep.sub.example.com/p?a=0&a=1", "example.com"),
+    # r12: www. kept on 2-label hosts — www.com is a registrable host,
+    # not www + TLD (r11 VERDICT #2)
+    ("t13", "http://www.com/x", "http://www.com/x", "www.com"),
+    # r12: bracketed IPv6 authorities — host is the bracketed literal,
+    # default-port drop still applies to the ]:port suffix (VERDICT #3)
+    ("t14", "HTTP://[::1]:8080/A?utm_source=x#f",
+     "http://[::1]:8080/A", "[::1]"),
+    ("t15", "https://[2001:DB8::1]:443/p",
+     "https://[2001:db8::1]/p", "[2001:db8::1]"),
+    # r12: IPv4 literal check is range-validated — an out-of-range
+    # dotted quad is a (weird) hostname, last-two-labels rule applies
+    ("t16", "http://999.999.999.999/x",
+     "http://999.999.999.999/x", "999.999"),
+    # r12: www. also kept when the remainder is a bare two-level
+    # public suffix — www.co.uk is the registrable "www" under co.uk
+    ("t17", "https://WWW.Co.UK/", "https://www.co.uk/", "www.co.uk"),
 ]
 
 

@@ -46,6 +46,17 @@ CASES = [
     # duplicate param names sort byte-wise, both kept
     ("http://deep.sub.example.com/p?a=1&a=0",
      "http://deep.sub.example.com/p?a=0&a=1", "example.com"),
+    # r12: www. kept on 2-label hosts (www.com is registrable)
+    ("http://www.com/x", "http://www.com/x", "www.com"),
+    ("https://WWW.Co.UK/", "https://www.co.uk/", "www.co.uk"),
+    # r12: bracketed IPv6 — host is the literal, default port dropped,
+    # non-default kept, no www/trailing-dot rules
+    ("HTTP://[::1]:8080/A?utm_source=x#f", "http://[::1]:8080/A", "[::1]"),
+    ("https://[2001:DB8::1]:443/p", "https://[2001:db8::1]/p",
+     "[2001:db8::1]"),
+    # r12: out-of-range dotted quad is NOT an IPv4 literal — the
+    # last-two-labels rule applies like any other hostname
+    ("http://999.999.999.999/x", "http://999.999.999.999/x", "999.999"),
 ]
 
 
