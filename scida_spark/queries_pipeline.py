@@ -1750,6 +1750,87 @@ def text_train_eval_split(spark, sf_dir):
       FROM srun GROUP BY doc_id, run
     )
     UNION ALL
+    -- drift (r12): PSI/KL between the diff-section old/new versions on
+    -- integer-bucketed distributions. Laplace +1 smoothing over the
+    -- per-facet bucket union; terms summed in ASCENDING bucket order
+    -- (ordered list_reduce == the engine's ascending Python fold); ln
+    -- is libm in both engines, so the divergences replay bit-for-bit.
+    -- PSI terms are sign-definite => psi >= 0 pins as within_tol.
+    SELECT 'drift:' || fam || ':' || m || ':' || facet AS kind,
+           val AS exact_metric, CAST(nn AS BIGINT) AS n_rows,
+           ok AS within_tol
+    FROM (
+      WITH dro AS (SELECT lang,
+                          CASE WHEN doc_id % 11 = 1 THEN text || ' OLD'
+                               ELSE text END AS t
+                   FROM documents WHERE doc_id % 11 <> 0),
+      drn AS (SELECT lang, text AS t FROM documents WHERE doc_id % 11 <> 2),
+      dqo AS (SELECT lang,
+                     CAST(len(string_split(trim(t), ' ')) AS DOUBLE) AS n,
+                     CAST(len(list_distinct(string_split(trim(t), ' '))) AS DOUBLE) AS nd,
+                     CAST(list_reduce(list_transform(string_split(trim(t), ' '),
+                          x -> CAST(length(x) AS BIGINT)), (acc, x) -> acc + x) AS DOUBLE) AS totlen
+              FROM dro),
+      dqn AS (SELECT lang,
+                     CAST(len(string_split(trim(t), ' ')) AS DOUBLE) AS n,
+                     CAST(len(list_distinct(string_split(trim(t), ' '))) AS DOUBLE) AS nd,
+                     CAST(list_reduce(list_transform(string_split(trim(t), ' '),
+                          x -> CAST(length(x) AS BIGINT)), (acc, x) -> acc + x) AS DOUBLE) AS totlen
+              FROM drn),
+      b_o AS (
+        SELECT 'tok' AS fam, lang,
+               LEAST(len(string_split(trim(t), ' ')) // 8, 31) AS b,
+               COUNT(*) AS c
+        FROM dro GROUP BY 2, 3
+        UNION ALL
+        SELECT 'q', lang,
+               CAST(FLOOR((LEAST(LOG10(n + 1) / 3.0, 1.0) + (nd / n) * 0.5 +
+                 CASE WHEN totlen / n >= 3 AND totlen / n <= 8
+                      THEN 0.5 ELSE 0.0 END) * 64) AS BIGINT),
+               COUNT(*)
+        FROM dqo GROUP BY 2, 3),
+      b_n AS (
+        SELECT 'tok' AS fam, lang,
+               LEAST(len(string_split(trim(t), ' ')) // 8, 31) AS b,
+               COUNT(*) AS c
+        FROM drn GROUP BY 2, 3
+        UNION ALL
+        SELECT 'q', lang,
+               CAST(FLOOR((LEAST(LOG10(n + 1) / 3.0, 1.0) + (nd / n) * 0.5 +
+                 CASE WHEN totlen / n >= 3 AND totlen / n <= 8
+                      THEN 0.5 ELSE 0.0 END) * 64) AS BIGINT),
+               COUNT(*)
+        FROM dqn GROUP BY 2, 3),
+      dub AS (
+        SELECT COALESCE(o.fam, n.fam) AS fam,
+               COALESCE(o.lang, n.lang) AS facet,
+               COALESCE(o.b, n.b) AS b,
+               COALESCE(o.c, 0) AS co, COALESCE(n.c, 0) AS cn
+        FROM b_o o FULL OUTER JOIN b_n n
+          ON o.fam = n.fam AND o.lang = n.lang AND o.b = n.b),
+      dtt AS (SELECT fam, facet, SUM(co) AS no, SUM(cn) AS nn,
+                     COUNT(*) AS bb
+              FROM dub GROUP BY 1, 2),
+      dtm AS (SELECT u.fam, u.facet, u.b,
+                     CAST(u.cn + 1 AS DOUBLE) / (t.nn + t.bb) AS p,
+                     CAST(u.co + 1 AS DOUBLE) / (t.no + t.bb) AS q,
+                     t.nn AS nn
+              FROM dub u JOIN dtt t
+                ON u.fam = t.fam AND u.facet = t.facet),
+      dag AS (SELECT fam, facet, ANY_VALUE(nn) AS nn,
+                     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list((p - q) * ln(p / q) ORDER BY b)),
+                       (a, x) -> a + x) AS psi,
+                     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(p * ln(p / q) ORDER BY b)),
+                       (a, x) -> a + x) AS kl
+              FROM dtm GROUP BY fam, facet)
+      SELECT fam, 'psi' AS m, facet, psi AS val, nn, psi >= 0.0 AS ok
+      FROM dag
+      UNION ALL
+      SELECT fam, 'kl', facet, kl, nn, kl >= -0.000000001 FROM dag
+    )
+    UNION ALL
     SELECT 'auc:quality_en' AS kind,
            CAST(rsum2 - npos * (npos + 1) AS DOUBLE)
              / CAST(2 * npos * nneg AS DOUBLE) AS exact_metric,
@@ -2447,6 +2528,71 @@ def sketch_distinct_rollup(spark, sf_dir):
         F.col("is_current").alias("within_tol"),
     )
 
+    # --- drift (r12): PSI/KL distribution drift between the diff
+    # section's old and new versions (functions/drift.py) — the
+    # monitoring complement of diff/scd2: did the DISTRIBUTIONS move,
+    # not just which rows. Two families, both on closed-form integer
+    # buckets the oracle rebuilds exactly: token-count buckets
+    # least(n_tok div 8, 31) and quality-score buckets floor(score*64)
+    # (the auc bucketing). Counting is one map-side-combined groupBy
+    # per (family, version); the divergence fold is O(facets x
+    # buckets) driver arithmetic with libm ln (the isotonic-PAV
+    # precedent), so psi/kl hash-match DuckDB's ordered list_reduce
+    # replay bit-for-bit. within_tol pins the sign contracts (PSI
+    # terms are sign-definite => psi >= 0; KL >= 0 up to rounding).
+    from scida_spark.functions.drift import bucket_counts, drift_table
+
+    def _drift_tok_buckets(df):
+        return df.select(
+            F.col("lang").alias("facet"),
+            F.least(
+                F.floor(TX.token_count(F.col("text")) / 8), F.lit(31)
+            ).alias("b"),
+        )
+
+    def _drift_q_buckets(df):
+        t = df.select("lang", TX.tokens(F.col("text")).alias("_t"))
+        return t.select(
+            F.col("lang").alias("facet"),
+            F.floor(
+                TX.quality_score_from_stats(
+                    F.size("_t"),
+                    F.size(F.array_distinct("_t")),
+                    F.aggregate(
+                        "_t",
+                        F.lit(0).cast("long"),
+                        lambda a, x: a + F.length(x),
+                    ).cast("double")
+                    / F.size("_t"),
+                )
+                * 64
+            ).alias("b"),
+        )
+
+    def _drift_rows(fam, mk_buckets):
+        dt = drift_table(
+            spark,
+            bucket_counts(mk_buckets(oldv), "facet", "b"),
+            bucket_counts(mk_buckets(newv), "facet", "b"),
+        )
+        psi_r = dt.select(
+            F.concat(F.lit(f"drift:{fam}:psi:"), "facet").alias("kind"),
+            F.col("psi").alias("exact_metric"),
+            F.col("n_new").cast("long").alias("n_rows"),
+            (F.col("psi") >= 0.0).alias("within_tol"),
+        )
+        kl_r = dt.select(
+            F.concat(F.lit(f"drift:{fam}:kl:"), "facet").alias("kind"),
+            F.col("kl").alias("exact_metric"),
+            F.col("n_new").cast("long").alias("n_rows"),
+            (F.col("kl") >= -1e-9).alias("within_tol"),
+        )
+        return psi_r.unionAll(kl_r)
+
+    drift_rows = _drift_rows("tok", _drift_tok_buckets).unionAll(
+        _drift_rows("q", _drift_q_buckets)
+    )
+
     # --- auc: exact ranking-quality evaluation (r9;
     # functions/metrics.py::auc_exact) — tie-corrected Mann-Whitney
     # AUC of the heuristic quality score at separating English docs,
@@ -2553,6 +2699,7 @@ def sketch_distinct_rollup(spark, sf_dir):
         .unionAll(dq_rows)
         .unionAll(diff_rows)
         .unionAll(scd2_rows)
+        .unionAll(drift_rows)
         .unionAll(auc_rows)
         .unionAll(iso_rows)
         .unionAll(funnel_rows)
