@@ -108,7 +108,7 @@ HEADLINE = [
 SECTIONED = {
     "sim_topk": "method",
     "stream_batch_windows": "kind",
-    "sketch_distinct_rollup": "kind",
+    "sketch_distinct_rollup": "section",
     "scida_groupid_assign": "method",
     "dedup_signature_pairs": "method",
     "scida_grouped": "variant",

@@ -1488,6 +1488,84 @@ def _truncdiv(s: int, n: int) -> int:
     return q if s >= 0 else -q
 
 
+def kmeans_train(
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    scale: int = 10**6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[int]]:
+    """The training half of :func:`kmeans_assign` — returns the
+    integer centroid matrix after ``iters`` Lloyd rounds, the
+    persistable INGEST-TIME artifact (the ``build_ivf_index``
+    convention: train once per corpus, serve assignments forever).
+    Each round is one distributed scan: a map-only assignment over the
+    literal centroid matrix feeding one map-side-combined aggregate of
+    k x (dim sums + count) — no explode, no row blow-up (the
+    ``sq8_bounds`` 2*dim-expression shape; a posexplode update paid a
+    rows x dim shuffle and was 25x slower at 200k x 64, SCALE.md)."""
+    xi, cents, dim = _kmeans_setup(embeddings, k, scale, id_col, vec_col)
+    if cents is None:
+        return []
+    for _ in range(int(iters)):
+        aggs = [F.count("*").alias("__n")] + [
+            F.sum(F.element_at("xi", d + 1)).alias(f"__s{d}")
+            for d in range(dim)
+        ]
+        sums = (
+            _kmeans_assigned(xi, cents, id_col)
+            .groupBy("cluster")
+            .agg(*aggs)
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]
+        for r in sums:
+            cl, n = r["cluster"], int(r["__n"])
+            new_cents[cl] = [
+                _truncdiv(int(r[f"__s{d}"]), n) for d in range(dim)
+            ]
+        cents = new_cents
+    return cents
+
+
+def _kmeans_setup(embeddings, k, scale, id_col, vec_col):
+    xi = embeddings.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.round(x * float(scale), 0).cast("long"),
+        ).alias("xi"),
+    )
+    init = xi.orderBy(id_col).limit(k).collect()
+    if not init:
+        return xi, None, 0
+    cents = [list(r["xi"]) for r in init]
+    return xi, cents, len(cents[0])
+
+
+def _kmeans_assigned(xi, cent_rows, id_col):
+    mat = _ilit_matrix(cent_rows)
+    d2s = F.transform(
+        mat,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("xi"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return xi.select(F.col(id_col), "xi", d2s.alias("_d2s")).select(
+        F.col(id_col),
+        "xi",
+        # array_position returns the FIRST index of the min — exactly
+        # the smallest-cluster-id tie-break
+        (F.array_position("_d2s", F.array_min("_d2s")) - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.array_min("_d2s").alias("dist2"),
+    )
+
+
 def kmeans_assign(
     embeddings: DataFrame,
     k: int = 4,
@@ -1495,6 +1573,7 @@ def kmeans_assign(
     scale: int = 10**6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[int]] | None = None,
 ) -> DataFrame:
     """First-class deterministic k-means (r12, carried from the r10
     verdict): ``(id, cluster, dist2)`` after ``iters`` synchronous
@@ -1519,11 +1598,21 @@ def kmeans_assign(
 
     Scale: per round, the assignment is a MAP-ONLY pass (the centroid
     matrix ships as one ``array<array<bigint>>`` literal — no join, no
-    shuffle) and the update is one posexplode + map-side-combined
-    groupBy bounded by k x dim output rows, collected driver-side (the
-    isotonic-PAV / IVF-build precedent: train on bounded state, scan
-    distributed). ``iters`` fixed => exactly ``iters`` scans + one
-    final assignment scan."""
+    shuffle) and the update is one map-side-combined k x (dim sums +
+    count) aggregate, collected driver-side (the isotonic-PAV /
+    IVF-build precedent: train on bounded state, scan distributed).
+    ``iters`` fixed => exactly ``iters`` scans + one final assignment
+    scan. Pass ``centroids`` (from :func:`kmeans_train`, persisted at
+    ingest) to skip training entirely — assignment is then ONE lazy
+    map-only pass."""
+    if centroids is None:
+        centroids = kmeans_train(
+            embeddings, k, iters, scale, id_col=id_col, vec_col=vec_col
+        )
+    if not centroids:
+        return embeddings.sparkSession.createDataFrame(
+            [], f"{id_col} long, cluster int, dist2 long"
+        )
     xi = embeddings.select(
         F.col(id_col),
         F.transform(
@@ -1531,53 +1620,7 @@ def kmeans_assign(
             lambda x: F.round(x * float(scale), 0).cast("long"),
         ).alias("xi"),
     )
-    init = xi.orderBy(id_col).limit(k).collect()
-    if not init:
-        return embeddings.sparkSession.createDataFrame(
-            [], f"{id_col} long, cluster int, dist2 long"
-        )
-    cents = [list(r["xi"]) for r in init]
-
-    def _assigned(cent_rows):
-        mat = _ilit_matrix(cent_rows)
-        d2s = F.transform(
-            mat,
-            lambda c: F.aggregate(
-                F.zip_with(F.col("xi"), c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ),
-        )
-        return xi.select(
-            F.col(id_col),
-            "xi",
-            d2s.alias("_d2s"),
-        ).select(
-            F.col(id_col),
-            "xi",
-            # array_position returns the FIRST index of the min —
-            # exactly the smallest-cluster-id tie-break
-            (F.array_position("_d2s", F.array_min("_d2s")) - 1)
-            .cast("int")
-            .alias("cluster"),
-            F.array_min("_d2s").alias("dist2"),
-        )
-
-    for _ in range(int(iters)):
-        sums = (
-            _assigned(cents)
-            .select("cluster", F.posexplode("xi").alias("pos", "x"))
-            .groupBy("cluster", "pos")
-            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
-            .collect()
-        )
-        new_cents = [list(c) for c in cents]
-        for r in sums:
-            new_cents[r["cluster"]][r["pos"]] = _truncdiv(
-                int(r["s"]), int(r["n"])
-            )
-        cents = new_cents
-    return _assigned(cents).drop("xi")
+    return _kmeans_assigned(xi, centroids, id_col).drop("xi")
 
 
 def _dlit_array(xs) -> Column:
