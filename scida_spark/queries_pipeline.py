@@ -2548,20 +2548,18 @@ def sketch_distinct_rollup(spark, sf_dir):
     # precedent), so psi/kl hash-match DuckDB's ordered list_reduce
     # replay bit-for-bit. within_tol pins the sign contracts (PSI
     # terms are sign-definite => psi >= 0; KL >= 0 up to rounding).
-    from scida_spark.functions.drift import bucket_counts, drift_table
+    from scida_spark.functions.drift import drift_table
 
-    def _drift_tok_buckets(df):
-        return df.select(
-            F.col("lang").alias("facet"),
-            F.least(
-                F.floor(TX.token_count(F.col("text")) / 8), F.lit(31)
-            ).alias("b"),
-        )
-
-    def _drift_q_buckets(df):
+    def _drift_counts_2d(df):
+        # ONE tokenization pass per version carries BOTH bucket
+        # families (token-count and quality-score share the token
+        # array); the 2D histogram groupBy is bounded by langs x 32 x
+        # 65 rows, and the per-family 1D histograms are marginal sums
+        # over that tiny aggregate — 2 corpus scans total instead of 4
         t = df.select("lang", TX.tokens(F.col("text")).alias("_t"))
-        return t.select(
+        both = t.select(
             F.col("lang").alias("facet"),
+            F.least(F.floor(F.size("_t") / 8), F.lit(31)).alias("tb"),
             F.floor(
                 TX.quality_score_from_stats(
                     F.size("_t"),
@@ -2574,15 +2572,31 @@ def sketch_distinct_rollup(spark, sf_dir):
                     / F.size("_t"),
                 )
                 * 64
-            ).alias("b"),
+            ).alias("qb"),
         )
+        # lazily checkpointed: the tok and q marginals are collected in
+        # separate driver actions — without this each would re-run the
+        # corpus tokenization scan
+        c2 = (
+            both.groupBy("facet", "tb", "qb")
+            .agg(F.count("*").alias("c"))
+            .localCheckpoint(eager=False)
+        )
+        marg = {
+            "tok": c2.groupBy(
+                "facet", F.col("tb").cast("long").alias("bucket")
+            ).agg(F.sum("c").alias("c")),
+            "q": c2.groupBy(
+                "facet", F.col("qb").cast("long").alias("bucket")
+            ).agg(F.sum("c").alias("c")),
+        }
+        return marg
 
-    def _drift_rows(fam, mk_buckets):
-        dt = drift_table(
-            spark,
-            bucket_counts(mk_buckets(oldv), "facet", "b"),
-            bucket_counts(mk_buckets(newv), "facet", "b"),
-        )
+    _drift_old = _drift_counts_2d(oldv)
+    _drift_new = _drift_counts_2d(newv)
+
+    def _drift_rows(fam, _unused=None):
+        dt = drift_table(spark, _drift_old[fam], _drift_new[fam])
         psi_r = dt.select(
             F.concat(F.lit(f"drift:{fam}:psi:"), "facet").alias("kind"),
             F.col("psi").alias("exact_metric"),
@@ -2597,9 +2611,7 @@ def sketch_distinct_rollup(spark, sf_dir):
         )
         return psi_r.unionAll(kl_r)
 
-    drift_rows = _drift_rows("tok", _drift_tok_buckets).unionAll(
-        _drift_rows("q", _drift_q_buckets)
-    )
+    drift_rows = _drift_rows("tok").unionAll(_drift_rows("q"))
 
     # --- auc: exact ranking-quality evaluation (r9;
     # functions/metrics.py::auc_exact) — tie-corrected Mann-Whitney

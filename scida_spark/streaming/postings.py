@@ -41,6 +41,19 @@ micro-batch are safe (idempotent overwrite); the same doc arriving in
 TWO DIFFERENT batches would double its postings, exactly as it would
 double its rows in a batch corpus.
 
+DELETIONS (r12) are tombstones, the search-engine norm: rewriting
+posting partials per delete would be O(index), so ``delete_docs``
+appends an id-list partial under ``deletes/batch_id=N/`` (idempotent
+set-union monoid — re-deleting is a no-op) and the serve path masks:
+postings/doclen anti-join the (broadcast-tiny, candidate-sized after
+bucket pruning) tombstone set, and corpus stats subtract the deleted
+docs' lengths via one O(deletes) semi-join aggregate. Serving after a
+delete is bit-identical to a batch rebuild over corpus-minus-deleted
+(same scorers, same index content). ``compact_postings`` APPLIES the
+tombstones: deleted rows drop from the folded base, stats are
+re-derived from the surviving doclen, and the tombstone store empties
+— compaction remains a serve fixed point.
+
 Net-new surface (no reference counterpart — the reference has no text
 or streaming support; SURVEY §2.7).
 """
@@ -70,6 +83,8 @@ __all__ = [
     "ql_topk_from_store",
     "compact_postings",
     "store_meta",
+    "delete_docs",
+    "read_deletes",
 ]
 
 DEFAULT_BUCKETS = 16
@@ -77,7 +92,12 @@ DEFAULT_BUCKETS = 16
 META_FILE = "_meta.json"
 
 
-def _ensure_meta(store_dir: str, n_buckets: int) -> None:
+def _ensure_meta(
+    store_dir: str,
+    n_buckets: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
     """Persist the store's sharding parameter at ingest time (r11
     ADVICE #1): ``n_buckets`` determines which ``tok_bucket``
     partitions hold a term's postings, so a reader that assumes the
@@ -96,7 +116,10 @@ def _ensure_meta(store_dir: str, n_buckets: int) -> None:
                 f"n_buckets={n_buckets}"
             )
         return
-    storefs.write_json_atomic(path, {"n_buckets": int(n_buckets)})
+    storefs.write_json_atomic(
+        path,
+        {"n_buckets": int(n_buckets), "id_col": id_col, "text_col": text_col},
+    )
 
 
 def store_meta(store_dir: str) -> dict:
@@ -169,7 +192,7 @@ def postings_writer(
     alongside rollup/freq/reservoir stores)."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        _ensure_meta(store_dir, n_buckets)
+        _ensure_meta(store_dir, n_buckets, id_col, text_col)
         postings, doclen, stats = _index_partials(
             batch_df, id_col, text_col, n_buckets
         )
@@ -273,6 +296,46 @@ def read_corpus_stats(spark: SparkSession, store_dir: str) -> tuple[int, int]:
     return (int(row["n"] or 0), int(row["tot"] or 0))
 
 
+def delete_docs(
+    spark: SparkSession,
+    store_dir: str,
+    ids,
+    batch_id: int,
+    id_col: str = "doc_id",
+) -> None:
+    """Tombstone ``ids`` (a DataFrame with ``id_col`` or an iterable of
+    ints) as the delete partial ``deletes/batch_id=N`` — O(deletes)
+    written, nothing rewritten. Idempotent overwrite; deleting an id
+    twice (or one never ingested) is a no-op at serve time."""
+    df = (
+        ids
+        if isinstance(ids, DataFrame)
+        else spark.createDataFrame([(int(i),) for i in ids], f"{id_col} long")
+    )
+    df.select(F.col(id_col)).distinct().write.mode("overwrite").parquet(
+        os.path.join(store_dir, "deletes", f"batch_id={batch_id}")
+    )
+
+
+def read_deletes(
+    spark: SparkSession, store_dir: str, id_col: str = "doc_id"
+) -> DataFrame | None:
+    """The accumulated tombstone set (distinct ids); None if no
+    deletes exist."""
+    root = os.path.join(store_dir, "deletes")
+    storefs.recover_pending(root)
+    if not os.path.isdir(root) or not any(
+        d.startswith("batch_id=") for d in os.listdir(root)
+    ):
+        return None
+    return (
+        spark.read.option("basePath", root)
+        .parquet(root)
+        .select(F.col(id_col))
+        .distinct()
+    )
+
+
 def _index_tables(spark, store_dir, queries, id_col, n_buckets, corpus_stats):
     terms = {t for _, qtext in queries for t in qtext.strip().split(" ")}
     postings = read_postings(spark, store_dir, terms, n_buckets).select(
@@ -283,6 +346,30 @@ def _index_tables(spark, store_dir, queries, id_col, n_buckets, corpus_stats):
     )
     if corpus_stats is None:
         corpus_stats = read_corpus_stats(spark, store_dir)
+    dels = read_deletes(spark, store_dir, id_col)
+    if dels is not None:
+        # Tombstone masking: anti-joins against the broadcast delete
+        # set (postings are already bucket-pruned — candidate-sized),
+        # and corpus stats subtract the deleted docs' lengths via one
+        # O(deletes) semi-join aggregate. After compaction applies the
+        # tombstones these become no-ops (empty intersections), so a
+        # crash between apply and tombstone-clear stays correct.
+        d = F.broadcast(dels)
+        postings = postings.join(d, id_col, "left_anti")
+        dl = dl.join(d, id_col, "left_anti")
+        row = (
+            read_doclen(spark, store_dir)
+            .join(d, id_col, "left_semi")
+            .agg(
+                F.count("*").alias("dn"),
+                F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("dt"),
+            )
+            .first()
+        )
+        corpus_stats = (
+            corpus_stats[0] - int(row["dn"]),
+            corpus_stats[1] - int(row["dt"]),
+        )
     return postings, dl, corpus_stats
 
 
@@ -344,24 +431,52 @@ def compact_postings(spark: SparkSession, store_dir: str) -> int:
     committed by an atomic manifest, and only then are the batch dirs
     retired — an interruption anywhere is repaired by the
     ``recover_pending`` call at the top of the next compaction or
-    store read."""
-    folded = 0
-    for sub, rewrite in (
-        ("postings", lambda df: df.drop("batch_id")),
-        ("doclen", lambda df: df.drop("batch_id")),
-        (
-            "stats",
-            lambda df: df.agg(
+    store read.
+
+    Tombstones (r12) are APPLIED here: deleted rows drop from the
+    folded postings/doclen, stats are re-derived from the surviving
+    doclen (exact integer re-aggregation), and the delete store
+    empties LAST — a crash before the clear leaves serve-time masking
+    as a harmless no-op (empty intersections)."""
+    id_col = store_meta(store_dir).get("id_col", "doc_id")
+    dels = read_deletes(spark, store_dir, id_col)
+    dmask = (lambda df: df.join(F.broadcast(dels), id_col, "left_anti")) if (
+        dels is not None
+    ) else (lambda df: df)
+
+    def _stats_rewrite(df):
+        if dels is None:
+            return df.agg(
                 F.sum("n_docs").alias("n_docs"),
                 F.sum("total_tokens").cast("long").alias("total_tokens"),
-            ),
-        ),
+            )
+        # doclen was compacted (tombstones applied) earlier in this
+        # loop — exact integer re-aggregation of the survivors
+        return read_doclen(spark, store_dir).agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0))
+            .cast("long")
+            .alias("total_tokens"),
+        )
+
+    folded = 0
+    for sub, rewrite in (
+        ("postings", lambda df: dmask(df.drop("batch_id"))),
+        ("doclen", lambda df: dmask(df.drop("batch_id"))),
+        ("stats", _stats_rewrite),
     ):
         root = os.path.join(store_dir, sub)
         storefs.recover_pending(root)
         batches = storefs.list_batches(root)
         if not batches:
-            continue
+            # no partials to fold — done, UNLESS tombstones must be
+            # applied to an already-compacted store: then fold the
+            # base partial itself
+            if dels is None or not os.path.isdir(
+                os.path.join(root, "batch_id=-1")
+            ):
+                continue
+            batches = ["batch_id=-1"]
         df = spark.read.option("basePath", root).parquet(root)
         base = rewrite(df)
         w = base.write.mode("overwrite")
@@ -370,4 +485,11 @@ def compact_postings(spark: SparkSession, store_dir: str) -> int:
         w.parquet(storefs.scratch_dir(root))
         storefs.promote_compacted(root, batches)
         folded = max(folded, len(batches))
+    if dels is not None:
+        # tombstones applied — clear them LAST (see docstring)
+        import shutil
+
+        droot = os.path.join(store_dir, "deletes")
+        for d in storefs.list_batches(droot):
+            shutil.rmtree(os.path.join(droot, d), ignore_errors=True)
     return folded

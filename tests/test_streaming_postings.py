@@ -334,3 +334,84 @@ def test_compaction_crash_heals_on_next_read(spark, dirs, monkeypatch):
     # and a rerun compaction completes normally, still a fixed point
     compact_postings(spark, dirs["store"])
     assert _rows(bm25_topk_from_store(spark, dirs["store"], QUERIES)) == before
+
+
+def test_tombstone_deletes_serve_equals_batch(spark, dirs):
+    """delete_docs (r12): serving after tombstones must equal a batch
+    rebuild over corpus-minus-deleted BIT-for-bit; compaction applies
+    the tombstones (delete store empties, rankings unchanged); deletes
+    of unknown ids and re-deletes are no-ops."""
+    from scida_spark.streaming.postings import (
+        delete_docs,
+        postings_writer,
+        read_corpus_stats,
+        read_deletes,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, TEXTS[i % len(TEXTS)]) for i in range(40)], SCHEMA
+    )
+    w = postings_writer(dirs["store"])
+    w(docs.filter(F.col("doc_id") < 20), 0)
+    w(docs.filter(F.col("doc_id") >= 20), 1)
+
+    gone = [3, 7, 21, 35]
+    delete_docs(spark, dirs["store"], gone, 0)
+    # re-delete one + delete a never-ingested id: both no-ops
+    delete_docs(spark, dirs["store"], [3, 999], 1)
+
+    remaining = docs.filter(~F.col("doc_id").isin(gone))
+    want_bm = _rows(bm25_topk(remaining, QUERIES, k=5))
+    want_ql = _rows(query_likelihood_topk(remaining, QUERIES, k=5))
+    got_bm = _rows(bm25_topk_from_store(spark, dirs["store"], QUERIES, k=5))
+    got_ql = _rows(ql_topk_from_store(spark, dirs["store"], QUERIES, k=5))
+    assert got_bm == want_bm and len(got_bm) > 0
+    assert got_ql == want_ql
+
+    # corpus stats: raw partials still include deleted docs (the read
+    # path subtracts); after compaction the store itself is clean
+    want_stats = (
+        remaining.count(),
+        remaining.select(
+            F.coalesce(
+                F.sum(F.size(F.split(F.trim("text"), r"\s+"))), F.lit(0)
+            )
+        ).first()[0],
+    )
+    compact_postings(spark, dirs["store"])
+    assert read_deletes(spark, dirs["store"]) is None  # tombstones applied
+    assert read_corpus_stats(spark, dirs["store"]) == want_stats
+    assert _rows(
+        bm25_topk_from_store(spark, dirs["store"], QUERIES, k=5)
+    ) == want_bm
+    # deleted ids are physically gone from the folded doclen
+    from scida_spark.streaming.postings import read_doclen
+
+    assert (
+        read_doclen(spark, dirs["store"])
+        .filter(F.col("doc_id").isin(gone))
+        .count()
+        == 0
+    )
+
+
+def test_tombstone_on_compacted_store(spark, dirs):
+    """Deleting AFTER compaction folds the base partial again — the
+    apply path works without batch partials present."""
+    from scida_spark.streaming.postings import delete_docs, postings_writer
+
+    docs = spark.createDataFrame(
+        [(i, TEXTS[i % len(TEXTS)]) for i in range(30)], SCHEMA
+    )
+    postings_writer(dirs["store"])(docs, 0)
+    compact_postings(spark, dirs["store"])
+    delete_docs(spark, dirs["store"], [1, 2], 0)
+    remaining = docs.filter(~F.col("doc_id").isin([1, 2]))
+    want = _rows(bm25_topk(remaining, QUERIES, k=5))
+    assert _rows(
+        bm25_topk_from_store(spark, dirs["store"], QUERIES, k=5)
+    ) == want
+    compact_postings(spark, dirs["store"])
+    assert _rows(
+        bm25_topk_from_store(spark, dirs["store"], QUERIES, k=5)
+    ) == want
