@@ -281,9 +281,28 @@ def read_doclen(spark: SparkSession, store_dir: str) -> DataFrame:
     ).parquet(os.path.join(store_dir, "doclen"))
 
 
-def read_corpus_stats(spark: SparkSession, store_dir: str) -> tuple[int, int]:
+def _deleted_stats(spark, store_dir, dels, id_col) -> tuple[int, int]:
+    """(n_docs, total_tokens) of the tombstoned-AND-ingested docs —
+    one O(deletes) semi-join aggregate against doclen."""
+    row = (
+        read_doclen(spark, store_dir)
+        .join(F.broadcast(dels), id_col, "left_semi")
+        .agg(
+            F.count("*").alias("dn"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("dt"),
+        )
+        .first()
+    )
+    return (int(row["dn"]), int(row["dt"]))
+
+
+def read_corpus_stats(
+    spark: SparkSession, store_dir: str, apply_deletes: bool = True
+) -> tuple[int, int]:
     """(n_docs, total_tokens) over the whole ingested history — an
-    O(batches)-row sum of 1-row partials, never a corpus scan."""
+    O(batches)-row sum of 1-row partials, never a corpus scan. With
+    ``apply_deletes`` (default) unapplied tombstones are subtracted,
+    so the public number always reflects the LIVE corpus."""
     storefs.recover_pending(os.path.join(store_dir, "stats"))
     row = (
         spark.read.option("basePath", os.path.join(store_dir, "stats"))
@@ -293,7 +312,14 @@ def read_corpus_stats(spark: SparkSession, store_dir: str) -> tuple[int, int]:
         )
         .first()
     )
-    return (int(row["n"] or 0), int(row["tot"] or 0))
+    n, tot = int(row["n"] or 0), int(row["tot"] or 0)
+    if apply_deletes:
+        id_col = store_meta(store_dir).get("id_col", "doc_id")
+        dels = read_deletes(spark, store_dir, id_col)
+        if dels is not None:
+            dn, dt = _deleted_stats(spark, store_dir, dels, id_col)
+            n, tot = n - dn, tot - dt
+    return (n, tot)
 
 
 def delete_docs(
@@ -344,32 +370,25 @@ def _index_tables(spark, store_dir, queries, id_col, n_buckets, corpus_stats):
     dl = read_doclen(spark, store_dir).select(
         F.col(id_col), F.col("dl").alias("_dl")
     )
-    if corpus_stats is None:
-        corpus_stats = read_corpus_stats(spark, store_dir)
     dels = read_deletes(spark, store_dir, id_col)
+    if corpus_stats is None:
+        # delete-adjusted by default
+        corpus_stats = read_corpus_stats(spark, store_dir)
+    elif dels is not None:
+        # caller-provided stats are pre-delete ingest artifacts —
+        # subtract the tombstoned docs' lengths (one O(deletes)
+        # semi-join aggregate)
+        dn, dt = _deleted_stats(spark, store_dir, dels, id_col)
+        corpus_stats = (corpus_stats[0] - dn, corpus_stats[1] - dt)
     if dels is not None:
         # Tombstone masking: anti-joins against the broadcast delete
-        # set (postings are already bucket-pruned — candidate-sized),
-        # and corpus stats subtract the deleted docs' lengths via one
-        # O(deletes) semi-join aggregate. After compaction applies the
-        # tombstones these become no-ops (empty intersections), so a
-        # crash between apply and tombstone-clear stays correct.
+        # set (postings are already bucket-pruned — candidate-sized).
+        # After compaction applies the tombstones these become no-ops
+        # (empty intersections), so a crash between apply and
+        # tombstone-clear stays correct.
         d = F.broadcast(dels)
         postings = postings.join(d, id_col, "left_anti")
         dl = dl.join(d, id_col, "left_anti")
-        row = (
-            read_doclen(spark, store_dir)
-            .join(d, id_col, "left_semi")
-            .agg(
-                F.count("*").alias("dn"),
-                F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("dt"),
-            )
-            .first()
-        )
-        corpus_stats = (
-            corpus_stats[0] - int(row["dn"]),
-            corpus_stats[1] - int(row["dt"]),
-        )
     return postings, dl, corpus_stats
 
 
