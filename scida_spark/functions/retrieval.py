@@ -53,7 +53,73 @@ __all__ = [
     "query_likelihood_topk",
     "ql_topk_from_index",
     "rrf_fuse",
+    "phrase_occurrences",
 ]
+
+
+def phrase_occurrences(
+    docs: "DataFrame",
+    phrases: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Exact token-sequence phrase matching (r12): one row per
+    (phrase, doc) with the OVERLAPPING sliding-window occurrence count
+    (n_occ > 0 only) — the primitive bag-of-words rankers can't
+    express ("new york" as a unit, benchmark-prompt decontamination by
+    exact phrase, quote detection). ``phrases`` is a small literal
+    list of (phrase_id, phrase_text).
+
+    Spark-first shape: the phrase set ships as ONE literal
+    array<struct> that EXPLODES against each doc's token array, and
+    the count is a correlated nested higher-order fold — for window
+    start i, forall positions j: t[i+j] == phrase[j]. Entirely
+    map-only: ONE corpus scan evaluates every phrase, no postings
+    join, no shuffle, nothing but the final (tiny) row filter. At
+    100 TB this is the cheapest possible plan — phrase matching rides
+    any existing scan of the text column.
+
+    Both engines count the same overlapping windows ("the the the"
+    contains "the the" twice), and the all-integer counts hash-match
+    exactly."""
+    pl = F.expr(
+        "array("
+        + ",".join(
+            "named_struct('pid', '{}', 'pw', array({}))".format(
+                pid, ",".join("'" + w + "'" for w in ptext.split())
+            )
+            for pid, ptext in phrases
+        )
+        + ")"
+    )
+    e = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_t"),
+        F.explode(pl).alias("_p"),
+    )
+    k = F.size("_p.pw")
+    occ = F.when(
+        F.size("_t") >= k,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.size("_t") - k + 1),
+                lambda i: F.forall(
+                    F.sequence(F.lit(0), F.size("_p.pw") - 1),
+                    lambda j: F.element_at("_t", (i + j).cast("int"))
+                    == F.element_at("_p.pw", (j + 1).cast("int")),
+                ),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    return (
+        e.select(
+            F.col("_p.pid").alias("phrase_id"),
+            F.col(id_col),
+            F.array_join("_p.pw", " ").alias("phrase"),
+            occ.cast("long").alias("n_occ"),
+        )
+        .filter(F.col("n_occ") > 0)
+    )
 
 
 def bm25_topk(

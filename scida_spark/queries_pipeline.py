@@ -3937,6 +3937,45 @@ _URL_CASES = [
 ]
 
 
+# Exact-phrase query set (r12): two common bigrams, one trigram, and
+# one phrase absent from the corpus (the zero-hit case — both engines
+# emit nothing for it).
+_PHRASES = [
+    ("p0", "hash join"),
+    ("p1", "table table"),
+    ("p2", "group value sort"),
+    ("p3", "zz unseen phrase"),
+]
+
+
+def _phrase_oracle_section() -> str:
+    """DuckDB twin of the phrase rows: per phrase, the identical
+    overlapping sliding-window count over the token array — unrolled
+    adjacency conditions per (literal) phrase, all-integer counts."""
+    parts = []
+    for pid, phrase in _PHRASES:
+        w = phrase.split()
+        k = len(w)
+        cond = " AND ".join(f"t[i+{j}] = '{w[j]}'" for j in range(k))
+        parts.append(
+            f"""
+    SELECT 'phrase' AS section,
+           'p:{pid}:' || CAST(doc_id AS VARCHAR) AS k1,
+           '{phrase}' AS k2, CAST(occ AS BIGINT) AS n,
+           CAST(0.0 AS DOUBLE) AS sum_score
+    FROM (
+      SELECT doc_id,
+             CASE WHEN len(t) >= {k}
+                  THEN len(list_filter(generate_series(1, len(t) - {k} + 1),
+                           i -> {cond}))
+                  ELSE 0 END AS occ
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS t
+            FROM documents))
+    WHERE occ > 0"""
+        )
+    return "\n    UNION ALL\n".join(parts)
+
+
 def _url_oracle_section() -> str:
     """DuckDB twin of the url/urldom/urlcorp sections: literal rows
     pin the hand-derived canonical form and registered domain byte-
@@ -4255,7 +4294,9 @@ def _url_oracle_section() -> str:
     )
     """
     + _pii_oracle_section()
-    + _url_oracle_section(),
+    + _url_oracle_section()
+    + "\n    UNION ALL\n"
+    + _phrase_oracle_section(),
 )
 def text_quality_lang(spark, sf_dir):
     """Quality scoring + language-ID confusion matrix in one
@@ -4839,6 +4880,26 @@ def text_quality_lang(spark, sf_dir):
             F.lit(0.0).alias("sum_score"),
         )
     )
+    # phrase (r12): exact token-sequence phrase matching
+    # (functions/retrieval.py::phrase_occurrences) — every overlapping
+    # occurrence count per (phrase, doc) value-checked; one map-only
+    # corpus scan evaluates all four phrases (zero shuffle, the
+    # cheapest plan the operator admits), incl. a zero-hit phrase
+    # both engines drop.
+    from scida_spark.functions.retrieval import phrase_occurrences
+
+    phrase_rows = phrase_occurrences(docs, _PHRASES).select(
+        F.lit("phrase").alias("section"),
+        F.concat(
+            F.lit("p:"),
+            F.col("phrase_id"),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        ).alias("k1"),
+        F.col("phrase").alias("k2"),
+        F.col("n_occ").alias("n"),
+        F.lit(0.0).alias("sum_score"),
+    )
     return (
         q.unionAll(lid)
         .unionAll(lm_rows)
@@ -4861,6 +4922,7 @@ def text_quality_lang(spark, sf_dir):
         .unionAll(urldom_lits)
         .unionAll(urlcorp_rows)
         .unionAll(urldom_corp)
+        .unionAll(phrase_rows)
     )
 
 

@@ -223,3 +223,49 @@ def test_tfidf_keywords_layout_independent(spark, sf_dir):
     a = {tuple(r) for r in tfidf_keywords(docs, k=3).collect()}
     b = {tuple(r) for r in tfidf_keywords(docs.repartition(7), k=3).collect()}
     assert a == b and len(a) > 100
+
+
+def test_phrase_occurrences_contract(spark):
+    """phrase_occurrences (r12): overlapping sliding-window counts,
+    zero-hit phrases emit nothing, k > len(tokens) is safe, the plan
+    is map-only (no Exchange), and partitioning never changes a count."""
+    from scida_spark.functions.retrieval import phrase_occurrences
+
+    df = spark.createDataFrame(
+        [
+            (0, "the the the"),          # overlapping: "the the" x2
+            (1, "a b c a b"),            # "a b" x2, "c a b" x1
+            (2, "x"),                    # shorter than any phrase
+            (3, "  a   b  "),            # multi-space split still matches
+        ],
+        "doc_id long, text string",
+    )
+    phrases = [
+        ("p0", "the the"),
+        ("p1", "a b"),
+        ("p2", "c a b"),
+        ("p3", "zz qq"),
+    ]
+    got = {
+        (r["phrase_id"], r["doc_id"]): r["n_occ"]
+        for r in phrase_occurrences(df, phrases).collect()
+    }
+    assert got == {
+        ("p0", 0): 2,
+        ("p1", 1): 2,
+        ("p1", 3): 1,
+        ("p2", 1): 1,
+    }
+    # map-only: one scan, no shuffle
+    plan = (
+        phrase_occurrences(df, phrases)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    got2 = {
+        (r["phrase_id"], r["doc_id"]): r["n_occ"]
+        for r in phrase_occurrences(df.repartition(7), phrases).collect()
+    }
+    assert got2 == got
