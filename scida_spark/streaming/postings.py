@@ -54,6 +54,15 @@ tombstones: deleted rows drop from the folded base, stats are
 re-derived from the surviving doclen, and the tombstone store empties
 — compaction remains a serve fixed point.
 
+POSITIONAL postings (r12): ``with_positions=True`` at ingest makes
+each posting carry the sorted 1-based token-position array (recorded
+in ``_meta.json``) — ``phrase_docs_from_store`` then serves exact
+phrase queries straight from the index with counts bit-identical to
+the batch ``phrase_occurrences`` operator, reading only the phrase
+terms' buckets. Ranked serving ignores the extra column; compaction
+and tombstones apply unchanged (the positions array rides the same
+append-monoid rows).
+
 Net-new surface (no reference counterpart — the reference has no text
 or streaming support; SURVEY §2.7).
 """
@@ -84,6 +93,7 @@ __all__ = [
     "compact_postings",
     "store_meta",
     "delete_docs",
+    "phrase_docs_from_store",
     "read_deletes",
 ]
 
@@ -97,6 +107,7 @@ def _ensure_meta(
     n_buckets: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    with_positions: bool = False,
 ) -> None:
     """Persist the store's sharding parameter at ingest time (r11
     ADVICE #1): ``n_buckets`` determines which ``tok_bucket``
@@ -118,7 +129,12 @@ def _ensure_meta(
         return
     storefs.write_json_atomic(
         path,
-        {"n_buckets": int(n_buckets), "id_col": id_col, "text_col": text_col},
+        {
+            "n_buckets": int(n_buckets),
+            "id_col": id_col,
+            "text_col": text_col,
+            "with_positions": bool(with_positions),
+        },
     )
 
 
@@ -153,16 +169,30 @@ def term_bucket(term: str, n_buckets: int = DEFAULT_BUCKETS) -> int:
 
 
 def _index_partials(
-    batch_df: DataFrame, id_col: str, text_col: str, n_buckets: int
+    batch_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    with_positions: bool = False,
 ):
     """(postings, doclen, stats) partials of one micro-batch — one
-    tokenization, three consumers (the caller persists the batch)."""
+    tokenization, three consumers (the caller persists the batch).
+    With ``with_positions`` each posting also carries the SORTED
+    1-based token-position array (the classic positional posting list
+    — what phrase queries need to run from the index without ever
+    re-reading text)."""
     toks = batch_df.select(
-        F.col(id_col), F.explode(TX.tokens(F.col(text_col))).alias("tok")
+        F.col(id_col),
+        F.posexplode(TX.tokens(F.col(text_col))).alias("pos0", "tok"),
     )
+    aggs = [F.count("*").alias("tf")]
+    if with_positions:
+        aggs.append(
+            F.sort_array(F.collect_list(F.col("pos0") + 1)).alias("positions")
+        )
     postings = (
         toks.groupBy(id_col, "tok")
-        .agg(F.count("*").alias("tf"))
+        .agg(*aggs)
         .withColumn(
             "tok_bucket",
             (F.crc32(F.col("tok").cast("binary")) % F.lit(n_buckets)).cast(
@@ -185,16 +215,19 @@ def postings_writer(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = DEFAULT_BUCKETS,
+    with_positions: bool = False,
 ):
     """Per-batch writer maintaining the three index substores —
     composable under ``streaming/rollup.py::incremental_multi_store_
     ingest`` (ONE readStream pass can maintain the retrieval index
-    alongside rollup/freq/reservoir stores)."""
+    alongside rollup/freq/reservoir stores). ``with_positions`` makes
+    the postings POSITIONAL (phrase queries become servable from the
+    store; ~proportionally larger postings — the standard trade)."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        _ensure_meta(store_dir, n_buckets, id_col, text_col)
+        _ensure_meta(store_dir, n_buckets, id_col, text_col, with_positions)
         postings, doclen, stats = _index_partials(
-            batch_df, id_col, text_col, n_buckets
+            batch_df, id_col, text_col, n_buckets, with_positions
         )
         postings.write.mode("overwrite").partitionBy("tok_bucket").parquet(
             os.path.join(store_dir, "postings", f"batch_id={batch_id}")
@@ -219,6 +252,7 @@ def incremental_postings_ingest(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = DEFAULT_BUCKETS,
+    with_positions: bool = False,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
 ):
@@ -226,7 +260,9 @@ def incremental_postings_ingest(
     postings/doclen/stats store; returns the StreamingQuery. The
     micro-batch is persisted once and feeds all three substores (the
     one-pass multi-store rule)."""
-    writer_fn = postings_writer(store_dir, id_col, text_col, n_buckets)
+    writer_fn = postings_writer(
+        store_dir, id_col, text_col, n_buckets, with_positions
+    )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
@@ -435,6 +471,84 @@ def ql_topk_from_store(
     return ql_topk_from_index(
         spark, postings, dl, cs, queries, k=k, mu=mu, id_col=id_col
     )
+
+
+def phrase_docs_from_store(
+    spark: SparkSession,
+    store_dir: str,
+    phrases: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Exact phrase matching served from a POSITIONAL store (ingested
+    with ``with_positions=True``) — (phrase_id, id, phrase, n_occ > 0)
+    with counts bit-identical to the batch
+    ``functions/retrieval.py::phrase_occurrences`` over the same
+    corpus: an occurrence is a position p of the first term with
+    p + j in positions(term_j) for every later term, which is exactly
+    the batch operator's sliding window.
+
+    The 100 TB path phrase search needs: the scan touches ONLY the
+    phrase terms' tok_bucket partitions (posting-list sharding), one
+    bounded groupBy assembles each candidate doc's term->positions
+    map (docs holding ALL the phrase's distinct terms survive — the
+    conjunctive prefilter), and the adjacency check is a map-side
+    array fold. History is never re-tokenized; tombstones mask as in
+    ranked serving."""
+    if not store_meta(store_dir).get("with_positions"):
+        raise ValueError(
+            f"postings store {store_dir} was ingested without positions; "
+            "phrase serving needs postings_writer(with_positions=True)"
+        )
+    dels = read_deletes(spark, store_dir, id_col)
+    outs = []
+    for pid, ptext in phrases:
+        w = ptext.strip().split()
+        terms = sorted(set(w))
+        p = read_postings(spark, store_dir, terms, n_buckets).select(
+            F.col(id_col), "tok", "positions"
+        )
+        if dels is not None:
+            p = p.join(F.broadcast(dels), id_col, "left_anti")
+        g = (
+            p.groupBy(id_col)
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("tok", "positions"))
+                ).alias("m"),
+                F.count_distinct(F.col("tok")).alias("nt"),
+            )
+            .filter(F.col("nt") == len(terms))
+        )
+
+        def _mk_adjacent(ws):
+            # single-arg lambda (pyspark passes (value, index) to
+            # TWO-parameter callables — a default arg counts)
+            def _adjacent(pp):
+                cond = F.lit(True)
+                for j in range(1, len(ws)):
+                    cond = cond & F.array_contains(
+                        F.element_at(F.col("m"), F.lit(ws[j])), pp + j
+                    )
+                return cond
+
+            return _adjacent
+
+        occ = F.size(
+            F.filter(F.element_at(F.col("m"), F.lit(w[0])), _mk_adjacent(w))
+        )
+        outs.append(
+            g.select(
+                F.lit(pid).alias("phrase_id"),
+                F.col(id_col),
+                F.lit(ptext).alias("phrase"),
+                occ.cast("long").alias("n_occ"),
+            ).filter(F.col("n_occ") > 0)
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
 
 
 def compact_postings(spark: SparkSession, store_dir: str) -> int:

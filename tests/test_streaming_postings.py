@@ -415,3 +415,71 @@ def test_tombstone_on_compacted_store(spark, dirs):
     assert _rows(
         bm25_topk_from_store(spark, dirs["store"], QUERIES, k=5)
     ) == want
+
+
+def test_positional_store_phrase_serve_equals_batch(spark, dirs):
+    """Positional postings (r12): phrase counts served from the store
+    must equal the batch phrase_occurrences operator EXACTLY, survive
+    compaction, respect tombstones, and refuse non-positional stores."""
+    from scida_spark.functions.retrieval import phrase_occurrences
+    from scida_spark.streaming.postings import (
+        delete_docs,
+        phrase_docs_from_store,
+        postings_writer,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, TEXTS[i % len(TEXTS)]) for i in range(36)], SCHEMA
+    )
+    w = postings_writer(dirs["store"], with_positions=True)
+    w(docs.filter(F.col("doc_id") < 18), 0)
+    w(docs.filter(F.col("doc_id") >= 18), 1)
+
+    phrases = [
+        ("p0", "the dup"),        # bigram with a repeated-word context
+        ("p1", "scan scan"),      # overlapping self-bigram
+        ("p2", "sort merge join"),  # trigram
+        ("p3", "hash"),           # single term: occ = tf
+        ("p4", "zz qq"),          # zero-hit
+    ]
+
+    def _rows_p(df):
+        return sorted(
+            (r["phrase_id"], r["doc_id"], r["phrase"], r["n_occ"])
+            for r in df.collect()
+        )
+
+    want = _rows_p(phrase_occurrences(docs, phrases))
+    got = _rows_p(phrase_docs_from_store(spark, dirs["store"], phrases))
+    assert got == want and len(got) > 0
+
+    # compaction keeps positional postings a fixed point
+    assert compact_postings(spark, dirs["store"]) == 2
+    assert _rows_p(phrase_docs_from_store(spark, dirs["store"], phrases)) == want
+
+    # tombstones mask phrase serving too
+    gone = sorted({d for _pid, d, _ph, _n in want})[:2]
+    delete_docs(spark, dirs["store"], gone, 0)
+    want2 = _rows_p(
+        phrase_occurrences(docs.filter(~F.col("doc_id").isin(gone)), phrases)
+    )
+    assert _rows_p(phrase_docs_from_store(spark, dirs["store"], phrases)) == want2
+
+    # ranked serving still works off the positional store (tf carried)
+    assert (
+        bm25_topk_from_store(spark, dirs["store"], QUERIES, k=5).count() > 0
+    )
+
+
+def test_phrase_serve_requires_positions(spark, dirs):
+    from scida_spark.streaming.postings import (
+        phrase_docs_from_store,
+        postings_writer,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, TEXTS[i % len(TEXTS)]) for i in range(10)], SCHEMA
+    )
+    postings_writer(dirs["store"])(docs, 0)  # no positions
+    with pytest.raises(ValueError, match="without positions"):
+        phrase_docs_from_store(spark, dirs["store"], [("p0", "hash join")])
