@@ -94,7 +94,10 @@ def phrase_occurrences(
     )
     e = docs.select(
         F.col(id_col),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("_t"),
+        # the house tokenization (TX.tokens: single-space split of the
+        # trimmed text) — the SAME token stream the rankers, postings
+        # store, and every oracle use
+        F.split(F.trim(F.col(text_col)), " ").alias("_t"),
         F.explode(pl).alias("_p"),
     )
     k = F.size("_p.pw")

@@ -438,3 +438,86 @@ def remove_hot_lines(
             ),
         )
     )
+
+
+def top_collocations(
+    docs: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k bigram collocations by corpus count, scored with pointwise
+    mutual information (r12) — the corpus-card / phrase-discovery
+    staple ("which word pairs co-occur far more than chance"):
+
+        pmi(a,b) = ln( p(a,b) / (p(a) p(b)) )
+                 = ((((ln(c_ab) + ln(Nu)) + ln(Nu)) - ln(Nb))
+                    - ln(c_a)) - ln(c_b)
+
+    with c_ab the bigram count, c_a/c_b unigram counts, Nb/Nu the
+    total bigram/unigram token counts. The LOG-SUM form with the
+    PINNED parenthesization is the replay contract (the bm25 idf
+    rule): every ln argument is an exact integer, both engines call
+    libm, and the addition order is fixed — so the doubles hash-match
+    across engines, where the ratio form would overflow int64 products
+    at corpus scale.
+
+    Returns (rank, w1, w2, c_ab, pmi), rank 1..k ordered by
+    (c_ab desc, w1, w2) — a deterministic total order.
+
+    Scale: ONE tokenization pass feeds both count tables (bigrams via
+    an adjacent-pair transform over the token array — no self-join);
+    each count is a map-side-combined groupBy bounded by vocabulary;
+    top-k is TakeOrdered over the aggregated side; the PMI fold runs
+    driver-side over k + 2k collected integers (the isotonic-PAV
+    shape)."""
+    import math
+
+    t = docs.select(tokens(F.col(text_col)).alias("_t"))
+    big = t.select(
+        F.explode(
+            F.when(
+                F.size("_t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("_t", i.cast("int")).alias("w1"),
+                        F.element_at("_t", (i + 1).cast("int")).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>")),
+        ).alias("bg")
+    )
+    bcounts = big.groupBy("bg.w1", "bg.w2").agg(F.count("*").alias("c_ab"))
+    ucounts = t.select(F.explode("_t").alias("w")).groupBy("w").agg(
+        F.count("*").alias("c")
+    )
+    topk = bcounts.orderBy(
+        F.desc("c_ab"), F.asc("w1"), F.asc("w2")
+    ).limit(int(k)).collect()
+    totals = t.select(
+        F.coalesce(F.sum(F.size("_t")), F.lit(0)).alias("nu"),
+        F.coalesce(
+            F.sum(F.greatest(F.size("_t") - 1, F.lit(0))), F.lit(0)
+        ).alias("nb"),
+    ).first()
+    nu, nb = int(totals["nu"]), int(totals["nb"])
+    need = sorted({r["w1"] for r in topk} | {r["w2"] for r in topk})
+    uc = {
+        r["w"]: int(r["c"])
+        for r in ucounts.filter(F.col("w").isin(need)).collect()
+    }
+    rows = []
+    for rank, r in enumerate(topk, start=1):
+        c_ab = int(r["c_ab"])
+        pmi = (
+            (
+                ((math.log(c_ab) + math.log(nu)) + math.log(nu))
+                - math.log(nb)
+            )
+            - math.log(uc[r["w1"]])
+        ) - math.log(uc[r["w2"]])
+        rows.append((rank, r["w1"], r["w2"], c_ab, pmi))
+    return docs.sparkSession.createDataFrame(
+        rows, "rank int, w1 string, w2 string, c_ab long, pmi double"
+    )

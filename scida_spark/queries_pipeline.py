@@ -3948,6 +3948,29 @@ _PHRASES = [
 ]
 
 
+_COLLOC_ORACLE = """
+    SELECT 'colloc' AS section, 'bg:' || CAST(rank AS VARCHAR) AS k1,
+           w1 || ' ' || w2 AS k2, CAST(c_ab AS BIGINT) AS n,
+           ((((ln(c_ab) + ln(nu)) + ln(nu)) - ln(nb)) - ln(ca)) - ln(cb)
+             AS sum_score
+    FROM (
+      WITH ct AS (SELECT string_split(trim(text), ' ') AS t FROM documents),
+      cb_ AS (SELECT t[u.i] AS w1, t[u.i + 1] AS w2, COUNT(*) AS c_ab
+              FROM ct, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+              GROUP BY 1, 2),
+      cu AS (SELECT w, COUNT(*) AS c
+             FROM (SELECT unnest(t) AS w FROM ct) GROUP BY 1),
+      ctot AS (SELECT SUM(len(t)) AS nu,
+                      SUM(GREATEST(len(t) - 1, 0)) AS nb FROM ct),
+      ctop AS (SELECT w1, w2, c_ab,
+                      ROW_NUMBER() OVER (ORDER BY c_ab DESC, w1, w2) AS rank
+               FROM cb_ QUALIFY rank <= 10)
+      SELECT p.rank, p.w1, p.w2, p.c_ab, a.c AS ca, b.c AS cb,
+             (SELECT nu FROM ctot) AS nu, (SELECT nb FROM ctot) AS nb
+      FROM ctop p JOIN cu a ON a.w = p.w1 JOIN cu b ON b.w = p.w2
+    )"""
+
+
 def _phrase_oracle_section() -> str:
     """DuckDB twin of the phrase rows: per phrase, the identical
     overlapping sliding-window count over the token array — unrolled
@@ -4296,7 +4319,9 @@ def _url_oracle_section() -> str:
     + _pii_oracle_section()
     + _url_oracle_section()
     + "\n    UNION ALL\n"
-    + _phrase_oracle_section(),
+    + _phrase_oracle_section()
+    + "\n    UNION ALL\n"
+    + _COLLOC_ORACLE,
 )
 def text_quality_lang(spark, sf_dir):
     """Quality scoring + language-ID confusion matrix in one
@@ -4900,6 +4925,17 @@ def text_quality_lang(spark, sf_dir):
         F.col("n_occ").alias("n"),
         F.lit(0.0).alias("sum_score"),
     )
+    # colloc (r12): top-10 PMI bigram collocations
+    # (functions/text.py::top_collocations) — counts hash-anchored, PMI
+    # value-checked through the pinned log-sum parenthesization (libm
+    # ln of exact integers both engines).
+    colloc_rows = TX.top_collocations(docs, k=10).select(
+        F.lit("colloc").alias("section"),
+        F.concat(F.lit("bg:"), F.col("rank").cast("string")).alias("k1"),
+        F.concat_ws(" ", "w1", "w2").alias("k2"),
+        F.col("c_ab").alias("n"),
+        F.col("pmi").alias("sum_score"),
+    )
     return (
         q.unionAll(lid)
         .unionAll(lm_rows)
@@ -4923,6 +4959,7 @@ def text_quality_lang(spark, sf_dir):
         .unionAll(urlcorp_rows)
         .unionAll(urldom_corp)
         .unionAll(phrase_rows)
+        .unionAll(colloc_rows)
     )
 
 

@@ -236,7 +236,10 @@ def test_phrase_occurrences_contract(spark):
             (0, "the the the"),          # overlapping: "the the" x2
             (1, "a b c a b"),            # "a b" x2, "c a b" x1
             (2, "x"),                    # shorter than any phrase
-            (3, "  a   b  "),            # multi-space split still matches
+            (3, " a b "),                # outer whitespace trimmed
+            # multi-space gap: single-space house tokenization yields
+            # empty tokens between a and b — NOT adjacent, no match
+            (4, "a   b"),
         ],
         "doc_id long, text string",
     )

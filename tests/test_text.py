@@ -99,3 +99,44 @@ def test_hash_sampling_properties(spark):
     sp2 = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id", salt="other").collect()}
     sp1 = {r["doc_id"]: r["split"] for r in sp.collect()}
     assert any(sp1[k] != sp2[k] for k in sp1)
+
+
+def test_top_collocations_contract(spark):
+    """top_collocations (r12): counts exact, PMI matches the pinned
+    log-sum hand-derivation, rank order deterministic (c desc, w1, w2),
+    partitioning never changes a value, short/empty docs are safe."""
+    import math
+
+    from scida_spark.functions.text import top_collocations
+
+    df = spark.createDataFrame(
+        [
+            (0, "new york new york city"),
+            (1, "new york is big"),
+            (2, "x"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = top_collocations(df, k=3).collect()
+    # count-1 bigrams tie-break on (w1, w2) asc: (is,big) < (york,city)
+    assert [(r["rank"], r["w1"], r["w2"], r["c_ab"]) for r in rows] == [
+        (1, "new", "york", 3),
+        (2, "is", "big", 1),
+        (3, "york", "city", 1),
+    ]
+    # hand-derived PMI for the top pair: corpus unigrams over ALL docs
+    # (nu counts every token incl. the '' token of doc 3), bigrams over
+    # docs with >= 2 tokens
+    nu = 5 + 4 + 1 + 1  # doc3's empty text still tokenizes to ['']
+    nb = 4 + 3
+    c_new, c_york, c_ab = 3, 3, 3
+    want = (
+        (((math.log(c_ab) + math.log(nu)) + math.log(nu)) - math.log(nb))
+        - math.log(c_new)
+    ) - math.log(c_york)
+    assert rows[0]["pmi"] == want
+    # layout independence: bit-identical under repartition
+    a = top_collocations(df, k=3).collect()
+    b = top_collocations(df.repartition(7), k=3).collect()
+    assert a == b
