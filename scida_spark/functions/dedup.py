@@ -384,6 +384,119 @@ def ngram_jaccard_pairs_from_shingles(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = 256,
+) -> DataFrame:
+    """DIRECTED containment pairs (r12): C(A→B) = |sh(A) ∩ sh(B)| /
+    |sh(A)| — one row (src_doc, dst_doc, containment) per direction
+    clearing ``threshold``. The asymmetric complement of
+    :func:`ngram_jaccard_pairs`: a short quote/excerpt inside a long
+    document has containment ≈ 1 while its Jaccard ≈ |A|/|B| ≈ 0, so
+    threshold-Jaccard dedup is structurally blind to exactly the
+    subset relationships (quotes, boilerplate inclusion, chunk-of-
+    document leaks) containment exists to catch.
+
+    Same candidate-generation contract as the Jaccard family (shared
+    shingle with df ≤ ``max_df``; for a contained A every shingle of A
+    is shared, so only an all-hot A is missable), and the same
+    measured physical split: when the cap excludes nothing, n_inter is
+    COUNTED in the inverted-index join (one groupBy, sizes broadcast);
+    otherwise the array_intersect verify path runs on the capped
+    candidates. Both directions derive from ONE undirected
+    intersection count — no second join. Values are exact integer
+    ratios (one IEEE division), oracle-replayable."""
+    sh = shingle_hash_table(df, id_col, text_col, n).localCheckpoint(eager=True)
+    ex = sh.select("doc", F.explode("sh").alias("g"))
+    sizes = sh.select("doc", F.size("sh").alias("_sz"))
+
+    def _directed(base):
+        fwd = base.select(
+            F.col("doc_a").alias("src_doc"),
+            F.col("doc_b").alias("dst_doc"),
+            (F.col("n_inter").cast("double") / F.col("_sa").cast("double")).alias(
+                "containment"
+            ),
+        )
+        bwd = base.select(
+            F.col("doc_b").alias("src_doc"),
+            F.col("doc_a").alias("dst_doc"),
+            (F.col("n_inter").cast("double") / F.col("_sb").cast("double")).alias(
+                "containment"
+            ),
+        )
+        return fwd.unionAll(bwd).filter(
+            F.col("containment") >= F.lit(float(threshold))
+        )
+
+    def _with_sizes(pairs_ni):
+        return pairs_ni.join(
+            F.broadcast(
+                sizes.select(F.col("doc").alias("doc_a"), F.col("_sz").alias("_sa"))
+            ),
+            "doc_a",
+        ).join(
+            F.broadcast(
+                sizes.select(F.col("doc").alias("doc_b"), F.col("_sz").alias("_sb"))
+            ),
+            "doc_b",
+        )
+
+    if max_df is not None:
+        dfs = (
+            ex.groupBy("g")
+            .agg(F.count("*").alias("_df"))
+            .localCheckpoint(eager=True)
+        )
+        n_hot = dfs.filter(F.col("_df") > max_df).count()
+    else:
+        n_hot = 0
+    if n_hot == 0:
+        a = ex.select(F.col("doc").alias("doc_a"), "g")
+        b = ex.select(F.col("doc").alias("doc_b"), "g")
+        ni = (
+            a.join(b, "g")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+        return _directed(_with_sizes(ni))
+    import warnings
+
+    warnings.warn(
+        f"ngram_containment_pairs: {n_hot} hot shingles (df > {max_df}) "
+        "excluded from candidate generation; a contained doc whose EVERY "
+        "shingle is hot will be missed (run exact_dedup first, or pass "
+        "max_df=None)",
+        UserWarning,
+    )
+    kept = dfs.filter(F.col("_df") <= max_df).select("g")
+    exk = ex.join(kept, "g")
+    cand = (
+        exk.select(F.col("doc").alias("doc_a"), "g")
+        .join(exk.select(F.col("doc").alias("doc_b"), "g"), "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sha = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    shb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    ni = (
+        cand.join(sha, "doc_a")
+        .join(shb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+        )
+    )
+    return _directed(_with_sizes(ni))
+
+
 def jaccard_pairs_prefix(
     df: DataFrame,
     id_col: str,

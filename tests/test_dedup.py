@@ -811,3 +811,75 @@ def test_label_propagation_randomized_vs_simulation(spark):
             for r in label_propagation(edges, sdf, iters=iters).collect()
         }
         assert got == lab, (trial, got, lab)
+
+
+def test_containment_pairs_quote_detection(spark):
+    """ngram_containment_pairs (r12): a short excerpt inside a long doc
+    scores containment ~1 while its Jaccard stays below any dedup
+    threshold (the asymmetry the operator exists for); values match a
+    brute-force shingle-set recomputation; both directions reported
+    independently; layout-independent."""
+    from scida_spark.functions.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    long_words = [f"w{i}" for i in range(60)]
+    quote = long_words[20:26]  # 6 words -> 4 3-gram shingles, all in long
+    rows = [
+        (0, " ".join(long_words)),
+        (1, " ".join(quote)),
+        (2, "totally different content with other words entirely here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["src_doc"], r["dst_doc"]): r["containment"]
+        for r in ngram_containment_pairs(df, "doc_id", "text", threshold=0.9).collect()
+    }
+    # every shingle of doc 1 appears in doc 0 -> containment exactly 1.0
+    assert got == {(1, 0): 1.0}
+    # the reverse direction is tiny (4/58) and correctly NOT reported
+    lo = {
+        (r["src_doc"], r["dst_doc"]): r["containment"]
+        for r in ngram_containment_pairs(df, "doc_id", "text", threshold=0.01).collect()
+    }
+    assert lo[(1, 0)] == 1.0 and abs(lo[(0, 1)] - 4 / 58) < 1e-12
+    # Jaccard is blind to the same pair at any realistic threshold
+    j = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.2)
+    assert j.count() == 0
+    # layout independence
+    again = {
+        (r["src_doc"], r["dst_doc"]): r["containment"]
+        for r in ngram_containment_pairs(
+            df.repartition(5), "doc_id", "text", threshold=0.01
+        ).collect()
+    }
+    assert again == lo
+
+
+def test_containment_pairs_hot_shingle_verify_path(spark):
+    """With a df cap that excludes hot shingles, the verify path still
+    reports exact containment for pairs reachable through a cold
+    shingle, and warns about the carve-out."""
+    import warnings
+
+    from scida_spark.functions.dedup import ngram_containment_pairs
+
+    # 10 docs share the hot phrase; docs 0/1 also share a cold tail
+    hot = "aa bb cc dd"
+    rows = [(i, hot) for i in range(2, 12)]
+    rows += [(0, hot + " xx yy zz"), (1, hot + " xx yy zz qq")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = {
+            (r["src_doc"], r["dst_doc"]): round(r["containment"], 6)
+            for r in ngram_containment_pairs(
+                df, "doc_id", "text", threshold=0.99, max_df=3
+            ).collect()
+        }
+        assert any("hot shingles" in str(x.message) for x in w)
+    # doc 0's shingles ('aa bb cc','bb cc dd','cc dd xx','dd xx yy',
+    # 'xx yy zz') are ALL in doc 1 -> containment 1.0 via the cold tail
+    assert got[(0, 1)] == 1.0
