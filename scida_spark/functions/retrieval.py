@@ -70,58 +70,51 @@ def phrase_occurrences(
     exact phrase, quote detection). ``phrases`` is a small literal
     list of (phrase_id, phrase_text).
 
-    Spark-first shape: the phrase set ships as ONE literal
-    array<struct> that EXPLODES against each doc's token array, and
-    the count is a correlated nested higher-order fold — for window
-    start i, forall positions j: t[i+j] == phrase[j]. Entirely
-    map-only: ONE corpus scan evaluates every phrase, no postings
-    join, no shuffle, nothing but the final (tiny) row filter. At
-    100 TB this is the cheapest possible plan — phrase matching rides
-    any existing scan of the text column.
+    Spark-first shape: counting is ONE ``regexp_count`` per phrase
+    with a ZERO-WIDTH LOOKAHEAD literal pattern over the
+    space-padded text — pure JVM regex inside whole-stage codegen,
+    stacked into rows in the same projection. ONE map-only corpus
+    scan evaluates every phrase: no postings join, no shuffle, no
+    higher-order functions (a first draft slid a nested lambda window
+    over the token array; interpreted HOF evaluation made the scan a
+    ×100 cliff — 500k docs x phrases x windows of per-element lambda
+    calls, SCALE.md).
 
-    Both engines count the same overlapping windows ("the the the"
-    contains "the the" twice), and the all-integer counts hash-match
-    exactly."""
-    pl = F.expr(
-        "array("
-        + ",".join(
-            "named_struct('pid', '{}', 'pw', array({}))".format(
-                pid, ",".join("'" + w + "'" for w in ptext.split())
-            )
-            for pid, ptext in phrases
-        )
-        + ")"
-    )
-    e = docs.select(
-        F.col(id_col),
-        # the house tokenization (TX.tokens: single-space split of the
-        # trimmed text) — the SAME token stream the rankers, postings
-        # store, and every oracle use
-        F.split(F.trim(F.col(text_col)), " ").alias("_t"),
-        F.explode(pl).alias("_p"),
-    )
-    k = F.size("_p.pw")
-    occ = F.when(
-        F.size("_t") >= k,
-        F.size(
-            F.filter(
-                F.sequence(F.lit(1), F.size("_t") - k + 1),
-                lambda i: F.forall(
-                    F.sequence(F.lit(0), F.size("_p.pw") - 1),
-                    lambda j: F.element_at("_t", (i + j).cast("int"))
-                    == F.element_at("_p.pw", (j + 1).cast("int")),
-                ),
-            )
-        ),
-    ).otherwise(F.lit(0))
+    WHY the string count equals the token-window count exactly: the
+    house tokenization is a single-space split of the trimmed text,
+    and split/join on one character are inverses — so
+    ``' ' + trim(text) + ' '`` contains ``' w1 .. wk '`` at exactly
+    the positions where the token window matches, boundaries included
+    (multi-space gaps produce empty tokens on one side and a
+    non-matching substring on the other — both reject). The
+    ``(?=...)`` lookahead makes matches zero-width, so OVERLAPPING
+    occurrences count ("the the the" contains "the the" twice),
+    matching the sliding-window semantics the DuckDB oracle replays
+    list-wise."""
+    padded = F.concat(F.lit(" "), F.trim(F.col(text_col)), F.lit(" "))
+
+    def _quote(s: str) -> str:
+        # java.util.regex literal quoting (Pattern.quote)
+        return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+    entries = []
+    for pid, ptext in phrases:
+        norm = " ".join(ptext.split())
+        pat = "(?=" + _quote(" " + norm + " ") + ")"
+        entries += [
+            F.lit(pid),
+            F.lit(norm),
+            F.regexp_count(padded, F.lit(pat)).cast("long"),
+        ]
     return (
-        e.select(
-            F.col("_p.pid").alias("phrase_id"),
+        docs.select(
             F.col(id_col),
-            F.array_join("_p.pw", " ").alias("phrase"),
-            occ.cast("long").alias("n_occ"),
+            F.stack(
+                F.lit(len(phrases)), *entries
+            ).alias("phrase_id", "phrase", "n_occ"),
         )
         .filter(F.col("n_occ") > 0)
+        .select("phrase_id", id_col, "phrase", "n_occ")
     )
 
 

@@ -474,21 +474,22 @@ def top_collocations(
     import math
 
     t = docs.select(tokens(F.col(text_col)).alias("_t"))
+    # adjacent pairs via slice + arrays_zip — NATIVE array expressions
+    # (a per-element lambda here is interpreted and was measured as a
+    # x100 cliff in the phrase operator's first draft; SCALE.md)
     big = t.select(
         F.explode(
-            F.when(
-                F.size("_t") >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("_t") - 1),
-                    lambda i: F.struct(
-                        F.element_at("_t", i.cast("int")).alias("w1"),
-                        F.element_at("_t", (i + 1).cast("int")).alias("w2"),
-                    ),
-                ),
-            ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>")),
+            F.arrays_zip(
+                F.expr("slice(_t, 1, size(_t) - 1)").alias("w1"),
+                F.expr("slice(_t, 2, size(_t) - 1)").alias("w2"),
+            )
         ).alias("bg")
     )
-    bcounts = big.groupBy("bg.w1", "bg.w2").agg(F.count("*").alias("c_ab"))
+    bcounts = (
+        big.select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_ab"))
+    )
     ucounts = t.select(F.explode("_t").alias("w")).groupBy("w").agg(
         F.count("*").alias("c")
     )
