@@ -201,3 +201,65 @@ def test_compaction_fixed_point_for_decisions(spark, dirs):
     )
     rep = read_drift_reports(spark, dirs["report"])
     assert rep.filter(F.col("batch_id") == 3).first()["admitted"] is True
+
+
+def test_driftgate_composes_with_multi_store_ingest(spark, dirs):
+    """The gate writer rides the ONE-pass multi-store ingest (the
+    N-materializations-one-readStream rule) alongside a postings
+    writer: one stream maintains gate routing AND a retrieval index,
+    and both stores match their standalone-ingest truths."""
+    from scida_spark.streaming.postings import (
+        bm25_topk_from_store,
+        postings_writer,
+    )
+    from scida_spark.streaming.rollup import incremental_multi_store_ingest
+
+    pstore = os.path.join(dirs["hist"] + "_ps")
+    texts = ["hash join scan", "stream window agg", "the dup the"]
+    rows = [
+        (i, "en", f"{texts[i % 3]} d{i}")
+        for i in range(240)
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "lang", "text"]).to_parquet(
+        os.path.join(dirs["input"], "w0.parquet")
+    )
+    pd.DataFrame(
+        [(i, "en", f"{texts[i % 3]} d{i}") for i in range(240, 480)],
+        columns=["doc_id", "lang", "text"],
+    ).to_parquet(os.path.join(dirs["input"], "w1.parquet"))
+
+    def _b(df):
+        return df.select(
+            F.col("lang").alias("facet"),
+            F.least(
+                F.floor(F.size(F.split(F.trim("text"), " ")) / 2), F.lit(15)
+            ).alias("b"),
+        )
+
+    gate_w = drift_gate_writer(
+        bucketer=_b,
+        hist_dir=dirs["hist"],
+        admit_dir=dirs["admit"],
+        quarantine_dir=dirs["quar"],
+        report_dir=dirs["report"],
+    )
+    q = incremental_multi_store_ingest(
+        spark,
+        dirs["input"],
+        "doc_id long, lang string, text string",
+        checkpoint_dir=dirs["ckpt"],
+        writers=[gate_w, postings_writer(pstore)],
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    rep = read_drift_reports(spark, dirs["report"])
+    assert sorted(
+        (int(r["batch_id"]), bool(r["admitted"]))
+        for r in rep.select("batch_id", "admitted").distinct().collect()
+    ) == [(0, True), (1, True)]
+    assert spark.read.parquet(dirs["admit"]).count() == 480
+    # the retrieval index rode the same pass: serve works over all docs
+    got = bm25_topk_from_store(spark, pstore, [(0, "hash join")], k=3)
+    assert got.count() == 3
