@@ -94,6 +94,7 @@ __all__ = [
     "store_meta",
     "delete_docs",
     "phrase_docs_from_store",
+    "min_cover_span_from_store",
     "read_deletes",
 ]
 
@@ -544,6 +545,103 @@ def phrase_docs_from_store(
                 F.lit(ptext).alias("phrase"),
                 occ.cast("long").alias("n_occ"),
             ).filter(F.col("n_occ") > 0)
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def min_cover_span_from_store(
+    spark: SparkSession,
+    store_dir: str,
+    queries: list[tuple[int, str]],
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Minimal cover span per (query, doc) from a POSITIONAL store:
+    the length of the smallest token window containing at least one
+    occurrence of EVERY distinct query term — the classic proximity
+    feature (Clarke et al.'s shortest-substring relevance; also the
+    snippet-selection window). One row (query_id, id, span) per doc
+    holding all the query's terms; span == number of distinct terms
+    means they appear exactly adjacent (in some order).
+
+    Same serve shape as phrase matching: bucket-pruned postings scan,
+    conjunctive all-terms groupBy, then a per-candidate fold — the
+    textbook sweep over the MERGED sorted (position, term) list
+    keeping the last position seen per term; every array is bounded
+    by the doc's query-term occurrences (the bounded-array HOF rule:
+    per-candidate folds are fine, per-corpus-token lambdas are not).
+    Tombstones mask as in ranked serving."""
+    if not store_meta(store_dir).get("with_positions"):
+        raise ValueError(
+            f"postings store {store_dir} was ingested without positions; "
+            "span serving needs postings_writer(with_positions=True)"
+        )
+    dels = read_deletes(spark, store_dir, id_col)
+    outs = []
+    for qid, qtext in queries:
+        terms = sorted(set(qtext.strip().split()))
+        k = len(terms)
+        p = read_postings(spark, store_dir, terms, n_buckets).select(
+            F.col(id_col), "tok", "positions"
+        )
+        if dels is not None:
+            p = p.join(F.broadcast(dels), id_col, "left_anti")
+        # term -> dense index via the sorted literal order, then one
+        # merged sorted (pos, term_idx) event list per candidate doc
+        tidx = F.array_position(
+            F.expr(
+                "array(" + ",".join("'" + t + "'" for t in terms) + ")"
+            ),
+            F.col("tok"),
+        ).cast("int")
+        ev = p.select(
+            F.col(id_col),
+            F.transform(
+                "positions",
+                lambda pos: F.struct(
+                    pos.alias("pos"), (tidx - 1).alias("t")
+                ),
+            ).alias("_ev"),
+        )
+        g = (
+            ev.groupBy(id_col)
+            .agg(
+                F.array_sort(F.flatten(F.collect_list("_ev"))).alias("evs"),
+                F.count("*").alias("nt"),
+            )
+            .filter(F.col("nt") == k)
+        )
+        # sweep: last[t] := pos; when all seen, best = min(best,
+        # pos - min(last) + 1). Integer arithmetic only.
+        big = 1 << 30
+        init = F.struct(
+            F.array_repeat(F.lit(-1), k).alias("last"),
+            F.lit(big).alias("best"),
+        )
+
+        def _step(acc, e):
+            last2 = F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda j: F.when(j == e["t"], e["pos"]).otherwise(
+                    F.element_at(acc["last"], (j + 1).cast("int"))
+                ),
+            )
+            cand = e["pos"] - F.array_min(last2) + 1
+            best2 = F.when(
+                ~F.array_contains(last2, -1) & (cand < acc["best"]), cand
+            ).otherwise(acc["best"])
+            return F.struct(last2.alias("last"), best2.alias("best"))
+
+        span = F.aggregate("evs", init, _step)["best"]
+        outs.append(
+            g.select(
+                F.lit(int(qid)).alias("query_id"),
+                F.col(id_col),
+                span.cast("int").alias("span"),
+            ).filter(F.col("span") < big)
         )
     out = outs[0]
     for o in outs[1:]:

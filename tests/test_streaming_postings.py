@@ -483,3 +483,63 @@ def test_phrase_serve_requires_positions(spark, dirs):
     postings_writer(dirs["store"])(docs, 0)  # no positions
     with pytest.raises(ValueError, match="without positions"):
         phrase_docs_from_store(spark, dirs["store"], [("p0", "hash join")])
+
+
+def test_min_cover_span_matches_brute_force(spark, dirs):
+    """min_cover_span_from_store (r12): spans equal a pure-Python
+    brute-force over every token window, for single- and multi-term
+    queries, incl. repeated terms in the doc; docs missing a term emit
+    nothing; tombstones respected."""
+    from scida_spark.streaming.postings import (
+        delete_docs,
+        min_cover_span_from_store,
+        postings_writer,
+    )
+
+    texts = [
+        "a x x b",            # cover(a,b) = 4
+        "b a",                # cover(a,b) = 2 (order-free)
+        "a x b x x a b",      # best window is the tail 'a b' = 2
+        "a a a",              # no b -> no row for (a,b)
+        "q w e r t",          # cover(q,t) = 5
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    w = postings_writer(dirs["store"], with_positions=True)
+    w(docs, 0)
+
+    def brute(tokens, terms):
+        best = None
+        n = len(tokens)
+        for i in range(n):
+            for j in range(i, n):
+                win = tokens[i : j + 1]
+                if all(t in win for t in terms):
+                    sp = j - i + 1
+                    best = sp if best is None else min(best, sp)
+        return best
+
+    queries = [(0, "a b"), (1, "q t"), (2, "a"), (3, "zz")]
+    got = {
+        (r["query_id"], r["doc_id"]): r["span"]
+        for r in min_cover_span_from_store(spark, dirs["store"], queries).collect()
+    }
+    want = {}
+    for qid, q in queries:
+        terms = sorted(set(q.split()))
+        for d, tx in enumerate(texts):
+            b = brute(tx.split(" "), terms)
+            if b is not None:
+                want[(qid, d)] = b
+    assert got == want
+    assert got[(0, 0)] == 4 and got[(0, 1)] == 2 and got[(0, 2)] == 2
+    assert (0, 3) not in got  # missing term -> conjunctive filter drops
+
+    # tombstone masks span serving too
+    delete_docs(spark, dirs["store"], [0], 0)
+    got2 = {
+        (r["query_id"], r["doc_id"]): r["span"]
+        for r in min_cover_span_from_store(spark, dirs["store"], queries).collect()
+    }
+    assert (0, 0) not in got2 and got2[(0, 1)] == 2
