@@ -1566,6 +1566,22 @@ def _kmeans_assigned(xi, cent_rows, id_col):
     )
 
 
+def save_kmeans_centroids(spark, centroids: list[list[int]], path: str) -> None:
+    """Integer centroid matrix → parquet (cluster, centroid
+    array<bigint>) — the persistable ingest artifact (the
+    ``save_ivf_index`` convention), so serving tiers call
+    :func:`kmeans_assign` with ``centroids=`` and never retrain."""
+    rows = [(int(i), [int(v) for v in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(
+        rows, "cluster int, centroid array<bigint>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_kmeans_centroids(spark, path: str) -> list[list[int]]:
+    rows = spark.read.parquet(path).orderBy("cluster").collect()
+    return [[int(v) for v in r["centroid"]] for r in rows]
+
+
 def kmeans_assign(
     embeddings: DataFrame,
     k: int = 4,

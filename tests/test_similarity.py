@@ -890,3 +890,33 @@ def test_kmeans_assign_empty_and_truncdiv():
     assert _truncdiv(7, 2) == 3 and _truncdiv(-7, 2) == -3
     assert (-7) // 2 == -4  # the Python-floor trap the helper avoids
     assert _truncdiv(-8, 2) == -4 and _truncdiv(0, 5) == 0
+
+
+def test_kmeans_centroid_persistence_roundtrip(spark, tmp_path):
+    """Trained centroids persist/load exactly, and assignment from the
+    loaded artifact is bit-identical to assignment from training."""
+    from scida_spark.functions.similarity import (
+        kmeans_assign,
+        kmeans_train,
+        load_kmeans_centroids,
+        save_kmeans_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 13) / 13 for j in range(8)]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_train(df, k=3, iters=2)
+    path = str(tmp_path / "km")
+    save_kmeans_centroids(spark, cents, path)
+    assert load_kmeans_centroids(spark, path) == cents
+    a = sorted(map(tuple, kmeans_assign(df, centroids=cents).collect()))
+    b = sorted(
+        map(
+            tuple,
+            kmeans_assign(
+                df, centroids=load_kmeans_centroids(spark, path)
+            ).collect(),
+        )
+    )
+    assert a == b
