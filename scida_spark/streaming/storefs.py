@@ -41,11 +41,40 @@ promoted). Every ``compact_*`` entry point calls
 :func:`recover_pending` first, so an interrupted fold self-heals on
 the next maintenance cycle.
 
+MULTI-SUBSTORE TRANSACTIONS (r13, closes r12 ADVICE #3): a store
+whose substores must move together (postings + doclen + stats +
+tombstone-clear) stages ALL substore folds first, then commits them
+with ONE store-level manifest (:func:`promote_txn`). The single
+atomic manifest write is the commit point for the whole compaction,
+so a crash can never leave one substore folded (tombstones applied)
+while a sibling still carries the pre-delete partials — the exact
+window that made ``read_corpus_stats`` overcount between a promoted
+doclen and an unfolded stats substore. Recovery
+(:func:`recover_store`) replays the full plan, including the
+tombstone clear.
+
+CONCURRENCY CONTRACT (r13, closes r12 ADVICE #4): maintenance is
+SINGLE-WRITER. Each ``compact_*`` entry point takes a pid-liveness
+lock (:func:`maintenance_lock`, ``_maintenance.lock`` beside the
+store) for the whole fold; a second maintainer raises rather than
+corrupting the first's scratch. Readers stay lock-free: their
+``recover_pending`` / ``recover_store`` calls return False while a
+LIVE lock is held (the maintainer owns any manifest/scratch — a
+reader must not delete the compactor's ``_compact_tmp`` or race its
+``os.replace``), and only heal state whose owner is provably dead
+(pid gone — the local-FS analog of a lease; swap the pid probe for a
+lease timestamp on a shared filesystem). A read overlapping a live
+compaction's promote window may observe the fold mid-swap (some
+batch dirs retired, base not yet renamed) — run maintenance in a
+quiet window if serve-time blips matter; the store itself is never
+durably inconsistent.
+
 Net-new surface (no reference counterpart; SURVEY §2.7).
 """
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -53,16 +82,23 @@ import shutil
 __all__ = [
     "TMP_DIR",
     "MANIFEST",
+    "TXN_MANIFEST",
+    "LOCK_FILE",
     "list_batches",
     "scratch_dir",
     "promote_compacted",
+    "promote_txn",
     "recover_pending",
+    "recover_store",
+    "maintenance_lock",
     "write_json_atomic",
     "read_json",
 ]
 
 TMP_DIR = "_compact_tmp"
 MANIFEST = "_compact_manifest.json"
+TXN_MANIFEST = "_txn_manifest.json"
+LOCK_FILE = "_maintenance.lock"
 BASE_DIR = "batch_id=-1"
 
 
