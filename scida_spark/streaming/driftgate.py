@@ -198,17 +198,19 @@ def read_drift_reports(spark: SparkSession, report_dir: str) -> DataFrame:
 def compact_drift_hist(spark: SparkSession, hist_dir: str) -> int:
     """Fold the reference-histogram partials to one base partial
     (sum monoid — a fixed point for every future admit decision).
-    Crash-safe via ``streaming/storefs``."""
-    storefs.recover_pending(hist_dir)
-    batches = storefs.list_batches(hist_dir)
-    if not batches:
-        return 0
-    base = (
-        spark.read.option("basePath", hist_dir)
-        .parquet(hist_dir)
-        .groupBy("facet", "bucket")
-        .agg(F.sum("c").alias("c"))
-    )
-    base.write.mode("overwrite").parquet(storefs.scratch_dir(hist_dir))
-    storefs.promote_compacted(hist_dir, batches)
-    return len(batches)
+    Crash-safe via ``streaming/storefs``; single-writer under
+    ``storefs.maintenance_lock``."""
+    storefs.recover_pending(hist_dir)  # heal before locking
+    with storefs.maintenance_lock(hist_dir):
+        batches = storefs.list_batches(hist_dir)
+        if not batches:
+            return 0
+        base = (
+            spark.read.option("basePath", hist_dir)
+            .parquet(hist_dir)
+            .groupBy("facet", "bucket")
+            .agg(F.sum("c").alias("c"))
+        )
+        base.write.mode("overwrite").parquet(storefs.scratch_dir(hist_dir))
+        storefs.promote_compacted(hist_dir, batches)
+        return len(batches)

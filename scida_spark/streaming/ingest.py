@@ -376,22 +376,24 @@ def compact_span_index(spark: SparkSession, index_dir: str) -> None:
     O(distinct spans) instead of O(batches x distinct spans). Safe to
     run any time; the summed row IS the monoid element, so subsequent
     batches keep appending partials on top. Crash-safe via
-    ``streaming/storefs`` (scratch + manifest + recover)."""
+    ``streaming/storefs`` (scratch + manifest + recover); single-
+    writer under ``storefs.maintenance_lock``."""
     from scida_spark.streaming import storefs
 
     path = os.path.join(index_dir, "spans")
-    storefs.recover_pending(path)
-    # this fold ALSO absorbs an existing batch_id=-1 base (plain
-    # directory read, no basePath), so it is retired alongside the
-    # batch partials rather than left to double-count
-    batches = storefs.list_batches(path)
-    if os.path.isdir(os.path.join(path, "batch_id=-1")):
-        batches = batches + ["batch_id=-1"]
-    merged = (
-        spark.read.parquet(path)
-        .groupBy("span_h")
-        .agg(F.sum("n_docs").alias("n_docs"))
-        .localCheckpoint(eager=True)  # sever lineage before the rewrite
-    )
-    merged.write.mode("overwrite").parquet(storefs.scratch_dir(path))
-    storefs.promote_compacted(path, batches)
+    storefs.recover_pending(path)  # heal before locking
+    with storefs.maintenance_lock(path):
+        # this fold ALSO absorbs an existing batch_id=-1 base (plain
+        # directory read, no basePath), so it is retired alongside the
+        # batch partials rather than left to double-count
+        batches = storefs.list_batches(path)
+        if os.path.isdir(os.path.join(path, "batch_id=-1")):
+            batches = batches + ["batch_id=-1"]
+        merged = (
+            spark.read.parquet(path)
+            .groupBy("span_h")
+            .agg(F.sum("n_docs").alias("n_docs"))
+            .localCheckpoint(eager=True)  # sever lineage before rewrite
+        )
+        merged.write.mode("overwrite").parquet(storefs.scratch_dir(path))
+        storefs.promote_compacted(path, batches)

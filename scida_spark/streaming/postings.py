@@ -120,12 +120,28 @@ def _ensure_meta(
     os.makedirs(store_dir, exist_ok=True)
     path = os.path.join(store_dir, META_FILE)
     if os.path.isfile(path):
-        have = storefs.read_json(path).get("n_buckets")
-        if have != n_buckets:
+        have = storefs.read_json(path)
+        want = {
+            "n_buckets": int(n_buckets),
+            "id_col": id_col,
+            "text_col": text_col,
+            "with_positions": bool(with_positions),
+        }
+        # EVERY ingest parameter is validated on re-open (r12 ADVICE
+        # #2): appending e.g. with_positions=False partials to a
+        # positional store yields a mixed-schema store whose phrase
+        # serving silently drops docs (parquet schema is sampled).
+        diffs = {
+            k: (have.get(k), v)
+            for k, v in want.items()
+            if k in have and have.get(k) != v
+        }
+        if diffs:
             raise ValueError(
                 f"postings store {store_dir} was written with "
-                f"n_buckets={have}; refusing to append with "
-                f"n_buckets={n_buckets}"
+                + ", ".join(f"{k}={h!r}" for k, (h, _) in diffs.items())
+                + "; refusing to append with "
+                + ", ".join(f"{k}={w!r}" for k, (_, w) in diffs.items())
             )
         return
     storefs.write_json_atomic(
@@ -411,12 +427,16 @@ def _index_tables(spark, store_dir, queries, id_col, n_buckets, corpus_stats):
     if corpus_stats is None:
         # delete-adjusted by default
         corpus_stats = read_corpus_stats(spark, store_dir)
-    elif dels is not None:
-        # caller-provided stats are pre-delete ingest artifacts —
-        # subtract the tombstoned docs' lengths (one O(deletes)
-        # semi-join aggregate)
-        dn, dt = _deleted_stats(spark, store_dir, dels, id_col)
-        corpus_stats = (corpus_stats[0] - dn, corpus_stats[1] - dt)
+    # CONTRACT (r13, closes r12 ADVICE #1): a caller-provided
+    # corpus_stats is LIVE — i.e. exactly what read_corpus_stats()
+    # returns with its default apply_deletes=True. It is never
+    # re-adjusted here: the natural share-the-stats pattern
+    #   cs = read_corpus_stats(spark, store); bm25_topk_from_store(
+    #       ..., corpus_stats=cs); ql_topk_from_store(..., corpus_stats=cs)
+    # must score identically to passing nothing, even with tombstones
+    # outstanding (the old re-subtract double-counted the deletes).
+    # A caller holding pre-delete ingest totals must pass them through
+    # read_corpus_stats(..., apply_deletes=True) semantics itself.
     if dels is not None:
         # Tombstone masking: anti-joins against the broadcast delete
         # set (postings are already bucket-pruned — candidate-sized).
@@ -444,7 +464,9 @@ def bm25_topk_from_store(
     ``bm25_topk`` over the same accumulated corpus (shared scorer).
     ``corpus_stats`` lets a caller serving several rankers read the
     O(batches) stats partials ONCE (one driver job instead of one per
-    ranker — the shared-ingest-statistic rule)."""
+    ranker — the shared-ingest-statistic rule); it must be LIVE, i.e.
+    the default (delete-adjusted) ``read_corpus_stats`` result — it is
+    used as-is, never re-adjusted for outstanding tombstones."""
     postings, dl, cs = _index_tables(
         spark, store_dir, queries, id_col, n_buckets, corpus_stats
     )
@@ -465,7 +487,8 @@ def ql_topk_from_store(
 ) -> DataFrame:
     """Dirichlet query-likelihood top-k served from the incremental
     store — bit-identical to ``query_likelihood_topk`` over the same
-    accumulated corpus (shared scorer; cf_t = SUM(tf) both ways)."""
+    accumulated corpus (shared scorer; cf_t = SUM(tf) both ways).
+    ``corpus_stats``: same LIVE contract as ``bm25_topk_from_store``."""
     postings, dl, cs = _index_tables(
         spark, store_dir, queries, id_col, n_buckets, corpus_stats
     )
@@ -590,11 +613,12 @@ def min_cover_span_from_store(
         if dels is not None:
             p = p.join(F.broadcast(dels), id_col, "left_anti")
         # term -> dense index via the sorted literal order, then one
-        # merged sorted (pos, term_idx) event list per candidate doc
+        # merged sorted (pos, term_idx) event list per candidate doc.
+        # F.array of lits, not a rendered SQL string — a term holding
+        # a quote/backslash must not break the expression (r12 ADVICE
+        # #5); the array is query-bounded, so no py4j-chatter concern.
         tidx = F.array_position(
-            F.expr(
-                "array(" + ",".join("'" + t + "'" for t in terms) + ")"
-            ),
+            F.array(*[F.lit(t) for t in terms]),
             F.col("tok"),
         ).cast("int")
         ev = p.select(
@@ -657,18 +681,39 @@ def compact_postings(spark: SparkSession, store_dir: str) -> int:
     the reservoir/freq stores. Returns batch dirs folded (max over
     substores).
 
-    Crash-safe via :mod:`scida_spark.streaming.storefs` (r11 ADVICE
-    #2): the fold is staged in an underscore-prefixed scratch dir,
-    committed by an atomic manifest, and only then are the batch dirs
-    retired — an interruption anywhere is repaired by the
-    ``recover_pending`` call at the top of the next compaction or
-    store read.
+    Crash-safe via :mod:`scida_spark.streaming.storefs`, as ONE
+    store-level TRANSACTION (r13, closes r12 ADVICE #3): all three
+    substore folds are STAGED into their scratch dirs first, then
+    committed together by a single atomic txn manifest that also
+    records the tombstone clear. There is no window where one
+    substore is folded (tombstones applied) while a sibling still
+    carries pre-delete partials — the r12 per-substore sequence let a
+    crash between the doclen and stats promotes make
+    ``read_corpus_stats`` overcount (deletes subtracted from doclen
+    but still counted in the stats partials). An interruption before
+    the manifest leaves the store untouched; after it, the next read
+    or compaction replays the whole plan via ``recover_store``.
 
     Tombstones (r12) are APPLIED here: deleted rows drop from the
     folded postings/doclen, stats are re-derived from the surviving
-    doclen (exact integer re-aggregation), and the delete store
-    empties LAST — a crash before the clear leaves serve-time masking
-    as a harmless no-op (empty intersections)."""
+    (masked) doclen rows — exact integer re-aggregation — and the
+    delete store's clear rides the same transaction.
+
+    SINGLE-WRITER (r13, closes r12 ADVICE #4): the whole fold runs
+    under ``storefs.maintenance_lock(store_dir)``; a concurrent
+    maintainer raises, and readers leave a live maintainer's
+    scratch/manifest alone."""
+    # heal BEFORE locking — recovery is hands-off while any live lock
+    # (ours included) is held, so a dead predecessor's txn must be
+    # replayed here, and stale pre-commit scratch dropped
+    storefs.recover_store(store_dir)
+    for sub in ("postings", "doclen", "stats"):
+        storefs.recover_pending(os.path.join(store_dir, sub))
+    with storefs.maintenance_lock(store_dir):
+        return _compact_postings_locked(spark, store_dir)
+
+
+def _compact_postings_locked(spark: SparkSession, store_dir: str) -> int:
     id_col = store_meta(store_dir).get("id_col", "doc_id")
     dels = read_deletes(spark, store_dir, id_col)
     dmask = (lambda df: df.join(F.broadcast(dels), id_col, "left_anti")) if (
@@ -681,23 +726,25 @@ def compact_postings(spark: SparkSession, store_dir: str) -> int:
                 F.sum("n_docs").alias("n_docs"),
                 F.sum("total_tokens").cast("long").alias("total_tokens"),
             )
-        # doclen was compacted (tombstones applied) earlier in this
-        # loop — exact integer re-aggregation of the survivors
-        return read_doclen(spark, store_dir).agg(
+        # exact integer re-aggregation of the SURVIVING doclen rows
+        # (masked view over all partials — doclen itself is only
+        # staged at this point, not yet promoted)
+        return dmask(read_doclen(spark, store_dir)).agg(
             F.count("*").alias("n_docs"),
             F.coalesce(F.sum("dl"), F.lit(0))
             .cast("long")
             .alias("total_tokens"),
         )
 
-    folded = 0
+    # Stage ALL substore folds first — nothing in the store moves
+    # until every scratch dir is written.
+    folds: list[tuple[str, list[str]]] = []
     for sub, rewrite in (
         ("postings", lambda df: dmask(df.drop("batch_id"))),
         ("doclen", lambda df: dmask(df.drop("batch_id"))),
         ("stats", _stats_rewrite),
     ):
         root = os.path.join(store_dir, sub)
-        storefs.recover_pending(root)
         batches = storefs.list_batches(root)
         if not batches:
             # no partials to fold — done, UNLESS tombstones must be
@@ -714,13 +761,14 @@ def compact_postings(spark: SparkSession, store_dir: str) -> int:
         if sub == "postings":
             w = w.partitionBy("tok_bucket")
         w.parquet(storefs.scratch_dir(root))
-        storefs.promote_compacted(root, batches)
-        folded = max(folded, len(batches))
+        folds.append((sub, batches))
+    if not folds:
+        return 0
+    clear: list[tuple[str, list[str]]] = []
     if dels is not None:
-        # tombstones applied — clear them LAST (see docstring)
-        import shutil
-
         droot = os.path.join(store_dir, "deletes")
-        for d in storefs.list_batches(droot):
-            shutil.rmtree(os.path.join(droot, d), ignore_errors=True)
-    return folded
+        clear.append(("deletes", storefs.list_batches(droot)))
+    # ONE commit point for the whole compaction (folds + tombstone
+    # clear) — see storefs.promote_txn.
+    storefs.promote_txn(store_dir, folds, clear)
+    return max(len(b) for _, b in folds)

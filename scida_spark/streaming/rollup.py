@@ -106,22 +106,24 @@ def compact_rollup(
     batch directories. Serving cost drops back to O(keys); the merged
     view is unchanged because every component is mergeable. Returns
     the number of batch directories folded. Crash-safe via
-    ``streaming/storefs`` (scratch + manifest + recover)."""
+    ``streaming/storefs`` (scratch + manifest + recover); single-
+    writer under ``storefs.maintenance_lock``."""
     from scida_spark.streaming import storefs
 
-    storefs.recover_pending(store_dir)
-    batches = storefs.list_batches(store_dir)
-    if not batches:
-        return 0
-    partials = spark.read.option("basePath", store_dir).parquet(store_dir)
-    base = partials.groupBy(*key_cols).agg(
-        F.sum("n_rows").alias("n_rows"),
-        F.sum("sum_val").alias("sum_val"),
-        F.hll_union_agg("distinct_sketch").alias("distinct_sketch"),
-    )
-    base.write.mode("overwrite").parquet(storefs.scratch_dir(store_dir))
-    storefs.promote_compacted(store_dir, batches)
-    return len(batches)
+    storefs.recover_pending(store_dir)  # heal before locking
+    with storefs.maintenance_lock(store_dir):
+        batches = storefs.list_batches(store_dir)
+        if not batches:
+            return 0
+        partials = spark.read.option("basePath", store_dir).parquet(store_dir)
+        base = partials.groupBy(*key_cols).agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("sum_val").alias("sum_val"),
+            F.hll_union_agg("distinct_sketch").alias("distinct_sketch"),
+        )
+        base.write.mode("overwrite").parquet(storefs.scratch_dir(store_dir))
+        storefs.promote_compacted(store_dir, batches)
+        return len(batches)
 
 
 # ---------------------------------------------------------------------------
@@ -206,19 +208,21 @@ def compact_freq(
 ) -> int:
     """Fold all heavy-hitter partials into one base partial
     (``batch_id=-1``). Returns the number of batch dirs folded.
-    Crash-safe via ``streaming/storefs``."""
+    Crash-safe via ``streaming/storefs``; single-writer under
+    ``storefs.maintenance_lock``."""
     from scida_spark.streaming import storefs
 
-    storefs.recover_pending(store_dir)
-    batches = storefs.list_batches(store_dir)
-    if not batches:
-        return 0
-    base = _freq_summary_to_partials(
-        read_freq(spark, store_dir, group_cols, k), group_cols
-    )
-    base.write.mode("overwrite").parquet(storefs.scratch_dir(store_dir))
-    storefs.promote_compacted(store_dir, batches)
-    return len(batches)
+    storefs.recover_pending(store_dir)  # heal before locking
+    with storefs.maintenance_lock(store_dir):
+        batches = storefs.list_batches(store_dir)
+        if not batches:
+            return 0
+        base = _freq_summary_to_partials(
+            read_freq(spark, store_dir, group_cols, k), group_cols
+        )
+        base.write.mode("overwrite").parquet(storefs.scratch_dir(store_dir))
+        storefs.promote_compacted(store_dir, batches)
+        return len(batches)
 
 
 # --------------------------------------------------------------------------
@@ -326,17 +330,21 @@ def compact_reservoir(
     """Fold all reservoir partials into one base partial
     (``batch_id=-1``); min-k is idempotent, so serving afterwards is
     bit-identical. Returns the number of batch dirs folded.
-    Crash-safe via ``streaming/storefs``."""
+    Crash-safe via ``streaming/storefs``; single-writer under
+    ``storefs.maintenance_lock``."""
     from scida_spark.streaming import storefs
 
-    storefs.recover_pending(store_dir)
-    batches = storefs.list_batches(store_dir)
-    if not batches:
-        return 0
-    base = read_reservoir(spark, store_dir, group_cols, k).drop("sample_rank")
-    base.write.mode("overwrite").parquet(storefs.scratch_dir(store_dir))
-    storefs.promote_compacted(store_dir, batches)
-    return len(batches)
+    storefs.recover_pending(store_dir)  # heal before locking
+    with storefs.maintenance_lock(store_dir):
+        batches = storefs.list_batches(store_dir)
+        if not batches:
+            return 0
+        base = read_reservoir(spark, store_dir, group_cols, k).drop(
+            "sample_rank"
+        )
+        base.write.mode("overwrite").parquet(storefs.scratch_dir(store_dir))
+        storefs.promote_compacted(store_dir, batches)
+        return len(batches)
 
 
 # --------------------------------------------------------------------------

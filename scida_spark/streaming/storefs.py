@@ -131,6 +131,87 @@ def read_json(path: str):
         return json.load(f)
 
 
+def _pid_alive(pid: int) -> bool:
+    """Signal-0 probe — the local-FS analog of a lease check. A pid we
+    may not signal (EPERM) still EXISTS, so it counts as alive."""
+    if pid <= 0:
+        return False
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:  # pragma: no cover - other-user pid
+        return True
+    return True
+
+
+def _lock_owner(path: str) -> int:
+    """Owner pid recorded in a lock file; -1 if unreadable (a torn or
+    hand-damaged lock — treated as dead, since write is atomic)."""
+    try:
+        return int(read_json(path).get("pid", -1))
+    except (OSError, ValueError, AttributeError, json.JSONDecodeError):
+        return -1
+
+
+def _live_lock(root: str) -> bool:
+    """True if ``root`` or its parent carries a maintenance lock whose
+    owner is ALIVE — our own pid included. Checked by the recovery
+    hooks: while a maintainer is alive, any manifest/scratch under the
+    lock is its WORKING state, not a crash — a reader must not delete
+    the compactor's scratch or race its promote (the r12 ADVICE
+    reader-vs-compactor race), and the maintainer's own mid-fold reads
+    (e.g. the stats rewrite reading doclen while its scratch is
+    staged) must not clobber what it just wrote. Compactors therefore
+    heal BEFORE taking the lock."""
+    for d in (root, os.path.dirname(os.path.abspath(root))):
+        path = os.path.join(d, LOCK_FILE)
+        if os.path.isfile(path) and _pid_alive(_lock_owner(path)):
+            return True
+    return False
+
+
+@contextlib.contextmanager
+def maintenance_lock(root: str):
+    """Single-writer guard for a store's maintenance (compaction).
+    Creates ``<root>/_maintenance.lock`` recording our pid via an
+    atomic link(2) publish; a second maintainer raises RuntimeError
+    while the first is alive. A lock whose owner is provably dead
+    (pid gone) is stolen — the crash-recovery path. Released on exit.
+
+    This is the module contract's SINGLE-WRITER enforcement point:
+    every ``compact_*`` entry wraps its whole fold in this context,
+    so a reader can only ever heal state whose owner is dead."""
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, LOCK_FILE)
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"pid": os.getpid()}, f)
+    try:
+        for _ in range(2):  # one retry after stealing a dead lock
+            try:
+                os.link(tmp, path)  # atomic create-with-content
+                break
+            except FileExistsError:
+                pid = _lock_owner(path)
+                if pid != os.getpid() and _pid_alive(pid):
+                    raise RuntimeError(
+                        f"maintenance on {root} already running "
+                        f"(live pid {pid}); single-writer contract"
+                    )
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(path)  # dead owner — steal
+        else:  # pragma: no cover - pathological create/steal race
+            raise RuntimeError(f"could not acquire maintenance lock on {root}")
+    finally:
+        os.remove(tmp)
+    try:
+        yield
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(path)
+
+
 def _finish(root: str, folded: list[str]) -> None:
     """Steps 3-5: delete folded partials, promote the scratch fold to
     the base partial, clear the manifest. Idempotent — every delete
@@ -165,21 +246,89 @@ def recover_pending(root: str) -> bool:
     """Finish (or discard) an interrupted compaction under ``root``.
     Returns True if anything was repaired. Called by every
     ``compact_*`` entry point before listing batches; also safe (and
-    cheap — two ``os.path`` probes) from read paths."""
+    cheap — a few ``os.path`` probes) from read paths: while a LIVE
+    maintainer holds the lock this is a no-op (the manifest/scratch
+    are the maintainer's working state, not a crash), and a parent
+    store-level transaction is healed first so a multi-substore fold
+    never recovers one substore out of step with its siblings."""
     if not os.path.isdir(root):
         return False
+    # a store-level txn (parent) supersedes any per-substore state
+    recover_store(os.path.dirname(os.path.abspath(root)))
     manifest = os.path.join(root, MANIFEST)
     tmp = scratch_dir(root)
+    if not os.path.isfile(manifest) and not os.path.isdir(tmp):
+        return False
+    if _live_lock(root):
+        # a live maintainer owns this state — hands off (r12 ADVICE:
+        # a reader deleting the compactor's scratch fails its promote)
+        return False
     if os.path.isfile(manifest):
         # Past the commit point: the scratch fold (if still present)
         # is authoritative for the listed batches — replay steps 3-5.
         folded = read_json(manifest).get("folded", [])
         _finish(root, folded)
         return True
-    if os.path.isdir(tmp):
-        # Crashed before the commit point: the store is intact and the
-        # scratch fold may be torn — drop it; the next compaction
-        # simply redoes the fold.
-        shutil.rmtree(tmp)
-        return True
-    return False
+    # Crashed before the commit point: the store is intact and the
+    # scratch fold may be torn — drop it; the next compaction
+    # simply redoes the fold.
+    shutil.rmtree(tmp)
+    return True
+
+
+def _apply_txn(store_root: str, plan: dict) -> None:
+    """Replay a store-level transaction plan: finish every substore
+    fold, then clear the listed auxiliary batch dirs (tombstones).
+    Every step is idempotent, so replaying after any crash is safe."""
+    for fold in plan.get("folds", []):
+        _finish(os.path.join(store_root, fold["sub"]), fold["folded"])
+    for aux in plan.get("clear", []):
+        for d in aux.get("batches", []):
+            shutil.rmtree(
+                os.path.join(store_root, aux["sub"], d), ignore_errors=True
+            )
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(os.path.join(store_root, TXN_MANIFEST))
+
+
+def promote_txn(
+    store_root: str,
+    folds: list[tuple[str, list[str]]],
+    clear: list[tuple[str, list[str]]] = (),
+) -> None:
+    """Commit a MULTI-SUBSTORE compaction atomically (r13, closes r12
+    ADVICE #3). ``folds`` is ``[(substore, folded_batches), ...]`` —
+    each substore's new base must already sit in its scratch dir;
+    ``clear`` is ``[(aux_substore, batch_dirs_to_delete), ...]`` (the
+    tombstone clear). ONE store-level manifest is the commit point for
+    the whole plan: before it, nothing moved (scratches are dropped);
+    after it, :func:`recover_store` replays every fold AND the clear,
+    so no crash can leave e.g. a tombstone-applied doclen next to
+    pre-delete stats partials."""
+    for sub, _ in folds:
+        if not os.path.isdir(  # pragma: no cover - misuse
+            scratch_dir(os.path.join(store_root, sub))
+        ):
+            raise FileNotFoundError(
+                f"promote_txn: no {TMP_DIR} under {store_root}/{sub}; "
+                "stage every substore fold before committing"
+            )
+    plan = {
+        "folds": [{"sub": s, "folded": list(f)} for s, f in folds],
+        "clear": [{"sub": s, "batches": list(b)} for s, b in clear],
+    }
+    write_json_atomic(os.path.join(store_root, TXN_MANIFEST), plan)
+    _apply_txn(store_root, plan)
+
+
+def recover_store(store_root: str) -> bool:
+    """Replay an interrupted store-level transaction (the
+    :func:`promote_txn` twin of :func:`recover_pending`). No-op and
+    False if no transaction is pending or a LIVE maintainer owns it."""
+    manifest = os.path.join(store_root, TXN_MANIFEST)
+    if not os.path.isfile(manifest):
+        return False
+    if _live_lock(store_root):
+        return False
+    _apply_txn(store_root, read_json(manifest))
+    return True

@@ -311,8 +311,9 @@ def test_compaction_crash_heals_on_next_read(spark, dirs, monkeypatch):
     w(docs.filter(F.col("doc_id") >= 20), 1)
     before = _rows(bm25_topk_from_store(spark, dirs["store"], QUERIES))
 
-    # kill the fold at the commit point: scratch + manifest written,
-    # batches not yet retired, base not yet promoted
+    # kill the fold at the commit point: every substore scratch and
+    # the store-level txn manifest written (r13: ONE commit point for
+    # all three substores), nothing retired or promoted yet
     real_finish = storefs._finish
 
     def boom(root, folded):
@@ -323,14 +324,24 @@ def test_compaction_crash_heals_on_next_read(spark, dirs, monkeypatch):
         compact_postings(spark, dirs["store"])
     monkeypatch.setattr(storefs, "_finish", real_finish)
 
-    # the crash window really exists (manifest + scratch on disk)
-    proot = os.path.join(dirs["store"], "postings")
-    assert os.path.isfile(os.path.join(proot, storefs.MANIFEST))
-    assert os.path.isdir(storefs.scratch_dir(proot))
+    # the crash window really exists (txn manifest + all scratches on
+    # disk, batch partials untouched)
+    assert os.path.isfile(
+        os.path.join(dirs["store"], storefs.TXN_MANIFEST)
+    )
+    for sub in ("postings", "doclen", "stats"):
+        root = os.path.join(dirs["store"], sub)
+        assert os.path.isdir(storefs.scratch_dir(root))
+        assert storefs.list_batches(root) == ["batch_id=0", "batch_id=1"]
 
-    # the next serve heals the store and returns identical rankings
+    # the next serve heals the WHOLE store transactionally and returns
+    # identical rankings
     assert _rows(bm25_topk_from_store(spark, dirs["store"], QUERIES)) == before
-    assert not os.path.isfile(os.path.join(proot, storefs.MANIFEST))
+    assert not os.path.isfile(
+        os.path.join(dirs["store"], storefs.TXN_MANIFEST)
+    )
+    for sub in ("postings", "doclen", "stats"):
+        assert storefs.list_batches(os.path.join(dirs["store"], sub)) == []
     # and a rerun compaction completes normally, still a fixed point
     compact_postings(spark, dirs["store"])
     assert _rows(bm25_topk_from_store(spark, dirs["store"], QUERIES)) == before
@@ -543,3 +554,193 @@ def test_min_cover_span_matches_brute_force(spark, dirs):
         for r in min_cover_span_from_store(spark, dirs["store"], queries).collect()
     }
     assert (0, 0) not in got2 and got2[(0, 1)] == 2
+
+
+# ---------------------------------------------------------------------------
+# r13: store-level transactions, single-writer lock, stats contract
+# ---------------------------------------------------------------------------
+
+
+def test_txn_crash_between_substores_heals_consistently(
+    spark, dirs, monkeypatch
+):
+    """The r12 ADVICE #3 window: a compaction that died after applying
+    tombstones to doclen but before rewriting stats left
+    read_corpus_stats overcounting. r13's single-txn commit makes that
+    impossible — kill the apply after the FIRST substore fold and the
+    next READ replays the WHOLE plan (all three folds + the tombstone
+    clear) before serving."""
+    from scida_spark.streaming import storefs
+    from scida_spark.streaming.postings import (
+        delete_docs,
+        postings_writer,
+        read_deletes,
+        read_doclen,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, TEXTS[i % len(TEXTS)]) for i in range(40)], SCHEMA
+    )
+    w = postings_writer(dirs["store"])
+    w(docs.filter(F.col("doc_id") < 20), 0)
+    w(docs.filter(F.col("doc_id") >= 20), 1)
+    gone = [3, 7, 21]
+    delete_docs(spark, dirs["store"], gone, 0)
+    remaining = docs.filter(~F.col("doc_id").isin(gone))
+    want_stats = (
+        remaining.count(),
+        remaining.select(
+            F.coalesce(
+                F.sum(F.size(F.split(F.trim("text"), r"\s+"))), F.lit(0)
+            )
+        ).first()[0],
+    )
+    want_bm = _rows(bm25_topk_from_store(spark, dirs["store"], QUERIES, k=5))
+
+    # die after the first substore's _finish (postings folded, doclen
+    # and stats still staged, tombstones not yet cleared)
+    real_finish = storefs._finish
+    calls = {"n": 0}
+
+    def flaky(root, folded):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise RuntimeError("simulated crash mid-apply")
+        real_finish(root, folded)
+
+    monkeypatch.setattr(storefs, "_finish", flaky)
+    with pytest.raises(RuntimeError, match="mid-apply"):
+        compact_postings(spark, dirs["store"])
+    monkeypatch.setattr(storefs, "_finish", real_finish)
+
+    # the partial-apply window really exists: postings folded, doclen
+    # partials still in place, txn manifest pending
+    assert storefs.list_batches(os.path.join(dirs["store"], "postings")) == []
+    assert storefs.list_batches(os.path.join(dirs["store"], "doclen")) == [
+        "batch_id=0",
+        "batch_id=1",
+    ]
+    assert os.path.isfile(os.path.join(dirs["store"], storefs.TXN_MANIFEST))
+
+    # next read heals the WHOLE transaction first: stats are the
+    # post-delete truth (the r12 sequence would have overcounted here)
+    assert read_corpus_stats(spark, dirs["store"]) == want_stats
+    assert not os.path.isfile(
+        os.path.join(dirs["store"], storefs.TXN_MANIFEST)
+    )
+    assert read_deletes(spark, dirs["store"]) is None  # clear replayed
+    assert (
+        read_doclen(spark, dirs["store"])
+        .filter(F.col("doc_id").isin(gone))
+        .count()
+        == 0
+    )
+    assert (
+        _rows(bm25_topk_from_store(spark, dirs["store"], QUERIES, k=5))
+        == want_bm
+    )
+
+
+def test_single_writer_lock_and_reader_hands_off(spark, dirs):
+    """r12 ADVICE #4: a second maintainer must raise while the first
+    is alive; a reader's recovery hooks must NOT heal (delete scratch /
+    replay manifests) under a live maintainer's lock, and must heal as
+    soon as the owner is provably dead."""
+    from scida_spark.streaming import storefs
+    from scida_spark.streaming.postings import postings_writer
+
+    docs = spark.createDataFrame(
+        [(i, TEXTS[i % len(TEXTS)]) for i in range(10)], SCHEMA
+    )
+    postings_writer(dirs["store"])(docs, 0)
+
+    # simulate a LIVE foreign maintainer (pid 1 is always alive)
+    lock = os.path.join(dirs["store"], storefs.LOCK_FILE)
+    storefs.write_json_atomic(lock, {"pid": 1})
+    with pytest.raises(RuntimeError, match="single-writer"):
+        compact_postings(spark, dirs["store"])
+
+    # a live maintainer's working state is hands-off for readers
+    proot = os.path.join(dirs["store"], "postings")
+    os.makedirs(storefs.scratch_dir(proot))
+    assert not storefs.recover_pending(proot)
+    assert os.path.isdir(storefs.scratch_dir(proot))
+    storefs.write_json_atomic(
+        os.path.join(dirs["store"], storefs.TXN_MANIFEST),
+        {"folds": [], "clear": []},
+    )
+    assert not storefs.recover_store(dirs["store"])
+
+    # owner dies -> the same hooks heal (dead-pid lease semantics)
+    storefs.write_json_atomic(lock, {"pid": 999999999})
+    assert storefs.recover_store(dirs["store"])
+    assert storefs.recover_pending(proot)
+    assert not os.path.isdir(storefs.scratch_dir(proot))
+
+    # and a new maintainer steals the dead lock and completes
+    assert compact_postings(spark, dirs["store"]) == 1
+    assert not os.path.isfile(lock)  # released on exit
+
+
+def test_corpus_stats_live_contract_with_tombstones(spark, dirs):
+    """r12 ADVICE #1: sharing read_corpus_stats() output across
+    rankers must score identically to passing nothing, even with
+    tombstones outstanding (the old path re-subtracted the deletes)."""
+    from scida_spark.streaming.postings import delete_docs, postings_writer
+
+    docs = spark.createDataFrame(
+        [(i, TEXTS[i % len(TEXTS)]) for i in range(30)], SCHEMA
+    )
+    postings_writer(dirs["store"])(docs, 0)
+    delete_docs(spark, dirs["store"], [2, 5, 11], 0)
+
+    cs = read_corpus_stats(spark, dirs["store"])  # LIVE (delete-adjusted)
+    for fn in (bm25_topk_from_store, ql_topk_from_store):
+        implicit = _rows(fn(spark, dirs["store"], QUERIES, k=5))
+        shared = _rows(
+            fn(spark, dirs["store"], QUERIES, k=5, corpus_stats=cs)
+        )
+        assert shared == implicit and len(shared) > 0
+
+
+def test_meta_validates_every_ingest_param_on_reopen(spark, dirs):
+    """r12 ADVICE #2: re-opening a store with a different
+    with_positions / id_col / text_col must be refused — a mixed-
+    schema store silently breaks phrase serving."""
+    from scida_spark.streaming.postings import postings_writer
+
+    docs = spark.createDataFrame(
+        [(i, TEXTS[i % len(TEXTS)]) for i in range(5)], SCHEMA
+    )
+    postings_writer(dirs["store"], with_positions=True)(docs, 0)
+
+    with pytest.raises(ValueError, match="with_positions"):
+        postings_writer(dirs["store"], with_positions=False)(docs, 1)
+    with pytest.raises(ValueError, match="id_col"):
+        postings_writer(dirs["store"], id_col="uid", with_positions=True)(
+            docs.withColumnRenamed("doc_id", "uid"), 1
+        )
+    # identical params keep appending fine
+    postings_writer(dirs["store"], with_positions=True)(docs, 1)
+
+
+def test_span_serving_tolerates_quote_terms(spark, dirs):
+    """r12 ADVICE #5: a query term holding a single quote must not be
+    rendered into raw SQL (parse crash) — and must actually match."""
+    from scida_spark.streaming.postings import (
+        min_cover_span_from_store,
+        postings_writer,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "i don't match sql injection don't"), (1, "no apostrophes here")],
+        SCHEMA,
+    )
+    postings_writer(dirs["store"], with_positions=True)(docs, 0)
+    got = {
+        (r["query_id"], r["doc_id"]): r["span"]
+        for r in min_cover_span_from_store(
+            spark, dirs["store"], [(0, "don't match")]
+        ).collect()
+    }
+    assert got == {(0, 0): 2}
