@@ -411,6 +411,20 @@ def ngram_containment_pairs(
     intersection count — no second join. Values are exact integer
     ratios (one IEEE division), oracle-replayable."""
     sh = shingle_hash_table(df, id_col, text_col, n).localCheckpoint(eager=True)
+    return ngram_containment_pairs_from_shingles(
+        sh, threshold=threshold, max_df=max_df
+    )
+
+
+def ngram_containment_pairs_from_shingles(
+    sh: DataFrame, threshold: float = 0.8, max_df: int | None = 256
+) -> DataFrame:
+    """:func:`ngram_containment_pairs` from an ALREADY-MATERIALIZED
+    (doc, sh) shingle table — the ``_from_shingles`` convention
+    (``ngram_jaccard_pairs_from_shingles``): a pipeline that paid the
+    corpus scan once reuses it here. The caller must have
+    localCheckpointed ``sh``; semantics, the completeness contract,
+    and the counted-vs-verify physical split are the parent's."""
     ex = sh.select("doc", F.explode("sh").alias("g"))
     sizes = sh.select("doc", F.size("sh").alias("_sz"))
 

@@ -67,6 +67,7 @@ __all__ = [
     "url_host",
     "registered_domain",
     "url_registered_domain",
+    "with_url_columns",
     "canonical_url_dedup",
 ]
 
@@ -216,10 +217,55 @@ def registered_domain(host) -> Column:
 def url_registered_domain(url) -> Column:
     """Registered domain straight from a URL column ('' when the URL
     is scheme-less) — the key per-domain caps and temperature mixing
-    should group on."""
+    should group on.
+
+    .. warning:: Column-composition form — fine for literal frames and
+       small lookups, WRONG for a corpus scan. It inlines the
+       ``url_host`` regex subtree at every one of ``registered_domain``'s
+       internal references; the generated Java blows past janino's
+       64 KB method limit and whole-stage codegen silently falls back
+       to the interpreter (measured ~8× at 500k docs, SCALE.md). For
+       DataFrame work use :func:`with_url_columns`, which stages the
+       host in its own projection so it is evaluated once per row."""
     return F.when(url_host(url) == "", F.lit("")).otherwise(
         registered_domain(url_host(url))
     )
+
+
+def with_url_columns(
+    df: DataFrame,
+    url_col: str,
+    host_col: str = "url_host",
+    domain_col: str = "url_domain",
+    canonical_col: str | None = None,
+) -> DataFrame:
+    """``df`` plus canonical-host and registered-domain columns,
+    evaluated the way a 100 TB scan needs (r12 VERDICT #1): the host
+    lands in its OWN projection and the domain is derived from that
+    staged column, so the host's regex subtree is evaluated once per
+    row instead of being inlined at each of ``registered_domain``'s
+    internal references. CollapseProject keeps the stage because the
+    host alias is referenced many times by a non-cheap expression —
+    the composed Column form compiles a janino-overflowing method and
+    runs interpreted (measured 115 s vs ~2 s for an 18-row aggregate
+    over 500k docs, SCALE.md ×100 sweep). Still map-only: zero UDF,
+    zero shuffle; ``canonical_col`` optionally adds the canonical URL
+    (a single self-contained expression — no staging needed).
+
+    Semantics match :func:`url_registered_domain` exactly: scheme-less
+    input gets ``'' `` for both host and domain."""
+    staged = df.select("*", url_host(F.col(url_col)).alias(host_col))
+    out_cols = [
+        F.col(c) for c in df.columns
+    ] + [
+        F.col(host_col),
+        F.when(F.col(host_col) == "", F.lit(""))
+        .otherwise(registered_domain(F.col(host_col)))
+        .alias(domain_col),
+    ]
+    if canonical_col is not None:
+        out_cols.append(canonicalize_url(F.col(url_col)).alias(canonical_col))
+    return staged.select(*out_cols)
 
 
 def canonical_url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:

@@ -352,7 +352,23 @@ def _fs_oracle_section() -> str:
       SELECT doc_a, doc_b
       FROM ginter
       JOIN gsizes sa ON sa.doc = doc_a JOIN gsizes sb ON sb.doc = doc_b
-      WHERE CAST(n_inter AS DOUBLE) / CAST(sa.nsh + sb.nsh - n_inter AS DOUBLE) >= 0.2)
+      WHERE CAST(n_inter AS DOUBLE) / CAST(sa.nsh + sb.nsh - n_inter AS DOUBLE) >= 0.2),
+    exsh AS (
+      SELECT doc_id + 100000000 AS doc,
+             list_distinct(list_transform(
+               generate_series(1, least(len(t), 8) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS t
+            FROM documents
+            WHERE doc_id IN (SELECT MIN(doc_id) FROM documents
+                             GROUP BY md5(text)))),
+    gshu AS (SELECT doc, grams FROM gsh UNION ALL SELECT doc, grams FROM exsh),
+    gsizesu AS (SELECT doc, len(grams) AS nsh FROM gshu),
+    gexu AS (SELECT doc, unnest(grams) AS g FROM gshu),
+    ginteru AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+      FROM gexu a JOIN gexu b ON a.g = b.g AND a.doc < b.doc
+      GROUP BY a.doc, b.doc)
     SELECT 'simhash' AS method, CAST(a.doc_id AS BIGINT) AS id_a,
            CAST(b.doc_id AS BIGINT) AS id_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS DOUBLE) AS score
@@ -379,6 +395,19 @@ def _fs_oracle_section() -> str:
     JOIN gsizes sa ON sa.doc = doc_a JOIN gsizes sb ON sb.doc = doc_b
     WHERE CAST(n_inter AS DOUBLE)
             / CAST(sa.nsh + sb.nsh - n_inter AS DOUBLE) >= 0.2
+    UNION ALL
+    SELECT 'containment' AS method, CAST(u.src AS BIGINT) AS id_a,
+           CAST(u.dst AS BIGINT) AS id_b, u.score AS score
+    FROM (
+      SELECT gi.doc_a AS src, gi.doc_b AS dst,
+             CAST(gi.n_inter AS DOUBLE) / CAST(sa.nsh AS DOUBLE) AS score
+      FROM ginteru gi JOIN gsizesu sa ON sa.doc = gi.doc_a
+      UNION ALL
+      SELECT gi.doc_b, gi.doc_a,
+             CAST(gi.n_inter AS DOUBLE) / CAST(sb.nsh AS DOUBLE)
+      FROM ginteru gi JOIN gsizesu sb ON sb.doc = gi.doc_b
+    ) u
+    WHERE u.score >= 0.6
     """
     + _fs_oracle_section(),
 )
@@ -630,7 +659,90 @@ def dedup_signature_pairs(spark, sf_dir):
         F.col("id_b").cast("bigint"),
         F.col("fs_score").alias("score"),
     )
-    return sh.unionAll(cert).unionAll(fz).unionAll(pp).unionAll(lk)
+    # --- containment (r13, closing the r12 VERDICT driver-cert gap):
+    # DIRECTED C(A→B) = n∩/|sh(A)| pairs
+    # (dedup.py::ngram_containment_pairs_from_shingles) — the
+    # quote/subset relation threshold-Jaccard is structurally blind
+    # to. Certified over the corpus PLUS planted excerpts: every
+    # distinct-text rep contributes a first-8-token excerpt row
+    # (id = rep + 1e8) whose shingle set is by construction a subset
+    # of its source's — containment(excerpt→source) = 1.0 while the
+    # reverse direction and Jaccard stay low, so the driver
+    # value-checks exactly the asymmetry the operator exists for.
+    # max_df=None: the oracle replays the COMPLETE directed answer
+    # from the union grams table, so candidate generation may not
+    # drop anything. Same collapse-first discipline: pairs over reps
+    # (+ excerpt ids, identity-mapped), directed expansion over
+    # cliques — containment is text-pure, so cross-clique pairs carry
+    # the rep score and shingled within-clique pairs are 1.0 BOTH
+    # directions (directed within-expansion, unlike the undirected
+    # expand_rep_pairs sections).
+    ex8 = reps.select(
+        (F.col("doc_id") + F.lit(100000000)).cast("long").alias("doc_id"),
+        F.array_join(F.slice(F.split(F.trim("text"), " "), 1, 8), " ").alias(
+            "text"
+        ),
+    )
+    # excerpt shingles via the SAME kernel as the rep table: sig's sh
+    # ids are signature_table's fmix64 token-hash folds, not
+    # shingle_hash_table's blake2b-of-string ids — mixing the two
+    # families would silently produce zero excerpt↔source candidates.
+    ex_sig = (
+        D.signature_table(ex8, "doc_id", "text", n=3)
+        .select("doc", "sh")
+        .localCheckpoint(eager=True)
+    )
+    ct_rep = D.ngram_containment_pairs_from_shingles(
+        sig.select("doc", "sh").unionAll(ex_sig), threshold=0.6, max_df=None
+    )
+    idmap = clique.unionAll(ex_sig.select("doc", F.col("doc").alias("rep")))
+    ct_cross = (
+        ct_rep.join(
+            idmap.select(
+                F.col("doc").alias("_s"), F.col("rep").alias("src_doc")
+            ),
+            "src_doc",
+        )
+        .join(
+            idmap.select(
+                F.col("doc").alias("_d"), F.col("rep").alias("dst_doc")
+            ),
+            "dst_doc",
+        )
+        .select(
+            F.col("_s").alias("id_a"),
+            F.col("_d").alias("id_b"),
+            F.col("containment").alias("score"),
+        )
+    )
+    clq = clique.join(
+        sig.filter(F.size("sh") > 0).select(F.col("doc").alias("rep")),
+        "rep",
+        "left_semi",
+    )
+    ct_within = (
+        clq.select("rep", F.col("doc").alias("_d1"))
+        .join(clq.select("rep", F.col("doc").alias("_d2")), "rep")
+        .filter(F.col("_d1") != F.col("_d2"))
+        .select(
+            F.col("_d1").alias("id_a"),
+            F.col("_d2").alias("id_b"),
+            F.lit(1.0).alias("score"),
+        )
+    )
+    ct = ct_cross.unionAll(ct_within).select(
+        F.lit("containment").alias("method"),
+        F.col("id_a").cast("bigint"),
+        F.col("id_b").cast("bigint"),
+        F.col("score").cast("double"),
+    )
+    return (
+        sh.unionAll(cert)
+        .unionAll(fz)
+        .unionAll(pp)
+        .unionAll(lk)
+        .unionAll(ct)
+    )
 
 
 @query(
@@ -847,6 +959,111 @@ def dedup_keep_first_latest(spark, sf_dir):
                   WHEN e.event_id <= c.c2 THEN 1 ELSE 2 END AS b
       FROM events e, cuts c
     ) GROUP BY b
+    UNION ALL
+    -- driftgate (r13): closed-form replay of the drift gate's 4-batch
+    -- run. Derivation: facet = event_type, bv = event_id % 10, +10 in
+    -- batch 2 (quartile id cuts); batch 3 drops MIN(event_type).
+    -- Expected admits: b0 (bootstrap), b1 (steady); b2 quarantines on
+    -- per-facet psi, b3 ONLY on the synthetic __mix__ facet — so the
+    -- reference for b2 AND b3 is batches 0+1. psi/kl replay through
+    -- the pinned Laplace+1 ascending-order list_reduce fold (the
+    -- sketch drift:* precedent) and pack as FLOOR(x*1e9) integers.
+    SELECT 'driftgate' AS section, k1, k2 FROM (
+      WITH dgc AS (SELECT MAX(event_id) // 4 AS q1, MAX(event_id) // 2 AS q2,
+                          (3 * MAX(event_id)) // 4 AS q3 FROM events),
+      dgrows AS (
+        SELECT e.event_id, e.event_type AS facet,
+               CASE WHEN e.event_id <= c.q1 THEN 0
+                    WHEN e.event_id <= c.q2 THEN 1
+                    WHEN e.event_id <= c.q3 THEN 2 ELSE 3 END AS bt,
+               (e.event_id % 10) +
+               CASE WHEN e.event_id > c.q2 AND e.event_id <= c.q3
+                    THEN 10 ELSE 0 END AS bv
+        FROM events e, dgc c
+        WHERE NOT (e.event_id > c.q3
+                   AND e.event_type = (SELECT MIN(event_type) FROM events))),
+      dgh AS (SELECT bt, facet, bv, COUNT(*) AS c FROM dgrows GROUP BY 1, 2, 3),
+      dgb AS (SELECT bt, facet, bv, c FROM dgh WHERE bt >= 1),
+      dgfac AS (SELECT DISTINCT bt, facet FROM dgb),
+      dgref AS (SELECT tb.bt AS bt, h.facet, h.bv, SUM(h.c) AS c
+                FROM (VALUES (1), (2), (3)) AS tb(bt)
+                JOIN dgh h ON h.bt < tb.bt AND h.bt <= 1
+                GROUP BY 1, 2, 3),
+      dgu AS (
+        SELECT COALESCE(b.bt, r.bt) AS bt, COALESCE(b.facet, r.facet) AS facet,
+               COALESCE(b.bv, r.bv) AS bv,
+               COALESCE(r.c, 0) AS co, COALESCE(b.c, 0) AS cn
+        FROM dgb b
+        FULL OUTER JOIN (SELECT r.* FROM dgref r
+                         JOIN dgfac f ON f.bt = r.bt AND f.facet = r.facet) r
+          ON b.bt = r.bt AND b.facet = r.facet AND b.bv = r.bv),
+      dgt AS (SELECT bt, facet, SUM(co) AS no, SUM(cn) AS nn,
+                     COUNT(*) AS bb
+              FROM dgu GROUP BY 1, 2),
+      dgm AS (SELECT u.bt, u.facet, u.bv,
+                     CAST(u.cn + 1 AS DOUBLE) / (t.nn + t.bb) AS p,
+                     CAST(u.co + 1 AS DOUBLE) / (t.no + t.bb) AS q,
+                     t.nn AS nn
+              FROM dgu u JOIN dgt t ON u.bt = t.bt AND u.facet = t.facet),
+      dgpk AS (SELECT bt, facet, ANY_VALUE(nn) AS nn,
+                      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list((p - q) * ln(p / q) ORDER BY bv)),
+                        (a, x) -> a + x) AS psi,
+                      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list(p * ln(p / q) ORDER BY bv)),
+                        (a, x) -> a + x) AS kl
+               FROM dgm GROUP BY bt, facet),
+      dgbtot AS (SELECT bt, facet, SUM(c) AS c FROM dgh GROUP BY 1, 2),
+      dgreft AS (SELECT tb.bt AS bt, h.facet, SUM(h.c) AS c
+                 FROM (VALUES (1), (2), (3)) AS tb(bt)
+                 JOIN dgbtot h ON h.bt < tb.bt AND h.bt <= 1
+                 GROUP BY 1, 2),
+      dgmixu AS (SELECT COALESCE(b.bt, r.bt) AS bt,
+                        COALESCE(b.facet, r.facet) AS facet,
+                        COALESCE(r.c, 0) AS co, COALESCE(b.c, 0) AS cn
+                 FROM (SELECT * FROM dgbtot WHERE bt >= 1) b
+                 FULL OUTER JOIN dgreft r
+                   ON b.bt = r.bt AND b.facet = r.facet),
+      dgmixt AS (SELECT bt, SUM(co) AS no, SUM(cn) AS nn, COUNT(*) AS bb
+                 FROM dgmixu GROUP BY 1),
+      dgmixm AS (SELECT u.bt, u.facet,
+                        CAST(u.cn + 1 AS DOUBLE) / (t.nn + t.bb) AS p,
+                        CAST(u.co + 1 AS DOUBLE) / (t.no + t.bb) AS q,
+                        t.nn AS nn
+                 FROM dgmixu u JOIN dgmixt t ON u.bt = t.bt),
+      dgmix AS (SELECT bt, ANY_VALUE(nn) AS nn,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list((p - q) * ln(p / q) ORDER BY facet)),
+                         (a, x) -> a + x) AS psi,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list(p * ln(p / q) ORDER BY facet)),
+                         (a, x) -> a + x) AS kl
+                FROM dgmixm GROUP BY bt)
+      SELECT CAST(bt AS VARCHAR) || ':' || facet AS k1,
+             CAST(CAST(FLOOR(psi * 1000000000) AS BIGINT) AS VARCHAR) || ':' ||
+             CAST(CAST(FLOOR(kl * 1000000000) AS BIGINT) AS VARCHAR) || ':' ||
+             CAST(nn AS VARCHAR) || ':' ||
+             CASE WHEN bt <= 1 THEN 'true' ELSE 'false' END AS k2
+      FROM dgpk
+      UNION ALL
+      SELECT CAST(bt AS VARCHAR) || ':__mix__',
+             CAST(CAST(FLOOR(psi * 1000000000) AS BIGINT) AS VARCHAR) || ':' ||
+             CAST(CAST(FLOOR(kl * 1000000000) AS BIGINT) AS VARCHAR) || ':' ||
+             CAST(nn AS VARCHAR) || ':' ||
+             CASE WHEN bt <= 1 THEN 'true' ELSE 'false' END
+      FROM dgmix
+      UNION ALL
+      SELECT '0:' || facet, '0:0:' || CAST(c AS VARCHAR) || ':true'
+      FROM dgbtot WHERE bt = 0
+      UNION ALL
+      SELECT '0:__mix__', '0:0:' || CAST(SUM(c) AS VARCHAR) || ':true'
+      FROM dgbtot WHERE bt = 0
+      UNION ALL
+      SELECT 'route:' || CASE WHEN bt <= 1 THEN 'admit' ELSE 'quar' END
+               || ':' || CAST(bt AS VARCHAR),
+             CAST(COUNT(*) AS VARCHAR) || ':' || CAST(SUM(event_id) AS VARCHAR)
+      FROM dgrows GROUP BY bt
+    )
     UNION ALL
     SELECT 'cclabel' AS section, CAST(doc_id AS VARCHAR) AS k1,
            CAST(MIN(doc_id) OVER (PARTITION BY md5(text)) AS VARCHAR) AS k2
@@ -1198,6 +1415,129 @@ def stream_dedup_keys(spark, sf_dir):
         F.col("label").cast("string").alias("k2"),
     )
 
+    # --- driftgate (r13): the DISTRIBUTION-drift gate run FOR REAL
+    # (streaming/driftgate.py), the gate-section treatment for the one
+    # r12 operator whose routing was pytest-only. Events re-fed
+    # through 4 id-ordered micro-batches of (event_id, facet, bv)
+    # where facet = event_type and bv = event_id % 10, with TWO
+    # engineered failures the oracle replays closed-form:
+    #   b0 bootstrap-admits (psi = 0, seeds the reference);
+    #   b1 is steady and admits (same bv law, psi far under threshold);
+    #   b2 shifts EVERY facet: bv += 10 moves all mass out of the
+    #      reference's bucket set (per-facet psi >= ~ln-scale, mix
+    #      steady) — the classic per-facet quarantine;
+    #   b3 VANISHES one facet (MIN(event_type) filtered out of the
+    #      derivation) with bv unshifted: every surviving facet's
+    #      histogram stays steady, so ONLY the synthetic __mix__ facet
+    #      (r13, the r12 vanished-facet fix) can catch it — the driver
+    #      hash-checks that it does.
+    # Reports carry floor(psi*1e9)/floor(kl*1e9) (the psi_kl fold is
+    # bit-identical across engines per the sketch drift:* precedent;
+    # floor is rounding-rule-free), plus n and the admit bit; routing
+    # is certified by per-destination count + id-sum fingerprints
+    # (both destinations non-empty). References for b2/b3 are batches
+    # 0+1 — b2's quarantined partial never lands in the store, which
+    # the b3 replay implicitly certifies too.
+    from scida_spark.streaming.driftgate import (
+        drift_gated_ingest as _dg_ingest,
+        read_drift_reports as _dg_reports,
+    )
+
+    dgbase = _os.path.join(
+        _tempfile.gettempdir(),
+        "ss_driftgate_cert_" + _os.path.basename(sf_dir.rstrip("/")),
+    )
+    _shutil.rmtree(dgbase, ignore_errors=True)
+    dginp = _os.path.join(dgbase, "input")
+    _os.makedirs(dginp)
+    dgq1, dgq2, dgq3 = ehi // 4, ehi // 2, (3 * ehi) // 4
+    dgdrop = evg.agg(F.min("event_type")).first()[0]
+    dg_rows = evg.select(
+        "event_id",
+        F.col("event_type").alias("facet"),
+        (
+            F.pmod(F.col("event_id"), F.lit(10))
+            + F.when(
+                (F.col("event_id") > dgq2) & (F.col("event_id") <= dgq3),
+                F.lit(10),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("bv"),
+    )
+    for k, cond in enumerate(
+        [
+            F.col("event_id") <= dgq1,
+            (F.col("event_id") > dgq1) & (F.col("event_id") <= dgq2),
+            (F.col("event_id") > dgq2) & (F.col("event_id") <= dgq3),
+            (F.col("event_id") > dgq3) & (F.col("facet") != dgdrop),
+        ]
+    ):
+        part = _os.path.join(dgbase, f"_stage{k}")
+        dg_rows.filter(cond).coalesce(1).write.mode("overwrite").parquet(part)
+        src_file = next(
+            f for f in _os.listdir(part) if f.endswith(".parquet")
+        )
+        _os.rename(
+            _os.path.join(part, src_file), _os.path.join(dginp, f"b{k}.parquet")
+        )
+        _shutil.rmtree(part)
+    dgq = _dg_ingest(
+        spark,
+        dginp,
+        dg_rows.schema,
+        bucketer=lambda df: df.select("facet", F.col("bv").alias("b")),
+        hist_dir=_os.path.join(dgbase, "hist"),
+        admit_dir=_os.path.join(dgbase, "admit"),
+        quarantine_dir=_os.path.join(dgbase, "quar"),
+        report_dir=_os.path.join(dgbase, "reports"),
+        checkpoint_dir=_os.path.join(dgbase, "ckpt"),
+        threshold=0.4,
+        max_files_per_trigger=1,
+    )
+    dgq.awaitTermination()
+    driftgate_report_rows = _dg_reports(
+        spark, _os.path.join(dgbase, "reports")
+    ).select(
+        F.lit("driftgate").alias("section"),
+        F.concat(
+            F.col("batch_id").cast("string"), F.lit(":"), F.col("facet")
+        ).alias("k1"),
+        F.concat(
+            F.floor(F.col("psi") * 1e9).cast("long").cast("string"),
+            F.lit(":"),
+            F.floor(F.col("kl") * 1e9).cast("long").cast("string"),
+            F.lit(":"),
+            F.col("n_batch").cast("string"),
+            F.lit(":"),
+            F.col("admitted").cast("string"),
+        ).alias("k2"),
+    )
+    driftgate_route_rows = None
+    for tag in ("admit", "quar"):
+        rows = (
+            spark.read.option("basePath", _os.path.join(dgbase, tag))
+            .parquet(_os.path.join(dgbase, tag))
+            .groupBy("batch_id")
+            .agg(F.count("*").alias("__c"), F.sum("event_id").alias("__s"))
+            .select(
+                F.lit("driftgate").alias("section"),
+                F.concat(
+                    F.lit(f"route:{tag}:"), F.col("batch_id").cast("string")
+                ).alias("k1"),
+                F.concat(
+                    F.col("__c").cast("string"),
+                    F.lit(":"),
+                    F.col("__s").cast("string"),
+                ).alias("k2"),
+            )
+        )
+        driftgate_route_rows = (
+            rows
+            if driftgate_route_rows is None
+            else driftgate_route_rows.unionAll(rows)
+        )
+
     gate_route_rows = None
     for tag, d in (("admit", "admit"), ("quar", "quar")):
         rows = (
@@ -1222,9 +1562,15 @@ def stream_dedup_keys(spark, sf_dir):
         gate_route_rows = (
             rows if gate_route_rows is None else gate_route_rows.unionAll(rows)
         )
-    return stream_rows.unionAll(ingest_rows).unionAll(
-        ingest2_rows
-    ).unionAll(gate_report_rows).unionAll(gate_route_rows).unionAll(cc_rows)
+    return (
+        stream_rows.unionAll(ingest_rows)
+        .unionAll(ingest2_rows)
+        .unionAll(gate_report_rows)
+        .unionAll(gate_route_rows)
+        .unionAll(cc_rows)
+        .unionAll(driftgate_report_rows)
+        .unionAll(driftgate_route_rows)
+    )
 
 
 def _split_thresholds_r6() -> list[int]:
@@ -4820,7 +5166,7 @@ def text_quality_lang(spark, sf_dir):
     from scida_spark.functions.urls import (
         canonical_url_dedup,
         canonicalize_url,
-        url_registered_domain,
+        with_url_columns,
     )
 
     url_lit_df = spark.createDataFrame(
@@ -4834,10 +5180,16 @@ def text_quality_lang(spark, sf_dir):
         F.length(canonicalize_url(F.col("url"))).cast("long").alias("n"),
         F.lit(0.0).alias("sum_score"),
     )
-    urldom_lits = url_lit_df.select(
+    # Routed through with_url_columns (r12 VERDICT #1): even this
+    # 17-row literal frame tripped janino's 64 KB method limit when
+    # registered_domain(url_host(url)) was composed as ONE expression
+    # (harmless at 17 rows, but the oracle log carried the
+    # InternalCompilerException as proof the public-API trap was
+    # live). The staged form is the library's own fix.
+    urldom_lits = with_url_columns(url_lit_df, "url").select(
         F.lit("urldom").alias("section"),
         F.concat(F.lit("lit:"), F.col("pid")).alias("k1"),
-        url_registered_domain(F.col("url")).alias("k2"),
+        F.col("url_domain").alias("k2"),
         F.lit(0).cast("long").alias("n"),
         F.lit(0.0).alias("sum_score"),
     )
@@ -4883,18 +5235,14 @@ def text_quality_lang(spark, sf_dir):
     # the whole url_host subtree at every reuse inside
     # registered_domain — the generated Java method blew past janino's
     # limits, codegen fell back to the INTERPRETER, and this 18-row
-    # aggregate took 115 s over 500k docs. Materializing the host in
-    # its own projection (kept by CollapseProject because the alias is
-    # referenced many times) evaluates it once per row: 115 s -> ~2 s.
-    from scida_spark.functions.urls import registered_domain, url_host
-
-    _uhosts = corp_urls.select(url_host(F.col("url")).alias("_host"))
+    # aggregate took 115 s over 500k docs. The staging now lives in
+    # the LIBRARY (with_url_columns — r12 VERDICT #1), not at this
+    # call site: the host lands in its own projection (kept by
+    # CollapseProject because the alias is referenced many times) and
+    # is evaluated once per row: 115 s -> ~2 s.
     urldom_corp = (
-        _uhosts.select(
-            F.when(F.col("_host") == "", F.lit(""))
-            .otherwise(registered_domain(F.col("_host")))
-            .alias("dom")
-        )
+        with_url_columns(corp_urls, "url")
+        .select(F.col("url_domain").alias("dom"))
         .groupBy("dom")
         .agg(F.count("*").alias("n"))
         .select(

@@ -17,9 +17,17 @@ micro-batch:
    the :func:`~scida_spark.functions.drift.psi_kl` replay-contract
    fold over two collected count tables (metadata-sized);
 3. the batch is admitted if every facet WITH batch rows stays at or
-   under the PSI threshold (rule-of-thumb: 0.25 = action), else the
-   whole batch diverts to quarantine (the gate.py all-or-nothing
-   contract — systematic shift, not row defects);
+   under the PSI threshold (rule-of-thumb: 0.25 = action), AND the
+   facet MIX itself — scored as one synthetic ``__mix__`` facet whose
+   "buckets" are the facets and whose counts are per-facet row totals
+   (derived from the SAME histograms, no extra state) — stays under
+   the threshold. The mix facet closes the vanished-facet blind spot
+   (r12 VERDICT #2): a crawler that silently drops an entire language
+   produces NO per-facet row for it (nothing to score), but the mix
+   distribution shifts and quarantines the batch. Else the whole
+   batch diverts to quarantine (the gate.py all-or-nothing contract —
+   systematic shift, not row defects). ``__mix__`` is reserved: a
+   real facet with that name would collide in the report;
 4. every batch appends a per-facet report (psi, kl, n, admitted), and
    ADMITTED batches append their histogram partial to the reference
    store — a sum monoid under ``batch_id=N`` idempotent overwrite
@@ -133,6 +141,35 @@ def drift_gate_writer(
             report.append((facet, psi, kl, nn))
             if have_ref and psi > threshold:
                 admitted = False
+        # Facet-mix score (r12 VERDICT #2): the per-facet loop above
+        # only sees facets WITH batch rows, so a facet that VANISHES
+        # (an entire language dropped upstream) is invisible to it.
+        # The mix distribution — "bucket" = facet, count = facet row
+        # total — is derivable from the same two histograms (facet
+        # totals are already in the reference store), costs nothing
+        # extra, and is scored through the identical psi_kl fold under
+        # the identical threshold. Facet names map to dense ordinals
+        # over the sorted ref∪batch union: psi_kl only needs a stable
+        # per-call alignment, and both engines of any replay sort the
+        # same union.
+        bat_tot = {f: sum(v.values()) for f, v in batch_counts.items()}
+        if have_ref and bat_tot:
+            ref_tot = {f: sum(v.values()) for f, v in ref_counts.items()}
+            mix_facets = sorted(set(ref_tot) | set(bat_tot))
+            mix_psi, mix_kl, _no, mix_n, _nb = psi_kl(
+                [
+                    (i, ref_tot.get(f, 0), bat_tot.get(f, 0))
+                    for i, f in enumerate(mix_facets)
+                ]
+            )
+            if mix_psi > threshold:
+                admitted = False
+        else:
+            # bootstrap, or an EMPTY batch (no distribution to gate —
+            # zero rows are admitted vacuously, nothing appends)
+            mix_psi, mix_kl, mix_n = 0.0, 0.0, sum(bat_tot.values())
+        if bat_tot:
+            report.append(("__mix__", mix_psi, mix_kl, mix_n))
         spark.createDataFrame(
             [(f, p, k, n, admitted) for f, p, k, n in report]
             or [("<empty>", 0.0, 0.0, 0, True)],

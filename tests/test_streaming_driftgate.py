@@ -88,9 +88,20 @@ def test_shifted_batch_quarantined_steady_admitted(spark, dirs):
 
     # bootstrap batch reports psi == 0 (nothing to drift from); the
     # shifted batch's psi clears the action threshold by a wide margin
+    # on every REAL facet (the __mix__ facet is steady here — the
+    # en/de split never changes — so it reports near-zero, correctly)
     r0 = rep.filter(F.col("batch_id") == 0).select(F.max("psi")).first()[0]
-    r2 = rep.filter(F.col("batch_id") == 2).select(F.min("psi")).first()[0]
-    assert r0 == 0.0 and r2 > 1.0
+    r2 = (
+        rep.filter(
+            (F.col("batch_id") == 2) & (F.col("facet") != "__mix__")
+        )
+        .select(F.min("psi"))
+        .first()[0]
+    )
+    r2mix = rep.filter(
+        (F.col("batch_id") == 2) & (F.col("facet") == "__mix__")
+    ).first()["psi"]
+    assert r0 == 0.0 and r2 > 1.0 and r2mix < 0.25
 
     admitted_rows = spark.read.parquet(dirs["admit"]).count()
     quar_rows = spark.read.parquet(dirs["quar"]).count()
@@ -263,3 +274,39 @@ def test_driftgate_composes_with_multi_store_ingest(spark, dirs):
     # the retrieval index rode the same pass: serve works over all docs
     got = bm25_topk_from_store(spark, pstore, [(0, "hash join")], k=3)
     assert got.count() == 3
+
+
+def test_vanished_facet_quarantined_via_mix(spark, dirs):
+    """r12 VERDICT #2: a facet that VANISHES from a batch (an entire
+    language silently dropped upstream) produces no per-facet row to
+    score — only the synthetic __mix__ facet can see it. Reference:
+    en/de 50/50. Batch 2: en only, with the en n_tok distribution
+    UNCHANGED (per-facet psi ~0) — must quarantine on __mix__, and the
+    replayed psi must match the psi_kl contract on the facet totals."""
+    w = _mk_writer(dirs)
+    mk = lambda lo, hi, langs: spark.createDataFrame(
+        [(i, langs[i % len(langs)], 10 + i % 40) for i in range(lo, hi)],
+        SCHEMA,
+    )
+    w(mk(0, 400, ["en", "de"]), 0)
+    w(mk(400, 800, ["en", "de"]), 1)
+    w(mk(800, 1200, ["en"]), 2)  # de vanished; en distribution steady
+
+    rep = read_drift_reports(spark, dirs["report"])
+    by_batch = {
+        int(r["batch_id"]): bool(r["admitted"])
+        for r in rep.select("batch_id", "admitted").distinct().collect()
+    }
+    assert by_batch == {0: True, 1: True, 2: False}
+    # the ONLY facet over threshold is the mix — the en histogram is
+    # steady, and there is no de row at all in the batch-2 report
+    b2 = {r["facet"]: r["psi"] for r in rep.filter(F.col("batch_id") == 2).collect()}
+    assert set(b2) == {"en", "__mix__"}
+    assert b2["en"] <= 0.25 < b2["__mix__"]
+    # replay the mix psi through the contract fold on facet totals:
+    # ref = batches 0+1 (400 en, 400 de), batch = 400 en
+    psi, _kl, *_ = psi_kl([(0, 400, 0), (1, 400, 400)])  # de=0, en=1
+    assert b2["__mix__"] == psi
+    # quarantined rows contributed nothing to the reference
+    ref = read_reference_hist(spark, dirs["hist"])
+    assert ref.agg(F.sum("c")).first()[0] == 800
