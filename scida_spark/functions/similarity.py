@@ -1544,25 +1544,78 @@ def _kmeans_setup(embeddings, k, scale, id_col, vec_col):
     return xi, cents, len(cents[0])
 
 
-def _kmeans_assigned(xi, cent_rows, id_col):
-    mat = _ilit_matrix(cent_rows)
-    d2s = F.transform(
-        mat,
-        lambda c: F.aggregate(
-            F.zip_with(F.col("xi"), c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ),
-    )
-    return xi.select(F.col(id_col), "xi", d2s.alias("_d2s")).select(
+# Above this many k x dim literal terms the centroid matrix stops
+# shipping as a plan literal (janino/plan-size territory — the urldom
+# lesson) and assignment switches to the Arrow-batched kernel below.
+# At the IVF convention (k <= ~4096, dim <= ~1024) the literal path
+# always wins: it stays inside whole-stage codegen with zero Python.
+KMEANS_LITERAL_MAX_TERMS = 65536
+
+
+def _kmeans_assigned(xi, cent_rows, id_col, lit_max: int | None = None):
+    """(id, xi, cluster, dist2) for one assignment pass. Two physical
+    strategies with IDENTICAL integer semantics (argmin of exact int64
+    squared L2, first-index tie-break = smallest cluster id):
+
+    * k x dim <= ``lit_max``: the centroid matrix ships as ONE
+      array-of-arrays literal — map-only, no join, no Python, the
+      whole pass in whole-stage codegen;
+    * larger: an Arrow-batched pandas kernel closes over the numpy
+      int64 centroid matrix (serialized with the task — the broadcast
+      path for state too big for a plan literal). Exact int64
+      x²+c²-2xc expansion; numpy argmin's first-min matches
+      array_position's tie-break bit-for-bit (pinned in
+      tests/test_similarity_ops.py)."""
+    if lit_max is None:
+        lit_max = KMEANS_LITERAL_MAX_TERMS
+    k = len(cent_rows)
+    dim = len(cent_rows[0]) if k else 0
+    if k * dim <= lit_max:
+        mat = _ilit_matrix(cent_rows)
+        d2s = F.transform(
+            mat,
+            lambda c: F.aggregate(
+                F.zip_with(F.col("xi"), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return xi.select(F.col(id_col), "xi", d2s.alias("_d2s")).select(
+            F.col(id_col),
+            "xi",
+            # array_position returns the FIRST index of the min — exactly
+            # the smallest-cluster-id tie-break
+            (F.array_position("_d2s", F.array_min("_d2s")) - 1)
+            .cast("int")
+            .alias("cluster"),
+            F.array_min("_d2s").alias("dist2"),
+        )
+
+    cent = np.asarray([[int(v) for v in c] for c in cent_rows], dtype=np.int64)
+    c2 = (cent * cent).sum(axis=1)  # (k,)
+
+    @F.pandas_udf("cluster int, dist2 bigint")
+    def _assign(xs: pd.Series) -> pd.DataFrame:
+        if len(xs) == 0:
+            return pd.DataFrame(
+                {"cluster": np.empty(0, np.int32),
+                 "dist2": np.empty(0, np.int64)}
+            )
+        X = np.stack([np.asarray(v, dtype=np.int64) for v in xs])
+        # exact: all terms int64, far under overflow at the 1e6 scale
+        # convention (|term| <= dim * scale^2 * 4)
+        d2 = (X * X).sum(axis=1)[:, None] + c2[None, :] - 2 * (X @ cent.T)
+        cl = d2.argmin(axis=1)  # first min == smallest cluster id
+        return pd.DataFrame(
+            {"cluster": cl.astype(np.int32),
+             "dist2": d2[np.arange(len(cl)), cl]}
+        )
+
+    return xi.select(F.col(id_col), "xi", _assign("xi").alias("_a")).select(
         F.col(id_col),
         "xi",
-        # array_position returns the FIRST index of the min — exactly
-        # the smallest-cluster-id tie-break
-        (F.array_position("_d2s", F.array_min("_d2s")) - 1)
-        .cast("int")
-        .alias("cluster"),
-        F.array_min("_d2s").alias("dist2"),
+        F.col("_a.cluster").alias("cluster"),
+        F.col("_a.dist2").alias("dist2"),
     )
 
 
@@ -1614,9 +1667,13 @@ def kmeans_assign(
 
     Scale: per round, the assignment is a MAP-ONLY pass (the centroid
     matrix ships as one ``array<array<bigint>>`` literal — no join, no
-    shuffle) and the update is one map-side-combined k x (dim sums +
-    count) aggregate, collected driver-side (the isotonic-PAV /
-    IVF-build precedent: train on bounded state, scan distributed).
+    shuffle — up to ``KMEANS_LITERAL_MAX_TERMS`` k x dim terms;
+    beyond that plan-size ceiling it auto-switches to the
+    Arrow-batched int64 kernel in ``_kmeans_assigned``, still map-only
+    and bit-identical) and the update is one map-side-combined
+    k x (dim sums + count) aggregate, collected driver-side (the
+    isotonic-PAV / IVF-build precedent: train on bounded state, scan
+    distributed).
     ``iters`` fixed => exactly ``iters`` scans + one final assignment
     scan. Pass ``centroids`` (from :func:`kmeans_train`, persisted at
     ingest) to skip training entirely — assignment is then ONE lazy

@@ -920,3 +920,31 @@ def test_kmeans_centroid_persistence_roundtrip(spark, tmp_path):
         )
     )
     assert a == b
+
+
+def test_kmeans_assign_arrow_fallback_matches_literal(spark, monkeypatch):
+    """r13 (r12 VERDICT #3): above KMEANS_LITERAL_MAX_TERMS the
+    centroid matrix stops shipping as a plan literal and assignment
+    runs through the Arrow-batched int64 kernel — bit-identical
+    output (same argmin, same first-min tie-break, same dist2) on a
+    frame with planted exact ties."""
+    import numpy as np
+
+    from scida_spark.functions import similarity as S
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(80)]
+    # planted exact tie: equidistant from the two init vectors
+    rows.append((1000, [0.5] * 8))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    lit = sorted(
+        (r["vec_id"], r["cluster"], r["dist2"])
+        for r in S.kmeans_assign(df, k=3, iters=2).collect()
+    )
+    monkeypatch.setattr(S, "KMEANS_LITERAL_MAX_TERMS", 0)
+    arrow = sorted(
+        (r["vec_id"], r["cluster"], r["dist2"])
+        for r in S.kmeans_assign(df, k=3, iters=2).collect()
+    )
+    assert lit == arrow

@@ -1,0 +1,181 @@
+"""Incremental streaming vector index (streaming/vecindex.py): serve
+from the store is bit-identical to batch ivf_topk over the live
+corpus, replays are idempotent, tombstones mask, and compaction is a
+fixed point that applies them."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from scida_spark.functions.similarity import build_ivf_index, ivf_topk
+from scida_spark.streaming.vecindex import (
+    compact_vector_store,
+    create_vector_store,
+    delete_vectors,
+    incremental_vector_ingest,
+    ivf_topk_from_store,
+    read_vectors,
+    vector_index_writer,
+)
+
+NP = 3  # nprobe used throughout
+
+
+def _emb_df(spark, n=120, dim=8, seed=3):
+    rng = np.random.RandomState(seed)
+    rows = [
+        (i, [float(x) for x in rng.normal(0, 1, dim)]) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _topk_set(df):
+    return sorted(
+        (r["query_id"], r["cand_id"], r["sim"], r["rank"]) for r in df.collect()
+    )
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    emb = _emb_df(spark)
+    cent = build_ivf_index(emb, nlist=4)
+    sdir = str(tmp_path / "vstore")
+    create_vector_store(spark, sdir, cent)
+    return sdir, emb, cent
+
+
+def test_serve_equals_batch_after_three_batches(spark, store):
+    sdir, emb, cent = store
+    w = vector_index_writer(sdir)
+    for k, (lo, hi) in enumerate([(0, 40), (40, 80), (80, 120)]):
+        w(emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)), k)
+    q = emb.filter(F.col("vec_id") < 4)
+    served = ivf_topk_from_store(spark, sdir, q, k=5, nprobe=NP)
+    batch = ivf_topk(emb, q, k=5, centroids=cent, nprobe=NP)
+    assert _topk_set(served) == _topk_set(batch)  # bit-identical
+
+
+def test_replay_idempotent(spark, store):
+    sdir, emb, cent = store
+    w = vector_index_writer(sdir)
+    b1 = emb.filter(F.col("vec_id") < 60)
+    b2 = emb.filter(F.col("vec_id") >= 60)
+    w(b1, 0)
+    w(b2, 1)
+    q = emb.filter(F.col("vec_id") < 3)
+    before = _topk_set(ivf_topk_from_store(spark, sdir, q, k=5, nprobe=NP))
+    w(b2, 1)  # replayed micro-batch overwrites its own partial
+    after = _topk_set(ivf_topk_from_store(spark, sdir, q, k=5, nprobe=NP))
+    assert before == after
+    assert read_vectors(spark, sdir).count() == 120  # no double-ingest
+
+
+def test_deletes_mask_and_match_batch_rebuild(spark, store):
+    sdir, emb, cent = store
+    w = vector_index_writer(sdir)
+    w(emb, 0)
+    dead = [i for i in range(120) if i % 7 == 5]
+    delete_vectors(spark, sdir, dead, batch_id=100)
+    q = emb.filter(F.col("vec_id") < 4)
+    served = ivf_topk_from_store(spark, sdir, q, k=5, nprobe=NP)
+    live = emb.filter(~F.col("vec_id").isin(dead))
+    batch = ivf_topk(live, q, k=5, centroids=cent, nprobe=NP)
+    assert _topk_set(served) == _topk_set(batch)
+    got = {r["cand_id"] for r in served.collect()}
+    assert not (got & set(dead))
+
+
+def test_compaction_fixed_point_and_applies_tombstones(spark, store):
+    sdir, emb, cent = store
+    w = vector_index_writer(sdir)
+    for k, (lo, hi) in enumerate([(0, 40), (40, 80), (80, 120)]):
+        w(emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)), k)
+    dead = list(range(0, 120, 11))
+    delete_vectors(spark, sdir, dead, batch_id=50)
+    q = emb.filter((F.col("vec_id") > 110) & (F.col("vec_id") < 115))
+    pre = _topk_set(ivf_topk_from_store(spark, sdir, q, k=5, nprobe=NP))
+    assert compact_vector_store(spark, sdir) == 3
+    post = _topk_set(ivf_topk_from_store(spark, sdir, q, k=5, nprobe=NP))
+    assert pre == post  # fixed point
+    # tombstones APPLIED: rows gone from the store, delete dir cleared
+    assert read_vectors(spark, sdir, apply_deletes=False).count() == 120 - len(
+        dead
+    )
+    assert not os.path.isdir(os.path.join(sdir, "deletes")) or not any(
+        d.startswith("batch_id=") for d in os.listdir(os.path.join(sdir, "deletes"))
+    )
+    assert compact_vector_store(spark, sdir) == 0  # nothing left to fold
+
+
+def test_real_stream_ingest(spark, store, tmp_path):
+    """availableNow file stream, 3 genuine micro-batches
+    (maxFilesPerTrigger=1), serve == batch."""
+    sdir, emb, cent = store
+    inp = str(tmp_path / "input")
+    os.makedirs(inp)
+    pdf = emb.toPandas()
+    for k, (lo, hi) in enumerate([(0, 40), (40, 80), (80, 120)]):
+        pd.DataFrame(
+            pdf[(pdf.vec_id >= lo) & (pdf.vec_id < hi)]
+        ).to_parquet(os.path.join(inp, f"b{k}.parquet"))
+    sq = incremental_vector_ingest(
+        spark,
+        inp,
+        "vec_id long, embedding array<double>",
+        store_dir=sdir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    sq.awaitTermination(180)
+    assert not sq.isActive
+    n_b = len(
+        [
+            d
+            for d in os.listdir(os.path.join(sdir, "vectors"))
+            if d.startswith("batch_id=")
+        ]
+    )
+    assert n_b == 3
+    q = emb.filter(F.col("vec_id") < 4)
+    served = ivf_topk_from_store(spark, sdir, q, k=5, nprobe=NP)
+    batch = ivf_topk(emb, q, k=5, centroids=cent, nprobe=NP)
+    assert _topk_set(served) == _topk_set(batch)
+
+
+def test_meta_validation_and_missing_store(spark, store, tmp_path):
+    sdir, emb, cent = store
+    # re-create with the same params: no-op
+    create_vector_store(spark, sdir, cent)
+    # different quantizer shape: refused
+    with pytest.raises(ValueError, match="refusing to re-create"):
+        create_vector_store(spark, sdir, cent[:2])
+    # serve/ingest without a quantizer: loud failure, not silence
+    with pytest.raises(FileNotFoundError, match="create_vector_store"):
+        ivf_topk_from_store(
+            spark, str(tmp_path / "nostore"), emb.limit(1), k=3
+        )
+
+
+def test_second_maintainer_raises(spark, store):
+    """A FOREIGN live maintainer (pid 1 — always alive) blocks
+    compaction; own-pid locks are deliberately stealable."""
+    import json
+
+    from scida_spark.streaming import storefs
+
+    sdir, emb, cent = store
+    vector_index_writer(sdir)(emb, 0)
+    lock = os.path.join(sdir, storefs.LOCK_FILE)
+    with open(lock, "w") as f:
+        json.dump({"pid": 1}, f)
+    try:
+        with pytest.raises(RuntimeError, match="single-writer"):
+            compact_vector_store(spark, sdir)
+    finally:
+        os.remove(lock)
+    assert compact_vector_store(spark, sdir) == 1  # lock gone: proceeds
