@@ -247,17 +247,19 @@ def _vecindex_cert_store(spark, emb, sf_dir: str, n_vectors: int):
     micro-batches of map-only list assignment against the persisted
     centroids), then:
 
-    * save the pre-delete served top-k AND its batch twin
-      (``ivf_topk(corpus, centroids=same)``) to ``pre/``;
+    * ASSERT pre-delete serve == its batch twin
+      (``ivf_topk(corpus, centroids=same)``) — a failure aborts
+      before the sentinel, so a bad store can never be reused;
     * tombstone ``vec_id % 17 == 3`` (``delete_vectors`` — O(deletes)
-      partials), save the masked serve AND the batch twin over
-      corpus-minus-deleted;
+      partials), ASSERT the masked serve == the batch twin over
+      corpus-minus-deleted, and SAVE that twin to ``pre/batch_del``;
     * compact (tombstones applied, delete store cleared, single
       atomic storefs txn).
 
     Later calls diff a LIVE post-compaction serve against the SAVED
-    pre-compaction masked baselines — the cross-process replay check.
-    Returns ``(store_dir, pre_dir, nprobe)``."""
+    pre-compaction masked twin — the cross-process replay check, one
+    serve + one diff per call. Returns ``(store_dir, pre_dir,
+    nprobe)``."""
     import hashlib
     import os
     import shutil
@@ -335,17 +337,21 @@ def _vecindex_cert_store(spark, emb, sf_dir: str, n_vectors: int):
         )
     vmeta = vector_store_meta(vstore)
     qv = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
-    ivf_topk_from_store(spark, vstore, qv, k=10, nprobe=nprobe).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(pre_dir, "serve0"))
-    SIM.ivf_topk(
-        emb, qv, k=10, centroids=cent, nprobe=nprobe
-    ).write.mode("overwrite").parquet(os.path.join(pre_dir, "batch0"))
+    # Build-time equivalences, asserted BEFORE the sentinel commits
+    # (a failure leaves no sentinel → loud rebuild, never a silently
+    # bad store): pre-delete serve == batch twin, masked serve ==
+    # batch twin over corpus-minus-deleted. The per-call check is then
+    # ONE live post-compaction serve against the saved masked twin —
+    # the cross-process replay leg, without re-diffing build-time
+    # parquet every call.
+    serve0 = ivf_topk_from_store(spark, vstore, qv, k=10, nprobe=nprobe)
+    batch0 = SIM.ivf_topk(emb, qv, k=10, centroids=cent, nprobe=nprobe)
+    _d0 = (
+        serve0.exceptAll(batch0).unionAll(batch0.exceptAll(serve0)).count()
+    )
     dead = emb.filter(F.col("vec_id") % 17 == 3).select("vec_id")
     delete_vectors(spark, vstore, dead, batch_id=1000)
-    ivf_topk_from_store(spark, vstore, qv, k=10, nprobe=nprobe).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(pre_dir, "serve_del"))
+    serve_del = ivf_topk_from_store(spark, vstore, qv, k=10, nprobe=nprobe)
     SIM.ivf_topk(
         emb.join(dead, "vec_id", "left_anti"),
         qv,
@@ -353,6 +359,17 @@ def _vecindex_cert_store(spark, emb, sf_dir: str, n_vectors: int):
         centroids=cent,
         nprobe=nprobe,
     ).write.mode("overwrite").parquet(os.path.join(pre_dir, "batch_del"))
+    batch_del = spark.read.parquet(os.path.join(pre_dir, "batch_del"))
+    _dd = (
+        serve_del.exceptAll(batch_del)
+        .unionAll(batch_del.exceptAll(serve_del))
+        .count()
+    )
+    if _d0 or _dd:  # pragma: no cover - contract regression guard
+        raise AssertionError(
+            f"vecindex cert build: serve != batch (pre-delete diff {_d0}, "
+            f"masked diff {_dd})"
+        )
     compact_vector_store(spark, vstore)
     assert vmeta.get("n_lists") == len(cent)
     storefs.write_json_atomic(
@@ -481,7 +498,7 @@ def _fs_oracle_section() -> str:
       JOIN gsizes sa ON sa.doc = doc_a JOIN gsizes sb ON sb.doc = doc_b
       WHERE CAST(n_inter AS DOUBLE) / CAST(sa.nsh + sb.nsh - n_inter AS DOUBLE) >= 0.2),
     exsh AS (
-      SELECT doc_id + 100000000 AS doc,
+      SELECT doc_id + 1099511627776 AS doc,
              list_distinct(list_transform(
                generate_series(1, least(len(t), 8) - 2),
                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
@@ -804,8 +821,11 @@ def dedup_signature_pairs(spark, sf_dir):
     # the rep score and shingled within-clique pairs are 1.0 BOTH
     # directions (directed within-expansion, unlike the undirected
     # expand_rep_pairs sections).
+    # excerpt id offset 2^40: far beyond any scaled corpus id
+    # (make_scaled_sf replicas add N x 1e7 — a 1e8 offset COLLIDED at
+    # the x100 sweep's id range)
     ex8 = reps.select(
-        (F.col("doc_id") + F.lit(100000000)).cast("long").alias("doc_id"),
+        (F.col("doc_id") + F.lit(1099511627776)).cast("long").alias("doc_id"),
         F.array_join(F.slice(F.split(F.trim("text"), " "), 1, 8), " ").alias(
             "text"
         ),
@@ -4048,14 +4068,14 @@ def sim_topk(spark, sf_dir):
     # (quantizer training, 3-micro-batch ingest, baseline serves,
     # tombstones, compaction) is a deterministic fixed point of the
     # corpus, built ONCE per content fingerprint
-    # (_vecindex_cert_store). Per call: ONE live post-compaction serve
-    # from the store (probed list_id partitions only) diffed against
-    # the SAVED pre-compaction masked baseline AND the saved batch
-    # twins — serve == batch == post-compaction serve, a
-    # cross-process replay check (the idxcompact convention; IVF
-    # results are seeded-numpy quantizer outputs, not
-    # SQL-replayable, so the oracle pins the verdict row like
-    # lsh/ivf/pq).
+    # (_vecindex_cert_store; serve==batch twins asserted AT BUILD,
+    # before the sentinel commits). Per call: ONE live post-compaction
+    # serve from the store (probed list_id partitions only) diffed
+    # against the SAVED pre-compaction masked batch twin —
+    # serve == batch == post-compaction serve, a cross-process replay
+    # check (the idxcompact convention; IVF results are seeded-numpy
+    # quantizer outputs, not SQL-replayable, so the oracle pins the
+    # verdict row like lsh/ivf/pq).
     if not n:
         ivfs_rows = spark.range(1).select(
             F.lit("ivfs").alias("method"),
@@ -4071,21 +4091,13 @@ def sim_topk(spark, sf_dir):
         vstore, vpre, _np = _vecindex_cert_store(spark, emb, sf_dir, n)
         import os as _os3
 
+        # lazy checkpoint: the serve materializes once and feeds both
+        # exceptAll legs within one execution
         _live = ivf_topk_from_store(
             spark, vstore, q.select("vec_id", "embedding"), k=10, nprobe=_np
-        )
-        _s0 = spark.read.parquet(_os3.path.join(vpre, "serve0"))
-        _b0 = spark.read.parquet(_os3.path.join(vpre, "batch0"))
-        _sd = spark.read.parquet(_os3.path.join(vpre, "serve_del"))
+        ).localCheckpoint(eager=False)
         _bd = spark.read.parquet(_os3.path.join(vpre, "batch_del"))
-        _vdiff = (
-            _live.exceptAll(_bd)
-            .unionAll(_bd.exceptAll(_live))
-            .unionAll(_s0.exceptAll(_b0))
-            .unionAll(_b0.exceptAll(_s0))
-            .unionAll(_sd.exceptAll(_bd))
-            .unionAll(_bd.exceptAll(_sd))
-        )
+        _vdiff = _live.exceptAll(_bd).unionAll(_bd.exceptAll(_live))
         ivfs_rows = _vdiff.agg(F.count("*").alias("nd")).select(
             F.lit("ivfs").alias("method"),
             F.lit(-1).cast("long").alias("query_id"),

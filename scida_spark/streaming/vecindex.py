@@ -202,6 +202,14 @@ def read_vectors(
     pruned subset)."""
     root = os.path.join(store_dir, "vectors")
     storefs.recover_pending(root)
+    if not os.path.isdir(root) or not any(
+        d.startswith("batch_id=") for d in os.listdir(root)
+    ):
+        # created-but-never-ingested store: an empty index serves an
+        # empty result, not a missing-path crash
+        return spark.createDataFrame(
+            [], "vec_id long, v array<double>, list_id int"
+        )
     v = spark.read.option("basePath", root).parquet(root)
     if lists is not None:
         v = v.filter(F.col("list_id").isin([int(x) for x in lists]))
@@ -271,14 +279,32 @@ def ivf_topk_from_store(
     id_col = id_col or meta.get("id_col", "vec_id")
     vec_col = vec_col or meta.get("vec_col", "embedding")
     cent = _load_centroids(spark, store_dir)
-    q = ivf_assign(
-        queries, cent, nprobe, id_col, vec_col, out_id="query_id"
-    ).select(
-        "query_id", F.col("v").alias("qv"), F.explode("lists").alias("list_id")
-    )
-    probe_lists = sorted(
-        {int(r["list_id"]) for r in q.select("list_id").distinct().collect()}
-    )
+    # Queries are a SERVING REQUEST — bounded by construction (the
+    # knn "pairs broadcast" rule) — so probe assignment runs
+    # driver-side in numpy against the already-loaded centroid
+    # matrix: ONE collect of the query vectors instead of re-scanning
+    # the query frame for the probe-list job AND the join side. Same
+    # float64 normalize/argsort math as ivf_assign's kernel, so probes
+    # are identical to the batch path's.
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, cand_id long, sim double, rank int"
+        )
+    mat = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    top = np.argsort(-(mat @ cent.T), axis=1)[:, :nprobe]
+    probe_lists = sorted({int(x) for row in top for x in row})
+    q = spark.createDataFrame(
+        [
+            (int(r["query_id"]), list(r["qv"]), [int(x) for x in row])
+            for r, row in zip(qrows, top)
+        ],
+        "query_id long, qv array<double>, lists array<int>",
+    ).select("query_id", "qv", F.explode("lists").alias("list_id"))
     cands = read_vectors(spark, store_dir, lists=probe_lists).select(
         F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), "list_id"
     )

@@ -179,3 +179,62 @@ def test_second_maintainer_raises(spark, store):
     finally:
         os.remove(lock)
     assert compact_vector_store(spark, sdir) == 1  # lock gone: proceeds
+
+
+def test_vecindex_composes_with_multi_store_ingest(spark, store, tmp_path):
+    """The vector writer rides the ONE-pass multi-store ingest next to
+    a postings writer: one stream with BOTH text and vector columns
+    maintains the retrieval index AND the vector index, and the served
+    top-k matches the standalone batch truth (the driftgate/postings
+    composition precedent — N materializations, one readStream)."""
+    from scida_spark.streaming.postings import (
+        bm25_topk_from_store,
+        postings_writer,
+    )
+    from scida_spark.streaming.rollup import incremental_multi_store_ingest
+
+    sdir, emb, cent = store
+    pstore = str(tmp_path / "pstore")
+    inp = str(tmp_path / "input")
+    os.makedirs(inp)
+    pdf = emb.toPandas()
+    texts = ["hash join scan", "stream window agg", "vector list probe"]
+    pdf["doc_id"] = pdf["vec_id"]
+    pdf["text"] = [f"{texts[i % 3]} d{i}" for i in range(len(pdf))]
+    for k, (lo, hi) in enumerate([(0, 60), (60, 120)]):
+        pdf[(pdf.vec_id >= lo) & (pdf.vec_id < hi)].to_parquet(
+            os.path.join(inp, f"b{k}.parquet")
+        )
+    q = incremental_multi_store_ingest(
+        spark,
+        inp,
+        "vec_id long, embedding array<double>, doc_id long, text string",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        writers=[
+            postings_writer(pstore),
+            lambda df, bid: vector_index_writer(sdir)(
+                df.select("vec_id", "embedding"), bid
+            ),
+        ],
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    qv = emb.filter(F.col("vec_id") < 4)
+    served = ivf_topk_from_store(spark, sdir, qv, k=5, nprobe=NP)
+    batch = ivf_topk(emb, qv, k=5, centroids=cent, nprobe=NP)
+    assert _topk_set(served) == _topk_set(batch)
+    got = bm25_topk_from_store(spark, pstore, [(0, "vector probe")], k=3)
+    assert got.count() == 3
+
+
+def test_empty_store_serves_empty(spark, store):
+    """A created-but-never-ingested store serves an empty top-k (and
+    an empty read), not a missing-path crash."""
+    sdir, emb, cent = store
+    assert read_vectors(spark, sdir).count() == 0
+    got = ivf_topk_from_store(
+        spark, sdir, emb.filter(F.col("vec_id") < 2), k=5, nprobe=NP
+    )
+    assert got.count() == 0
+    assert got.columns == ["query_id", "cand_id", "sim", "rank"]
