@@ -74,6 +74,7 @@ __all__ = [
     "read_vector_deletes",
     "ivf_topk_from_store",
     "compact_vector_store",
+    "rebuild_vector_store",
     "vector_store_meta",
 ]
 
@@ -322,6 +323,42 @@ def ivf_topk_from_store(
             "query_id", "cand_id", "sim", F.col("rank").cast("int").alias("rank")
         )
     )
+
+
+def rebuild_vector_store(
+    spark: SparkSession,
+    old_store: str,
+    new_store: str,
+    nlist: int | None = None,
+) -> int:
+    """Blue/green quantizer refresh — the operation a long-lived index
+    eventually needs: as the corpus drifts, the ingest-time centroids
+    stop partitioning it well and probe recall decays. Retrains the
+    quantizer on the CURRENT live contents (tombstones applied),
+    builds a FRESH store at ``new_store`` (one already-compacted base
+    partial of new assignments), and leaves ``old_store`` untouched —
+    the caller flips its serving pointer when ready and retires the
+    old path. No in-place mutation, so there is no crash window where
+    new centroids serve against old list assignments (which would
+    silently collapse recall); a half-built ``new_store`` is simply
+    re-run. Writers must be restarted against the new store (the
+    per-writer centroid cache is load-once by design). Returns the
+    number of live vectors reindexed."""
+    from scida_spark.functions.similarity import build_ivf_index
+
+    meta = vector_store_meta(old_store)
+    id_col = meta.get("id_col", "vec_id")
+    vec_col = meta.get("vec_col", "embedding")
+    live = read_vectors(spark, old_store).select(
+        F.col("vec_id").alias(id_col), F.col("v").alias(vec_col)
+    ).localCheckpoint(eager=True)
+    n = live.count()
+    cent = build_ivf_index(
+        live, nlist=nlist, id_col=id_col, vec_col=vec_col, n_vectors=n
+    )
+    create_vector_store(spark, new_store, cent, id_col=id_col, vec_col=vec_col)
+    vector_index_writer(new_store)(live, -1)  # one compacted base partial
+    return n
 
 
 def compact_vector_store(spark: SparkSession, store_dir: str) -> int:

@@ -238,3 +238,93 @@ def test_empty_store_serves_empty(spark, store):
     )
     assert got.count() == 0
     assert got.columns == ["query_id", "cand_id", "sim", "rank"]
+
+
+def test_rebuild_blue_green(spark, store, tmp_path):
+    """Quantizer refresh: rebuild retrains on the LIVE contents
+    (tombstones applied) into a FRESH store with one compacted base
+    partial; the new store serves == batch ivf_topk over the live
+    corpus with the NEW quantizer; the old store is untouched."""
+    from scida_spark.streaming.vecindex import rebuild_vector_store
+
+    sdir, emb, cent = store
+    w = vector_index_writer(sdir)
+    w(emb, 0)
+    dead = list(range(0, 120, 9))
+    delete_vectors(spark, sdir, dead, batch_id=10)
+    new = str(tmp_path / "vstore2")
+    n = rebuild_vector_store(spark, sdir, new, nlist=6)
+    assert n == 120 - len(dead)
+    # one already-compacted base partial, no tombstones
+    assert sorted(
+        d for d in os.listdir(os.path.join(new, "vectors"))
+        if d.startswith("batch_id=")
+    ) == ["batch_id=-1"]
+    # the new store's PERSISTED quantizer is the ground truth (k-means
+    # training samples in scan order, so an independently-built matrix
+    # over a differently-laid-out frame may legitimately differ);
+    # serve must equal a batch rebuild under that same quantizer
+    from scida_spark.functions.similarity import load_ivf_index
+
+    live = emb.filter(~F.col("vec_id").isin(dead))
+    cent2 = load_ivf_index(spark, os.path.join(new, "centroids"))
+    assert cent2.shape[0] == 6
+    q = emb.filter(F.col("vec_id") < 4)
+    served = ivf_topk_from_store(spark, new, q, k=5, nprobe=NP)
+    batch = ivf_topk(live, q, k=5, centroids=cent2, nprobe=NP)
+    assert _topk_set(served) == _topk_set(batch)
+    # old store still serves its own (masked) truth
+    old = ivf_topk_from_store(spark, sdir, q, k=5, nprobe=NP)
+    assert _topk_set(old) == _topk_set(
+        ivf_topk(live, q, k=5, centroids=cent, nprobe=NP)
+    )
+
+
+def test_hybrid_rrf_from_both_stores(spark, store, tmp_path):
+    """Hybrid retrieval SERVED end-to-end from the two incrementally
+    maintained stores: rrf_fuse(bm25-from-postings-store,
+    ivf-from-vector-store) is bit-identical to fusing the batch
+    rankers — both legs are serve==batch, and the fusion is rank-only,
+    so the hybrid result inherits the equivalence."""
+    from scida_spark.functions.retrieval import bm25_topk, rrf_fuse
+    from scida_spark.streaming.postings import (
+        bm25_topk_from_store,
+        postings_writer,
+    )
+
+    sdir, emb, cent = store
+    vector_index_writer(sdir)(emb, 0)
+    pstore = str(tmp_path / "pstore")
+    texts = ["hash join scan", "stream window agg", "vector list probe"]
+    docs = spark.createDataFrame(
+        [(i, f"{texts[i % 3]} d{i}") for i in range(120)],
+        "doc_id long, text string",
+    )
+    pw = postings_writer(pstore)
+    pw(docs.filter(F.col("doc_id") < 60), 0)
+    pw(docs.filter(F.col("doc_id") >= 60), 1)
+
+    queries_txt = [(0, "vector probe"), (1, "stream agg")]
+    qv = emb.filter(F.col("vec_id") < 2)
+
+    text_s = bm25_topk_from_store(spark, pstore, queries_txt, k=10)
+    vec_s = ivf_topk_from_store(spark, sdir, qv, k=10, nprobe=NP).select(
+        "query_id", F.col("cand_id").alias("doc_id"), "sim", "rank"
+    )
+    hybrid_s = rrf_fuse(text_s, vec_s, k=10)
+
+    text_b = bm25_topk(docs, queries_txt, k=10)
+    vec_b = ivf_topk(emb, qv, k=10, centroids=cent, nprobe=NP).select(
+        "query_id", F.col("cand_id").alias("doc_id"), "sim", "rank"
+    )
+    hybrid_b = rrf_fuse(text_b, vec_b, k=10)
+
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["score"], r["rank"])
+        for r in hybrid_s.collect()
+    )
+    want = sorted(
+        (r["query_id"], r["doc_id"], r["score"], r["rank"])
+        for r in hybrid_b.collect()
+    )
+    assert got == want and len(got) > 0
