@@ -946,6 +946,181 @@ def load_pq_codebooks(spark, path: str) -> np.ndarray:
     return out
 
 
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int | None = None,
+    nprobe: int | None = None,
+    m: int = 8,
+    nbits: int = 4,
+    refine: int = 4,
+    seed: int = 42,
+    sample_stride: int = 7,
+    centroids: "np.ndarray | None" = None,
+    codebooks: "np.ndarray | None" = None,
+    n_vectors: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the composed FAISS serving shape and the true 100 TB
+    path: candidates are coarse-quantized into ``nlist`` inverted
+    lists AND compressed to m-byte PQ codes; per query, the ADC scan
+    touches ONLY the ``nprobe`` probed lists' codes (IVF prunes WHICH
+    rows are scanned; PQ shrinks WHAT is read per row — independent
+    multiplicative savings: nprobe/nlist of the corpus × 32× smaller
+    at m=8, nbits=4), each partition emits a local shortlist, and an
+    exact cosine re-rank of shortlist members restores precision.
+
+    Both index artifacts are trained once at ingest (deterministic
+    driver-side samples) and persistable (``save_ivf_index`` /
+    ``save_pq_codebooks``); pass ``centroids=``/``codebooks=`` for the
+    steady-state query path. Accuracy is certified the ANN way: a
+    recall floor vs the exact top-k (pytest + the sim_topk cert row) —
+    the ids are the approximation, by design.
+    """
+    spark = embeddings.sparkSession
+    if centroids is None:
+        centroids = build_ivf_index(
+            embeddings, nlist=nlist, seed=seed, sample_stride=sample_stride,
+            id_col=id_col, vec_col=vec_col, n_vectors=n_vectors,
+        )
+    if nprobe is None:
+        nprobe = auto_nprobe(len(centroids))
+    if codebooks is None:
+        sample = np.stack(
+            [
+                np.asarray(r["v"], dtype=np.float64)
+                for r in embeddings.select(
+                    F.col(vec_col).cast("array<double>").alias("v")
+                )
+                .filter(F.col(id_col) % sample_stride == 0)
+                .limit(max((1 << nbits) * 64, 1024))
+                .collect()
+            ]
+        )
+        codebooks = train_pq_codebooks(sample, m=m, nbits=nbits, seed=seed)
+    mq, ksub, dsub = codebooks.shape
+
+    # query side: probes + LUT, both driver-side (queries are a
+    # bounded serving request)
+    qrows = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, cand_id long, sim double, rank int"
+        )
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    qmat = qmat / qn
+    probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
+    probe_union = sorted({int(x) for row in probes for x in row})
+    lut = np.einsum(
+        "qid,icd->qic", qmat.reshape(len(qmat), mq, dsub), codebooks
+    )
+
+    # candidate side: ONE narrow pass computes list id + PQ code; only
+    # rows in the probed-list union survive (at a persisted store this
+    # filter is partition pruning — streaming/vecindex layout)
+    cands = ivf_assign(
+        embeddings, centroids, 1, id_col, vec_col, out_id="vec_id"
+    ).select(
+        "vec_id", "v", F.element_at("lists", 1).alias("list_id")
+    )
+    encoded = (
+        pq_encode(
+            cands.select("vec_id", F.col("v").alias(vec_col)).withColumnRenamed(
+                "vec_id", id_col
+            ),
+            codebooks,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        .join(cands.select("vec_id", "list_id"), "vec_id")
+        .filter(F.col("list_id").isin(probe_union))
+    )
+
+    b = spark.sparkContext.broadcast(
+        (qids, lut, [set(int(x) for x in row) for row in probes])
+    )
+    shortlist_n = k * refine
+
+    def _scan(batches):
+        qids_l, lut_l, probe_sets = b.value
+        nq = len(qids_l)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["code"].to_numpy()), dtype=np.uint8
+            ).reshape(len(pdf), mq)
+            lists = pdf["list_id"].to_numpy()
+            asim = np.zeros((len(pdf), nq))
+            for i in range(mq):
+                asim += lut_l[:, i, codes[:, i]].T
+            ids = pdf["vec_id"].to_numpy()
+            out_q, out_c, out_s = [], [], []
+            for qi in range(nq):
+                # a candidate scores for query qi only if ITS list was
+                # probed by qi — the per-query IVF restriction
+                mask = np.fromiter(
+                    (int(x) in probe_sets[qi] for x in lists),
+                    dtype=bool,
+                    count=len(lists),
+                )
+                idx = np.nonzero(mask)[0]
+                if len(idx) == 0:
+                    continue
+                top = min(len(idx), shortlist_n)
+                part = idx[np.argpartition(-asim[idx, qi], top - 1)[:top]]
+                out_q.extend([qids_l[qi]] * top)
+                out_c.extend(ids[part])
+                out_s.extend(asim[part, qi])
+            yield pd.DataFrame(
+                {"query_id": out_q, "cand_id": out_c, "asim": out_s}
+            )
+
+    local_top = encoded.select("vec_id", "code", "list_id").mapInPandas(
+        _scan, schema="query_id long, cand_id long, asim double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("asim"), F.asc("cand_id"))
+    shortlist = (
+        local_top.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= shortlist_n)
+        .select("query_id", "cand_id")
+    )
+    cand_vecs = embeddings.join(
+        shortlist.select(F.col("cand_id").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    ).select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    qdf = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    rer = (
+        shortlist.join(F.broadcast(qdf), "query_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .join(cand_vecs, "cand_id")
+        .withColumn("sim", cosine_batch(F.col("qv"), F.col("cv")))
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "cand_id", "sim", F.col("rank").cast("int").alias("rank")
+        )
+    )
+
+
 def _dedup_cell_kernel(
     ids: np.ndarray, mat: np.ndarray, threshold: float, tile_rows: int
 ) -> np.ndarray:

@@ -3496,7 +3496,16 @@ def sim_neardup_pairs(spark, sf_dir):
 # codebooks), so the contract survives a regenerated testdata seed
 # while still catching a broken index (a degenerate bucketing measures
 # recall ~0.02-0.1).
-_ANN_RECALL_FLOORS = {"lsh": 0.25, "ivf": 0.5, "pq": 0.5, "sq8": 0.8}
+_ANN_RECALL_FLOORS = {
+    "lsh": 0.25,
+    "ivf": 0.5,
+    "pq": 0.5,
+    "sq8": 0.8,
+    # composed probe-pruned ADC path (r13): inherits BOTH approximation
+    # sources (IVF list pruning x PQ quantization), so its floor sits
+    # under either parent's
+    "ivfpq": 0.4,
+}
 
 
 # BM25 registry query set: fixed literal queries over the documents
@@ -3656,6 +3665,10 @@ _RRF_ORACLE_SECTION = f"""
            CAST(0 AS INT) AS rank, TRUE AS ok
     UNION ALL
     SELECT 'sq8' AS method, CAST(-1 AS BIGINT) AS query_id,
+           CAST(-1 AS BIGINT) AS cand_id, CAST(0.0 AS DOUBLE) AS sim_r,
+           CAST(0 AS INT) AS rank, TRUE AS ok
+    UNION ALL
+    SELECT 'ivfpq' AS method, CAST(-1 AS BIGINT) AS query_id,
            CAST(-1 AS BIGINT) AS cand_id, CAST(0.0 AS DOUBLE) AS sim_r,
            CAST(0 AS INT) AS rank, TRUE AS ok
     UNION ALL
@@ -3863,6 +3876,14 @@ def sim_topk(spark, sf_dir):
         "ivf": SIM.ivf_topk(emb, q, k=10, nlist=None, nprobe=None, n_vectors=n),
         "pq": SIM.pq_topk(emb, q, k=10, nbits=6, refine=8),
         "sq8": SIM.sq8_topk(emb, q, k=10, refine=8, bounds=(sq8_lo, sq8_hi)),
+        # ivfpq (r13): the composed FAISS serving shape — IVF prunes
+        # WHICH rows the ADC scan touches (nprobe/nlist of the corpus),
+        # PQ shrinks WHAT each row costs (m bytes) — certified by the
+        # same recall-floor contract as its parents
+        "ivfpq": SIM.ivfpq_topk(
+            emb, q, k=10, nlist=None, nprobe=None, nbits=6, refine=8,
+            n_vectors=n,
+        ),
     }
     cert_dfs = []
     ex_pairs = exact.select("query_id", "cand_id")
@@ -3901,9 +3922,9 @@ def sim_topk(spark, sf_dir):
                 ).alias("ok"),
             )
         )
-    cert_rows = (
-        cert_dfs[0].unionAll(cert_dfs[1]).unionAll(cert_dfs[2]).unionAll(cert_dfs[3])
-    )
+    cert_rows = cert_dfs[0]
+    for _cd in cert_dfs[1:]:
+        cert_rows = cert_rows.unionAll(_cd)
     from scida_spark.functions.retrieval import (
         bm25_topk,
         query_likelihood_topk,

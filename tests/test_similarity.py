@@ -948,3 +948,54 @@ def test_kmeans_assign_arrow_fallback_matches_literal(spark, monkeypatch):
         for r in S.kmeans_assign(df, k=3, iters=2).collect()
     )
     assert lit == arrow
+
+
+def test_ivfpq_topk_recall_and_layout_independence(spark):
+    """IVF-PQ (r13): the composed probe-pruned ADC path must hit a
+    recall floor vs brute force, return EXACT sims for its final k
+    (re-rank contract), and be layout-independent."""
+    import numpy as np
+
+    from scida_spark.functions import similarity as S
+
+    rng = np.random.RandomState(5)
+    rows = [
+        (i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(400)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 3)
+
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in S.cosine_topk_bruteforce(emb, q, k=10).collect()
+    }
+    # train both artifacts once (the persisted-index steady state);
+    # auto-training samples in scan order, so layout independence is a
+    # property of the QUERY path under FIXED artifacts
+    cent = S.build_ivf_index(emb, nlist=8)
+    sample = np.stack(
+        [np.asarray(r["embedding"]) for r in emb.orderBy("vec_id").collect()]
+    )
+    cbs = S.train_pq_codebooks(sample, m=8, nbits=4)
+    got_rows = S.ivfpq_topk(
+        emb, q, k=10, nprobe=4, refine=8, centroids=cent, codebooks=cbs
+    ).collect()
+    got = {(r["query_id"], r["cand_id"]) for r in got_rows}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.5, recall
+    # exact-sim contract: every returned sim equals the true cosine
+    vecs = {r["vec_id"]: np.asarray(r["embedding"]) for r in emb.collect()}
+    for r in got_rows:
+        a, b = vecs[r["query_id"]], vecs[r["cand_id"]]
+        want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r["sim"] - want) < 1e-12
+    # layout independence
+    g2 = {
+        (r["query_id"], r["cand_id"], r["rank"])
+        for r in S.ivfpq_topk(
+            emb.repartition(13), q, k=10, nprobe=4, refine=8,
+            centroids=cent, codebooks=cbs,
+        ).collect()
+    }
+    g1 = {(r["query_id"], r["cand_id"], r["rank"]) for r in got_rows}
+    assert g1 == g2
