@@ -747,17 +747,14 @@ def train_pq_codebooks(
     )
 
 
-def pq_encode(
-    embeddings: DataFrame,
-    codebooks: np.ndarray,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """(vec_id, code binary) — each vector compressed to m bytes (one
-    subquantizer id per byte; nbits ≤ 8). One narrow Pandas-UDF pass
-    over broadcast codebooks; no shuffle."""
+def pq_code_udf(sc, codebooks: np.ndarray):
+    """The PQ-encode kernel as a reusable Arrow-batched UDF over an
+    ``array<double>`` column (broadcast codebooks) — shared by
+    :func:`pq_encode` and the streaming vector store's writer, so
+    stored codes are bit-identical to batch-encoded ones by
+    construction."""
     m, ksub, dsub = codebooks.shape
-    bcast = embeddings.sparkSession.sparkContext.broadcast(codebooks)
+    bcast = sc.broadcast(codebooks)
 
     @F.pandas_udf("binary")
     def _enc(vecs: pd.Series) -> pd.Series:
@@ -778,6 +775,19 @@ def pq_encode(
             codes[:, i] = d2.argmin(axis=1).astype(np.uint8)
         return pd.Series([c.tobytes() for c in codes])
 
+    return _enc
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, code binary) — each vector compressed to m bytes (one
+    subquantizer id per byte; nbits ≤ 8). One narrow Pandas-UDF pass
+    over broadcast codebooks; no shuffle."""
+    _enc = pq_code_udf(embeddings.sparkSession.sparkContext, codebooks)
     return embeddings.select(
         F.col(id_col).alias("vec_id"),
         _enc(F.col(vec_col).cast("array<double>")).alias("code"),
@@ -883,7 +893,11 @@ def pq_topk_from_encoded(
             top = min(len(pdf), shortlist_n)
             out_q, out_c, out_s = [], [], []
             for qi in range(nq):
-                part = np.argpartition(-asim[:, qi], top - 1)[:top]
+                # deterministic under ADC ties (asim desc, id asc — the
+                # same order as the global shortlist window): the global
+                # shortlist becomes a pure function of the candidate
+                # SET, independent of partitioning
+                part = np.lexsort((ids, -asim[:, qi]))[:top]
                 out_q.extend([qids_l[qi]] * top)
                 out_c.extend(ids[part])
                 out_s.extend(asim[part, qi])
@@ -944,6 +958,75 @@ def load_pq_codebooks(spark, path: str) -> np.ndarray:
     for r in rows:
         out[r["subspace"], r["centroid_id"]] = np.asarray(r["centroid"])
     return out
+
+
+def ivfpq_query_tables(
+    qrows, centroids: np.ndarray, codebooks: np.ndarray, nprobe: int
+):
+    """Driver-side query tables for an IVF-PQ serve: (qids, probes,
+    probe_union, LUT). ``qrows`` are collected Rows with (qid, v).
+    Shared by :func:`ivfpq_topk` and the streaming vector store so
+    probes and ADC tables are identical by construction."""
+    mq, ksub, dsub = codebooks.shape
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    qmat = qmat / qn
+    probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
+    probe_union = sorted({int(x) for row in probes for x in row})
+    lut = np.einsum(
+        "qid,icd->qic", qmat.reshape(len(qmat), mq, dsub), codebooks
+    )
+    return qids, probes, probe_union, lut
+
+
+def ivfpq_scan_kernel(bcast, mq: int, shortlist_n: int):
+    """The probed-list-masked ADC scan as a ``mapInPandas`` generator
+    over (vec_id, code, list_id) batches — shared by
+    :func:`ivfpq_topk` and ``streaming/vecindex.py``'s store serve, so
+    the two paths' shortlists are identical by construction.
+    ``bcast`` carries (qids, lut, probe_sets). The per-partition cut
+    is DETERMINISTIC under ADC ties (asim desc, id asc — the global
+    shortlist window's order), so the global shortlist is a pure
+    function of the candidate set, independent of partitioning."""
+
+    def _scan(batches):
+        qids_l, lut_l, probe_sets = bcast.value
+        nq = len(qids_l)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["code"].to_numpy()), dtype=np.uint8
+            ).reshape(len(pdf), mq)
+            lists = pdf["list_id"].to_numpy()
+            asim = np.zeros((len(pdf), nq))
+            for i in range(mq):
+                asim += lut_l[:, i, codes[:, i]].T
+            ids = pdf["vec_id"].to_numpy()
+            out_q, out_c, out_s = [], [], []
+            for qi in range(nq):
+                # a candidate scores for query qi only if ITS list was
+                # probed by qi — the per-query IVF restriction
+                mask = np.fromiter(
+                    (int(x) in probe_sets[qi] for x in lists),
+                    dtype=bool,
+                    count=len(lists),
+                )
+                idx = np.nonzero(mask)[0]
+                if len(idx) == 0:
+                    continue
+                top = min(len(idx), shortlist_n)
+                part = idx[np.lexsort((ids[idx], -asim[idx, qi]))[:top]]
+                out_q.extend([qids_l[qi]] * top)
+                out_c.extend(ids[part])
+                out_s.extend(asim[part, qi])
+            yield pd.DataFrame(
+                {"query_id": out_q, "cand_id": out_c, "asim": out_s}
+            )
+
+    return _scan
 
 
 def ivfpq_topk(
@@ -1012,15 +1095,8 @@ def ivfpq_topk(
         return spark.createDataFrame(
             [], "query_id long, cand_id long, sim double, rank int"
         )
-    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
-    qmat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in qrows])
-    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
-    qn[qn == 0] = 1.0
-    qmat = qmat / qn
-    probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
-    probe_union = sorted({int(x) for row in probes for x in row})
-    lut = np.einsum(
-        "qid,icd->qic", qmat.reshape(len(qmat), mq, dsub), codebooks
+    qids, probes, probe_union, lut = ivfpq_query_tables(
+        qrows, centroids, codebooks, nprobe
     )
 
     # candidate side: ONE narrow pass computes list id + PQ code; only
@@ -1048,44 +1124,9 @@ def ivfpq_topk(
         (qids, lut, [set(int(x) for x in row) for row in probes])
     )
     shortlist_n = k * refine
-
-    def _scan(batches):
-        qids_l, lut_l, probe_sets = b.value
-        nq = len(qids_l)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            codes = np.frombuffer(
-                b"".join(pdf["code"].to_numpy()), dtype=np.uint8
-            ).reshape(len(pdf), mq)
-            lists = pdf["list_id"].to_numpy()
-            asim = np.zeros((len(pdf), nq))
-            for i in range(mq):
-                asim += lut_l[:, i, codes[:, i]].T
-            ids = pdf["vec_id"].to_numpy()
-            out_q, out_c, out_s = [], [], []
-            for qi in range(nq):
-                # a candidate scores for query qi only if ITS list was
-                # probed by qi — the per-query IVF restriction
-                mask = np.fromiter(
-                    (int(x) in probe_sets[qi] for x in lists),
-                    dtype=bool,
-                    count=len(lists),
-                )
-                idx = np.nonzero(mask)[0]
-                if len(idx) == 0:
-                    continue
-                top = min(len(idx), shortlist_n)
-                part = idx[np.argpartition(-asim[idx, qi], top - 1)[:top]]
-                out_q.extend([qids_l[qi]] * top)
-                out_c.extend(ids[part])
-                out_s.extend(asim[part, qi])
-            yield pd.DataFrame(
-                {"query_id": out_q, "cand_id": out_c, "asim": out_s}
-            )
-
     local_top = encoded.select("vec_id", "code", "list_id").mapInPandas(
-        _scan, schema="query_id long, cand_id long, asim double"
+        ivfpq_scan_kernel(b, mq, shortlist_n),
+        schema="query_id long, cand_id long, asim double",
     )
     w = W.partitionBy("query_id").orderBy(F.desc("asim"), F.asc("cand_id"))
     shortlist = (

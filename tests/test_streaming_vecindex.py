@@ -328,3 +328,67 @@ def test_hybrid_rrf_from_both_stores(spark, store, tmp_path):
         for r in hybrid_b.collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_pq_store_serves_ivfpq_equal_to_batch(spark, tmp_path):
+    """IVF-PQ from the store: a PQ store's served top-k is
+    bit-identical to batch ivfpq_topk under the same persisted
+    artifacts, deletes mask, compaction is a fixed point, and a
+    non-PQ store refuses the PQ serve loudly."""
+    import numpy as np
+
+    from scida_spark.functions.similarity import (
+        ivfpq_topk,
+        train_pq_codebooks,
+    )
+    from scida_spark.streaming.vecindex import ivfpq_topk_from_store
+
+    rng = np.random.RandomState(17)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(240)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = build_ivf_index(emb, nlist=6)
+    sample = np.stack(
+        [np.asarray(r["embedding"]) for r in emb.orderBy("vec_id").collect()]
+    )
+    cbs = train_pq_codebooks(sample, m=8, nbits=4)
+    sdir = str(tmp_path / "pqstore")
+    create_vector_store(spark, sdir, cent, codebooks=cbs)
+    w = vector_index_writer(sdir)
+    for k, (lo, hi) in enumerate([(0, 80), (80, 160), (160, 240)]):
+        w(emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)), k)
+
+    q = emb.filter(F.col("vec_id") < 3)
+    served = ivfpq_topk_from_store(spark, sdir, q, k=5, nprobe=3, refine=8)
+    batch = ivfpq_topk(
+        emb, q, k=5, nprobe=3, refine=8, centroids=cent, codebooks=cbs
+    )
+    assert _topk_set(served) == _topk_set(batch)
+
+    # deletes mask through the compressed path too
+    dead = list(range(0, 240, 13))
+    delete_vectors(spark, sdir, dead, batch_id=50)
+    served_d = ivfpq_topk_from_store(spark, sdir, q, k=5, nprobe=3, refine=8)
+    live = emb.filter(~F.col("vec_id").isin(dead))
+    batch_d = ivfpq_topk(
+        live, q, k=5, nprobe=3, refine=8, centroids=cent, codebooks=cbs
+    )
+    assert _topk_set(served_d) == _topk_set(batch_d)
+    assert not ({r["cand_id"] for r in served_d.collect()} & set(dead))
+
+    # compaction: fixed point, code column survives the fold
+    assert compact_vector_store(spark, sdir) == 3
+    served_c = ivfpq_topk_from_store(spark, sdir, q, k=5, nprobe=3, refine=8)
+    assert _topk_set(served_c) == _topk_set(batch_d)
+
+    # PQ rebuild carries the codebooks (new store serves the PQ path)
+    from scida_spark.streaming.vecindex import rebuild_vector_store
+
+    new = str(tmp_path / "pqstore2")
+    assert rebuild_vector_store(spark, sdir, new, nlist=6) == 240 - len(dead)
+    assert ivfpq_topk_from_store(spark, new, q, k=5, nprobe=3).count() > 0
+
+    # a plain store refuses the PQ serve loudly
+    plain = str(tmp_path / "plain")
+    create_vector_store(spark, plain, cent)
+    with pytest.raises(ValueError, match="without codebooks"):
+        ivfpq_topk_from_store(spark, plain, q, k=5)
