@@ -254,6 +254,17 @@ def with_url_columns(
 
     Semantics match :func:`url_registered_domain` exactly: scheme-less
     input gets ``'' `` for both host and domain."""
+    clash = {host_col, domain_col} | (
+        {canonical_col} if canonical_col is not None else set()
+    )
+    clash &= set(df.columns)
+    if clash:
+        raise ValueError(
+            f"with_url_columns: column(s) {sorted(clash)} already exist on "
+            "the input frame; pass different host_col/domain_col/"
+            "canonical_col names (silently shadowing them would make the "
+            "staged projection ambiguous)"
+        )
     staged = df.select("*", url_host(F.col(url_col)).alias(host_col))
     out_cols = [
         F.col(c) for c in df.columns

@@ -4100,7 +4100,12 @@ def sim_topk(spark, sf_dir):
     # check (the idxcompact convention; IVF results are seeded-numpy
     # quantizer outputs, not SQL-replayable, so the oracle pins the
     # verdict row like lsh/ivf/pq).
-    if not n:
+    # n is None means the footer stats were unreadable, NOT an empty
+    # corpus — count before concluding there is nothing to certify (a
+    # lit-TRUE sentinel on an uncounted corpus would silently skip the
+    # cert)
+    _n_vec = n if n is not None else emb.count()
+    if not _n_vec:
         ivfs_rows = spark.range(1).select(
             F.lit("ivfs").alias("method"),
             F.lit(-1).cast("long").alias("query_id"),
@@ -4112,7 +4117,7 @@ def sim_topk(spark, sf_dir):
     else:
         from scida_spark.streaming.vecindex import ivf_topk_from_store
 
-        vstore, vpre, _np = _vecindex_cert_store(spark, emb, sf_dir, n)
+        vstore, vpre, _np = _vecindex_cert_store(spark, emb, sf_dir, _n_vec)
         import os as _os3
 
         # lazy checkpoint: the serve materializes once and feeds both

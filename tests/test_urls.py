@@ -215,3 +215,20 @@ def test_with_url_columns_plan_stages_host(spark, urls_df):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in exec_plan, exec_plan
+
+
+def test_with_url_columns_refuses_name_clash(spark, urls_df):
+    from scida_spark.functions.urls import with_url_columns
+
+    with pytest.raises(ValueError, match="already exist"):
+        with_url_columns(
+            urls_df.withColumn("url_domain", F.lit("x")), "url"
+        )
+    # custom names route around the clash
+    out = with_url_columns(
+        urls_df.withColumn("url_domain", F.lit("x")),
+        "url",
+        host_col="h2",
+        domain_col="d2",
+    )
+    assert {"h2", "d2"} <= set(out.columns)
