@@ -3871,18 +3871,49 @@ def sim_topk(spark, sf_dir):
     sq8_lo, sq8_hi = _ingest_stat(
         sf_dir, "embeddings", "sq8_bounds", lambda: SIM.sq8_bounds(emb, 64)
     )
+    # Shared ANN artifacts (r13): the IVF centroids and PQ codebooks
+    # are ingest-time statistics like sq8_bounds — trained ONCE per
+    # corpus fingerprint with EXACTLY the arguments the operators
+    # would use internally (so every section's results are unchanged)
+    # and passed to every consumer; previously ivf+ivfpq each trained
+    # the quantizer and pq+ivfpq each trained the codebooks, paying
+    # the driver-side k-means 2x per call.
+    _ivf_cent = _ingest_stat(
+        sf_dir,
+        "embeddings",
+        "ivf_centroids",
+        lambda: SIM.build_ivf_index(emb, nlist=None, n_vectors=n),
+    )
+
+    def _pq_cbs():
+        import numpy as _np
+
+        sample = _np.stack(
+            [
+                _np.asarray(r["v"], dtype=_np.float64)
+                for r in emb.select(
+                    F.col("embedding").cast("array<double>").alias("v")
+                )
+                .filter(F.col("vec_id") % 7 == 0)
+                .limit(max((1 << 6) * 64, 1024))
+                .collect()
+            ]
+        )
+        return SIM.train_pq_codebooks(sample, m=8, nbits=6, seed=42)
+
+    _pq_books = _ingest_stat(sf_dir, "embeddings", "pq_codebooks_m8b6", _pq_cbs)
     ann = {
         "lsh": SIM.lsh_topk(emb, q, k=10, nbits=None, n_vectors=n),
-        "ivf": SIM.ivf_topk(emb, q, k=10, nlist=None, nprobe=None, n_vectors=n),
-        "pq": SIM.pq_topk(emb, q, k=10, nbits=6, refine=8),
+        "ivf": SIM.ivf_topk(emb, q, k=10, nprobe=None, centroids=_ivf_cent),
+        "pq": SIM.pq_topk(emb, q, k=10, refine=8, codebooks=_pq_books),
         "sq8": SIM.sq8_topk(emb, q, k=10, refine=8, bounds=(sq8_lo, sq8_hi)),
         # ivfpq (r13): the composed FAISS serving shape — IVF prunes
         # WHICH rows the ADC scan touches (nprobe/nlist of the corpus),
         # PQ shrinks WHAT each row costs (m bytes) — certified by the
         # same recall-floor contract as its parents
         "ivfpq": SIM.ivfpq_topk(
-            emb, q, k=10, nlist=None, nprobe=None, nbits=6, refine=8,
-            n_vectors=n,
+            emb, q, k=10, nprobe=None, refine=8,
+            centroids=_ivf_cent, codebooks=_pq_books,
         ),
     }
     cert_dfs = []
