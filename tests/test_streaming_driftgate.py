@@ -310,3 +310,34 @@ def test_vanished_facet_quarantined_via_mix(spark, dirs):
     # quarantined rows contributed nothing to the reference
     ref = read_reference_hist(spark, dirs["hist"])
     assert ref.agg(F.sum("c")).first()[0] == 800
+
+
+def test_new_facet_flood_quarantined_via_mix(spark, dirs):
+    """The mix facet's other blind-spot closure: a facet the reference
+    has NEVER seen flooding in (a crawler suddenly pulling a new
+    language at volume) shifts the facet-mix distribution even though
+    the new facet itself has no reference histogram (its per-facet
+    score sees an empty rc but rides the same threshold) and the
+    existing facets' histograms are steady."""
+    w = _mk_writer(dirs)
+    mk = lambda lo, hi, langs: spark.createDataFrame(
+        [(i, langs[i % len(langs)], 10 + i % 40) for i in range(lo, hi)],
+        SCHEMA,
+    )
+    w(mk(0, 400, ["en", "de"]), 0)
+    w(mk(400, 800, ["en", "de"]), 1)
+    # half the batch is a brand-new facet; en/de keep their bucket law
+    w(mk(800, 1200, ["en", "de", "zz", "zz"]), 2)
+
+    rep = read_drift_reports(spark, dirs["report"])
+    by_batch = {
+        int(r["batch_id"]): bool(r["admitted"])
+        for r in rep.select("batch_id", "admitted").distinct().collect()
+    }
+    assert by_batch == {0: True, 1: True, 2: False}
+    b2 = {r["facet"]: r["psi"] for r in rep.filter(F.col("batch_id") == 2).collect()}
+    assert "zz" in b2 and "__mix__" in b2
+    assert b2["__mix__"] > 0.25  # the mix sees the flood
+    # nothing from the flooded batch reached the reference
+    ref = read_reference_hist(spark, dirs["hist"])
+    assert ref.agg(F.sum("c")).first()[0] == 800
