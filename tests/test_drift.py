@@ -102,3 +102,62 @@ def test_empty_side_buckets_stay_finite():
     """Laplace smoothing keeps vanished/new buckets finite (no inf/nan)."""
     psi, kl, *_ = psi_kl([(0, 100, 0), (1, 0, 100)])
     assert math.isfinite(psi) and math.isfinite(kl) and psi > 0
+
+
+def test_embedding_drift_planted_shift_and_steady(spark):
+    """embedding_drift_table (r13): under a FIXED quantizer, a
+    steady re-sample scores near zero while a planted semantic shift
+    (half the new version collapsed onto one centroid's direction)
+    clears the action threshold; per-facet splitting works; values
+    replay through the psi_kl contract on the list-occupancy counts."""
+    import numpy as np
+
+    from scida_spark.functions.drift import embedding_drift_table, psi_kl
+    from scida_spark.functions.similarity import build_ivf_index, ivf_assign
+
+    rng = np.random.RandomState(23)
+    mk = lambda ids, vecs: spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    base = rng.normal(0, 1, (300, 8))
+    old = mk(range(300), base)
+    cent = build_ivf_index(old, nlist=5)
+
+    # steady: a fresh draw from the SAME distribution
+    new_ok = mk(range(1000, 1300), rng.normal(0, 1, (300, 8)))
+    d_ok = embedding_drift_table(spark, old, new_ok, cent).collect()
+    assert len(d_ok) == 1 and d_ok[0]["facet"] == "all"
+    assert d_ok[0]["psi"] < 0.25
+
+    # shifted: half the vectors collapse onto centroid 0's direction
+    shifted = base.copy()
+    shifted[:150] = cent[0] * 5.0 + rng.normal(0, 0.01, (150, 8))
+    new_bad = mk(range(2000, 2300), shifted)
+    d_bad = embedding_drift_table(spark, old, new_bad, cent).collect()
+    assert d_bad[0]["psi"] > 0.25
+
+    # replay contract: psi equals the fold over the occupancy counts
+    def occ(df):
+        out = {}
+        for r in (
+            ivf_assign(df, cent, 1)
+            .select(F.element_at("lists", 1).alias("b"))
+            .groupBy("b")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        ):
+            out[int(r["b"])] = int(r["c"])
+        return out
+
+    co, cn = occ(old), occ(new_bad)
+    want, *_ = psi_kl(
+        [(b, co.get(b, 0), cn.get(b, 0)) for b in sorted(set(co) | set(cn))]
+    )
+    assert d_bad[0]["psi"] == want
+
+    # per-facet split
+    oldf = old.withColumn("lang", F.when(F.col("vec_id") % 2 == 0, "en").otherwise("de"))
+    newf = new_bad.withColumn("lang", F.when(F.col("vec_id") % 2 == 0, "en").otherwise("de"))
+    df2 = embedding_drift_table(spark, oldf, newf, cent, facet_col="lang")
+    assert {r["facet"] for r in df2.collect()} == {"en", "de"}
