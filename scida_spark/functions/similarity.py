@@ -1517,6 +1517,147 @@ def hard_negatives(
     )
 
 
+def mmr_rerank(
+    cands: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    query_col: str = "query_id",
+    cand_col: str = "cand_id",
+    rel_col: str = "rel",
+    vec_col: str = "cvec",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified re-rank (Carbonell &
+    Goldstein 1998): greedily select ``k`` results, each step picking
+    the candidate maximizing ``lam * rel - (1 - lam) * max_{s in
+    selected} cos(c, s)`` — the standard diversification pass a RAG /
+    retrieval pipeline runs over a first-stage top-N so near-duplicate
+    hits don't crowd out distinct answers.
+
+    Input: the BOUNDED per-query candidate set (``query_col``,
+    ``cand_col``, ``rel_col`` = first-stage relevance, ``vec_col`` =
+    candidate embedding) — top-N of any ranker here (exact cosine,
+    IVF/PQ serve, BM25 joined to vectors). Output: (query, cand,
+    ``score`` = the MMR objective at selection time, ``step`` =
+    selection order 1..k). Fewer than ``k`` candidates → fewer rows.
+
+    Deterministic and ORACLE-EXACT: pairwise sims use the shared
+    ``cosine_batch`` fold (bit-identical to DuckDB ``list_reduce``),
+    the objective is two multiplies and a subtract on those doubles
+    (step 1's penalty term is literally ``(1-lam) * 0.0``, so both
+    engines agree on the reported score), max-over-selected is IEEE
+    max, and ties break on ascending candidate id — so a SQL replay
+    that unrolls the k greedy steps (the kmeans-oracle convention)
+    matches every (score, step) bit-for-bit.
+
+    Scale: nothing here ever touches the corpus — the candidate sets
+    are queries x N rows by construction. The pairwise-sim self-join
+    is an equi-join on the query key (N^2 per query, N bounded), the
+    greedy is ONE ``aggregate`` fold over k steps per query row with
+    all HOFs over bounded arrays (the documented bounded-array-HOF
+    rule; nothing interpreted scales with the corpus), and the only
+    shuffles are the two per-query groupBys on the tiny candidate set.
+    """
+    onemlam = 1.0 - lam
+    base = cands.select(
+        F.col(query_col).alias("_q"),
+        F.col(cand_col).cast("long").alias("_c"),
+        F.col(rel_col).cast("double").alias("_r"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    a = base.select("_q", F.col("_c").alias("_ci"), F.col("_v").alias("_vi"))
+    b = base.select("_q", F.col("_c").alias("_cj"), F.col("_v").alias("_vj"))
+    pairs = (
+        a.join(b, "_q")
+        .filter(F.col("_ci") != F.col("_cj"))
+        .withColumn("_s", cosine_batch(F.col("_vi"), F.col("_vj")))
+        .select("_q", "_ci", "_cj", "_s")
+    )
+    simmap = pairs.groupBy("_q").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.concat_ws(":", F.col("_ci"), F.col("_cj")).alias("mk"),
+                    F.col("_s").alias("mv"),
+                )
+            )
+        ).alias("_m")
+    )
+    carr = base.groupBy("_q").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_c").alias("c"), F.col("_r").alias("r")))
+        ).alias("_cs")
+    )
+    # left join: a single-candidate query has no pairs (and never
+    # needs a lookup — its one greedy step has an empty selected set)
+    g = carr.join(simmap, "_q", "left")
+
+    def _step(acc, t):
+        rem = F.filter(
+            F.col("_cs"), lambda c: ~F.array_contains(acc["sel"], c["c"])
+        )
+        scored = F.transform(
+            rem,
+            lambda c: F.struct(
+                (
+                    -(
+                        F.lit(lam) * c["r"]
+                        - F.lit(onemlam)
+                        * F.coalesce(
+                            F.array_max(
+                                F.transform(
+                                    acc["sel"],
+                                    lambda s: F.element_at(
+                                        F.col("_m"),
+                                        F.concat_ws(":", s, c["c"]),
+                                    ),
+                                )
+                            ),
+                            F.lit(0.0),
+                        )
+                    )
+                ).alias("ns"),
+                c["c"].alias("c"),
+            ),
+        )
+        pick = F.array_min(scored)
+        grown = F.struct(
+            F.concat(acc["sel"], F.array(pick["c"])).alias("sel"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        pick["c"].alias("c"),
+                        (-pick["ns"]).alias("score"),
+                        t.cast("int").alias("step"),
+                    )
+                ),
+            ).alias("out"),
+        )
+        return F.when(F.size(rem) > 0, grown).otherwise(acc)
+
+    acc_init = F.struct(
+        F.array().cast("array<long>").alias("sel"),
+        F.array().cast("array<struct<c:bigint,score:double,step:int>>").alias(
+            "out"
+        ),
+    )
+    res = g.select(
+        "_q",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(int(k))), acc_init, _step
+        ).alias("_acc"),
+    )
+    return (
+        res.select(F.col("_q"), F.explode("_acc.out").alias("_o"))
+        .select(
+            F.col("_q").alias(query_col),
+            F.col("_o.c").alias(cand_col),
+            F.col("_o.score").alias("score"),
+            F.col("_o.step").alias("step"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Signed random projection (SRP) — oracle-exact hyperplane LSH
 # --------------------------------------------------------------------------

@@ -3355,16 +3355,6 @@ _COSINE_ORACLE = """
     """
 
 
-def sim_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-10 for query vectors (vec_id < 5):
-    broadcast queries × streamed candidates, JVM-side fold for the dot
-    product (zip_with + aggregate — no Python in the hot path)."""
-    emb = table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 5)
-    res = SIM.cosine_topk_bruteforce(emb, q, k=10)
-    return res.select("query_id", "cand_id", F.round("sim", 6).alias("sim_r"), "rank")
-
-
 @query(
     "sim_neardup_pairs",
     """
@@ -3643,6 +3633,84 @@ _RRF_ORACLE_SECTION = f"""
 """
 
 
+def _mmr_oracle_section(k: int, lam: float) -> str:
+    """Unrolled-greedy SQL replay of ``similarity.mmr_rerank`` over the
+    exact cosine top-10 candidates (the kmeans-oracle convention: a
+    deterministic iterative algorithm is certified by unrolling its
+    bounded step count in plain SQL). ``rel`` is the raw ranked sim,
+    pair sims reuse the _COSINE_ORACLE fold shape (bit-identical to
+    cosine_batch), the objective is the same two-multiply subtract —
+    including step 1's literal ``(1-lam)*0.0`` — and ties break on
+    ascending cand_id, so every (score, step) matches bit-for-bit.
+    ``1-lam`` is interpolated from the PYTHON double (repr), not
+    re-derived in SQL, so both engines subtract the identical
+    constant."""
+    lamr = repr(float(lam))
+    oml = repr(1.0 - float(lam))
+    steps = [
+        f"""
+      s1 AS (SELECT query_id, cand_id, score, 1 AS step FROM (
+           SELECT query_id, cand_id, {lamr}*rel - {oml}*0.0 AS score,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY {lamr}*rel - {oml}*0.0 DESC, cand_id) AS rn
+           FROM mc) WHERE rn = 1),
+      sel1 AS (SELECT query_id, cand_id FROM s1)"""
+    ]
+    for t in range(2, k + 1):
+        steps.append(
+            f""",
+      c{t} AS (SELECT c.query_id, c.cand_id,
+                  {lamr}*c.rel - {oml}*MAX(p.s) AS score
+               FROM mc c
+               JOIN sel{t - 1} s ON s.query_id = c.query_id
+               JOIN mp p ON p.query_id = c.query_id
+                        AND p.ci = c.cand_id AND p.cj = s.cand_id
+               WHERE NOT EXISTS (SELECT 1 FROM sel{t - 1} x
+                                 WHERE x.query_id = c.query_id
+                                   AND x.cand_id = c.cand_id)
+               GROUP BY c.query_id, c.cand_id, c.rel),
+      s{t} AS (SELECT query_id, cand_id, score, {t} AS step FROM (
+           SELECT query_id, cand_id, score,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, cand_id) AS rn
+           FROM c{t}) WHERE rn = 1)"""
+        )
+        if t < k:
+            steps.append(
+                f""",
+      sel{t} AS (SELECT * FROM sel{t - 1}
+                 UNION ALL SELECT query_id, cand_id FROM s{t})"""
+            )
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM s{t}" for t in range(1, k + 1)
+    )
+    return f"""
+    SELECT 'mmr' AS method, query_id, cand_id, ROUND(score, 6) AS sim_r,
+           CAST(step AS INT) AS rank, TRUE AS ok
+    FROM (
+      WITH mc AS (SELECT query_id, cand_id, sim AS rel
+                  FROM ranked WHERE rank <= 10),
+      mp AS (
+        SELECT a.query_id, a.cand_id AS ci, b.cand_id AS cj,
+               list_reduce(list_transform(generate_series(1, len(ea.v)),
+                           i -> ea.v[i] * eb.v[i]), (acc, x) -> acc + x)
+               / (SQRT(list_reduce(list_transform(ea.v, x -> x * x),
+                                   (acc, x) -> acc + x))
+                  * SQRT(list_reduce(list_transform(eb.v, x -> x * x),
+                                     (acc, x) -> acc + x))) AS s
+        FROM mc a JOIN mc b ON a.query_id = b.query_id
+                           AND a.cand_id <> b.cand_id
+        JOIN e ea ON ea.vec_id = a.cand_id
+        JOIN e eb ON eb.vec_id = b.cand_id),{"".join(steps)}
+      {union}
+    )
+    """
+
+
+_MMR_K = 5
+_MMR_LAM = 0.7
+
+
 @query(
     "sim_topk",
     _COSINE_ORACLE.replace(
@@ -3793,7 +3861,9 @@ _RRF_ORACLE_SECTION = f"""
       FROM embeddings e,
            (SELECT unnest(generate_series(0, 31)) AS j) jj
     ) GROUP BY vec_id
-    """,
+    UNION ALL
+    """
+    + _mmr_oracle_section(_MMR_K, _MMR_LAM),
 )
 def sim_topk(spark, sf_dir):
     """Similarity top-k, EXACT + both ANN scale paths, fully
@@ -3850,10 +3920,17 @@ def sim_topk(spark, sf_dir):
     n = _parquet_rows(sf_dir)
     # LAZY checkpoint (r9): the exact top-k materializes on first use
     # and is shared by every consumer (ex_rows, the three ANN certs,
-    # knn, hardneg) within one execution — but slot CONSTRUCTION runs
-    # no job, so bench section filters that prune the exact subtree
-    # (bm25 / ql / rrf) never pay the brute-force pass at all.
-    exact = sim_cosine_topk(spark, sf_dir).localCheckpoint(eager=False)
+    # knn, hardneg, and — r13 — mmr, which needs the RAW sim as its
+    # relevance input, hence the checkpoint moved below the rounding)
+    # within one execution — but slot CONSTRUCTION runs no job, so
+    # bench section filters that prune the exact subtree (bm25 / ql /
+    # rrf) never pay the brute-force pass at all.
+    exact_raw = SIM.cosine_topk_bruteforce(emb, q, k=10).localCheckpoint(
+        eager=False
+    )
+    exact = exact_raw.select(
+        "query_id", "cand_id", F.round("sim", 6).alias("sim_r"), "rank"
+    )
     ex_rows = exact.select(
         F.lit("exact").alias("method"),
         "query_id",
@@ -4266,6 +4343,36 @@ def sim_topk(spark, sf_dir):
             F.lit(True).alias("ok"),
         )
     )
+    # --- mmr (r13): maximal-marginal-relevance diversified re-rank
+    # over the exact top-10 (functions/similarity.py::mmr_rerank) —
+    # the standard post-retrieval diversification pass. Fully
+    # value-checked: the oracle unrolls the k greedy steps in plain
+    # SQL (the kmeans convention) over the same ranked CTE and the
+    # same cosine fold, so every (cand, score, step) hash-matches.
+    # Scale: candidate sets are queries x 10 by construction; the
+    # corpus streams only through the one broadcast join that attaches
+    # candidate vectors.
+    mmr_in = (
+        emb.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").cast("array<double>").alias("cvec"),
+        )
+        .join(
+            F.broadcast(
+                exact_raw.select("query_id", "cand_id", F.col("sim").alias("rel"))
+            ),
+            "cand_id",
+        )
+        .select("query_id", "cand_id", "rel", "cvec")
+    )
+    mmr_rows = SIM.mmr_rerank(mmr_in, k=_MMR_K, lam=_MMR_LAM).select(
+        F.lit("mmr").alias("method"),
+        "query_id",
+        "cand_id",
+        F.round("score", 6).alias("sim_r"),
+        F.col("step").cast("int").alias("rank"),
+        F.lit(True).alias("ok"),
+    )
     return (
         ex_rows.unionAll(cert_rows)
         .unionAll(bm25)
@@ -4279,6 +4386,7 @@ def sim_topk(spark, sf_dir):
         .unionAll(hn_rows)
         .unionAll(srp_rows)
         .unionAll(sq8c_rows)
+        .unionAll(mmr_rows)
     )
 
 

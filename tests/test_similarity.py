@@ -999,3 +999,108 @@ def test_ivfpq_topk_recall_and_layout_independence(spark):
     }
     g1 = {(r["query_id"], r["cand_id"], r["rank"]) for r in got_rows}
     assert g1 == g2
+
+
+# --------------------------------------------------------------------------
+# MMR diversified re-rank
+# --------------------------------------------------------------------------
+
+
+def _mmr_greedy_np(cands, k, lam):
+    """Reference greedy: cands = {cid: (rel, vec)}; returns
+    [(cid, score, step)] with ties on ascending cid."""
+    sel, out = [], []
+    remaining = dict(cands)
+    for step in range(1, k + 1):
+        if not remaining:
+            break
+        best = None
+        for cid in sorted(remaining):
+            rel, v = remaining[cid]
+            if sel:
+                pen = max(
+                    _cosine_np(np.asarray(v), np.asarray(cands[s][1]))
+                    for s in sel
+                )
+            else:
+                pen = 0.0
+            score = lam * rel - (1.0 - lam) * pen
+            if best is None or score > best[1]:
+                best = (cid, score)
+        sel.append(best[0])
+        out.append((best[0], best[1], step))
+        del remaining[best[0]]
+    return out
+
+
+def test_mmr_rerank_matches_reference_greedy(spark, emb_df):
+    df, vecs = emb_df
+    v64 = vecs.astype(np.float64)
+    q = df.filter(F.col("vec_id") < 3)
+    topk = S.cosine_topk_bruteforce(df, q, k=8)
+    cands = topk.join(
+        df.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").cast("array<double>").alias("cvec"),
+        ),
+        "cand_id",
+    ).select("query_id", "cand_id", F.col("sim").alias("rel"), "cvec")
+    got = S.mmr_rerank(cands, k=5, lam=0.7).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["step"], r["cand_id"], r["score"])
+        )
+    for qid in range(3):
+        pool = {
+            r["cand_id"]: (r["rel"], list(v64[r["cand_id"]]))
+            for r in cands.filter(F.col("query_id") == qid).collect()
+        }
+        want = _mmr_greedy_np(pool, 5, 0.7)
+        mine = sorted(by_q[qid])
+        assert [c for _, c, _ in mine] == [c for c, _, _ in want]
+        for (_, _, score), (_, ws, _) in zip(mine, want):
+            assert score == pytest.approx(ws, abs=1e-9)
+        # step 1 is the pure-relevance argmax
+        assert mine[0][1] == max(pool, key=lambda c: (pool[c][0], -c))
+
+
+def test_mmr_lam_one_is_pure_relevance_order(spark, emb_df):
+    df, _ = emb_df
+    q = df.filter(F.col("vec_id") == 0)
+    topk = S.cosine_topk_bruteforce(df, q, k=6)
+    cands = topk.join(
+        df.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").cast("array<double>").alias("cvec"),
+        ),
+        "cand_id",
+    ).select("query_id", "cand_id", F.col("sim").alias("rel"), "cvec")
+    got = sorted(
+        (r["step"], r["cand_id"])
+        for r in S.mmr_rerank(cands, k=6, lam=1.0).collect()
+    )
+    by_rel = [
+        r["cand_id"]
+        for r in topk.orderBy(F.desc("sim"), F.asc("cand_id")).collect()
+    ]
+    assert [c for _, c in got] == by_rel
+
+
+def test_mmr_fewer_candidates_than_k_and_duplicate_vectors(spark):
+    # two candidates sharing one vector: after the first is picked, the
+    # clone's penalty is cos=1.0, so a distinct third vector wins step 2
+    rows = [
+        (0, 10, 0.9, [1.0, 0.0]),
+        (0, 11, 0.89, [1.0, 0.0]),
+        (0, 12, 0.5, [0.0, 1.0]),
+    ]
+    cands = spark.createDataFrame(
+        rows, "query_id long, cand_id long, rel double, cvec array<double>"
+    )
+    got = sorted(
+        (r["step"], r["cand_id"])
+        for r in S.mmr_rerank(cands, k=5, lam=0.5).collect()
+    )
+    # k=5 but only 3 candidates -> 3 rows, diversity kicks 12 to step 2
+    assert got == [(1, 10), (2, 12), (3, 11)]
