@@ -52,6 +52,9 @@ __all__ = [
     "bm25_topk_from_index",
     "query_likelihood_topk",
     "ql_topk_from_index",
+    "weighted_ql_topk_from_index",
+    "rm3_expand_terms",
+    "rm3_topk",
     "rrf_fuse",
     "phrase_occurrences",
 ]
@@ -460,6 +463,342 @@ def ql_topk_from_index(
         .withColumn("rank", F.row_number().over(w_final))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score", "rank")
+    )
+
+
+def weighted_ql_topk_from_index(
+    spark,
+    postings: DataFrame,
+    dl: DataFrame,
+    corpus_stats: tuple[int, int],
+    wterms: list[tuple[int, str, float]],
+    k: int = 10,
+    mu: float = 300.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dirichlet query-likelihood scoring for WEIGHTED queries —
+    ``score(q, d) = sum_t w_t * ln((tf_td + mu*cf_t/C) / (dl_d + mu))``
+    — the second pass of RM3-style expansion (:func:`rm3_topk`), and
+    the general scorer for any soft query (uniform ``w_t = 1`` reduces
+    to :func:`ql_topk_from_index`, same decomposition with ``nq``
+    generalized to ``W_q = sum_t w_t``)::
+
+        fold(matched w_t * addend_t) + B_q - W_q * ln(dl + mu)
+        addend_t = ln(tf + mucf_t) - ln(mucf_t)
+        B_q      = sum_t w_t * ln(mucf_t)     (sorted-term fold)
+
+    Bit-stability conventions are QL's exactly: driver ``math.log``
+    for constants, pandas-libm for tf/dl-dependent logs, sorted-term
+    sequential folds for every sum (B_q and W_q each fold separately
+    in sorted-term order). Terms absent from the collection drop.
+
+    Scale: identical shape to :func:`ql_topk_from_index` — the term
+    list is a bounded literal, postings filter to it immediately,
+    two-phase top-k."""
+    wmap = {(int(q), t): float(w) for q, t, w in wterms}
+    all_terms = sorted({t for _, t in wmap})
+    if corpus_stats[0] == 0 or not all_terms:
+        return spark.createDataFrame(
+            [], f"query_id long, {id_col} long, score double, rank int"
+        )
+    c_total = int(corpus_stats[1])
+    postings = postings.filter(F.col("tok").isin(all_terms))
+    cf = {
+        r["tok"]: int(r["cf"])
+        for r in postings.groupBy("tok").agg(F.sum("tf").alias("cf")).collect()
+    }
+    mucf = {t: mu * c / c_total for t, c in cf.items()}
+    if not mucf:
+        return spark.createDataFrame(
+            [], f"query_id long, {id_col} long, score double, rank int"
+        )
+    qmeta_rows = []
+    for qid in sorted({q for q, _ in wmap}):
+        terms_q = sorted(t for (q2, t) in wmap if q2 == qid and t in mucf)
+        if not terms_q:
+            continue
+        bq = 0.0
+        wq = 0.0
+        for t in terms_q:  # sorted-term sequential folds (libm)
+            bq += wmap[(qid, t)] * math.log(mucf[t])
+            wq += wmap[(qid, t)]
+        qmeta_rows.append((qid, wq, bq))
+    qterms = F.broadcast(
+        spark.createDataFrame(
+            [
+                (q, t, wmap[(q, t)], mucf[t])
+                for (q, t) in sorted(wmap)
+                if t in mucf
+            ],
+            "query_id long, tok string, w double, mucf double",
+        )
+    )
+    qmeta = F.broadcast(
+        spark.createDataFrame(qmeta_rows, "query_id long, wq double, bq double")
+    )
+
+    @F.pandas_udf("double")
+    def _addend(tf: pd.Series, m: pd.Series) -> pd.Series:
+        log = math.log
+        return pd.Series(
+            [log(a + b) - log(b) for a, b in zip(tf.tolist(), m.tolist())]
+        )
+
+    @F.pandas_udf("double")
+    def _ln_dl_mu(dlv: pd.Series) -> pd.Series:
+        log = math.log
+        return pd.Series([log(v + mu) for v in dlv.tolist()])
+
+    contrib = postings.join(qterms, "tok").select(
+        "query_id",
+        id_col,
+        "tok",
+        (F.col("w") * _addend(F.col("tf"), F.col("mucf"))).alias("sc"),
+    )
+    scores = (
+        contrib.groupBy("query_id", id_col)
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("tok", "sc"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["sc"],
+            ).alias("_s")
+        )
+        .join(qmeta, "query_id")
+        .join(dl, id_col)
+        .select(
+            "query_id",
+            id_col,
+            (
+                F.col("_s") + F.col("bq")
+                - F.col("wq") * _ln_dl_mu(F.col("_dl"))
+            ).alias("score"),
+        )
+    )
+    order = (F.col("score").desc(), F.col(id_col).asc())
+    w_part = W.partitionBy("query_id", "_pid").orderBy(*order)
+    w_final = W.partitionBy("query_id").orderBy(*order)
+    return (
+        scores.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_r", F.row_number().over(w_part))
+        .filter(F.col("_r") <= k)
+        .withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
+def rm3_expand_terms(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k_fb: int = 3,
+    m: int = 8,
+    alpha: float = 0.5,
+    mu: float = 300.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_stats: tuple[int, int] | None = None,
+) -> list[tuple[int, str, float]]:
+    """RM3 pseudo-relevance-feedback expansion (Abdul-Jaleel et al.
+    2004): run a first-pass QL retrieval, build the RM1 relevance
+    model over the top ``k_fb`` feedback documents, keep the top ``m``
+    terms, and interpolate with the original query's MLE::
+
+        post(d)   = exp(s_d - max_s) / sum_d' exp(s_d' - max_s)
+        rm(t)     = sum_{d in F} post(d) * tf_td / dl_d
+        w(t)      = [t in q]    alpha    * qtf_t / |q|
+                  + [t in topm] (1-alpha) * rm(t) / sum_topm rm
+
+    Returns the weighted query as ``[(query_id, term, w)]`` — feed it
+    to :func:`weighted_ql_topk_from_index` (or :func:`rm3_topk`, which
+    composes both passes).
+
+    Deterministic and oracle-replayable: the softmax uses driver
+    ``math.exp`` on the pass-1 doubles with the denominator folded in
+    ascending doc-id order; ``rm(t)`` folds per-term contributions in
+    ascending doc-id order inside Spark (sorted-struct aggregate);
+    top-``m`` ties break on ascending term; the two normalizing sums
+    fold in sorted-term order; and the interpolation is literally
+    ``(alpha * (qtf/qlen) if original else 0.0) + ((1-alpha) * rm/rmsum
+    if selected else 0.0)`` so a SQL FULL OUTER JOIN replay adds the
+    identical doubles.
+
+    Scale: pass 1 is :func:`query_likelihood_topk` (postings-sized);
+    the feedback set is queries x k_fb documents BY CONSTRUCTION, so
+    the term-model explode touches only those documents (broadcast
+    semi-join), and everything after the top-m window is a
+    queries x m driver fold — the serving-request pattern."""
+    spark = docs.sparkSession
+    onemalpha = 1.0 - alpha
+    pass1 = query_likelihood_topk(
+        docs,
+        queries,
+        k=k_fb,
+        mu=mu,
+        text_col=text_col,
+        id_col=id_col,
+        corpus_stats=corpus_stats,
+    ).collect()
+    # softmax posterior per query (driver libm; denominator folded in
+    # ascending doc-id order)
+    by_q: dict[int, list] = {}
+    for r in pass1:
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (int(r[id_col]), float(r["score"]))
+        )
+    post_rows = []
+    for qid in sorted(by_q):
+        ds = sorted(by_q[qid])
+        mx = max(s for _, s in ds)
+        den = 0.0
+        for _, s in ds:
+            den += math.exp(s - mx)
+        for d, s in ds:
+            post_rows.append((qid, d, math.exp(s - mx) / den))
+    if not post_rows:
+        return _orig_only_weights(queries, alpha)
+    fb = F.broadcast(
+        spark.createDataFrame(
+            post_rows, f"query_id long, {id_col} long, post double"
+        )
+    )
+    fdocs = docs.join(
+        fb.select(id_col).distinct(), id_col, "left_semi"
+    ).select(F.col(id_col), F.col(text_col))
+    ftf = (
+        fdocs.select(
+            F.col(id_col), F.explode(TX.tokens(F.col(text_col))).alias("tok")
+        )
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    fdl = fdocs.select(
+        F.col(id_col), TX.token_count(F.col(text_col)).alias("_dl")
+    )
+    vals = (
+        ftf.join(fdl, id_col)
+        .join(fb, id_col)
+        .select(
+            "query_id",
+            "tok",
+            F.col(id_col).alias("_d"),
+            (
+                F.col("post")
+                * (F.col("tf").cast("double") / F.col("_dl"))
+            ).alias("val"),
+        )
+    )
+    rm = vals.groupBy("query_id", "tok").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("_d", "val"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["val"],
+        ).alias("rm")
+    )
+    wtop = W.partitionBy("query_id").orderBy(F.desc("rm"), F.asc("tok"))
+    top = (
+        rm.withColumn("_rn", F.row_number().over(wtop))
+        .filter(F.col("_rn") <= m)
+        .select("query_id", "tok", "rm")
+        .collect()
+    )
+    rm_by_q: dict[int, dict[str, float]] = {}
+    for r in top:
+        rm_by_q.setdefault(int(r["query_id"]), {})[r["tok"]] = float(r["rm"])
+    out: dict[tuple[int, str], float] = {}
+    for qid, qtext in queries:
+        toks = qtext.strip().split(" ")
+        qlen = len(toks)
+        qtf: dict[str, int] = {}
+        for t in toks:
+            qtf[t] = qtf.get(t, 0) + 1
+        sel = rm_by_q.get(int(qid), {})
+        rmsum = 0.0
+        for t in sorted(sel):  # sorted-term fold
+            rmsum += sel[t]
+        for t in sorted(set(toks) | set(sel)):
+            aw = alpha * (qtf[t] / qlen) if t in qtf else 0.0
+            bw = onemalpha * (sel[t] / rmsum) if t in sel else 0.0
+            out[(int(qid), t)] = aw + bw
+    return [(q, t, w) for (q, t), w in sorted(out.items())]
+
+
+def _orig_only_weights(
+    queries: list[tuple[int, str]], alpha: float
+) -> list[tuple[int, str, float]]:
+    """Degenerate RM3 (no feedback documents at all): the weighted
+    query is just ``alpha * MLE`` of the original."""
+    out = {}
+    for qid, qtext in queries:
+        toks = qtext.strip().split(" ")
+        qlen = len(toks)
+        qtf: dict[str, int] = {}
+        for t in toks:
+            qtf[t] = qtf.get(t, 0) + 1
+        for t in sorted(qtf):
+            out[(int(qid), t)] = alpha * (qtf[t] / qlen) + 0.0
+    return [(q, t, w) for (q, t), w in sorted(out.items())]
+
+
+def rm3_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k_fb: int = 3,
+    m: int = 8,
+    alpha: float = 0.5,
+    mu: float = 300.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_stats: tuple[int, int] | None = None,
+    wterms: list[tuple[int, str, float]] | None = None,
+) -> DataFrame:
+    """RM3 retrieval: QL pass 1 -> :func:`rm3_expand_terms` ->
+    :func:`weighted_ql_topk_from_index` over the expanded weighted
+    query. Pass a precomputed ``wterms`` to skip the expansion (the
+    expansion is a deterministic function of (corpus, queries,
+    parameters) — an ingest-or-cache-time artifact in a serving tier,
+    exactly like IVF centroids).
+
+    Serving note: a store-served twin would need a FORWARD index
+    (doc -> term vector) to build the feedback term model — the
+    token-sharded postings store can't fetch one document's full term
+    set without touching every shard, so RM3 stays a batch/cached
+    operator here by design."""
+    spark = docs.sparkSession
+    if corpus_stats is None:
+        st = (
+            docs.select(TX.token_count(F.col(text_col)).alias("_dl"))
+            .agg(F.count("*").alias("n"), F.sum("_dl").alias("tot"))
+            .first()
+        )
+        corpus_stats = (int(st["n"]), int(st["tot"] or 0))
+    if wterms is None:
+        wterms = rm3_expand_terms(
+            docs,
+            queries,
+            k_fb=k_fb,
+            m=m,
+            alpha=alpha,
+            mu=mu,
+            text_col=text_col,
+            id_col=id_col,
+            corpus_stats=corpus_stats,
+        )
+    all_terms = sorted({t for _, t, _ in wterms})
+    postings = (
+        docs.select(
+            F.col(id_col), F.explode(TX.tokens(F.col(text_col))).alias("tok")
+        )
+        .filter(F.col("tok").isin(all_terms))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = docs.select(
+        F.col(id_col), TX.token_count(F.col(text_col)).alias("_dl")
+    )
+    return weighted_ql_topk_from_index(
+        spark, postings, dl, corpus_stats, wterms, k=k, mu=mu, id_col=id_col
     )
 
 

@@ -278,17 +278,22 @@ def build_ivf_index(
     (plain parquet — any executor count can broadcast it back)."""
     if nlist is None:
         nlist = auto_nlist(n_vectors if n_vectors is not None else embeddings.count())
-    sample = np.stack(
-        [
-            np.asarray(r["v"], dtype=np.float64)
-            for r in embeddings.select(
-                F.col(vec_col).cast("array<double>").alias("v")
-            )
-            .filter(F.col(id_col) % sample_stride == 0)
-            .limit(max(nlist * 64, 1024))
-            .collect()
-        ]
+    cap = max(nlist * 64, 1024)
+    vecs = embeddings.select(F.col(vec_col).cast("array<double>").alias("v"))
+    rows = (
+        vecs.filter(F.col(id_col) % sample_stride == 0).limit(cap).collect()
     )
+    if not rows:
+        # an id keyspace with no multiples of the stride (small or
+        # oddly-keyed corpora) must not crash training — fall back to
+        # the full (capped) corpus as the sample
+        rows = vecs.limit(cap).collect()
+    if not rows:
+        raise ValueError(
+            "build_ivf_index: no vectors to train the quantizer on "
+            "(empty corpus)"
+        )
+    sample = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
     return _kmeans_centroids(sample, nlist, seed)
 
 

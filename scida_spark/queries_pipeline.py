@@ -3591,6 +3591,124 @@ _QL_CTES = f"""
                                 ORDER BY score DESC, doc_id) AS INT) AS rank
                     FROM ql_final)"""
 
+_RM3_FB, _RM3_M, _RM3_ALPHA = 3, 8, 0.5
+
+# RM3 pseudo-relevance-feedback CTEs (functions/retrieval.py::
+# rm3_expand_terms + weighted_ql_topk_from_index; reuses ql_ranked for
+# pass 1 and bm_toks/bm_dl/ql_c for the token model). Every float op
+# mirrors the engine exactly: softmax via libm exp with the
+# denominator folded in doc-id order, rm(t) folded in doc-id order,
+# the two normalizers folded in sorted-term order, interpolation as
+# aw + bw with 0.0 for the absent side (the engine's literal
+# expression), and the weighted-QL decomposition with W_q
+# generalizing nq. DuckDB's exp IS libm exp (verified bit-identical
+# to Python math.exp), like its ln.
+_RM3_QORIG = ",".join(
+    f"({q},'{t}',{qt.split().count(t)},{len(qt.split())})"
+    for q, qt in _BM25_QUERIES
+    for t in sorted(set(qt.split()))
+)
+
+_RM3_CTES = f"""
+      r3_qorig(query_id, tok, qtf, qlen) AS (VALUES {_RM3_QORIG}),
+      r3_fb AS (SELECT query_id, doc_id, score FROM ql_ranked
+                WHERE rank <= {_RM3_FB}),
+      r3_mx AS (SELECT query_id, MAX(score) AS mx FROM r3_fb
+                GROUP BY query_id),
+      r3_eps AS (SELECT f.query_id, f.doc_id, exp(f.score - x.mx) AS e
+                 FROM r3_fb f JOIN r3_mx x USING (query_id)),
+      r3_den AS (SELECT query_id,
+                        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                                 list(e ORDER BY doc_id)),
+                                    (a, x) -> a + x) AS den
+                 FROM r3_eps GROUP BY query_id),
+      r3_post AS (SELECT e.query_id, e.doc_id, e.e / d.den AS post
+                  FROM r3_eps e JOIN r3_den d USING (query_id)),
+      r3_ftf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+                 FROM bm_toks
+                 WHERE doc_id IN (SELECT DISTINCT doc_id FROM r3_fb)
+                 GROUP BY doc_id, tok),
+      r3_val AS (SELECT p.query_id, t.tok, p.doc_id,
+                        p.post * (CAST(t.tf AS DOUBLE) / d.dl) AS val
+                 FROM r3_post p JOIN r3_ftf t USING (doc_id)
+                      JOIN bm_dl d USING (doc_id)),
+      r3_rm AS (SELECT query_id, tok,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                                list(val ORDER BY doc_id)),
+                                   (a, x) -> a + x) AS rm
+                FROM r3_val GROUP BY query_id, tok),
+      r3_top AS (SELECT query_id, tok, rm FROM (
+                   SELECT query_id, tok, rm,
+                          ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rm DESC, tok) AS rn
+                   FROM r3_rm) WHERE rn <= {_RM3_M}),
+      r3_rmsum AS (SELECT query_id,
+                          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                                   list(rm ORDER BY tok)),
+                                      (a, x) -> a + x) AS rs
+                   FROM r3_top GROUP BY query_id),
+      r3_w AS (SELECT COALESCE(o.query_id, e.query_id) AS query_id,
+                      COALESCE(o.tok, e.tok) AS tok,
+                      (CASE WHEN o.tok IS NOT NULL
+                            THEN {_RM3_ALPHA!r}
+                                 * (CAST(o.qtf AS DOUBLE) / o.qlen)
+                            ELSE 0.0 END)
+                    + (CASE WHEN e.tok IS NOT NULL
+                            THEN {(1.0 - _RM3_ALPHA)!r} * (e.rm / s.rs)
+                            ELSE 0.0 END) AS w
+               FROM r3_qorig o
+               FULL OUTER JOIN r3_top e
+                 ON o.query_id = e.query_id AND o.tok = e.tok
+               LEFT JOIN r3_rmsum s
+                 ON s.query_id = COALESCE(o.query_id, e.query_id)),
+      r3_post2 AS (SELECT doc_id, tok, COUNT(*) AS tf FROM bm_toks
+                   WHERE tok IN (SELECT DISTINCT tok FROM r3_w)
+                   GROUP BY doc_id, tok),
+      r3_mucf AS (SELECT tok,
+                         (CAST({_QL_MU!r} AS DOUBLE) * cf)
+                         / (SELECT c FROM ql_c) AS mucf
+                  FROM (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf
+                        FROM bm_toks
+                        WHERE tok IN (SELECT DISTINCT tok FROM r3_w)
+                        GROUP BY tok)),
+      r3_meta AS (SELECT w.query_id,
+                         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                     list(w.w ORDER BY w.tok)),
+                                     (a, x) -> a + x) AS wq,
+                         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                     list(w.w * ln(m.mucf) ORDER BY w.tok)),
+                                     (a, x) -> a + x) AS bq
+                  FROM r3_w w JOIN r3_mucf m USING (tok)
+                  GROUP BY w.query_id),
+      r3_contrib AS (SELECT w.query_id, p.doc_id, p.tok,
+                            w.w * (ln(p.tf + m.mucf) - ln(m.mucf)) AS sc
+                     FROM r3_post2 p JOIN r3_w w USING (tok)
+                          JOIN r3_mucf m USING (tok)),
+      r3_agg AS (SELECT query_id, doc_id,
+                        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                                 list(sc ORDER BY tok)),
+                                    (a, x) -> a + x) AS s
+                 FROM r3_contrib GROUP BY query_id, doc_id),
+      r3_final AS (SELECT a.query_id, a.doc_id,
+                          a.s + m2.bq
+                          - m2.wq * ln(d.dl + CAST({_QL_MU!r} AS DOUBLE))
+                            AS score
+                   FROM r3_agg a JOIN r3_meta m2 USING (query_id)
+                        JOIN bm_dl d USING (doc_id)),
+      r3_ranked AS (SELECT query_id, doc_id, score,
+                           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS INT) AS rank
+                    FROM r3_final)"""
+
+_RM3_ORACLE_SECTION = f"""
+    SELECT 'rm3' AS method, query_id, doc_id AS cand_id,
+           ROUND(score, 6) AS sim_r, rank, TRUE AS ok
+    FROM (
+      WITH {_QCTE},{_BM25_CTES},{_QL_CTES},{_RM3_CTES}
+      SELECT query_id, doc_id, score, rank FROM r3_ranked WHERE rank <= 10
+    )
+"""
+
 _BM25_ORACLE_SECTION = f"""
     SELECT 'bm25' AS method, query_id, doc_id AS cand_id, score AS sim_r,
            rank, TRUE AS ok
@@ -3788,6 +3906,8 @@ _MMR_LAM = 0.7
     + _QL_ORACLE_SECTION
     + "\n    UNION ALL\n"
     + _RRF_ORACLE_SECTION
+    + "\n    UNION ALL\n"
+    + _RM3_ORACLE_SECTION
     # bm25s / qls (r11): the SAME ranked CTEs — the streaming-served
     # index is bit-identical to a batch rebuild (shared scorer over an
     # identical postings multiset), so the oracle for "served from the
@@ -4087,6 +4207,48 @@ def sim_topk(spark, sf_dir):
         "rank",
         F.lit(True).alias("ok"),
     )
+    # --- rm3 (r13): pseudo-relevance-feedback query expansion
+    # (functions/retrieval.py::rm3_topk) — QL pass 1 -> RM1 relevance
+    # model over the top-3 feedback docs -> weighted-QL pass 2 over
+    # the expanded query. Fully value-checked: the oracle rebuilds the
+    # whole chain in CTEs (softmax posterior via libm exp, doc-id- and
+    # term-ordered folds, FULL OUTER JOIN interpolation, W_q-weighted
+    # decomposition), so every (doc, score, rank) hash-matches. The
+    # expansion weights are a deterministic function of (corpus,
+    # queries, params) — memoized per corpus fingerprint like IVF
+    # centroids (an ingest/cache-time artifact in a serving tier), so
+    # per-call cost is exactly the weighted pass-2 scan.
+    from scida_spark.functions.retrieval import rm3_expand_terms, rm3_topk
+
+    _rm3_w = _ingest_stat(
+        sf_dir,
+        "documents",
+        f"rm3_wterms_f{_RM3_FB}m{_RM3_M}a{_RM3_ALPHA}",
+        lambda: rm3_expand_terms(
+            docs,
+            _BM25_QUERIES,
+            k_fb=_RM3_FB,
+            m=_RM3_M,
+            alpha=_RM3_ALPHA,
+            mu=_QL_MU,
+            corpus_stats=_cs,
+        ),
+    )
+    rm3_rows = rm3_topk(
+        docs,
+        _BM25_QUERIES,
+        k=10,
+        mu=_QL_MU,
+        corpus_stats=_cs,
+        wterms=_rm3_w,
+    ).select(
+        F.lit("rm3").alias("method"),
+        F.col("query_id"),
+        F.col("doc_id").alias("cand_id"),
+        F.round("score", 6).alias("sim_r"),
+        "rank",
+        F.lit(True).alias("ok"),
+    )
     # --- bm25s / qls / idxcompact (r11; r12 hot-path fix): the
     # INCREMENTAL retrieval index run for real — documents split into
     # 3 id-range batch files consumed oldest-first
@@ -4378,6 +4540,7 @@ def sim_topk(spark, sf_dir):
         .unionAll(bm25)
         .unionAll(ql_rows)
         .unionAll(rrf_rows)
+        .unionAll(rm3_rows)
         .unionAll(bm25s_rows)
         .unionAll(qls_rows)
         .unionAll(idxcompact_rows)

@@ -382,6 +382,15 @@ def rebuild_vector_store(
         F.col("vec_id").alias(id_col), F.col("v").alias(vec_col)
     ).localCheckpoint(eager=True)
     n = live.count()
+    if n == 0:
+        # never-ingested or fully-tombstoned store: there is nothing
+        # to train a quantizer on — refuse loudly instead of crashing
+        # inside k-means (and leave no half-built new_store behind)
+        raise ValueError(
+            f"vector store {old_store} has no live vectors to rebuild "
+            "from (empty or fully deleted); create a fresh store with "
+            "new centroids instead"
+        )
     cent = build_ivf_index(
         live, nlist=nlist, id_col=id_col, vec_col=vec_col, n_vectors=n
     )
@@ -392,17 +401,23 @@ def rebuild_vector_store(
         from scida_spark.functions.similarity import train_pq_codebooks
 
         nbits = max(1, int(meta["pq_ksub"] - 1).bit_length())
-        sample = np.stack(
-            [
-                np.asarray(r["v"], dtype=np.float64)
-                for r in live.select(
-                    F.col(vec_col).cast("array<double>").alias("v")
-                )
-                .filter(F.col(id_col) % 7 == 0)
-                .limit(max(int(meta["pq_ksub"]) * 64, 1024))
-                .collect()
-            ]
+        cap = max(int(meta["pq_ksub"]) * 64, 1024)
+        rows = (
+            live.select(F.col(vec_col).cast("array<double>").alias("v"))
+            .filter(F.col(id_col) % 7 == 0)
+            .limit(cap)
+            .collect()
         )
+        if not rows:
+            # a small or oddly-keyed live set can miss the 1-in-7
+            # sample entirely — fall back to the full (capped) live set
+            # rather than crashing codebook training on zero vectors
+            rows = (
+                live.select(F.col(vec_col).cast("array<double>").alias("v"))
+                .limit(cap)
+                .collect()
+            )
+        sample = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
         cbs = train_pq_codebooks(sample, m=int(meta["pq_m"]), nbits=nbits)
     create_vector_store(
         spark, new_store, cent, id_col=id_col, vec_col=vec_col, codebooks=cbs

@@ -272,3 +272,125 @@ def test_phrase_occurrences_contract(spark):
         for r in phrase_occurrences(df.repartition(7), phrases).collect()
     }
     assert got2 == got
+
+
+# --------------------------------------------------------------------------
+# RM3 pseudo-relevance feedback
+# --------------------------------------------------------------------------
+
+
+def _naive_rm3(queries, k=10, k_fb=2, m=4, alpha=0.5, mu=50.0):
+    """Pure-Python RM3 over DOCS with the module's exact conventions."""
+    toks = {d: t.strip().split(" ") for d, t in DOCS}
+    c_total = sum(len(t) for t in toks.values())
+    out = {}
+    for qid, qtext in queries:
+        qtoks = qtext.strip().split(" ")
+        # ---- pass 1: uniform-weight QL (standard formula, not the
+        # decomposed form — equality of the two is what we verify)
+        terms = sorted(set(qtoks))
+        cf = {t: sum(tt.count(t) for tt in toks.values()) for t in terms}
+        live = [t for t in terms if cf[t] > 0]
+        s1 = {}
+        for d, tt in toks.items():
+            if not any(t in tt for t in live):
+                continue
+            s = 0.0
+            for t in live:
+                p = (tt.count(t) + mu * cf[t] / c_total) / (len(tt) + mu)
+                s += math.log(p)
+            s1[d] = s
+        fb = sorted(s1.items(), key=lambda kv: (-kv[1], kv[0]))[:k_fb]
+        # ---- posterior + RM1
+        mx = max(s for _, s in fb)
+        den = sum(math.exp(s - mx) for _, s in sorted(fb))
+        post = {d: math.exp(s - mx) / den for d, s in fb}
+        rm = {}
+        for d in post:
+            for t in set(toks[d]):
+                rm[t] = rm.get(t, 0.0) + post[d] * toks[d].count(t) / len(
+                    toks[d]
+                )
+        topm = sorted(rm.items(), key=lambda kv: (-kv[1], kv[0]))[:m]
+        rmsum = sum(v for _, v in topm)
+        # ---- interpolate
+        w = {}
+        for t in set(qtoks):
+            w[t] = alpha * (qtoks.count(t) / len(qtoks))
+        for t, v in topm:
+            w[t] = w.get(t, 0.0) + (1.0 - alpha) * (v / rmsum)
+        # ---- pass 2: weighted QL
+        cf2 = {t: sum(tt.count(t) for tt in toks.values()) for t in w}
+        live2 = {t for t in w if cf2[t] > 0}
+        s2 = {}
+        for d, tt in toks.items():
+            if not any(t in tt for t in live2):
+                continue
+            s = 0.0
+            for t in sorted(live2):
+                p = (tt.count(t) + mu * cf2[t] / c_total) / (len(tt) + mu)
+                s += w[t] * math.log(p)
+            s2[d] = s
+        out[qid] = sorted(s2.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return out
+
+
+def test_rm3_matches_naive_reference(docs_df):
+    from scida_spark.functions.retrieval import rm3_topk
+
+    queries = [(0, "quick fox"), (1, "spark streaming")]
+    got = rm3_topk(
+        docs_df, queries, k=10, k_fb=2, m=4, alpha=0.5, mu=50.0
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    want = _naive_rm3(queries, k=10, k_fb=2, m=4, alpha=0.5, mu=50.0)
+    for qid, ranked in want.items():
+        mine = sorted(by_q[qid])
+        assert [d for _, d, _ in mine] == [d for d, _ in ranked]
+        for (_, _, s), (_, ws) in zip(mine, ranked):
+            assert s == pytest.approx(ws, abs=1e-9)
+
+
+def test_rm3_alpha_one_equals_plain_ql(docs_df):
+    """alpha=1 zeroes the expansion weights' mass ONLY for terms
+    outside the original query; original terms keep alpha*MLE, a
+    positive rescale of uniform weights per query -> same RANKING as
+    plain QL (scores differ by the per-query scale)."""
+    from scida_spark.functions.retrieval import (
+        query_likelihood_topk,
+        rm3_topk,
+    )
+
+    queries = [(0, "quick fox")]
+    got = rm3_topk(docs_df, queries, k=5, k_fb=2, m=0, alpha=1.0, mu=50.0)
+    plain = query_likelihood_topk(docs_df, queries, k=5, mu=50.0)
+    assert [
+        (r["rank"], r["doc_id"]) for r in got.orderBy("rank").collect()
+    ] == [(r["rank"], r["doc_id"]) for r in plain.orderBy("rank").collect()]
+
+
+def test_rm3_expansion_adds_terms_beyond_query(docs_df):
+    from scida_spark.functions.retrieval import rm3_expand_terms
+
+    queries = [(0, "quick fox")]
+    wt = rm3_expand_terms(docs_df, queries, k_fb=2, m=4, alpha=0.5, mu=50.0)
+    terms = {t for _, t, _ in wt}
+    assert terms > {"quick", "fox"}  # expansion brought new terms
+    assert all(w > 0 for _, _, w in wt)
+    # weights of the weighted query sum to ~1 when every original term
+    # is in the collection (alpha * 1 + (1-alpha) * 1)
+    assert sum(w for _, _, w in wt) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_rm3_no_feedback_docs_degenerates_to_orig_terms(spark):
+    from scida_spark.functions.retrieval import rm3_expand_terms
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta")], "doc_id long, text string"
+    )
+    wt = rm3_expand_terms(docs, [(0, "zzz qqq")], k_fb=2, m=4, alpha=0.5)
+    assert {t for _, t, _ in wt} == {"zzz", "qqq"}

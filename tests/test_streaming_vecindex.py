@@ -392,3 +392,63 @@ def test_pq_store_serves_ivfpq_equal_to_batch(spark, tmp_path):
     create_vector_store(spark, plain, cent)
     with pytest.raises(ValueError, match="without codebooks"):
         ivfpq_topk_from_store(spark, plain, q, k=5)
+
+
+def test_rebuild_refuses_empty_live_store(spark, store, tmp_path):
+    """A never-ingested (or fully tombstoned) store has nothing to
+    train a quantizer on: rebuild raises cleanly and leaves no
+    half-built new store behind."""
+    from scida_spark.streaming.vecindex import (
+        create_vector_store,
+        rebuild_vector_store,
+    )
+
+    sdir0, emb, cent = store
+    empty = str(tmp_path / "vempty")
+    create_vector_store(spark, empty, cent)
+    new = str(tmp_path / "vnew")
+    with pytest.raises(ValueError, match="no live vectors"):
+        rebuild_vector_store(spark, empty, new)
+    assert not os.path.isdir(os.path.join(new, "vectors"))
+
+    # fully-tombstoned: ingest then delete everything
+    full = str(tmp_path / "vfull")
+    create_vector_store(spark, full, cent)
+    vector_index_writer(full)(emb, 0)
+    delete_vectors(
+        spark, full, [r["vec_id"] for r in emb.select("vec_id").collect()], 1
+    )
+    with pytest.raises(ValueError, match="no live vectors"):
+        rebuild_vector_store(spark, full, str(tmp_path / "vnew2"))
+
+
+def test_pq_rebuild_sample_fallback_when_mod7_misses(spark, tmp_path):
+    """PQ codebook refresh falls back to the full capped live set when
+    the 1-in-7 id sample is empty (small or oddly-keyed stores)."""
+    import numpy as np
+
+    from scida_spark.functions.similarity import train_pq_codebooks
+    from scida_spark.streaming.vecindex import rebuild_vector_store
+
+    rng = np.random.RandomState(3)
+    # ids 1..6 and 8..13: none divisible by 7
+    ids = [i for i in range(1, 14) if i % 7 != 0]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(0, 1, 16)]) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+    cent = build_ivf_index(emb, nlist=2)
+    sample = np.stack(
+        [np.asarray(r["embedding"]) for r in emb.orderBy("vec_id").collect()]
+    )
+    cbs = train_pq_codebooks(sample, m=8, nbits=2)
+    sdir = str(tmp_path / "pqsmall")
+    create_vector_store(spark, sdir, cent, codebooks=cbs)
+    vector_index_writer(sdir)(emb, 0)
+    new = str(tmp_path / "pqsmall2")
+    assert rebuild_vector_store(spark, sdir, new, nlist=2) == len(ids)
+    # new store is a working PQ store
+    from scida_spark.streaming.vecindex import ivfpq_topk_from_store
+
+    q = emb.filter(F.col("vec_id") <= 2)
+    assert ivfpq_topk_from_store(spark, new, q, k=3, nprobe=2).count() > 0
