@@ -194,3 +194,138 @@ def isotonic_calibration(
         df.select(score_col).schema.add("n", "long").add("n_pos", "long")
     ).add("calibrated", "double")
     return spark.createDataFrame(rows, out_schema)
+
+
+def ranking_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """TREC-style retrieval evaluation of a ranked ``run`` against
+    graded judgments ``qrels`` — the metrics every retrieval /
+    RAG-quality loop reports:
+
+    * ``recall`` @k  = |top-k hits| / R_q  (R_q = judged-relevant count)
+    * ``mrr``    @k  = 1 / rank of the first hit (0 if none in top-k)
+    * ``ndcg``   @k  = DCG@k / IDCG@k with linear gain and the
+      ``1/log2(rank+1)`` discount
+    * ``ap``     @k  = sum over hit positions i of (hits<=i / i), / R_q
+      (the trec_eval convention)
+
+    One row per query in the run: (query, n_rel, n_hit, recall, mrr,
+    ndcg, ap). Queries with no judged-relevant documents report 0.0.
+
+    Cross-engine bit-stability: the discount table ``ln(2)/ln(i+1)``
+    for i = 1..k is built ON THE DRIVER with ``math.log`` (libm — the
+    bits DuckDB's ``ln`` produces; the BM25-idf convention) and joined
+    as a literal; DCG/IDCG/AP fold in ascending-position order
+    (sorted-struct aggregate == ordered ``list_reduce``); every
+    division is a single double divide of exactly-reproducible
+    numerators/denominators; ties in the ideal ranking break on
+    ascending doc id.
+
+    Scale: the run is queries x k by construction — every fold is over
+    bounded arrays. The qrels side is judgment-sized (eval sets are
+    bounded by construction); its only heavy ops are one groupBy for
+    R_q and one per-query window for the ideal ranking, both
+    judgment-sized, never corpus-sized."""
+    import math
+
+    spark = run.sparkSession
+    disc = F.broadcast(
+        spark.createDataFrame(
+            [(i, math.log(2.0) / math.log(i + 1.0)) for i in range(1, k + 1)],
+            "pos int, disc double",
+        )
+    )
+    topk = run.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rank_col).cast("int").alias("_r"),
+    )
+    qr = qrels.select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rel_col).cast("double").alias("_rel"),
+    )
+    j = (
+        topk.join(qr, ["_q", "_d"], "left")
+        .na.fill({"_rel": 0.0})
+        .join(disc, F.col("_r") == F.col("pos"))
+        .select("_q", "_d", "_r", "_rel", (F.col("_rel") * F.col("disc")).alias("_g"))
+    )
+    hits = j.filter(F.col("_rel") > 0)
+    # AP contributions: i-th hit (by rank) at rank r contributes i/r
+    w_hit = W.partitionBy("_q").orderBy(F.asc("_r"))
+    ap_c = hits.withColumn("_h", F.row_number().over(w_hit)).select(
+        "_q", "_r", (F.col("_h").cast("double") / F.col("_r")).alias("_apc")
+    )
+    dcg = j.groupBy("_q").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("_r", "_g"))),
+            F.lit(0.0),
+            lambda a, x: a + x["_g"],
+        ).alias("_dcg"),
+        F.sum((F.col("_rel") > 0).cast("long")).alias("_nhit"),
+        F.min(F.when(F.col("_rel") > 0, F.col("_r"))).alias("_fr"),
+    )
+    apn = ap_c.groupBy("_q").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("_r", "_apc"))),
+            F.lit(0.0),
+            lambda a, x: a + x["_apc"],
+        ).alias("_apn")
+    )
+    relq = qr.filter(F.col("_rel") > 0)
+    nrel = relq.groupBy("_q").agg(F.count("*").alias("_nrel"))
+    w_ideal = W.partitionBy("_q").orderBy(F.desc("_rel"), F.asc("_d"))
+    idcg = (
+        relq.withColumn("_p", F.row_number().over(w_ideal))
+        .filter(F.col("_p") <= k)
+        .join(disc, F.col("_p") == F.col("pos"))
+        .select("_q", "_p", (F.col("_rel") * F.col("disc")).alias("_ig"))
+        .groupBy("_q")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("_p", "_ig"))),
+                F.lit(0.0),
+                lambda a, x: a + x["_ig"],
+            ).alias("_idcg")
+        )
+    )
+    out = (
+        dcg.join(apn, "_q", "left")
+        .join(nrel, "_q", "left")
+        .join(idcg, "_q", "left")
+        .select(
+            F.col("_q").alias(query_col),
+            F.coalesce("_nrel", F.lit(0)).cast("long").alias("n_rel"),
+            F.col("_nhit").cast("long").alias("n_hit"),
+            F.when(
+                F.coalesce("_nrel", F.lit(0)) > 0,
+                F.col("_nhit").cast("double") / F.col("_nrel"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("recall"),
+            F.when(F.col("_fr").isNotNull(), F.lit(1.0) / F.col("_fr"))
+            .otherwise(F.lit(0.0))
+            .alias("mrr"),
+            F.when(
+                F.coalesce("_idcg", F.lit(0.0)) > 0,
+                F.col("_dcg") / F.col("_idcg"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ndcg"),
+            F.when(
+                F.coalesce("_nrel", F.lit(0)) > 0,
+                F.coalesce("_apn", F.lit(0.0)) / F.col("_nrel"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ap"),
+        )
+    )
+    return out

