@@ -23,6 +23,17 @@ All foreachBatch writes are keyed by ``batch_id`` subdirectory with
 pattern: a replayed batch after failure overwrites its own output
 instead of duplicating rows.
 
+Takedowns (r13): :func:`delete_ingested_docs` tombstones accepted
+documents (O(deletes) written — the postings/vecindex convention);
+masks apply immediately at every read (the doc drops from
+:func:`read_accepted_corpus`, and its bands/shingles/digest stop
+blocking resubmissions), and :func:`compact_dedup_index` makes the
+removal physical — corpus purge first as its own crash-safe unit, then
+all three index substores folded + tombstones cleared in ONE storefs
+transaction. With this, all four incremental stores (text postings,
+vector lists, span counts, near-dup signatures) share the same
+tombstone + transactional-compaction contract.
+
 Net-new surface (no reference counterpart; the reference is a
 batch-only astrophysics engine — SURVEY §2.7).
 """
@@ -47,12 +58,15 @@ from scida_spark.functions.dedup import (
 def _read_index_part(
     spark: SparkSession, root: str, part: str, before_batch: int
 ) -> DataFrame | None:
-    """Read one index component (``bands`` or ``shingles``) if any
-    batch has written it yet; None on the very first batch. Only
-    partitions with ``batch_id < before_batch`` are read (partition
-    pruning on the directory key): a REPLAYED batch must not see its
-    own prior writes, or it would drop every one of its docs as a
-    duplicate of itself."""
+    """Read one index component (``bands`` / ``shingles`` /
+    ``digests``) if any batch has written it yet; None on the very
+    first batch. Only partitions with ``batch_id < before_batch`` are
+    read (partition pruning on the directory key): a REPLAYED batch
+    must not see its own prior writes, or it would drop every one of
+    its docs as a duplicate of itself. Tombstoned docs
+    (:func:`delete_ingested_docs`) are masked — a taken-down document
+    stops suppressing future near-duplicates immediately, before any
+    compaction."""
     path = os.path.join(root, part)
     if not os.path.isdir(path):
         return None
@@ -60,7 +74,173 @@ def _read_index_part(
         df = spark.read.parquet(path)
     except Exception:
         return None
-    return df.filter(F.col("batch_id") < before_batch)
+    df = df.filter(F.col("batch_id") < before_batch)
+    dels = read_ingest_deletes(spark, root)
+    if dels is not None:
+        if "doc" not in df.columns:
+            raise ValueError(
+                f"dedup index substore {part} predates the takedown "
+                "schema (no 'doc' column) but tombstones exist; "
+                "compact or rebuild the index before deleting"
+            )
+        df = df.join(F.broadcast(dels), "doc", "left_anti")
+    return df
+
+
+def read_ingest_deletes(
+    spark: SparkSession, index_dir: str
+) -> DataFrame | None:
+    """Distinct tombstoned doc ids (column ``doc``); None if no
+    deletes are outstanding."""
+    from scida_spark.streaming import storefs
+
+    root = os.path.join(index_dir, "deletes")
+    if not os.path.isdir(root):
+        return None
+    storefs.recover_pending(root)
+    if not any(d.startswith("batch_id=") for d in os.listdir(root)):
+        return None
+    return (
+        spark.read.option("basePath", root)
+        .parquet(root)
+        .select("doc")
+        .distinct()
+    )
+
+
+def delete_ingested_docs(
+    spark: SparkSession,
+    index_dir: str,
+    ids,
+    batch_id: int,
+    id_col: str = "doc_id",
+) -> None:
+    """Tombstone accepted documents (takedown / right-to-be-forgotten):
+    O(deletes) written, nothing rewritten — the postings/vecindex r12
+    convention applied to the near-dup signature index. Effects at
+    serve/ingest time (via the masks in :func:`_read_index_part` and
+    :func:`read_accepted_corpus`): the doc's bands, shingles, and
+    exact digest stop blocking new submissions, and the doc drops from
+    the corpus view; :func:`compact_dedup_index` makes the removal
+    physical. Deletions are a MAINTENANCE operation — run them while
+    the ingest stream is quiescent (the storefs single-writer
+    convention), or a replayed in-flight batch may legitimately admit
+    documents its original run suppressed."""
+    df = (
+        ids
+        if isinstance(ids, DataFrame)
+        else spark.createDataFrame([(int(i),) for i in ids], f"{id_col} long")
+    )
+    df.select(F.col(id_col).alias("doc")).distinct().write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_dir, "deletes", f"batch_id={batch_id}"))
+
+
+def read_accepted_corpus(
+    spark: SparkSession,
+    corpus_dir: str,
+    index_dir: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The accepted corpus across all batches, with outstanding
+    tombstones masked when ``index_dir`` is given (broadcast
+    anti-join — the serve-time half of the takedown contract; the
+    bytes go at :func:`compact_dedup_index`)."""
+    docs = spark.read.parquet(corpus_dir).drop("batch_id")
+    if index_dir is not None:
+        dels = read_ingest_deletes(spark, index_dir)
+        if dels is not None:
+            docs = docs.join(
+                F.broadcast(dels.select(F.col("doc").alias(id_col))),
+                id_col,
+                "left_anti",
+            )
+    return docs
+
+
+def compact_dedup_index(
+    spark: SparkSession,
+    index_dir: str,
+    corpus_dir: str | None = None,
+    id_col: str = "doc_id",
+) -> int:
+    """Fold every per-batch partial of the signature index (bands /
+    shingles / digests) into one base partial, applying outstanding
+    tombstones, and clear the delete store — ONE crash-safe storefs
+    transaction (the ``compact_postings`` shape). With ``corpus_dir``
+    the tombstoned documents are also PHYSICALLY purged from the
+    corpus sink first, as that directory's own scratch+manifest unit:
+    a crash between the corpus purge and the index transaction leaves
+    tombstones outstanding (masks still correct), and the next
+    compaction finishes the job — the tombstones are cleared only by
+    the index commit, so they always outlive the purge. Returns the
+    max number of batch partials folded across substores."""
+    from scida_spark.streaming import storefs
+
+    storefs.recover_store(index_dir)
+    for sub in ("bands", "shingles", "digests"):
+        p = os.path.join(index_dir, sub)
+        if os.path.isdir(p):
+            storefs.recover_pending(p)
+    with storefs.maintenance_lock(index_dir):
+        dels = read_ingest_deletes(spark, index_dir)
+        if corpus_dir is not None and dels is not None:
+            storefs.recover_pending(corpus_dir)
+            cb = storefs.list_batches(corpus_dir)
+            if os.path.isdir(os.path.join(corpus_dir, "batch_id=-1")):
+                cb = cb + ["batch_id=-1"]
+            if cb:
+                purged = (
+                    spark.read.option("basePath", corpus_dir)
+                    .parquet(corpus_dir)
+                    .drop("batch_id")
+                    .join(
+                        F.broadcast(dels.select(F.col("doc").alias(id_col))),
+                        id_col,
+                        "left_anti",
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                purged.write.mode("overwrite").parquet(
+                    storefs.scratch_dir(corpus_dir)
+                )
+                storefs.promote_compacted(corpus_dir, cb)
+        folds: list[tuple[str, list[str]]] = []
+        n = 0
+        for sub in ("bands", "shingles", "digests"):
+            root = os.path.join(index_dir, sub)
+            if not os.path.isdir(root):
+                continue
+            batches = storefs.list_batches(root)
+            if not batches:
+                if dels is None or not os.path.isdir(
+                    os.path.join(root, "batch_id=-1")
+                ):
+                    continue
+                batches = ["batch_id=-1"]
+            df = (
+                spark.read.option("basePath", root)
+                .parquet(root)
+                .drop("batch_id")
+            )
+            if dels is not None:
+                if "doc" not in df.columns:
+                    raise ValueError(
+                        f"dedup index substore {sub} predates the "
+                        "takedown schema (no 'doc' column); tombstones "
+                        "cannot be applied to it"
+                    )
+                df = df.join(F.broadcast(dels), "doc", "left_anti")
+            df.write.mode("overwrite").parquet(storefs.scratch_dir(root))
+            folds.append((sub, batches))
+            n = max(n, len(batches))
+        clear: list[tuple[str, list[str]]] = []
+        if dels is not None:
+            droot = os.path.join(index_dir, "deletes")
+            clear.append(("deletes", storefs.list_batches(droot)))
+        if folds or clear:
+            storefs.promote_txn(index_dir, folds, clear)
+        return n
 
 
 def incremental_dedup_ingest(
@@ -175,9 +355,11 @@ def incremental_dedup_ingest(
         final_sh.write.mode("overwrite").parquet(
             f"{index_dir}/shingles/batch_id={batch_id}"
         )
-        survivors.select(F.md5(F.col(text_col)).alias("digest")).write.mode(
-            "overwrite"
-        ).parquet(f"{index_dir}/digests/batch_id={batch_id}")
+        survivors.select(
+            F.col(id_col).alias("doc"), F.md5(F.col(text_col)).alias("digest")
+        ).write.mode("overwrite").parquet(
+            f"{index_dir}/digests/batch_id={batch_id}"
+        )
 
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
         input_dir

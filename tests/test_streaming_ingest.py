@@ -350,3 +350,119 @@ def test_span_ingest_equals_batch_mode(spark, dirs):
     assert os.listdir(spans_root) == ["batch_id=-1"] or sorted(
         d for d in os.listdir(spans_root) if d.startswith("batch_id=")
     ) == ["batch_id=-1"]
+
+
+# --------------------------------------------------------------------------
+# Takedown deletions + transactional compaction of the signature index
+# --------------------------------------------------------------------------
+
+
+def test_takedown_unblocks_resubmission_and_compaction_purges(spark, dirs):
+    """A tombstoned doc (1) drops from the corpus view immediately,
+    (2) stops blocking an exact or near-dup resubmission at the next
+    batch, and (3) is physically purged from corpus + all three index
+    substores by the transactional compaction, which clears the
+    tombstones and stays a fixed point."""
+    import os
+
+    from scida_spark.streaming.ingest import (
+        compact_dedup_index,
+        delete_ingested_docs,
+        read_accepted_corpus,
+        read_ingest_deletes,
+    )
+
+    # wave 1: 5 distinct docs, all accepted
+    _write_wave(
+        os.path.join(dirs["input"], "w1.parquet"),
+        [(i, BASE[i]) for i in range(5)],
+    )
+    _run(spark, dirs)
+    assert read_accepted_corpus(spark, dirs["corpus"]).count() == 5
+
+    # take down doc 2 (content removed: right-to-be-forgotten)
+    delete_ingested_docs(spark, dirs["index"], [2], batch_id=100)
+    masked = read_accepted_corpus(spark, dirs["corpus"], dirs["index"])
+    assert sorted(r["doc_id"] for r in masked.collect()) == [0, 1, 3, 4]
+
+    # wave 2: an EXACT copy of doc 2's text (new id 12) and a NEAR dup
+    # of it (id 13) — both must now be admitted; an exact copy of the
+    # still-live doc 0 (id 10) must still be dropped
+    _write_wave(
+        os.path.join(dirs["input"], "w2.parquet"),
+        [(10, BASE[0]), (12, BASE[2]), (13, _near(BASE[2]))],
+    )
+    _run(spark, dirs)
+    after = read_accepted_corpus(spark, dirs["corpus"], dirs["index"])
+    ids = sorted(r["doc_id"] for r in after.collect())
+    # 12 in, 13 deduped against 12 WITHIN the batch (min-id wins), 10 out
+    assert 12 in ids and 10 not in ids and 2 not in ids
+
+    # compaction: physical purge + tombstone clear, serve fixed point
+    before_rows = sorted(
+        (r["doc_id"], r["text"]) for r in after.collect()
+    )
+    folded = compact_dedup_index(
+        spark, dirs["index"], corpus_dir=dirs["corpus"]
+    )
+    assert folded >= 1
+    assert read_ingest_deletes(spark, dirs["index"]) is None
+    post = read_accepted_corpus(spark, dirs["corpus"], dirs["index"])
+    assert sorted((r["doc_id"], r["text"]) for r in post.collect()) == before_rows
+    # the purged doc's signatures are gone from every substore
+    for sub in ("bands", "shingles"):
+        part = spark.read.parquet(os.path.join(dirs["index"], sub))
+        assert part.filter(F.col("doc") == 2).count() == 0
+    dig = spark.read.parquet(os.path.join(dirs["index"], "digests"))
+    assert dig.filter(F.col("doc") == 2).count() == 0
+    # base partial only
+    assert sorted(
+        d
+        for d in os.listdir(os.path.join(dirs["index"], "bands"))
+        if d.startswith("batch_id=")
+    ) == ["batch_id=-1"]
+
+    # wave 3 on the compacted index: still keep-history-first
+    _write_wave(
+        os.path.join(dirs["input"], "w3.parquet"),
+        [(20, BASE[1]), (21, "entirely new content about vector search")],
+    )
+    _run(spark, dirs)
+    final = read_accepted_corpus(spark, dirs["corpus"], dirs["index"])
+    fids = {r["doc_id"] for r in final.collect()}
+    assert 21 in fids and 20 not in fids
+
+
+def test_compaction_without_deletes_is_pure_fold(spark, dirs):
+    import os
+
+    from scida_spark.streaming.ingest import (
+        compact_dedup_index,
+        read_accepted_corpus,
+    )
+
+    _write_wave(
+        os.path.join(dirs["input"], "w1.parquet"),
+        [(i, BASE[i]) for i in range(3)],
+    )
+    _run(spark, dirs)
+    before = sorted(
+        r["doc_id"]
+        for r in read_accepted_corpus(spark, dirs["corpus"]).collect()
+    )
+    bands_before = spark.read.parquet(
+        os.path.join(dirs["index"], "bands")
+    ).count()
+    assert compact_dedup_index(spark, dirs["index"]) >= 1
+    assert (
+        spark.read.parquet(os.path.join(dirs["index"], "bands")).count()
+        == bands_before
+    )
+    # corpus untouched (no corpus_dir passed, no deletes anyway)
+    assert (
+        sorted(
+            r["doc_id"]
+            for r in read_accepted_corpus(spark, dirs["corpus"]).collect()
+        )
+        == before
+    )
