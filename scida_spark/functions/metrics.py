@@ -232,7 +232,11 @@ def ranking_metrics(
     bounded arrays. The qrels side is judgment-sized (eval sets are
     bounded by construction); its only heavy ops are one groupBy for
     R_q and one per-query window for the ideal ranking, both
-    judgment-sized, never corpus-sized."""
+    judgment-sized, never corpus-sized.
+
+    Input contract: qrels carries ONE row per (query, doc) — a
+    duplicate judgment would fan out the run join and double-count
+    gains; the run carries one row per (query, rank)."""
     import math
 
     spark = run.sparkSession

@@ -1561,7 +1561,15 @@ def mmr_rerank(
     all HOFs over bounded arrays (the documented bounded-array-HOF
     rule; nothing interpreted scales with the corpus), and the only
     shuffles are the two per-query groupBys on the tiny candidate set.
+
+    Input contract: one row per (query, candidate) — duplicates fail
+    loudly at the sim-map build (duplicate map keys). Candidate ids
+    must be integral (they key the pair map).
     """
+    if k < 1:
+        # F.sequence(1, 0) would generate a DESCENDING [1, 0] sequence
+        # and run two bogus greedy steps — refuse instead
+        raise ValueError(f"mmr_rerank: k must be >= 1, got {k}")
     onemlam = 1.0 - lam
     base = cands.select(
         F.col(query_col).alias("_q"),

@@ -1040,6 +1040,16 @@ def dedup_keep_first_latest(spark, sf_dir):
     SELECT 'ingest', CAST(MIN(doc_id) AS VARCHAR), substr(md5(text), 1, 16)
     FROM documents GROUP BY text
     UNION ALL
+    -- takedown: accepted docs with MIN(doc_id) % 7 = 3 tombstoned —
+    -- the engine attests BOTH the serve-time masked view (before
+    -- compaction) and the post-purge physical view (after) against
+    -- this one closed form: accepted MINUS deleted.
+    SELECT 'takedown', CAST(MIN(doc_id) AS VARCHAR), substr(md5(text), 1, 16)
+    FROM documents GROUP BY text HAVING MIN(doc_id) % 7 <> 3
+    UNION ALL
+    SELECT 'takedown2', CAST(MIN(doc_id) AS VARCHAR), substr(md5(text), 1, 16)
+    FROM documents GROUP BY text HAVING MIN(doc_id) % 7 <> 3
+    UNION ALL
     -- ingest2: near-dup-ON greedy ingest over the planted-twin corpus.
     -- Twins differ from their original only in trailing spaces, so the
     -- near-dup relation at threshold 0.999 degenerates to the
@@ -1344,8 +1354,50 @@ def stream_dedup_keys(spark, sf_dir):
         threshold=1.01,  # near-dup off: accepted set = exact-dedup SQL form
     )
     iq.awaitTermination()
+    # SNAPSHOT before the takedown below mutates the store — the
+    # 'ingest' section attests the full accepted set
     ingest_rows = spark.read.parquet(icorpus).select(
         F.lit("ingest").alias("section"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.substring(F.md5("text"), 1, 16).alias("k2"),
+    ).localCheckpoint(eager=True)
+
+    # --- takedown / takedown2 (r13): the deletion lifecycle of the
+    # ingest index run FOR REAL on the store the 'ingest' section just
+    # built. Accepted docs with doc_id % 7 == 3 are tombstoned
+    # (streaming/ingest.py::delete_ingested_docs); 'takedown' attests
+    # the SERVE-TIME MASKED view (checkpointed BEFORE compaction, so
+    # it exercises the broadcast anti-join mask, not the purge), then
+    # compact_dedup_index physically purges corpus + all three index
+    # substores in the storefs transaction and clears the tombstones;
+    # 'takedown2' reads the corpus back WITHOUT masks — the oracle
+    # pins both to the same closed form (accepted MINUS deleted), so a
+    # green row proves mask view == post-purge physical view == SQL.
+    from scida_spark.streaming.ingest import (
+        compact_dedup_index,
+        delete_ingested_docs,
+        read_accepted_corpus,
+    )
+
+    iindex = _os.path.join(ibase, "index")
+    _dels = (
+        spark.read.parquet(icorpus)
+        .filter(F.col("doc_id") % 7 == 3)
+        .select("doc_id")
+    )
+    delete_ingested_docs(spark, iindex, _dels, batch_id=1000, id_col="doc_id")
+    takedown_rows = (
+        read_accepted_corpus(spark, icorpus, iindex)
+        .select(
+            F.lit("takedown").alias("section"),
+            F.col("doc_id").cast("string").alias("k1"),
+            F.substring(F.md5("text"), 1, 16).alias("k2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    compact_dedup_index(spark, iindex, corpus_dir=icorpus)
+    takedown2_rows = spark.read.parquet(icorpus).select(
+        F.lit("takedown2").alias("section"),
         F.col("doc_id").cast("string").alias("k1"),
         F.substring(F.md5("text"), 1, 16).alias("k2"),
     )
@@ -1714,6 +1766,8 @@ def stream_dedup_keys(spark, sf_dir):
         )
     return (
         stream_rows.unionAll(ingest_rows)
+        .unionAll(takedown_rows)
+        .unionAll(takedown2_rows)
         .unionAll(ingest2_rows)
         .unionAll(gate_report_rows)
         .unionAll(gate_route_rows)
