@@ -4308,9 +4308,14 @@ def sim_topk(spark, sf_dir):
         return (int(_st["n"]), int(_st["tot"] or 0))
 
     _cs = _ingest_stat(sf_dir, "documents", "corpus_stats", _batch_cs)
+    # LAZY checkpoints (r13): bm25_raw and ql_raw each feed TWO
+    # consumers (their own section + rrf's fusion) — without the
+    # checkpoint the full-slot run scans the corpus postings 2x per
+    # ranker (the rrf section probe measured 7.26 s at sf0.1, almost
+    # all re-derivation). The results are queries x k rows.
     bm25_raw = bm25_topk(
         docs, _BM25_QUERIES, k=10, k1=_BM25_K1, b=_BM25_B, corpus_stats=_cs
-    )
+    ).localCheckpoint(eager=False)
     bm25 = bm25_raw.select(
         F.lit("bm25").alias("method"),
         F.col("query_id"),
@@ -4325,7 +4330,7 @@ def sim_topk(spark, sf_dir):
     # (same bit-stability conventions as bm25).
     ql_raw = query_likelihood_topk(
         docs, _BM25_QUERIES, k=10, mu=_QL_MU, corpus_stats=_cs
-    )
+    ).localCheckpoint(eager=False)
     ql_rows = ql_raw.select(
         F.lit("ql").alias("method"),
         F.col("query_id"),
