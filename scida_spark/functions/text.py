@@ -522,3 +522,82 @@ def top_collocations(
     return docs.sparkSession.createDataFrame(
         rows, "rank int, w1 string, w2 string, c_ab long, pmi double"
     )
+
+
+# --------------------------------------------------------------------------
+# Unicode normalization (r13) — the cleaning step multilingual corpora
+# need BEFORE any hash/dedup/join: the same visible text can arrive
+# precomposed (é = U+00E9) or decomposed (e + U+0301), and md5 /
+# groupBy / equi-join keys treat them as different documents.
+# --------------------------------------------------------------------------
+
+
+def nfc_normalize(text: Column) -> Column:
+    """Unicode canonical composition (NFC). Spark has no built-in
+    normalizer, so this is one Arrow-batched pandas pass (the
+    sanctioned UDF shape: map-only, zero shuffle — at 100 TB it rides
+    whatever scan already touches the column). DuckDB's
+    ``nfc_normalize`` produces byte-identical output (both implement
+    UAX #15), so normalized columns stay oracle-checkable."""
+
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata as ud
+
+        return s.map(
+            lambda x: ud.normalize("NFC", x) if x is not None else None
+        )
+
+    return _nfc(text)
+
+
+def strip_accents(text: Column) -> Column:
+    """Remove combining marks: NFD decomposition, drop category-Mn
+    codepoints (é→e, ü→u, ñ→n; ß/ligatures/non-Latin letters pass
+    through untouched — this strips ACCENTS, it does not transliterate).
+    Byte-identical to DuckDB's ``strip_accents`` (verified across
+    precomposed, decomposed, double-accented, ligature, and non-Latin
+    inputs), so stripped columns stay oracle-checkable."""
+
+    @F.pandas_udf("string")
+    def _strip(s: pd.Series) -> pd.Series:
+        import unicodedata as ud
+
+        def one(x):
+            if x is None:
+                return None
+            return "".join(
+                c
+                for c in ud.normalize("NFD", x)
+                if ud.category(c) != "Mn"
+            )
+
+        return s.map(one)
+
+    return _strip(text)
+
+
+def match_key(text: Column) -> Column:
+    """Accent- and case-insensitive join/dedup key:
+    ``lower(strip_accents(nfc(text)))`` — the composition order is the
+    contract (NFC first so decomposed input folds identically), and the
+    whole chain is replayable in the oracle as
+    ``lower(strip_accents(nfc_normalize(x)))``. Use for URL/title/name
+    matching and as the groupBy key for cross-encoding dedup."""
+
+    @F.pandas_udf("string")
+    def _key(s: pd.Series) -> pd.Series:
+        import unicodedata as ud
+
+        def one(x):
+            if x is None:
+                return None
+            return "".join(
+                c
+                for c in ud.normalize("NFD", ud.normalize("NFC", x))
+                if ud.category(c) != "Mn"
+            ).lower()
+
+        return s.map(one)
+
+    return _key(text)

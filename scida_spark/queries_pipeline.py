@@ -5053,6 +5053,55 @@ def _phrase_oracle_section() -> str:
     return "\n    UNION ALL\n".join(parts)
 
 
+_UNINORM_CASES = [
+    ("pre", "caf\u00e9"),                  # precomposed e-acute
+    ("dec", "cafe\u0301"),                 # decomposed e + combining acute
+    ("deja", "De\u0301ja\u0300 Vu\u0308"),  # all-decomposed phrase
+    ("umlaut", "M\u00fchleisen"),
+    ("caps", "\u00c0\u00c9\u00ce\u00d5\u00dc"),
+    ("tilde", "ni\u00f1o \u00f1o\u00f1o"),
+    ("pass", "\u00df \ufb01 \u0132 \u03a9mega"),  # no accents: pass-through
+    ("ascii", "ASCII only 123"),
+    ("dbl", "e\u0301\u0302xtra"),         # double combining mark
+    ("mixed", "\u00c7af\u00e9 au Lait \u2013 \u00c9T\u00c9"),
+]
+_UNINORM_PREFIX = "Déjà Vü — "
+
+
+def _uninorm_oracle_section() -> str:
+    """DuckDB twin of the uninorm section — a RECOMPUTATION, not a
+    pinned literal: DuckDB's nfc_normalize / strip_accents / lower
+    produce byte-identical output to the engine's unicodedata chain
+    (functions/text.py — verified across precomposed, decomposed,
+    double-accented, ligature, and non-Latin inputs), so the oracle
+    independently re-derives every normalized string."""
+    vals = ", ".join(
+        "('{}', '{}')".format(pid, raw) for pid, raw in _UNINORM_CASES
+    )
+    return f"""
+    UNION ALL
+    SELECT 'uninorm' AS section, k1, k2, n, CAST(0.0 AS DOUBLE) AS sum_score
+    FROM (
+      WITH un(pid, raw) AS (VALUES {vals}),
+      fx AS (SELECT pid, nfc_normalize(raw) AS nf, strip_accents(raw) AS st,
+                    lower(strip_accents(nfc_normalize(raw))) AS mk FROM un)
+      SELECT 'nfc:' || pid AS k1, nf AS k2,
+             CAST(length(nf) AS BIGINT) AS n FROM fx
+      UNION ALL
+      SELECT 'strip:' || pid, st, CAST(length(st) AS BIGINT) FROM fx
+      UNION ALL
+      SELECT 'key:' || pid, mk, CAST(length(mk) AS BIGINT) FROM fx
+      UNION ALL
+      SELECT 'corpus:' || lang, substr(MIN(mk), 1, 32),
+             CAST(SUM(length(mk)) AS BIGINT)
+      FROM (SELECT lang,
+                   lower(strip_accents(nfc_normalize(
+                       '{_UNINORM_PREFIX}' || text))) AS mk
+            FROM documents)
+      GROUP BY lang
+    )"""
+
+
 def _url_oracle_section() -> str:
     """DuckDB twin of the url/urldom/urlcorp sections: literal rows
     pin the hand-derived canonical form and registered domain byte-
@@ -5372,6 +5421,7 @@ def _url_oracle_section() -> str:
     """
     + _pii_oracle_section()
     + _url_oracle_section()
+    + _uninorm_oracle_section()
     + "\n    UNION ALL\n"
     + _phrase_oracle_section()
     + "\n    UNION ALL\n"
@@ -5961,6 +6011,65 @@ def text_quality_lang(spark, sf_dir):
             F.lit(0.0).alias("sum_score"),
         )
     )
+    # uninorm (r13): Unicode normalization (functions/text.py::
+    # nfc_normalize / strip_accents / match_key) certified two ways:
+    # planted literals covering precomposed/decomposed/double-accent/
+    # ligature/non-Latin inputs, every normalized string re-DERIVED by
+    # the oracle's own nfc_normalize/strip_accents (bit-identical
+    # UAX #15 implementations — a recomputation, not a pinned
+    # literal); plus a corpus sweep where every doc's text gets an
+    # accented prefix and the per-lang (min key, total key length)
+    # aggregate is hash-checked. Arrow-batched map-only pandas pass —
+    # the sanctioned UDF shape (Spark has no built-in normalizer).
+    from scida_spark.functions.text import (
+        match_key as _mkey,
+        nfc_normalize as _nfc,
+        strip_accents as _sacc,
+    )
+
+    un_base = spark.createDataFrame(
+        _UNINORM_CASES, "pid string, raw string"
+    ).select(
+        "pid",
+        _nfc(F.col("raw")).alias("nf"),
+        _sacc(F.col("raw")).alias("st"),
+        _mkey(F.col("raw")).alias("mk"),
+    )
+
+    def _un_rows(tag: str, col: str):
+        return un_base.select(
+            F.lit("uninorm").alias("section"),
+            F.concat(F.lit(tag + ":"), F.col("pid")).alias("k1"),
+            F.col(col).alias("k2"),
+            F.length(F.col(col)).cast("long").alias("n"),
+            F.lit(0.0).alias("sum_score"),
+        )
+
+    un_corp = (
+        docs.select(
+            "lang",
+            _mkey(F.concat(F.lit(_UNINORM_PREFIX), F.col("text"))).alias("mk"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.min("mk").alias("mn"),
+            F.sum(F.length("mk")).alias("ln"),
+        )
+        .select(
+            F.lit("uninorm").alias("section"),
+            F.concat(F.lit("corpus:"), F.col("lang")).alias("k1"),
+            F.substring(F.col("mn"), 1, 32).alias("k2"),
+            F.col("ln").cast("long").alias("n"),
+            F.lit(0.0).alias("sum_score"),
+        )
+    )
+    uninorm_rows = (
+        _un_rows("nfc", "nf")
+        .unionAll(_un_rows("strip", "st"))
+        .unionAll(_un_rows("key", "mk"))
+        .unionAll(un_corp)
+    )
+
     # phrase (r12): exact token-sequence phrase matching
     # (functions/retrieval.py::phrase_occurrences) — every overlapping
     # occurrence count per (phrase, doc) value-checked; one map-only
@@ -6014,6 +6123,7 @@ def text_quality_lang(spark, sf_dir):
         .unionAll(urldom_lits)
         .unionAll(urlcorp_rows)
         .unionAll(urldom_corp)
+        .unionAll(uninorm_rows)
         .unionAll(phrase_rows)
         .unionAll(colloc_rows)
     )

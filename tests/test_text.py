@@ -140,3 +140,64 @@ def test_top_collocations_contract(spark):
     a = top_collocations(df, k=3).collect()
     b = top_collocations(df.repartition(7), k=3).collect()
     assert a == b
+
+
+# --------------------------------------------------------------------------
+# Unicode normalization
+# --------------------------------------------------------------------------
+
+
+def test_unicode_normalization_ops(spark):
+    import unicodedata as ud
+
+    from scida_spark.functions.text import (
+        match_key,
+        nfc_normalize,
+        strip_accents,
+    )
+    from pyspark.sql import functions as F
+
+    decomposed = "café"  # e + combining acute
+    rows = [
+        (0, "café"),
+        (1, decomposed),
+        (2, "Mühleisen ÀÉÎÕÜ"),
+        (3, "ASCII stays"),
+        (4, "ß ﬁ Ĳ Ωmega"),  # no accents: pass-through for strip
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    out = {
+        r["i"]: (r["nfc"], r["st"], r["mk"])
+        for r in df.select(
+            "i",
+            nfc_normalize(F.col("t")).alias("nfc"),
+            strip_accents(F.col("t")).alias("st"),
+            match_key(F.col("t")).alias("mk"),
+        ).collect()
+    }
+    # NFC folds decomposed and precomposed to the same bytes
+    assert out[0][0] == out[1][0] == "café"
+    assert len("café") == 4 and len(decomposed) == 5
+    # accent strip removes marks, keeps base letters / non-Latin
+    assert out[2][1] == "Muhleisen AEIOU"
+    assert out[4][1] == "ß ﬁ Ĳ Ωmega"
+    # match_key: decomposed ≡ precomposed ≡ case/accent variants
+    assert out[0][2] == out[1][2] == "cafe"
+    assert out[2][2] == "muhleisen aeiou"
+    assert out[3] == ("ASCII stays", "ASCII stays", "ascii stays")
+    assert out[5] == (None, None, None)
+    # idempotence
+    twice = df.select(
+        match_key(match_key(F.col("t"))).alias("a"),
+        match_key(F.col("t")).alias("b"),
+    ).collect()
+    assert all(r["a"] == r["b"] for r in twice)
+    # strip_accents == the NFD-drop-Mn reference on arbitrary input
+    s = "déjà vu – Ĳsselmeer's ñoño ÉÉ́"
+    [r] = spark.createDataFrame([(s,)], "t string").select(
+        strip_accents(F.col("t")).alias("x")
+    ).collect()
+    assert r["x"] == "".join(
+        c for c in ud.normalize("NFD", s) if ud.category(c) != "Mn"
+    )
