@@ -475,6 +475,7 @@ def weighted_ql_topk_from_index(
     k: int = 10,
     mu: float = 300.0,
     id_col: str = "doc_id",
+    cf: dict[str, int] | None = None,
 ) -> DataFrame:
     """Dirichlet query-likelihood scoring for WEIGHTED queries —
     ``score(q, d) = sum_t w_t * ln((tf_td + mu*cf_t/C) / (dl_d + mu))``
@@ -492,6 +493,14 @@ def weighted_ql_topk_from_index(
     sequential folds for every sum (B_q and W_q each fold separately
     in sorted-term order). Terms absent from the collection drop.
 
+    ``cf`` contract (one rule, no re-adjustment — the postings-store
+    corpus_stats lesson): when injected, it must be the FULL collection
+    frequency of every ``wterms`` term over THE SAME corpus as
+    ``postings`` (``{term: SUM(tf)}``); a term missing or 0 in ``cf``
+    is treated as absent from the collection and silently drops from
+    scoring. Omit it to have the function derive it (one tiny
+    aggregate).
+
     Scale: identical shape to :func:`ql_topk_from_index` — the term
     list is a bounded literal, postings filter to it immediately,
     two-phase top-k."""
@@ -503,11 +512,18 @@ def weighted_ql_topk_from_index(
         )
     c_total = int(corpus_stats[1])
     postings = postings.filter(F.col("tok").isin(all_terms))
-    cf = {
-        r["tok"]: int(r["cf"])
-        for r in postings.groupBy("tok").agg(F.sum("tf").alias("cf")).collect()
-    }
-    mucf = {t: mu * c / c_total for t, c in cf.items()}
+    if cf is None:
+        # one tiny aggregate over the already-filtered postings; at
+        # real scale an ingest-time statistic — callers serving the
+        # same expanded query repeatedly should inject it (the
+        # corpus_stats convention)
+        cf = {
+            r["tok"]: int(r["cf"])
+            for r in postings.groupBy("tok")
+            .agg(F.sum("tf").alias("cf"))
+            .collect()
+        }
+    mucf = {t: mu * c / c_total for t, c in cf.items() if c > 0}
     if not mucf:
         return spark.createDataFrame(
             [], f"query_id long, {id_col} long, score double, rank int"
@@ -752,6 +768,7 @@ def rm3_topk(
     id_col: str = "doc_id",
     corpus_stats: tuple[int, int] | None = None,
     wterms: list[tuple[int, str, float]] | None = None,
+    cf: dict[str, int] | None = None,
 ) -> DataFrame:
     """RM3 retrieval: QL pass 1 -> :func:`rm3_expand_terms` ->
     :func:`weighted_ql_topk_from_index` over the expanded weighted
@@ -798,7 +815,15 @@ def rm3_topk(
         F.col(id_col), TX.token_count(F.col(text_col)).alias("_dl")
     )
     return weighted_ql_topk_from_index(
-        spark, postings, dl, corpus_stats, wterms, k=k, mu=mu, id_col=id_col
+        spark,
+        postings,
+        dl,
+        corpus_stats,
+        wterms,
+        k=k,
+        mu=mu,
+        id_col=id_col,
+        cf=cf,
     )
 
 

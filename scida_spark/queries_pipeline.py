@@ -4374,6 +4374,25 @@ def sim_topk(spark, sf_dir):
             corpus_stats=_cs,
         ),
     )
+    def _rm3_cf():
+        _terms = sorted({t for _, t, _ in _rm3_w})
+        return {
+            r["tok"]: int(r["cf"])
+            for r in docs.select(
+                F.explode(TX.tokens(F.col("text"))).alias("tok")
+            )
+            .filter(F.col("tok").isin(_terms))
+            .groupBy("tok")
+            .agg(F.count("*").alias("cf"))
+            .collect()
+        }
+
+    _rm3_cfv = _ingest_stat(
+        sf_dir,
+        "documents",
+        f"rm3_cf_f{_RM3_FB}m{_RM3_M}a{_RM3_ALPHA}",
+        _rm3_cf,
+    )
     rm3_rows = rm3_topk(
         docs,
         _BM25_QUERIES,
@@ -4381,6 +4400,7 @@ def sim_topk(spark, sf_dir):
         mu=_QL_MU,
         corpus_stats=_cs,
         wterms=_rm3_w,
+        cf=_rm3_cfv,
     ).select(
         F.lit("rm3").alias("method"),
         F.col("query_id"),

@@ -201,3 +201,28 @@ def test_unicode_normalization_ops(spark):
     assert r["x"] == "".join(
         c for c in ud.normalize("NFD", s) if ud.category(c) != "Mn"
     )
+
+
+def test_match_key_composes_with_exact_dedup(spark):
+    """Composition: exact dedup over the normalized match key catches
+    duplicates that differ only in composition form, case, or accents
+    — invisible to raw md5 dedup."""
+    from pyspark.sql import functions as F
+
+    from scida_spark.functions.dedup import exact_dedup
+    from scida_spark.functions.text import match_key
+
+    rows = [
+        (0, "Café Lait"),       # precomposed
+        (1, "Café Lait"),      # decomposed twin
+        (2, "CAFE LAIT"),            # case/accent twin
+        (3, "something else"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    raw = exact_dedup(df, "doc_id", "text")
+    assert raw.count() == 4  # md5 sees 4 distinct byte strings
+    normed = df.withColumn("key", match_key(F.col("text")))
+    got = sorted(
+        r["doc_id"] for r in exact_dedup(normed, "doc_id", "key").collect()
+    )
+    assert got == [0, 3]  # min-id per normalized class
