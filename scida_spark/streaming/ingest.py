@@ -125,7 +125,10 @@ def delete_ingested_docs(
     physical. Deletions are a MAINTENANCE operation — run them while
     the ingest stream is quiescent (the storefs single-writer
     convention), or a replayed in-flight batch may legitimately admit
-    documents its original run suppressed."""
+    documents its original run suppressed. Doc ids are ingested once
+    across the stream's lifetime (the vecindex contract): re-using a
+    tombstoned id for a NEW document is undefined — the tombstone
+    masks any row carrying that id until a compaction clears it."""
     df = (
         ids
         if isinstance(ids, DataFrame)
