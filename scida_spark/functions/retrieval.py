@@ -645,7 +645,6 @@ def rm3_expand_terms(
     semi-join), and everything after the top-m window is a
     queries x m driver fold — the serving-request pattern."""
     spark = docs.sparkSession
-    onemalpha = 1.0 - alpha
     pass1 = query_likelihood_topk(
         docs,
         queries,
@@ -655,22 +654,7 @@ def rm3_expand_terms(
         id_col=id_col,
         corpus_stats=corpus_stats,
     ).collect()
-    # softmax posterior per query (driver libm; denominator folded in
-    # ascending doc-id order)
-    by_q: dict[int, list] = {}
-    for r in pass1:
-        by_q.setdefault(int(r["query_id"]), []).append(
-            (int(r[id_col]), float(r["score"]))
-        )
-    post_rows = []
-    for qid in sorted(by_q):
-        ds = sorted(by_q[qid])
-        mx = max(s for _, s in ds)
-        den = 0.0
-        for _, s in ds:
-            den += math.exp(s - mx)
-        for d, s in ds:
-            post_rows.append((qid, d, math.exp(s - mx) / den))
+    post_rows = _softmax_posterior(pass1, id_col)
     if not post_rows:
         return _orig_only_weights(queries, alpha)
     fb = F.broadcast(
@@ -691,6 +675,40 @@ def rm3_expand_terms(
     fdl = fdocs.select(
         F.col(id_col), TX.token_count(F.col(text_col)).alias("_dl")
     )
+    rm_by_q = _rm_top_terms(ftf, fdl, fb, m, id_col)
+    return _interpolate_weights(queries, rm_by_q, alpha)
+
+
+def _softmax_posterior(pass1_rows, id_col: str) -> list[tuple[int, int, float]]:
+    """Driver-side softmax over the pass-1 feedback scores:
+    exp(s - max) / sum, the denominator folded in ascending doc-id
+    order (libm; both the batch and store-served RM3 paths share
+    this)."""
+    by_q: dict[int, list] = {}
+    for r in pass1_rows:
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (int(r[id_col]), float(r["score"]))
+        )
+    post_rows = []
+    for qid in sorted(by_q):
+        ds = sorted(by_q[qid])
+        mx = max(s for _, s in ds)
+        den = 0.0
+        for _, s in ds:
+            den += math.exp(s - mx)
+        for d, s in ds:
+            post_rows.append((qid, d, math.exp(s - mx) / den))
+    return post_rows
+
+
+def _rm_top_terms(
+    ftf: DataFrame, fdl: DataFrame, fb, m: int, id_col: str
+) -> dict[int, dict[str, float]]:
+    """RM1 term model over the feedback docs: rm(t) = sum_d post(d) *
+    tf/dl folded in ascending doc-id order, top-``m`` per query (ties
+    on ascending term). ``ftf`` = (id, tok, tf) of the feedback docs —
+    from a corpus re-scan (batch) or the forward substore (serve);
+    both carry the identical integers, so the doubles match."""
     vals = (
         ftf.join(fdl, id_col)
         .join(fb, id_col)
@@ -721,6 +739,18 @@ def rm3_expand_terms(
     rm_by_q: dict[int, dict[str, float]] = {}
     for r in top:
         rm_by_q.setdefault(int(r["query_id"]), {})[r["tok"]] = float(r["rm"])
+    return rm_by_q
+
+
+def _interpolate_weights(
+    queries: list[tuple[int, str]],
+    rm_by_q: dict[int, dict[str, float]],
+    alpha: float,
+) -> list[tuple[int, str, float]]:
+    """alpha-interpolation of the original query MLE with the
+    renormalized top-m relevance model — every float op in the
+    documented replayable order."""
+    onemalpha = 1.0 - alpha
     out: dict[tuple[int, str], float] = {}
     for qid, qtext in queries:
         toks = qtext.strip().split(" ")

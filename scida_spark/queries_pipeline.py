@@ -176,7 +176,10 @@ def _postings_cert_store(spark, docs_dt, sf_dir: str, hi_doc_id: int):
     pre_dir = os.path.join(pbase, "pre")
     if os.path.isfile(sentinel):
         try:
-            if storefs.read_json(sentinel).get("fingerprint") == fp:
+            _js = storefs.read_json(sentinel)
+            # "fwd" gates on the r13 forward-substore build — an older
+            # store without it cannot serve rm3s and must rebuild once
+            if _js.get("fingerprint") == fp and _js.get("fwd") is True:
                 return pstore, pre_dir
         except Exception:
             pass  # torn/stale sentinel → rebuild
@@ -205,6 +208,7 @@ def _postings_cert_store(spark, docs_dt, sf_dir: str, hi_doc_id: int):
         store_dir=pstore,
         checkpoint_dir=os.path.join(pbase, "ckpt"),
         max_files_per_trigger=1,
+        with_forward=True,  # r13: rm3s serves feedback vectors from it
     )
     pq_q.awaitTermination()
     _nb = len(
@@ -230,7 +234,9 @@ def _postings_cert_store(spark, docs_dt, sf_dir: str, hi_doc_id: int):
     compact_postings(spark, pstore)
     # sentinel LAST (atomic tmp+rename) — a crash mid-build leaves no
     # sentinel and the next call rebuilds from scratch
-    storefs.write_json_atomic(sentinel, {"fingerprint": fp, "batches": 3})
+    storefs.write_json_atomic(
+        sentinel, {"fingerprint": fp, "batches": 3, "fwd": True}
+    )
     return pstore, pre_dir
 
 
@@ -3972,6 +3978,11 @@ _MMR_LAM = 0.7
     + _BM25_ORACLE_SECTION.replace("'bm25'", "'bm25s'")
     + "\n    UNION ALL\n"
     + _QL_ORACLE_SECTION.replace("'ql'", "'qls'")
+    # rm3s: the store-served RM3 is bit-identical to batch (shared
+    # scorer + shared driver folds over an identical index multiset),
+    # so its oracle IS the rm3 oracle — the bm25s/qls convention.
+    + "\n    UNION ALL\n"
+    + _RM3_ORACLE_SECTION.replace("'rm3'", "'rm3s'")
     + """
     UNION ALL
     SELECT 'idxcompact' AS method, CAST(-1 AS BIGINT) AS query_id,
@@ -4448,6 +4459,9 @@ def sim_topk(spark, sf_dir):
         qls_rows = bm25s_rows.select(
             F.lit("qls").alias("method"), *bm25s_rows.columns[1:]
         )
+        rm3s_rows = bm25s_rows.select(
+            F.lit("rm3s").alias("method"), *bm25s_rows.columns[1:]
+        )
         idxcompact_rows = spark.range(1).select(
             F.lit("idxcompact").alias("method"),
             F.lit(-1).cast("long").alias("query_id"),
@@ -4491,6 +4505,35 @@ def sim_topk(spark, sf_dir):
         )
         qls_rows = qls_live.select(
             F.lit("qls").alias("method"),
+            F.col("query_id"),
+            F.col("doc_id").alias("cand_id"),
+            F.round("score", 6).alias("sim_r"),
+            "rank",
+            F.lit(True).alias("ok"),
+        )
+        # --- rm3s (r13): RM3 served ENTIRELY from the incremental
+        # index (streaming/postings.py::rm3_topk_from_store) — QL
+        # pass-1 from token-sharded postings, the feedback term model
+        # from the doc-sharded FORWARD substore (partition-pruned to
+        # the queries x k_fb feedback docs), weighted pass-2 over
+        # store postings pruned to the expanded terms. Bit-identical
+        # to batch rm3_topk, so the oracle IS the rm3 oracle — a green
+        # row certifies the whole serve chain including the forward
+        # substore's content.
+        from scida_spark.streaming.postings import rm3_topk_from_store
+
+        rm3s_rows = rm3_topk_from_store(
+            spark,
+            pstore,
+            _BM25_QUERIES,
+            k=10,
+            k_fb=_RM3_FB,
+            m=_RM3_M,
+            alpha=_RM3_ALPHA,
+            mu=_QL_MU,
+            corpus_stats=_scs,
+        ).select(
+            F.lit("rm3s").alias("method"),
             F.col("query_id"),
             F.col("doc_id").alias("cand_id"),
             F.round("score", 6).alias("sim_r"),
@@ -4742,6 +4785,7 @@ def sim_topk(spark, sf_dir):
         .unionAll(rm3_rows)
         .unionAll(bm25s_rows)
         .unionAll(qls_rows)
+        .unionAll(rm3s_rows)
         .unionAll(idxcompact_rows)
         .unionAll(ivfs_rows)
         .unionAll(knn_rows)

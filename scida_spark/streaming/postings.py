@@ -96,6 +96,9 @@ __all__ = [
     "phrase_docs_from_store",
     "min_cover_span_from_store",
     "read_deletes",
+    "read_forward",
+    "rm3_topk_from_store",
+    "doc_bucket",
 ]
 
 DEFAULT_BUCKETS = 16
@@ -109,6 +112,7 @@ def _ensure_meta(
     id_col: str = "doc_id",
     text_col: str = "text",
     with_positions: bool = False,
+    with_forward: bool = False,
 ) -> None:
     """Persist the store's sharding parameter at ingest time (r11
     ADVICE #1): ``n_buckets`` determines which ``tok_bucket``
@@ -126,6 +130,7 @@ def _ensure_meta(
             "id_col": id_col,
             "text_col": text_col,
             "with_positions": bool(with_positions),
+            "with_forward": bool(with_forward),
         }
         # EVERY ingest parameter is validated on re-open (r12 ADVICE
         # #2): appending e.g. with_positions=False partials to a
@@ -151,6 +156,7 @@ def _ensure_meta(
             "id_col": id_col,
             "text_col": text_col,
             "with_positions": bool(with_positions),
+            "with_forward": bool(with_forward),
         },
     )
 
@@ -183,6 +189,15 @@ def term_bucket(term: str, n_buckets: int = DEFAULT_BUCKETS) -> int:
     the driver can compute exactly which buckets a query's terms live
     in and prune the postings scan to them."""
     return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def doc_bucket(doc_id: int, n_buckets: int = DEFAULT_BUCKETS) -> int:
+    """Python twin of the forward substore's shard function: CRC-32 of
+    the id's DECIMAL-STRING bytes (Spark: ``crc32(cast(id as string))``
+    — the cast renders the same digits ``str(int)`` does), so a
+    feedback-doc fetch prunes to exactly the ids' ``doc_bucket``
+    partitions."""
+    return zlib.crc32(str(int(doc_id)).encode("utf-8")) % n_buckets
 
 
 def _index_partials(
@@ -233,22 +248,45 @@ def postings_writer(
     text_col: str = "text",
     n_buckets: int = DEFAULT_BUCKETS,
     with_positions: bool = False,
+    with_forward: bool = False,
 ):
-    """Per-batch writer maintaining the three index substores —
-    composable under ``streaming/rollup.py::incremental_multi_store_
-    ingest`` (ONE readStream pass can maintain the retrieval index
-    alongside rollup/freq/reservoir stores). ``with_positions`` makes
-    the postings POSITIONAL (phrase queries become servable from the
-    store; ~proportionally larger postings — the standard trade)."""
+    """Per-batch writer maintaining the index substores — composable
+    under ``streaming/rollup.py::incremental_multi_store_ingest`` (ONE
+    readStream pass can maintain the retrieval index alongside
+    rollup/freq/reservoir stores). ``with_positions`` makes the
+    postings POSITIONAL (phrase queries become servable from the
+    store; ~proportionally larger postings — the standard trade).
+    ``with_forward`` additionally maintains a FORWARD substore — the
+    same (doc, term, tf) rows re-sharded by ``doc_bucket`` — so
+    per-document term vectors are fetchable with partition pruning
+    (what relevance feedback needs: :func:`rm3_topk_from_store`
+    reads only the feedback docs' buckets instead of scanning every
+    token shard). Roughly doubles postings bytes; flag-gated."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        _ensure_meta(store_dir, n_buckets, id_col, text_col, with_positions)
+        _ensure_meta(
+            store_dir, n_buckets, id_col, text_col, with_positions,
+            with_forward,
+        )
         postings, doclen, stats = _index_partials(
             batch_df, id_col, text_col, n_buckets, with_positions
         )
         postings.write.mode("overwrite").partitionBy("tok_bucket").parquet(
             os.path.join(store_dir, "postings", f"batch_id={batch_id}")
         )
+        if with_forward:
+            fwd = postings.select(
+                F.col(id_col),
+                "tok",
+                "tf",
+                (
+                    F.crc32(F.col(id_col).cast("string").cast("binary"))
+                    % F.lit(n_buckets)
+                ).cast("int").alias("doc_bucket"),
+            )
+            fwd.write.mode("overwrite").partitionBy("doc_bucket").parquet(
+                os.path.join(store_dir, "fwd", f"batch_id={batch_id}")
+            )
         doclen.write.mode("overwrite").parquet(
             os.path.join(store_dir, "doclen", f"batch_id={batch_id}")
         )
@@ -270,15 +308,16 @@ def incremental_postings_ingest(
     text_col: str = "text",
     n_buckets: int = DEFAULT_BUCKETS,
     with_positions: bool = False,
+    with_forward: bool = False,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
 ):
     """Watch ``input_dir`` for new document files and maintain the
-    postings/doclen/stats store; returns the StreamingQuery. The
-    micro-batch is persisted once and feeds all three substores (the
-    one-pass multi-store rule)."""
+    postings/doclen/stats (and optional forward) store; returns the
+    StreamingQuery. The micro-batch is persisted once and feeds all
+    substores (the one-pass multi-store rule)."""
     writer_fn = postings_writer(
-        store_dir, id_col, text_col, n_buckets, with_positions
+        store_dir, id_col, text_col, n_buckets, with_positions, with_forward
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -332,6 +371,133 @@ def read_doclen(spark: SparkSession, store_dir: str) -> DataFrame:
     return spark.read.option(
         "basePath", os.path.join(store_dir, "doclen")
     ).parquet(os.path.join(store_dir, "doclen"))
+
+
+def read_forward(
+    spark: SparkSession,
+    store_dir: str,
+    doc_ids,
+    n_buckets: int | None = None,
+    apply_deletes: bool = True,
+) -> DataFrame:
+    """Per-document term vectors (id, tok, tf) for a BOUNDED id set,
+    from the forward substore: the scan prunes to the ids'
+    ``doc_bucket`` partitions (at scale it reads |id buckets| /
+    n_buckets of the forward index) and filters to the ids themselves.
+    Tombstoned docs are masked by default. Raises on a store written
+    without ``with_forward`` — there is nothing to read (scanning the
+    token-sharded postings for a doc would touch EVERY shard, the
+    exact cost this substore exists to avoid)."""
+    meta = store_meta(store_dir)
+    if not meta.get("with_forward"):
+        raise ValueError(
+            f"postings store {store_dir} was written without "
+            "with_forward=True; per-document term vectors are not "
+            "servable from it"
+        )
+    id_col = meta.get("id_col", "doc_id")
+    n_buckets = _resolve_buckets(store_dir, n_buckets)
+    storefs.recover_pending(os.path.join(store_dir, "fwd"))
+    ids = sorted({int(i) for i in doc_ids})
+    buckets = sorted({doc_bucket(i, n_buckets) for i in ids})
+    f = (
+        spark.read.option("basePath", os.path.join(store_dir, "fwd"))
+        .parquet(os.path.join(store_dir, "fwd"))
+        .filter(F.col("doc_bucket").isin(buckets))
+        .filter(F.col(id_col).isin(ids))
+    )
+    if apply_deletes:
+        dels = read_deletes(spark, store_dir, id_col)
+        if dels is not None:
+            f = f.join(F.broadcast(dels), id_col, "left_anti")
+    return f.select(F.col(id_col), "tok", "tf")
+
+
+def rm3_topk_from_store(
+    spark: SparkSession,
+    store_dir: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k_fb: int = 3,
+    m: int = 8,
+    alpha: float = 0.5,
+    mu: float = 300.0,
+    n_buckets: int | None = None,
+    corpus_stats: tuple[int, int] | None = None,
+) -> DataFrame:
+    """RM3 pseudo-relevance feedback served ENTIRELY from the
+    incrementally maintained index — no corpus re-read anywhere:
+
+    * pass 1: :func:`ql_topk_from_store` (token-sharded postings,
+      bucket-pruned to the query terms);
+    * feedback term model: the FORWARD substore, pruned to the
+      queries x k_fb feedback docs' ``doc_bucket`` partitions;
+    * pass 2: the same weighted-QL scorer as batch
+      (:func:`~scida_spark.functions.retrieval.
+      weighted_ql_topk_from_index`) over store postings pruned to the
+      EXPANDED term set.
+
+    Bit-identical to a batch ``rm3_topk`` over the live corpus with
+    the same parameters: the store carries the same (doc, term, tf) /
+    doclen / stats integers as a batch scan, every driver-side float
+    op is shared code (softmax posterior, RM1 folds, interpolation),
+    and the pass-2 scorer is literally the same function.
+    ``corpus_stats``: same LIVE contract as ``bm25_topk_from_store``.
+    """
+    from scida_spark.functions.retrieval import (
+        _interpolate_weights,
+        _orig_only_weights,
+        _rm_top_terms,
+        _softmax_posterior,
+        weighted_ql_topk_from_index,
+    )
+
+    meta = store_meta(store_dir)
+    id_col = meta.get("id_col", "doc_id")
+    if corpus_stats is None:
+        corpus_stats = read_corpus_stats(spark, store_dir)
+    pass1 = ql_topk_from_store(
+        spark,
+        store_dir,
+        queries,
+        k=k_fb,
+        mu=mu,
+        n_buckets=n_buckets,
+        corpus_stats=corpus_stats,
+    ).collect()
+    post_rows = _softmax_posterior(pass1, id_col)
+    if not post_rows:
+        wterms = _orig_only_weights(queries, alpha)
+    else:
+        fb = F.broadcast(
+            spark.createDataFrame(
+                post_rows, f"query_id long, {id_col} long, post double"
+            )
+        )
+        fb_ids = sorted({d for _, d, _ in post_rows})
+        ftf = read_forward(spark, store_dir, fb_ids, n_buckets)
+        fdl = (
+            read_doclen(spark, store_dir)
+            .filter(F.col(id_col).isin(fb_ids))
+            .select(F.col(id_col), F.col("dl").alias("_dl"))
+        )
+        rm_by_q = _rm_top_terms(ftf, fdl, fb, m, id_col)
+        wterms = _interpolate_weights(queries, rm_by_q, alpha)
+    all_terms = sorted({t for _, t, _ in wterms})
+    postings = read_postings(spark, store_dir, all_terms, n_buckets).select(
+        F.col(id_col), "tok", "tf"
+    )
+    dl = read_doclen(spark, store_dir).select(
+        F.col(id_col), F.col("dl").alias("_dl")
+    )
+    dels = read_deletes(spark, store_dir, id_col)
+    if dels is not None:
+        d = F.broadcast(dels)
+        postings = postings.join(d, id_col, "left_anti")
+        dl = dl.join(d, id_col, "left_anti")
+    return weighted_ql_topk_from_index(
+        spark, postings, dl, corpus_stats, wterms, k=k, mu=mu, id_col=id_col
+    )
 
 
 def _deleted_stats(spark, store_dir, dels, id_col) -> tuple[int, int]:
@@ -707,8 +873,10 @@ def compact_postings(spark: SparkSession, store_dir: str) -> int:
     # (ours included) is held, so a dead predecessor's txn must be
     # replayed here, and stale pre-commit scratch dropped
     storefs.recover_store(store_dir)
-    for sub in ("postings", "doclen", "stats"):
-        storefs.recover_pending(os.path.join(store_dir, sub))
+    for sub in ("postings", "fwd", "doclen", "stats"):
+        p = os.path.join(store_dir, sub)
+        if os.path.isdir(p):
+            storefs.recover_pending(p)
     with storefs.maintenance_lock(store_dir):
         return _compact_postings_locked(spark, store_dir)
 
@@ -739,11 +907,14 @@ def _compact_postings_locked(spark: SparkSession, store_dir: str) -> int:
     # Stage ALL substore folds first — nothing in the store moves
     # until every scratch dir is written.
     folds: list[tuple[str, list[str]]] = []
-    for sub, rewrite in (
+    subs = [
         ("postings", lambda df: dmask(df.drop("batch_id"))),
         ("doclen", lambda df: dmask(df.drop("batch_id"))),
         ("stats", _stats_rewrite),
-    ):
+    ]
+    if store_meta(store_dir).get("with_forward"):
+        subs.insert(1, ("fwd", lambda df: dmask(df.drop("batch_id"))))
+    for sub, rewrite in subs:
         root = os.path.join(store_dir, sub)
         batches = storefs.list_batches(root)
         if not batches:
@@ -760,6 +931,8 @@ def _compact_postings_locked(spark: SparkSession, store_dir: str) -> int:
         w = base.write.mode("overwrite")
         if sub == "postings":
             w = w.partitionBy("tok_bucket")
+        elif sub == "fwd":
+            w = w.partitionBy("doc_bucket")
         w.parquet(storefs.scratch_dir(root))
         folds.append((sub, batches))
     if not folds:

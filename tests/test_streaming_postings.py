@@ -744,3 +744,94 @@ def test_span_serving_tolerates_quote_terms(spark, dirs):
         ).collect()
     }
     assert got == {(0, 0): 2}
+
+
+# --------------------------------------------------------------------------
+# Forward substore + RM3 served entirely from the index
+# --------------------------------------------------------------------------
+
+
+def test_doc_bucket_jvm_python_twin(spark):
+    from scida_spark.streaming.postings import doc_bucket
+
+    ids = [0, 1, 7, 12345, 999999999, 2**40 + 3]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long").select(
+        "doc_id",
+        (F.crc32(F.col("doc_id").cast("string").cast("binary")) % 16)
+        .cast("int")
+        .alias("b"),
+    )
+    got = {r["doc_id"]: r["b"] for r in df.collect()}
+    assert got == {i: doc_bucket(i, 16) for i in ids}
+
+
+def test_rm3_from_store_equals_batch_bitwise(spark, dirs):
+    """RM3 served ENTIRELY from the incrementally maintained index (QL
+    pass-1 from token-sharded postings, feedback term vectors from the
+    doc-sharded forward substore, weighted pass-2 from postings) is
+    BIT-identical to batch rm3_topk over the concatenated corpus —
+    before AND after compaction, and with tombstones masked."""
+    from scida_spark.functions.retrieval import rm3_topk
+    from scida_spark.streaming.postings import (
+        delete_docs,
+        read_forward,
+        rm3_topk_from_store,
+    )
+
+    _wave(os.path.join(dirs["input"], "w0.parquet"), 0, 30)
+    _wave(os.path.join(dirs["input"], "w1.parquet"), 30, 55)
+    _wave(os.path.join(dirs["input"], "w2.parquet"), 55, 80)
+    _ingest(spark, dirs, max_files_per_trigger=1, with_forward=True)
+
+    docs = spark.read.schema(SCHEMA).parquet(dirs["input"])
+    params = dict(k=10, k_fb=3, m=5, alpha=0.5, mu=60.0)
+    served = rm3_topk_from_store(spark, dirs["store"], QUERIES, **params)
+    batch = rm3_topk(docs, QUERIES, **params)
+    assert _rows(served) == _rows(batch) and served.count() > 0
+
+    # forward fetch is pruned AND masked: tombstone a feedback doc and
+    # both engines must agree on the post-delete ranking
+    dead = [5, 6, 7]
+    delete_docs(spark, dirs["store"], dead, batch_id=50)
+    live = docs.filter(~F.col("doc_id").isin(dead))
+    served_d = rm3_topk_from_store(spark, dirs["store"], QUERIES, **params)
+    batch_d = rm3_topk(live, QUERIES, **params)
+    assert _rows(served_d) == _rows(batch_d)
+    assert not {r["doc_id"] for r in served_d.collect()} & set(dead)
+
+    # compaction folds the forward substore too and stays a fixed point
+    assert compact_postings(spark, dirs["store"]) == 3
+    assert sorted(
+        d
+        for d in os.listdir(os.path.join(dirs["store"], "fwd"))
+        if d.startswith("batch_id=")
+    ) == ["batch_id=-1"]
+    served_c = rm3_topk_from_store(spark, dirs["store"], QUERIES, **params)
+    assert _rows(served_c) == _rows(batch_d)
+
+    # read_forward prunes to the requested ids' buckets and masks
+    fwd = read_forward(spark, dirs["store"], [10, 11])
+    assert {r["doc_id"] for r in fwd.select("doc_id").distinct().collect()} == {
+        10,
+        11,
+    }
+
+
+def test_read_forward_refuses_non_forward_store(spark, dirs):
+    from scida_spark.streaming.postings import read_forward
+
+    _wave(os.path.join(dirs["input"], "w0.parquet"), 0, 10)
+    _ingest(spark, dirs)  # with_forward NOT set
+    with pytest.raises(ValueError, match="without"):
+        read_forward(spark, dirs["store"], [1, 2])
+
+
+def test_forward_meta_validated_on_reopen(spark, dirs):
+    from scida_spark.streaming.postings import postings_writer
+
+    _wave(os.path.join(dirs["input"], "w0.parquet"), 0, 10)
+    _ingest(spark, dirs, with_forward=True)
+    docs = spark.read.schema(SCHEMA).parquet(dirs["input"])
+    w = postings_writer(dirs["store"], with_forward=False)
+    with pytest.raises(ValueError, match="with_forward"):
+        w(docs, 99)
