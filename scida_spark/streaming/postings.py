@@ -453,6 +453,14 @@ def rm3_topk_from_store(
     )
 
     meta = store_meta(store_dir)
+    if not meta.get("with_forward"):
+        # fail FAST and uniformly — not only on queries that happen to
+        # find feedback docs
+        raise ValueError(
+            f"postings store {store_dir} was written without "
+            "with_forward=True; rm3_topk_from_store needs the forward "
+            "substore for the feedback term model"
+        )
     id_col = meta.get("id_col", "doc_id")
     if corpus_stats is None:
         corpus_stats = read_corpus_stats(spark, store_dir)

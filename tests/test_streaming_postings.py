@@ -818,12 +818,19 @@ def test_rm3_from_store_equals_batch_bitwise(spark, dirs):
 
 
 def test_read_forward_refuses_non_forward_store(spark, dirs):
-    from scida_spark.streaming.postings import read_forward
+    from scida_spark.streaming.postings import (
+        read_forward,
+        rm3_topk_from_store,
+    )
 
     _wave(os.path.join(dirs["input"], "w0.parquet"), 0, 10)
     _ingest(spark, dirs)  # with_forward NOT set
     with pytest.raises(ValueError, match="without"):
         read_forward(spark, dirs["store"], [1, 2])
+    # rm3 serve fails FAST too — even for queries that would find no
+    # feedback docs (uniform behavior, not data-dependent)
+    with pytest.raises(ValueError, match="forward substore"):
+        rm3_topk_from_store(spark, dirs["store"], [(0, "zzz")])
 
 
 def test_forward_meta_validated_on_reopen(spark, dirs):
