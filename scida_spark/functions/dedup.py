@@ -1530,3 +1530,171 @@ def merge_cc_labels(
     return new_rows.unionAll(changed).groupBy("doc").agg(
         F.min("label").alias("label")
     )
+
+
+def winnow_anchors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    window: int = 45,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+    2003 — the MOSS algorithm): per document, hash every character
+    ``k``-gram (md5 — oracle-portable) and, for every window of
+    ``window`` consecutive grams, select the minimum (hash, pos) —
+    ties break on the SMALLEST position, deterministic. The winnowing
+    guarantee: any exact substring shared by two documents of length
+    >= window + k - 1 selects AT LEAST ONE common anchor gram in both
+    (the selection is content-defined, so it lands at corresponding
+    offsets inside the shared region).
+
+    Returns (id, h, pos): one row per distinct selected anchor
+    occurrence; ``h`` is the md5 of the k-gram (the block key), pos is
+    1-based.
+
+    Scale: the whole computation is per-row column arrays — grams,
+    hashes, and window minima via transform/slice/array_min — so the
+    pass is MAP-ONLY whole-stage codegen: zero shuffle, zero UDF.
+    Anchor density is ~2/(window+1) of positions (winnowing theory),
+    so downstream joins see ~4% of the text's grams at the defaults.
+    The slice/array_min form does O(n·window) comparisons per doc —
+    fine for web-document sizes (100 KB doc -> ~4.5M JVM struct
+    compares); for book-length texts swap in the linear monotonic-
+    queue winnow as an Arrow-batched pandas UDF (same output contract,
+    the sanctioned slow-path shape)."""
+    n_grams = F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(0))
+    structs = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.struct(
+            F.md5(F.substr(F.col(text_col), i, F.lit(k))).alias("h"),
+            i.alias("p"),
+        ),
+    )
+    # STAGE the hashed-gram array in its own projection (the
+    # with_url_columns rule): referencing the un-staged expression
+    # inside every window's slice would re-evaluate ALL n md5 grams
+    # per window — O(n^2) hashing per document (measured: the sf0.1
+    # corpus went from minutes to seconds when staged). Materialized
+    # once per row, each slice is then O(window) struct copies.
+    staged = df.select(
+        F.col(id_col),
+        F.when(n_grams > 0, structs)
+        .otherwise(F.array().cast("array<struct<h:string,p:int>>"))
+        .alias("_g"),
+    )
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size("_g")),
+        lambda i: F.array_min(F.slice(F.col("_g"), i, window)),
+    )
+    return (
+        staged.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(
+                    F.when(F.size("_g") > 0, mins).otherwise(
+                        F.array().cast("array<struct<h:string,p:int>>")
+                    )
+                )
+            ).alias("_a"),
+        )
+        .select(F.col(id_col), F.col("_a.h").alias("h"), F.col("_a.p").alias("pos"))
+    )
+
+
+def exact_substring_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 60,
+    k: int = 16,
+) -> DataFrame:
+    """EXACT-substring dedup pairs (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the suffix-array
+    family, re-expressed for Spark): all document pairs sharing a
+    verbatim substring of at least ``min_len`` characters. Exact set
+    semantics — equivalent to joining every document's ``min_len``-
+    grams (a pair shares a substring >= L iff it shares an L-gram),
+    which is the oracle's replay — but never materializes the L-gram
+    blowup:
+
+    1. ANCHOR (map-only): :func:`winnow_anchors` with window =
+       ``min_len - k + 1``, so any shared substring of length >=
+       min_len selects a common anchor k-gram in both docs (the
+       winnowing guarantee makes the blocking COMPLETE, not
+       probabilistic — unlike MinHash banding).
+    2. BLOCK: one equi-join of anchor occurrences on the anchor hash
+       (id_a < id_b) — candidates are anchor-bounded: ~2/(window+1)
+       of gram positions ever enter the join.
+    3. VERIFY (map-only on candidates): around each candidate anchor
+       occurrence pair, take the (2·min_len - k)-char neighborhoods —
+       any qualifying shared substring through this anchor occurrence
+       lies inside them — and test ``arrays_overlap`` of the two
+       neighborhoods' L-gram arrays (<= window strings each). Exact:
+       a verified pair genuinely shares an L-gram; complete: the
+       guarantee in (1) places a common anchor inside the shared
+       region, and a length-L sub-window of it containing that anchor
+       starts within L - k chars before it.
+
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+
+    Scale: stages 1 and 3 are shuffle-free codegen; the only
+    exchanges are the anchor-hash join and the final distinct. A
+    corpus-hot anchor (boilerplate shared by many docs) fans out into
+    the pair set it genuinely belongs to — output-sized cost, the
+    same inherent bound as every pair operator here; cap it upstream
+    (per-domain cap, exact-clique collapse) when the duplicate answer
+    itself is quadratic."""
+    if k >= min_len:
+        raise ValueError(
+            f"exact_substring_pairs: k={k} must be < min_len={min_len}"
+        )
+    window = min_len - k + 1
+    # lazy checkpoint: the anchor table feeds BOTH sides of the block
+    # self-join — without it the winnowing pass runs twice per
+    # execution (measured ~18 s/side at 5.4k sf0.1 docs)
+    anchors = winnow_anchors(
+        df, id_col, text_col, k=k, window=window
+    ).localCheckpoint(eager=False)
+    a = anchors.select(
+        F.col(id_col).alias("doc_a"), "h", F.col("pos").alias("pos_a")
+    )
+    b = anchors.select(
+        F.col(id_col).alias("doc_b"), "h", F.col("pos").alias("pos_b")
+    )
+    cand = a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b", "pos_a", "pos_b"
+    )
+    texts = df.select(F.col(id_col), F.col(text_col).alias("_t"))
+    nlen = 2 * min_len - k
+
+    def _ngrams(t, pos):
+        start = F.greatest(pos - (min_len - k), F.lit(1))
+        hood = F.substr(t, start, F.lit(nlen))
+        n = F.length(hood) - (min_len - 1)
+        # guard the sequence: a neighborhood shorter than L (the doc
+        # itself is shorter than L) has NO L-grams — and an unguarded
+        # sequence(1, 0) silently runs DESCENDING ([1, 0]), emitting
+        # two phantom truncated "grams" that false-pair sub-L
+        # identical docs (caught by the sf0.1 oracle diff)
+        return F.when(
+            n >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.substr(hood, i, F.lit(min_len)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    verified = (
+        cand.join(texts.withColumnRenamed(id_col, "doc_a"), "doc_a")
+        .withColumnRenamed("_t", "_ta")
+        .join(texts.withColumnRenamed(id_col, "doc_b"), "doc_b")
+        .withColumnRenamed("_t", "_tb")
+        .filter(
+            F.arrays_overlap(
+                _ngrams(F.col("_ta"), F.col("pos_a")),
+                _ngrams(F.col("_tb"), F.col("pos_b")),
+            )
+        )
+    )
+    return verified.select("doc_a", "doc_b").distinct()

@@ -251,6 +251,26 @@ def ranking_metrics(
         F.col(doc_col).alias("_d"),
         F.col(rank_col).cast("int").alias("_r"),
     )
+    # Ranks are 1-based by contract; a 0-based run would silently
+    # lose its first result through the discount-table inner join
+    # below. Fail loudly instead — IN the plan (raise_error), so the
+    # guard costs no construction-time job and no extra pass: any
+    # rank < 1 aborts the query with a clear message at execution.
+    topk = topk.withColumn(
+        "_r",
+        F.when(F.col("_r") >= 1, F.col("_r")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"ranking_metrics: rank < 1 in '{rank_col}' "
+                        "(ranks are 1-based; a 0-based run would "
+                        "silently drop its top result): got "
+                    ),
+                    F.col("_r").cast("string"),
+                )
+            ).cast("int")
+        ),
+    )
     qr = qrels.select(
         F.col(query_col).alias("_q"),
         F.col(doc_col).alias("_d"),

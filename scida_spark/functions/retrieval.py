@@ -614,6 +614,7 @@ def rm3_expand_terms(
     text_col: str = "text",
     id_col: str = "doc_id",
     corpus_stats: tuple[int, int] | None = None,
+    max_df: float | None = None,
 ) -> list[tuple[int, str, float]]:
     """RM3 pseudo-relevance-feedback expansion (Abdul-Jaleel et al.
     2004): run a first-pass QL retrieval, build the RM1 relevance
@@ -643,7 +644,25 @@ def rm3_expand_terms(
     the feedback set is queries x k_fb documents BY CONSTRUCTION, so
     the term-model explode touches only those documents (broadcast
     semi-join), and everything after the top-m window is a
-    queries x m driver fold — the serving-request pattern."""
+    queries x m driver fold — the serving-request pattern.
+
+    ``max_df`` (r14, closes r13 VERDICT #1-of-"what's wrong"): an
+    optional expansion-term document-frequency ceiling, the standard
+    IR guard (e.g. Indri/Anserini practice) against corpus-frequent
+    terms entering the expanded query. A candidate term t is eligible
+    for the top-``m`` selection only if ``df(t) <= int(max_df *
+    n_docs)`` (integer compare; the cap is the driver-side Python
+    truncation of the double product, which an oracle replays as
+    ``FLOOR(max_df * n)`` — bit-identical for positive doubles).
+    Original query terms always keep their ``alpha`` side regardless.
+    WHY it matters at scale: pass-2 cost is proportional to the
+    expanded terms' postings; one corpus-frequent expansion term makes
+    pass 2 score nearly every (query, doc) pair — the only material
+    x100 marginal in the r13 SCALE.md rm3 rows. The ceiling bounds
+    exactly that blowup with negligible quality cost. df is computed
+    only for the feedback docs' vocabulary (bounded: queries x k_fb
+    docs), via one corpus scan semi-joined to that vocabulary (batch)
+    or a bucket-pruned postings read (store serve)."""
     spark = docs.sparkSession
     pass1 = query_likelihood_topk(
         docs,
@@ -675,8 +694,41 @@ def rm3_expand_terms(
     fdl = fdocs.select(
         F.col(id_col), TX.token_count(F.col(text_col)).alias("_dl")
     )
-    rm_by_q = _rm_top_terms(ftf, fdl, fb, m, id_col)
+    allowed = None
+    if max_df is not None:
+        n_docs = (
+            corpus_stats[0] if corpus_stats is not None else docs.count()
+        )
+        allowed = _df_allowed_terms(
+            docs.select(
+                F.col(id_col),
+                F.explode(TX.tokens(F.col(text_col))).alias("tok"),
+            ),
+            ftf.select("tok").distinct(),
+            int(max_df * n_docs),
+            id_col,
+        )
+    rm_by_q = _rm_top_terms(ftf, fdl, fb, m, id_col, allowed=allowed)
     return _interpolate_weights(queries, rm_by_q, alpha)
+
+
+def _df_allowed_terms(
+    corpus_toks: DataFrame, cand_toks: DataFrame, df_cap: int, id_col: str
+) -> DataFrame:
+    """Candidate expansion terms passing the ``max_df`` ceiling:
+    df(t) = distinct docs containing t, computed ONLY for the
+    (bounded, feedback-vocabulary-sized) candidate set via a broadcast
+    semi-join, then filtered to ``df <= df_cap``. Returns a one-column
+    (tok) DataFrame for the semi-join in :func:`_rm_top_terms`."""
+    return (
+        corpus_toks.join(F.broadcast(cand_toks), "tok", "left_semi")
+        .select(id_col, "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("tok")
+    )
 
 
 def _softmax_posterior(pass1_rows, id_col: str) -> list[tuple[int, int, float]]:
@@ -702,13 +754,22 @@ def _softmax_posterior(pass1_rows, id_col: str) -> list[tuple[int, int, float]]:
 
 
 def _rm_top_terms(
-    ftf: DataFrame, fdl: DataFrame, fb, m: int, id_col: str
+    ftf: DataFrame,
+    fdl: DataFrame,
+    fb,
+    m: int,
+    id_col: str,
+    allowed: DataFrame | None = None,
 ) -> dict[int, dict[str, float]]:
     """RM1 term model over the feedback docs: rm(t) = sum_d post(d) *
     tf/dl folded in ascending doc-id order, top-``m`` per query (ties
     on ascending term). ``ftf`` = (id, tok, tf) of the feedback docs —
     from a corpus re-scan (batch) or the forward substore (serve);
-    both carry the identical integers, so the doubles match."""
+    both carry the identical integers, so the doubles match.
+    ``allowed``: optional (tok) DataFrame — the ``max_df`` ceiling —
+    applied BEFORE the top-m window, so excluded corpus-frequent terms
+    do not consume top-m slots (the oracle's WHERE sits under its
+    ROW_NUMBER the same way)."""
     vals = (
         ftf.join(fdl, id_col)
         .join(fb, id_col)
@@ -729,6 +790,8 @@ def _rm_top_terms(
             lambda acc, x: acc + x["val"],
         ).alias("rm")
     )
+    if allowed is not None:
+        rm = rm.join(F.broadcast(allowed), "tok", "left_semi")
     wtop = W.partitionBy("query_id").orderBy(F.desc("rm"), F.asc("tok"))
     top = (
         rm.withColumn("_rn", F.row_number().over(wtop))
@@ -799,13 +862,16 @@ def rm3_topk(
     corpus_stats: tuple[int, int] | None = None,
     wterms: list[tuple[int, str, float]] | None = None,
     cf: dict[str, int] | None = None,
+    max_df: float | None = None,
 ) -> DataFrame:
     """RM3 retrieval: QL pass 1 -> :func:`rm3_expand_terms` ->
     :func:`weighted_ql_topk_from_index` over the expanded weighted
     query. Pass a precomputed ``wterms`` to skip the expansion (the
     expansion is a deterministic function of (corpus, queries,
     parameters) — an ingest-or-cache-time artifact in a serving tier,
-    exactly like IVF centroids).
+    exactly like IVF centroids). ``max_df``: optional expansion-term
+    df ceiling (see :func:`rm3_expand_terms`) — ignored when
+    ``wterms`` is supplied (the ceiling is part of the expansion).
 
     Serving note: a store-served twin would need a FORWARD index
     (doc -> term vector) to build the feedback term model — the
@@ -831,6 +897,7 @@ def rm3_topk(
             text_col=text_col,
             id_col=id_col,
             corpus_stats=corpus_stats,
+            max_df=max_df,
         )
     all_terms = sorted({t for _, t, _ in wterms})
     postings = (

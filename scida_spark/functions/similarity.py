@@ -286,8 +286,16 @@ def build_ivf_index(
     if not rows:
         # an id keyspace with no multiples of the stride (small or
         # oddly-keyed corpora) must not crash training — fall back to
-        # the full (capped) corpus as the sample
-        rows = vecs.limit(cap).collect()
+        # the full (capped) corpus as the sample. Ordered by id so the
+        # sample (hence the centroids) is reproducible across runs and
+        # partitionings; orderBy+limit plans as TakeOrderedAndProject,
+        # not a full sort.
+        rows = (
+            embeddings.orderBy(id_col)
+            .limit(cap)
+            .select(F.col(vec_col).cast("array<double>").alias("v"))
+            .collect()
+        )
     if not rows:
         raise ValueError(
             "build_ivf_index: no vectors to train the quantizer on "
@@ -552,8 +560,10 @@ def _neardup_pairs_kernel(
         .collect()
     )
     if not sample_rows:
-        # Stride missed every id (tiny/sparse id space) — any rows do.
-        sample_rows = base.limit(max(ncells * 64, 1024)).collect()
+        # Stride missed every id (tiny/sparse id space). Ordered by id
+        # so the cell centroids stay reproducible across partitionings
+        # (TakeOrderedAndProject — no full sort).
+        sample_rows = base.orderBy("_id").limit(max(ncells * 64, 1024)).collect()
     if not sample_rows:
         return spark.createDataFrame([], "id_a long, id_b long, sim double")
     sample = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in sample_rows])

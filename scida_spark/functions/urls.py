@@ -69,6 +69,7 @@ __all__ = [
     "url_registered_domain",
     "with_url_columns",
     "canonical_url_dedup",
+    "cap_per_domain",
 ]
 
 # Anchored at the param start; matches the bare name ("ref") and the
@@ -277,6 +278,54 @@ def with_url_columns(
     if canonical_col is not None:
         out_cols.append(canonicalize_url(F.col(url_col)).alias(canonical_col))
     return staged.select(*out_cols)
+
+
+def cap_per_domain(
+    df: DataFrame,
+    id_col: str,
+    url_col: str,
+    cap: int,
+    salt: str = "",
+    domain_col: str = "url_domain",
+    rank_col: str = "domain_rank",
+) -> DataFrame:
+    """Per-REGISTERED-domain quota sampling over raw URLs (r14, closes
+    r13 VERDICT next #6) — the CommonCrawl-pipeline staple next to
+    canonical-URL dedup: keep at most ``cap`` documents per registered
+    domain, selected by a DETERMINISTIC hash order (``md5(id || salt)``
+    ascending, then id — a reproducible shuffle: independent of row
+    order, partitioning, and engine; change the salt to re-roll every
+    domain's sample at once). Unlike
+    :func:`~scida_spark.functions.sampling.domain_cap_flag` (flags
+    best-by-quality rows for a precomputed group column), this starts
+    from the URL itself: the registered domain is derived through
+    :func:`with_url_columns` (staged host projection — the janino-safe
+    form), and the output is the KEPT rows (original columns +
+    ``domain_col`` + ``rank_col``).
+
+    Oracle-replayable: rank == ``ROW_NUMBER() OVER (PARTITION BY dom
+    ORDER BY md5(CAST(id AS VARCHAR) || salt), id)`` — both engines
+    emit lowercase-hex md5, so the lexicographic order matches
+    byte-for-byte.
+
+    Scale: selection runs through
+    :func:`~scida_spark.operators.prefix_sum.grouped_topn`, whose
+    native window Catalyst plans with a map-side Partial
+    WindowGroupLimit — a hot domain with billions of rows forwards at
+    most ``cap`` rows per map task into the one shuffle on
+    ``domain_col``; the md5 order key is JVM codegen, no UDF."""
+    staged = with_url_columns(df, url_col, domain_col=domain_col)
+    from scida_spark.operators.prefix_sum import grouped_topn
+
+    order = [
+        F.md5(
+            F.concat(F.col(id_col).cast("string"), F.lit(salt))
+        ).asc(),
+        F.col(id_col).asc(),
+    ]
+    return grouped_topn(
+        staged.drop("url_host"), cap, domain_col, order, out_col=rank_col
+    )
 
 
 def canonical_url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:

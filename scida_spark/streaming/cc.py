@@ -32,6 +32,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from scida_spark.streaming import storekit
+
 from scida_spark.functions.dedup import (
     _band_signatures,
     jaccard_accept,
@@ -193,14 +195,7 @@ def incremental_cc_ingest(
             f"{index_dir}/digests/batch_id={batch_id}"
         )
 
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(input_dir)
+    return storekit.run_file_ingest(
+        spark, input_dir, schema, process, checkpoint_dir,
+        available_now=available_now, max_files_per_trigger=1,
     )
-    writer = stream.writeStream.foreachBatch(process).option(
-        "checkpointLocation", checkpoint_dir
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

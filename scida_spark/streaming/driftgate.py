@@ -53,7 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scida_spark.functions.drift import psi_kl
-from scida_spark.streaming import storefs
+from scida_spark.streaming import storefs, storekit
 
 __all__ = [
     "drift_gate_writer",
@@ -214,16 +214,11 @@ def drift_gated_ingest(
         report_dir=report_dir,
         threshold=threshold,
     )
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
-    stream = reader.parquet(input_dir)
-    w = stream.writeStream.foreachBatch(writer).option(
-        "checkpointLocation", checkpoint_dir
+    return storekit.run_file_ingest(
+        spark, input_dir, schema, writer, checkpoint_dir,
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        w = w.trigger(availableNow=True)
-    return w.start()
 
 
 def read_drift_reports(spark: SparkSession, report_dir: str) -> DataFrame:

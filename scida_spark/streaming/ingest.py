@@ -45,6 +45,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from scida_spark.streaming import storekit
 from scida_spark.functions.dedup import (
     _band_signatures,
     connected_components,
@@ -81,7 +82,9 @@ def _read_index_part(
             raise ValueError(
                 f"dedup index substore {part} predates the takedown "
                 "schema (no 'doc' column) but tombstones exist; "
-                "compact or rebuild the index before deleting"
+                "rebuild the index from the corpus before deleting "
+                "(compaction folds partials but cannot re-derive the "
+                "missing 'doc' column)"
             )
         df = df.join(F.broadcast(dels), "doc", "left_anti")
     return df
@@ -92,20 +95,7 @@ def read_ingest_deletes(
 ) -> DataFrame | None:
     """Distinct tombstoned doc ids (column ``doc``); None if no
     deletes are outstanding."""
-    from scida_spark.streaming import storefs
-
-    root = os.path.join(index_dir, "deletes")
-    if not os.path.isdir(root):
-        return None
-    storefs.recover_pending(root)
-    if not any(d.startswith("batch_id=") for d in os.listdir(root)):
-        return None
-    return (
-        spark.read.option("basePath", root)
-        .parquet(root)
-        .select("doc")
-        .distinct()
-    )
+    return storekit.read_tombstones(spark, index_dir, out_col="doc")
 
 
 def delete_ingested_docs(
@@ -129,14 +119,9 @@ def delete_ingested_docs(
     across the stream's lifetime (the vecindex contract): re-using a
     tombstoned id for a NEW document is undefined — the tombstone
     masks any row carrying that id until a compaction clears it."""
-    df = (
-        ids
-        if isinstance(ids, DataFrame)
-        else spark.createDataFrame([(int(i),) for i in ids], f"{id_col} long")
+    storekit.write_tombstones(
+        spark, index_dir, ids, batch_id, id_col=id_col, out_col="doc"
     )
-    df.select(F.col(id_col).alias("doc")).distinct().write.mode(
-        "overwrite"
-    ).parquet(os.path.join(index_dir, "deletes", f"batch_id={batch_id}"))
 
 
 def read_accepted_corpus(
@@ -180,52 +165,39 @@ def compact_dedup_index(
     max number of batch partials folded across substores."""
     from scida_spark.streaming import storefs
 
-    storefs.recover_store(index_dir)
-    for sub in ("bands", "shingles", "digests"):
-        p = os.path.join(index_dir, sub)
-        if os.path.isdir(p):
-            storefs.recover_pending(p)
-    with storefs.maintenance_lock(index_dir):
-        dels = read_ingest_deletes(spark, index_dir)
-        if corpus_dir is not None and dels is not None:
-            storefs.recover_pending(corpus_dir)
-            cb = storefs.list_batches(corpus_dir)
-            if os.path.isdir(os.path.join(corpus_dir, "batch_id=-1")):
-                cb = cb + ["batch_id=-1"]
-            if cb:
-                purged = (
-                    spark.read.option("basePath", corpus_dir)
-                    .parquet(corpus_dir)
-                    .drop("batch_id")
-                    .join(
-                        F.broadcast(dels.select(F.col("doc").alias(id_col))),
-                        id_col,
-                        "left_anti",
-                    )
-                    .localCheckpoint(eager=True)
-                )
-                purged.write.mode("overwrite").parquet(
-                    storefs.scratch_dir(corpus_dir)
-                )
-                storefs.promote_compacted(corpus_dir, cb)
-        folds: list[tuple[str, list[str]]] = []
-        n = 0
-        for sub in ("bands", "shingles", "digests"):
-            root = os.path.join(index_dir, sub)
-            if not os.path.isdir(root):
-                continue
-            batches = storefs.list_batches(root)
-            if not batches:
-                if dels is None or not os.path.isdir(
-                    os.path.join(root, "batch_id=-1")
-                ):
-                    continue
-                batches = ["batch_id=-1"]
-            df = (
-                spark.read.option("basePath", root)
-                .parquet(root)
-                .drop("batch_id")
+    def _purge_corpus(dels):
+        # store-specific pre-stage under the same lock: physically
+        # purge tombstoned docs from the corpus sink FIRST, as that
+        # directory's own scratch+manifest unit — a crash between the
+        # purge and the index txn leaves tombstones outstanding (masks
+        # still correct) and the next compaction finishes the job.
+        if corpus_dir is None or dels is None:
+            return
+        storefs.recover_pending(corpus_dir)
+        cb = storefs.list_batches(corpus_dir)
+        if os.path.isdir(os.path.join(corpus_dir, storefs.BASE_DIR)):
+            cb = cb + [storefs.BASE_DIR]
+        if not cb:
+            return
+        purged = (
+            spark.read.option("basePath", corpus_dir)
+            .parquet(corpus_dir)
+            .drop("batch_id")
+            .join(
+                F.broadcast(dels.select(F.col("doc").alias(id_col))),
+                id_col,
+                "left_anti",
             )
+            .localCheckpoint(eager=True)
+        )
+        purged.write.mode("overwrite").parquet(
+            storefs.scratch_dir(corpus_dir)
+        )
+        storefs.promote_compacted(corpus_dir, cb)
+
+    def _fold(sub):
+        def rewrite(df, dels):
+            df = df.drop("batch_id")
             if dels is not None:
                 if "doc" not in df.columns:
                     raise ValueError(
@@ -234,16 +206,17 @@ def compact_dedup_index(
                         "cannot be applied to it"
                     )
                 df = df.join(F.broadcast(dels), "doc", "left_anti")
-            df.write.mode("overwrite").parquet(storefs.scratch_dir(root))
-            folds.append((sub, batches))
-            n = max(n, len(batches))
-        clear: list[tuple[str, list[str]]] = []
-        if dels is not None:
-            droot = os.path.join(index_dir, "deletes")
-            clear.append(("deletes", storefs.list_batches(droot)))
-        if folds or clear:
-            storefs.promote_txn(index_dir, folds, clear)
-        return n
+            return df
+
+        return rewrite
+
+    return storekit.compact_store(
+        spark,
+        index_dir,
+        [storekit.Substore(s, _fold(s)) for s in ("bands", "shingles", "digests")],
+        read_dels=lambda sp: read_ingest_deletes(sp, index_dir),
+        pre_stage=_purge_corpus,
+    )
 
 
 def incremental_dedup_ingest(
@@ -364,15 +337,10 @@ def incremental_dedup_ingest(
             f"{index_dir}/digests/batch_id={batch_id}"
         )
 
-    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
-        input_dir
+    return storekit.run_file_ingest(
+        spark, input_dir, schema, process, checkpoint_dir,
+        available_now=available_now, max_files_per_trigger=1,
     )
-    writer = stream.writeStream.foreachBatch(process).option(
-        "checkpointLocation", checkpoint_dir
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def vector_index_ingest(
@@ -443,15 +411,10 @@ def vector_index_ingest(
             f"{index_dir}/vectors/batch_id={batch_id}"
         )
 
-    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
-        input_dir
+    return storekit.run_file_ingest(
+        spark, input_dir, schema, process, checkpoint_dir,
+        available_now=available_now, max_files_per_trigger=1,
     )
-    writer = stream.writeStream.foreachBatch(process).option(
-        "checkpointLocation", checkpoint_dir
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def span_index_ingest(
@@ -509,15 +472,10 @@ def span_index_ingest(
             f"{index_dir}/spans/batch_id={batch_id}"
         )
 
-    stream = spark.readStream.schema(schema).option(
-        "maxFilesPerTrigger", 1
-    ).parquet(input_dir)
-    writer = stream.writeStream.foreachBatch(process).option(
-        "checkpointLocation", checkpoint_dir
+    return storekit.run_file_ingest(
+        spark, input_dir, schema, process, checkpoint_dir,
+        available_now=available_now, max_files_per_trigger=1,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def hot_spans_from_index(
@@ -563,22 +521,19 @@ def compact_span_index(spark: SparkSession, index_dir: str) -> None:
     batches keep appending partials on top. Crash-safe via
     ``streaming/storefs`` (scratch + manifest + recover); single-
     writer under ``storefs.maintenance_lock``."""
-    from scida_spark.streaming import storefs
-
     path = os.path.join(index_dir, "spans")
-    storefs.recover_pending(path)  # heal before locking
-    with storefs.maintenance_lock(path):
-        # this fold ALSO absorbs an existing batch_id=-1 base (plain
-        # directory read, no basePath), so it is retired alongside the
-        # batch partials rather than left to double-count
-        batches = storefs.list_batches(path)
-        if os.path.isdir(os.path.join(path, "batch_id=-1")):
-            batches = batches + ["batch_id=-1"]
-        merged = (
+    # absorb_base: this fold reads the directory PLAIN (no basePath),
+    # so an existing batch_id=-1 base folds in and must be retired
+    # alongside the batch partials rather than left to double-count;
+    # sever_lineage: the fold reads the very files the promote deletes.
+    storekit.compact_monoid_store(
+        spark,
+        path,
+        lambda: (
             spark.read.parquet(path)
             .groupBy("span_h")
             .agg(F.sum("n_docs").alias("n_docs"))
-            .localCheckpoint(eager=True)  # sever lineage before rewrite
-        )
-        merged.write.mode("overwrite").parquet(storefs.scratch_dir(path))
-        storefs.promote_compacted(path, batches)
+        ),
+        absorb_base=True,
+        sever_lineage=True,
+    )

@@ -80,7 +80,7 @@ from scida_spark.functions.retrieval import (
     bm25_topk_from_index,
     ql_topk_from_index,
 )
-from scida_spark.streaming import storefs
+from scida_spark.streaming import storekit
 
 __all__ = [
     "postings_writer",
@@ -120,37 +120,15 @@ def _ensure_meta(
     wrong value prunes to the WRONG buckets and silently drops
     query-term postings. The meta file makes the store self-
     describing; a writer re-opening an existing store with a different
-    n_buckets is refused (a mixed-shard store is unreadable)."""
-    os.makedirs(store_dir, exist_ok=True)
-    path = os.path.join(store_dir, META_FILE)
-    if os.path.isfile(path):
-        have = storefs.read_json(path)
-        want = {
-            "n_buckets": int(n_buckets),
-            "id_col": id_col,
-            "text_col": text_col,
-            "with_positions": bool(with_positions),
-            "with_forward": bool(with_forward),
-        }
-        # EVERY ingest parameter is validated on re-open (r12 ADVICE
-        # #2): appending e.g. with_positions=False partials to a
-        # positional store yields a mixed-schema store whose phrase
-        # serving silently drops docs (parquet schema is sampled).
-        diffs = {
-            k: (have.get(k), v)
-            for k, v in want.items()
-            if k in have and have.get(k) != v
-        }
-        if diffs:
-            raise ValueError(
-                f"postings store {store_dir} was written with "
-                + ", ".join(f"{k}={h!r}" for k, (h, _) in diffs.items())
-                + "; refusing to append with "
-                + ", ".join(f"{k}={w!r}" for k, (_, w) in diffs.items())
-            )
-        return
-    storefs.write_json_atomic(
-        path,
+    n_buckets is refused (a mixed-shard store is unreadable). EVERY
+    ingest parameter is validated on re-open (r12 ADVICE #2):
+    appending e.g. with_positions=False partials to a positional store
+    yields a mixed-schema store whose phrase serving silently drops
+    docs (parquet schema is sampled). Mechanics shared with the other
+    stores via :func:`scida_spark.streaming.storekit.ensure_meta`
+    (r14)."""
+    storekit.ensure_meta(
+        store_dir,
         {
             "n_buckets": int(n_buckets),
             "id_col": id_col,
@@ -158,13 +136,13 @@ def _ensure_meta(
             "with_positions": bool(with_positions),
             "with_forward": bool(with_forward),
         },
+        "postings store",
     )
 
 
 def store_meta(store_dir: str) -> dict:
     """The store's persisted parameters ({} for a pre-meta store)."""
-    path = os.path.join(store_dir, META_FILE)
-    return storefs.read_json(path) if os.path.isfile(path) else {}
+    return storekit.store_meta(store_dir)
 
 
 def _resolve_buckets(store_dir: str, n_buckets: int | None) -> int:
@@ -327,16 +305,11 @@ def incremental_postings_ingest(
         finally:
             batch_df.unpersist()
 
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
-    stream = reader.parquet(input_dir)
-    writer = stream.writeStream.foreachBatch(process).option(
-        "checkpointLocation", checkpoint_dir
+    return storekit.run_file_ingest(
+        spark, input_dir, schema, process, checkpoint_dir,
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def read_postings(
@@ -353,10 +326,7 @@ def read_postings(
     explicit ``n_buckets`` is validated against it — a mismatch would
     silently prune the wrong partitions."""
     n_buckets = _resolve_buckets(store_dir, n_buckets)
-    storefs.recover_pending(os.path.join(store_dir, "postings"))
-    p = spark.read.option(
-        "basePath", os.path.join(store_dir, "postings")
-    ).parquet(os.path.join(store_dir, "postings"))
+    p = storekit.read_partials(spark, os.path.join(store_dir, "postings"))
     if terms is not None:
         terms = sorted(set(terms))
         buckets = sorted({term_bucket(t, n_buckets) for t in terms})
@@ -367,10 +337,7 @@ def read_postings(
 
 
 def read_doclen(spark: SparkSession, store_dir: str) -> DataFrame:
-    storefs.recover_pending(os.path.join(store_dir, "doclen"))
-    return spark.read.option(
-        "basePath", os.path.join(store_dir, "doclen")
-    ).parquet(os.path.join(store_dir, "doclen"))
+    return storekit.read_partials(spark, os.path.join(store_dir, "doclen"))
 
 
 def read_forward(
@@ -397,12 +364,10 @@ def read_forward(
         )
     id_col = meta.get("id_col", "doc_id")
     n_buckets = _resolve_buckets(store_dir, n_buckets)
-    storefs.recover_pending(os.path.join(store_dir, "fwd"))
     ids = sorted({int(i) for i in doc_ids})
     buckets = sorted({doc_bucket(i, n_buckets) for i in ids})
     f = (
-        spark.read.option("basePath", os.path.join(store_dir, "fwd"))
-        .parquet(os.path.join(store_dir, "fwd"))
+        storekit.read_partials(spark, os.path.join(store_dir, "fwd"))
         .filter(F.col("doc_bucket").isin(buckets))
         .filter(F.col(id_col).isin(ids))
     )
@@ -424,6 +389,7 @@ def rm3_topk_from_store(
     mu: float = 300.0,
     n_buckets: int | None = None,
     corpus_stats: tuple[int, int] | None = None,
+    max_df: float | None = None,
 ) -> DataFrame:
     """RM3 pseudo-relevance feedback served ENTIRELY from the
     incrementally maintained index — no corpus re-read anywhere:
@@ -443,7 +409,13 @@ def rm3_topk_from_store(
     op is shared code (softmax posterior, RM1 folds, interpolation),
     and the pass-2 scorer is literally the same function.
     ``corpus_stats``: same LIVE contract as ``bm25_topk_from_store``.
-    """
+    ``max_df`` (r14): the expansion-term df ceiling of
+    :func:`~scida_spark.functions.retrieval.rm3_expand_terms`, served
+    here from the index itself — df of each candidate term comes from
+    a bucket-pruned postings read over the (bounded, feedback-
+    vocabulary-sized) candidate set, tombstones masked, so the integer
+    df — hence the ceiling — matches a batch scan of the live corpus
+    bit-for-bit."""
     from scida_spark.functions.retrieval import (
         _interpolate_weights,
         _orig_only_weights,
@@ -489,7 +461,29 @@ def rm3_topk_from_store(
             .filter(F.col(id_col).isin(fb_ids))
             .select(F.col(id_col), F.col("dl").alias("_dl"))
         )
-        rm_by_q = _rm_top_terms(ftf, fdl, fb, m, id_col)
+        allowed = None
+        if max_df is not None:
+            # candidate vocabulary = the feedback docs' terms — a
+            # bounded serving request (queries x k_fb docs), so the
+            # collect is small; the df read prunes to those terms'
+            # tok_bucket partitions
+            cand = sorted(
+                r["tok"] for r in ftf.select("tok").distinct().collect()
+            )
+            df_cap = int(max_df * corpus_stats[0])
+            pcand = read_postings(spark, store_dir, cand, n_buckets)
+            dels0 = read_deletes(spark, store_dir, id_col)
+            if dels0 is not None:
+                pcand = pcand.join(F.broadcast(dels0), id_col, "left_anti")
+            allowed = (
+                pcand.select(id_col, "tok")
+                .distinct()
+                .groupBy("tok")
+                .agg(F.count("*").alias("df"))
+                .filter(F.col("df") <= df_cap)
+                .select("tok")
+            )
+        rm_by_q = _rm_top_terms(ftf, fdl, fb, m, id_col, allowed=allowed)
         wterms = _interpolate_weights(queries, rm_by_q, alpha)
     all_terms = sorted({t for _, t, _ in wterms})
     postings = read_postings(spark, store_dir, all_terms, n_buckets).select(
@@ -530,10 +524,8 @@ def read_corpus_stats(
     O(batches)-row sum of 1-row partials, never a corpus scan. With
     ``apply_deletes`` (default) unapplied tombstones are subtracted,
     so the public number always reflects the LIVE corpus."""
-    storefs.recover_pending(os.path.join(store_dir, "stats"))
     row = (
-        spark.read.option("basePath", os.path.join(store_dir, "stats"))
-        .parquet(os.path.join(store_dir, "stats"))
+        storekit.read_partials(spark, os.path.join(store_dir, "stats"))
         .agg(
             F.sum("n_docs").alias("n"), F.sum("total_tokens").alias("tot")
         )
@@ -560,13 +552,8 @@ def delete_docs(
     ints) as the delete partial ``deletes/batch_id=N`` — O(deletes)
     written, nothing rewritten. Idempotent overwrite; deleting an id
     twice (or one never ingested) is a no-op at serve time."""
-    df = (
-        ids
-        if isinstance(ids, DataFrame)
-        else spark.createDataFrame([(int(i),) for i in ids], f"{id_col} long")
-    )
-    df.select(F.col(id_col)).distinct().write.mode("overwrite").parquet(
-        os.path.join(store_dir, "deletes", f"batch_id={batch_id}")
+    storekit.write_tombstones(
+        spark, store_dir, ids, batch_id, id_col=id_col, out_col=id_col
     )
 
 
@@ -575,18 +562,7 @@ def read_deletes(
 ) -> DataFrame | None:
     """The accumulated tombstone set (distinct ids); None if no
     deletes exist."""
-    root = os.path.join(store_dir, "deletes")
-    storefs.recover_pending(root)
-    if not os.path.isdir(root) or not any(
-        d.startswith("batch_id=") for d in os.listdir(root)
-    ):
-        return None
-    return (
-        spark.read.option("basePath", root)
-        .parquet(root)
-        .select(F.col(id_col))
-        .distinct()
-    )
+    return storekit.read_tombstones(spark, store_dir, out_col=id_col)
 
 
 def _index_tables(spark, store_dir, queries, id_col, n_buckets, corpus_stats):
@@ -848,55 +824,39 @@ def min_cover_span_from_store(
 
 
 def compact_postings(spark: SparkSession, store_dir: str) -> int:
-    """Fold every batch partial of all three substores into one base
+    """Fold every batch partial of all substores into one base
     partial (``batch_id=-1``). The postings/doclen row multisets are
     unchanged (append monoid) and the stats fold to their sum, so
     serving after compaction is bit-identical — a fixed point, like
     the reservoir/freq stores. Returns batch dirs folded (max over
     substores).
 
-    Crash-safe via :mod:`scida_spark.streaming.storefs`, as ONE
-    store-level TRANSACTION (r13, closes r12 ADVICE #3): all three
-    substore folds are STAGED into their scratch dirs first, then
-    committed together by a single atomic txn manifest that also
-    records the tombstone clear. There is no window where one
-    substore is folded (tombstones applied) while a sibling still
-    carries pre-delete partials — the r12 per-substore sequence let a
-    crash between the doclen and stats promotes make
-    ``read_corpus_stats`` overcount (deletes subtracted from doclen
-    but still counted in the stats partials). An interruption before
-    the manifest leaves the store untouched; after it, the next read
-    or compaction replays the whole plan via ``recover_store``.
+    Crash-safe as ONE store-level TRANSACTION (r13, closes r12 ADVICE
+    #3) under the single-writer maintenance lock (r13, closes r12
+    ADVICE #4): all substore folds are STAGED into scratch dirs first,
+    then committed together by one atomic txn manifest that also
+    records the tombstone clear — no window where one substore is
+    folded (tombstones applied) while a sibling still carries
+    pre-delete partials. Tombstones (r12) are APPLIED here: deleted
+    rows drop from the folded postings/doclen/fwd, stats are
+    re-derived from the surviving (masked) doclen rows — exact integer
+    re-aggregation. Since r14 the heal/lock/stage/commit lifecycle is
+    :func:`scida_spark.streaming.storekit.compact_store` (shared by
+    the vector and near-dup-signature stores); this function only
+    supplies the substore specs."""
+    meta = store_meta(store_dir)
+    id_col = meta.get("id_col", "doc_id")
 
-    Tombstones (r12) are APPLIED here: deleted rows drop from the
-    folded postings/doclen, stats are re-derived from the surviving
-    (masked) doclen rows — exact integer re-aggregation — and the
-    delete store's clear rides the same transaction.
+    def _mask(df, dels):
+        return (
+            df if dels is None
+            else df.join(F.broadcast(dels), id_col, "left_anti")
+        )
 
-    SINGLE-WRITER (r13, closes r12 ADVICE #4): the whole fold runs
-    under ``storefs.maintenance_lock(store_dir)``; a concurrent
-    maintainer raises, and readers leave a live maintainer's
-    scratch/manifest alone."""
-    # heal BEFORE locking — recovery is hands-off while any live lock
-    # (ours included) is held, so a dead predecessor's txn must be
-    # replayed here, and stale pre-commit scratch dropped
-    storefs.recover_store(store_dir)
-    for sub in ("postings", "fwd", "doclen", "stats"):
-        p = os.path.join(store_dir, sub)
-        if os.path.isdir(p):
-            storefs.recover_pending(p)
-    with storefs.maintenance_lock(store_dir):
-        return _compact_postings_locked(spark, store_dir)
+    def _fold(df, dels):
+        return _mask(df.drop("batch_id"), dels)
 
-
-def _compact_postings_locked(spark: SparkSession, store_dir: str) -> int:
-    id_col = store_meta(store_dir).get("id_col", "doc_id")
-    dels = read_deletes(spark, store_dir, id_col)
-    dmask = (lambda df: df.join(F.broadcast(dels), id_col, "left_anti")) if (
-        dels is not None
-    ) else (lambda df: df)
-
-    def _stats_rewrite(df):
+    def _stats_rewrite(df, dels):
         if dels is None:
             return df.agg(
                 F.sum("n_docs").alias("n_docs"),
@@ -905,51 +865,25 @@ def _compact_postings_locked(spark: SparkSession, store_dir: str) -> int:
         # exact integer re-aggregation of the SURVIVING doclen rows
         # (masked view over all partials — doclen itself is only
         # staged at this point, not yet promoted)
-        return dmask(read_doclen(spark, store_dir)).agg(
+        return _mask(read_doclen(spark, store_dir), dels).agg(
             F.count("*").alias("n_docs"),
             F.coalesce(F.sum("dl"), F.lit(0))
             .cast("long")
             .alias("total_tokens"),
         )
 
-    # Stage ALL substore folds first — nothing in the store moves
-    # until every scratch dir is written.
-    folds: list[tuple[str, list[str]]] = []
     subs = [
-        ("postings", lambda df: dmask(df.drop("batch_id"))),
-        ("doclen", lambda df: dmask(df.drop("batch_id"))),
-        ("stats", _stats_rewrite),
+        storekit.Substore("postings", _fold, partition_by="tok_bucket"),
+        storekit.Substore("doclen", _fold),
+        storekit.Substore("stats", _stats_rewrite),
     ]
-    if store_meta(store_dir).get("with_forward"):
-        subs.insert(1, ("fwd", lambda df: dmask(df.drop("batch_id"))))
-    for sub, rewrite in subs:
-        root = os.path.join(store_dir, sub)
-        batches = storefs.list_batches(root)
-        if not batches:
-            # no partials to fold — done, UNLESS tombstones must be
-            # applied to an already-compacted store: then fold the
-            # base partial itself
-            if dels is None or not os.path.isdir(
-                os.path.join(root, "batch_id=-1")
-            ):
-                continue
-            batches = ["batch_id=-1"]
-        df = spark.read.option("basePath", root).parquet(root)
-        base = rewrite(df)
-        w = base.write.mode("overwrite")
-        if sub == "postings":
-            w = w.partitionBy("tok_bucket")
-        elif sub == "fwd":
-            w = w.partitionBy("doc_bucket")
-        w.parquet(storefs.scratch_dir(root))
-        folds.append((sub, batches))
-    if not folds:
-        return 0
-    clear: list[tuple[str, list[str]]] = []
-    if dels is not None:
-        droot = os.path.join(store_dir, "deletes")
-        clear.append(("deletes", storefs.list_batches(droot)))
-    # ONE commit point for the whole compaction (folds + tombstone
-    # clear) — see storefs.promote_txn.
-    storefs.promote_txn(store_dir, folds, clear)
-    return max(len(b) for _, b in folds)
+    if meta.get("with_forward"):
+        subs.insert(
+            1, storekit.Substore("fwd", _fold, partition_by="doc_bucket")
+        )
+    return storekit.compact_store(
+        spark,
+        store_dir,
+        subs,
+        read_dels=lambda s: read_deletes(s, store_dir, id_col),
+    )

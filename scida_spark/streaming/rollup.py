@@ -30,6 +30,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from scida_spark.streaming import storekit
+
 DEC = "decimal(38,6)"
 
 
@@ -69,16 +71,11 @@ def incremental_rollup_ingest(
             os.path.join(store_dir, f"batch_id={batch_id}")
         )
 
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
-    stream = reader.parquet(input_dir)
-    writer = stream.writeStream.foreachBatch(process).option(
-        "checkpointLocation", checkpoint_dir
+    return storekit.run_file_ingest(
+        spark, input_dir, schema, process, checkpoint_dir,
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def read_rollup(
@@ -102,28 +99,19 @@ def compact_rollup(
     spark: SparkSession, store_dir: str, key_cols: list[str]
 ) -> int:
     """Fold every partial into a single base partial (batch_id=-1 by
-    convention, read like any other partial), then remove the folded
-    batch directories. Serving cost drops back to O(keys); the merged
-    view is unchanged because every component is mergeable. Returns
-    the number of batch directories folded. Crash-safe via
-    ``streaming/storefs`` (scratch + manifest + recover); single-
-    writer under ``storefs.maintenance_lock``."""
-    from scida_spark.streaming import storefs
-
-    storefs.recover_pending(store_dir)  # heal before locking
-    with storefs.maintenance_lock(store_dir):
-        batches = storefs.list_batches(store_dir)
-        if not batches:
-            return 0
+    convention, read like any other partial). Serving cost drops back
+    to O(keys); the merged view is unchanged because every component
+    is mergeable. Heal/lock/promote mechanics:
+    :func:`storekit.compact_monoid_store`."""
+    def _base():
         partials = spark.read.option("basePath", store_dir).parquet(store_dir)
-        base = partials.groupBy(*key_cols).agg(
+        return partials.groupBy(*key_cols).agg(
             F.sum("n_rows").alias("n_rows"),
             F.sum("sum_val").alias("sum_val"),
             F.hll_union_agg("distinct_sketch").alias("distinct_sketch"),
         )
-        base.write.mode("overwrite").parquet(storefs.scratch_dir(store_dir))
-        storefs.promote_compacted(store_dir, batches)
-        return len(batches)
+
+    return storekit.compact_monoid_store(spark, store_dir, _base)
 
 
 # ---------------------------------------------------------------------------
@@ -158,16 +146,11 @@ def incremental_freq_ingest(
             os.path.join(store_dir, f"batch_id={batch_id}")
         )
 
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
-    stream = reader.parquet(input_dir)
-    writer = stream.writeStream.foreachBatch(process).option(
-        "checkpointLocation", checkpoint_dir
+    return storekit.run_file_ingest(
+        spark, input_dir, schema, process, checkpoint_dir,
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def read_freq(
@@ -207,22 +190,14 @@ def compact_freq(
     spark: SparkSession, store_dir: str, group_cols: list[str], k: int = 32
 ) -> int:
     """Fold all heavy-hitter partials into one base partial
-    (``batch_id=-1``). Returns the number of batch dirs folded.
-    Crash-safe via ``streaming/storefs``; single-writer under
-    ``storefs.maintenance_lock``."""
-    from scida_spark.streaming import storefs
-
-    storefs.recover_pending(store_dir)  # heal before locking
-    with storefs.maintenance_lock(store_dir):
-        batches = storefs.list_batches(store_dir)
-        if not batches:
-            return 0
-        base = _freq_summary_to_partials(
+    (``batch_id=-1``) via :func:`storekit.compact_monoid_store`."""
+    return storekit.compact_monoid_store(
+        spark,
+        store_dir,
+        lambda: _freq_summary_to_partials(
             read_freq(spark, store_dir, group_cols, k), group_cols
-        )
-        base.write.mode("overwrite").parquet(storefs.scratch_dir(store_dir))
-        storefs.promote_compacted(store_dir, batches)
-        return len(batches)
+        ),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -294,16 +269,11 @@ def incremental_reservoir_ingest(
             os.path.join(store_dir, f"batch_id={batch_id}")
         )
 
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
-    stream = reader.parquet(input_dir)
-    writer = stream.writeStream.foreachBatch(process).option(
-        "checkpointLocation", checkpoint_dir
+    return storekit.run_file_ingest(
+        spark, input_dir, schema, process, checkpoint_dir,
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
 
 
 def read_reservoir(
@@ -329,22 +299,14 @@ def compact_reservoir(
 ) -> int:
     """Fold all reservoir partials into one base partial
     (``batch_id=-1``); min-k is idempotent, so serving afterwards is
-    bit-identical. Returns the number of batch dirs folded.
-    Crash-safe via ``streaming/storefs``; single-writer under
-    ``storefs.maintenance_lock``."""
-    from scida_spark.streaming import storefs
-
-    storefs.recover_pending(store_dir)  # heal before locking
-    with storefs.maintenance_lock(store_dir):
-        batches = storefs.list_batches(store_dir)
-        if not batches:
-            return 0
-        base = read_reservoir(spark, store_dir, group_cols, k).drop(
+    bit-identical. Via :func:`storekit.compact_monoid_store`."""
+    return storekit.compact_monoid_store(
+        spark,
+        store_dir,
+        lambda: read_reservoir(spark, store_dir, group_cols, k).drop(
             "sample_rank"
-        )
-        base.write.mode("overwrite").parquet(storefs.scratch_dir(store_dir))
-        storefs.promote_compacted(store_dir, batches)
-        return len(batches)
+        ),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -415,13 +377,8 @@ def incremental_multi_store_ingest(
         finally:
             batch_df.unpersist()
 
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
-    stream = reader.parquet(input_dir)
-    writer = stream.writeStream.foreachBatch(process).option(
-        "checkpointLocation", checkpoint_dir
+    return storekit.run_file_ingest(
+        spark, input_dir, schema, process, checkpoint_dir,
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

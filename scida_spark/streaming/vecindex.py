@@ -63,7 +63,7 @@ from scida_spark.functions.similarity import (
     load_ivf_index,
     save_ivf_index,
 )
-from scida_spark.streaming import storefs
+from scida_spark.streaming import storefs, storekit
 
 __all__ = [
     "create_vector_store",
@@ -100,38 +100,32 @@ def create_vector_store(
     silently (the postings ``_ensure_meta`` rule)."""
     from scida_spark.functions.similarity import save_pq_codebooks
 
-    os.makedirs(store_dir, exist_ok=True)
-    path = os.path.join(store_dir, META_FILE)
-    want = {
-        "id_col": id_col,
-        "vec_col": vec_col,
-        "n_lists": int(centroids.shape[0]),
-        "dim": int(centroids.shape[1]),
-        "pq_m": int(codebooks.shape[0]) if codebooks is not None else 0,
-        "pq_ksub": int(codebooks.shape[1]) if codebooks is not None else 0,
-    }
-    if os.path.isfile(path):
-        have = storefs.read_json(path)
-        diffs = {
-            k: (have.get(k), v) for k, v in want.items() if have.get(k) != v
-        }
-        if diffs:
-            raise ValueError(
-                f"vector store {store_dir} was created with "
-                + ", ".join(f"{k}={h!r}" for k, (h, _) in diffs.items())
-                + "; refusing to re-create with "
-                + ", ".join(f"{k}={w!r}" for k, (_, w) in diffs.items())
-            )
-        return
-    save_ivf_index(spark, centroids, os.path.join(store_dir, "centroids"))
-    if codebooks is not None:
-        save_pq_codebooks(spark, codebooks, os.path.join(store_dir, "pq"))
-    storefs.write_json_atomic(path, want)
+    def _persist_artifacts():
+        # runs only on first creation, BEFORE the meta commit: a crash
+        # in between leaves no meta, so the store reads as uncreated,
+        # never half-created
+        save_ivf_index(spark, centroids, os.path.join(store_dir, "centroids"))
+        if codebooks is not None:
+            save_pq_codebooks(spark, codebooks, os.path.join(store_dir, "pq"))
+
+    storekit.ensure_meta(
+        store_dir,
+        {
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "n_lists": int(centroids.shape[0]),
+            "dim": int(centroids.shape[1]),
+            "pq_m": int(codebooks.shape[0]) if codebooks is not None else 0,
+            "pq_ksub": int(codebooks.shape[1]) if codebooks is not None else 0,
+        },
+        "vector store",
+        before_write=_persist_artifacts,
+        verbs=("created", "re-create"),
+    )
 
 
 def vector_store_meta(store_dir: str) -> dict:
-    path = os.path.join(store_dir, META_FILE)
-    return storefs.read_json(path) if os.path.isfile(path) else {}
+    return storekit.store_meta(store_dir)
 
 
 def _load_centroids(spark: SparkSession, store_dir: str) -> "np.ndarray":
@@ -206,16 +200,11 @@ def incremental_vector_ingest(
     """Watch ``input_dir`` for new vector files and maintain the
     inverted-list store; returns the StreamingQuery."""
     writer_fn = vector_index_writer(store_dir)
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
-    stream = reader.parquet(input_dir)
-    writer = stream.writeStream.foreachBatch(
-        lambda df, bid: writer_fn(df, bid)
-    ).option("checkpointLocation", checkpoint_dir)
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return storekit.run_file_ingest(
+        spark, input_dir, schema, writer_fn, checkpoint_dir,
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
+    )
 
 
 def read_vectors(
@@ -262,31 +251,15 @@ def delete_vectors(
     nothing rewritten; idempotent overwrite (the postings r12
     convention)."""
     id_col = vector_store_meta(store_dir).get("id_col", "vec_id")
-    df = (
-        ids
-        if isinstance(ids, DataFrame)
-        else spark.createDataFrame([(int(i),) for i in ids], f"{id_col} long")
+    storekit.write_tombstones(
+        spark, store_dir, ids, batch_id, id_col=id_col, out_col="vec_id"
     )
-    df.select(F.col(id_col).alias("vec_id")).distinct().write.mode(
-        "overwrite"
-    ).parquet(os.path.join(store_dir, "deletes", f"batch_id={batch_id}"))
 
 
 def read_vector_deletes(
     spark: SparkSession, store_dir: str, id_col: str = "vec_id"
 ) -> DataFrame | None:
-    root = os.path.join(store_dir, "deletes")
-    storefs.recover_pending(root)
-    if not os.path.isdir(root) or not any(
-        d.startswith("batch_id=") for d in os.listdir(root)
-    ):
-        return None
-    return (
-        spark.read.option("basePath", root)
-        .parquet(root)
-        .select(F.col("vec_id"))
-        .distinct()
-    )
+    return storekit.read_tombstones(spark, store_dir, out_col="vec_id")
 
 
 def ivf_topk_from_store(
@@ -411,10 +384,13 @@ def rebuild_vector_store(
         if not rows:
             # a small or oddly-keyed live set can miss the 1-in-7
             # sample entirely — fall back to the full (capped) live set
-            # rather than crashing codebook training on zero vectors
+            # rather than crashing codebook training on zero vectors.
+            # Ordered by id so the refreshed codebooks are reproducible
+            # across runs/partitionings (TakeOrderedAndProject).
             rows = (
-                live.select(F.col(vec_col).cast("array<double>").alias("v"))
+                live.orderBy(id_col)
                 .limit(cap)
+                .select(F.col(vec_col).cast("array<double>").alias("v"))
                 .collect()
             )
         sample = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
@@ -528,27 +504,15 @@ def compact_vector_store(spark: SparkSession, store_dir: str) -> int:
     a fixed point. Single-writer under ``storefs.maintenance_lock``;
     crash-safe via the store-level txn manifest. Returns batch dirs
     folded."""
-    storefs.recover_store(store_dir)
-    root = os.path.join(store_dir, "vectors")
-    storefs.recover_pending(root)
-    with storefs.maintenance_lock(store_dir):
-        dels = read_vector_deletes(spark, store_dir)
-        batches = storefs.list_batches(root)
-        if not batches:
-            if dels is None or not os.path.isdir(
-                os.path.join(root, "batch_id=-1")
-            ):
-                return 0
-            batches = ["batch_id=-1"]
-        df = spark.read.option("basePath", root).parquet(root).drop("batch_id")
+    def _fold(df, dels):
+        df = df.drop("batch_id")
         if dels is not None:
             df = df.join(F.broadcast(dels), "vec_id", "left_anti")
-        df.write.mode("overwrite").partitionBy("list_id").parquet(
-            storefs.scratch_dir(root)
-        )
-        clear: list[tuple[str, list[str]]] = []
-        if dels is not None:
-            droot = os.path.join(store_dir, "deletes")
-            clear.append(("deletes", storefs.list_batches(droot)))
-        storefs.promote_txn(store_dir, [("vectors", batches)], clear)
-        return len(batches)
+        return df
+
+    return storekit.compact_store(
+        spark,
+        store_dir,
+        [storekit.Substore("vectors", _fold, partition_by="list_id")],
+        read_dels=lambda s: read_vector_deletes(s, store_dir),
+    )

@@ -883,3 +883,99 @@ def test_containment_pairs_hot_shingle_verify_path(spark):
     # doc 0's shingles ('aa bb cc','bb cc dd','cc dd xx','dd xx yy',
     # 'xx yy zz') are ALL in doc 1 -> containment 1.0 via the cold tail
     assert got[(0, 1)] == 1.0
+
+
+# --------------------------------------------------------------------------
+# Exact-substring dedup (r14): winnowing anchors + neighborhood verify
+# --------------------------------------------------------------------------
+
+
+def test_exact_substring_pairs_matches_lgram_join(spark):
+    """exact_substring_pairs == the naive L-gram-join semantics (a
+    pair shares a >=L-char verbatim substring iff it shares an
+    L-gram): planted 80-char shares pair, sub-L shares don't, and the
+    winnowing blocking loses nothing."""
+    import random
+
+    from scida_spark.functions.dedup import exact_substring_pairs
+
+    random.seed(7)
+    alph = "abcdefghij "
+
+    def rnd(n):
+        return "".join(random.choice(alph) for _ in range(n))
+
+    base = [rnd(200) for _ in range(30)]
+    rows = [(i, t) for i, t in enumerate(base)]
+    for i in (0, 3, 6):  # 80-char verbatim share -> certain pair
+        rows.append((100 + i, rnd(20) + base[i][50:130] + rnd(25)))
+    rows.append((200, rnd(30) + base[1][10:69] + rnd(30)))  # 59 chars
+    rows.append((300, ""))  # empty text: no grams, no crash
+    rows.append((301, "short"))  # sub-k text
+    # IDENTICAL docs shorter than L: no L-gram exists, so NOT a pair
+    # (r14 regression: an unguarded sequence(1,0) ran descending and
+    # emitted phantom truncated grams that false-paired these)
+    sub_l = rnd(58)
+    rows.append((400, sub_l))
+    rows.append((401, sub_l))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in exact_substring_pairs(
+            df, "doc_id", "text", min_len=60, k=16
+        ).collect()
+    }
+
+    def grams(t, L=60):
+        return {t[i : i + L] for i in range(len(t) - L + 1)}
+
+    g = {i: grams(t) for i, t in rows}
+    want = {(a, b) for a in g for b in g if a < b and g[a] & g[b]}
+    assert got == want
+    assert {(0, 100), (3, 103), (6, 106)} <= got
+
+
+def test_exact_substring_pairs_partitioning_invariant(spark):
+    from scida_spark.functions.dedup import exact_substring_pairs
+
+    rows = [(i, ("xyz%d " % (i % 5)) * 40) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {
+        (r["doc_a"], r["doc_b"])
+        for r in exact_substring_pairs(df, "doc_id", "text", 60, 16).collect()
+    }
+    b = {
+        (r["doc_a"], r["doc_b"])
+        for r in exact_substring_pairs(
+            df.repartition(13), "doc_id", "text", 60, 16
+        ).collect()
+    }
+    assert a == b
+    # docs with i%5 equal share their entire text -> all such pairs
+    assert {(0, 5), (0, 10), (1, 6)} <= a
+    assert (0, 1) not in a
+
+
+def test_winnow_anchor_density_and_guarantee(spark):
+    """Anchors are ~2/(w+1) of gram positions (winnowing theory) and
+    any >= w+k-1 shared substring yields a shared anchor hash."""
+    import random
+
+    from scida_spark.functions.dedup import winnow_anchors
+
+    random.seed(11)
+    t = "".join(random.choice("abcdefghijklmnop") for _ in range(2000))
+    df = spark.createDataFrame([(0, t)], "doc_id long, text string")
+    anchors = winnow_anchors(df, "doc_id", "text", k=16, window=45).collect()
+    n_grams = len(t) - 15
+    density = len(anchors) / n_grams
+    assert 0.01 < density < 0.12, density  # ~2/46 = 0.043 expected
+    # shared-substring guarantee across two docs
+    t2 = "Z" * 50 + t[500:700] + "Q" * 50
+    df2 = spark.createDataFrame(
+        [(0, t), (1, t2)], "doc_id long, text string"
+    )
+    by_doc = {}
+    for r in winnow_anchors(df2, "doc_id", "text", k=16, window=45).collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["h"])
+    assert by_doc[0] & by_doc[1], "winnowing guarantee violated"

@@ -386,6 +386,42 @@ def test_rm3_expansion_adds_terms_beyond_query(docs_df):
     assert sum(w for _, _, w in wt) == pytest.approx(1.0, abs=1e-12)
 
 
+def test_rm3_max_df_ceiling(docs_df):
+    """r14: the expansion-term df ceiling. max_df=1.0 is a no-op
+    (df <= n always); a tight ceiling bars corpus-frequent terms from
+    the RM1 top-m but never touches the original query's alpha side;
+    and the full rm3_topk honors it end-to-end (matches the naive
+    reference with the same filter)."""
+    from scida_spark.functions.retrieval import rm3_expand_terms, rm3_topk
+
+    queries = [(0, "quick fox")]
+    kw = dict(k_fb=2, m=6, alpha=0.5, mu=50.0)
+    base = rm3_expand_terms(docs_df, queries, **kw)
+    assert rm3_expand_terms(docs_df, queries, max_df=1.0, **kw) == base
+
+    # cap = int(0.5 * 5) = 2: 'spark' (df=3) is barred from expansion
+    tight = rm3_expand_terms(docs_df, queries, max_df=0.5, **kw)
+    toks = {d: t.strip().split(" ") for d, t in DOCS}
+
+    def df(t):
+        return sum(1 for tt in toks.values() if t in tt)
+
+    for _, t, _ in tight:
+        if t not in ("quick", "fox"):
+            assert df(t) <= 2, t
+    assert {"quick", "fox"} <= {t for _, t, _ in tight}
+    assert {t for _, t, _ in tight} != {t for _, t, _ in base}
+    assert "spark" in {t for _, t, _ in base}  # the guard bit a real term
+
+    # end-to-end: rm3_topk(max_df) == rm3_topk(wterms=ceiling expansion)
+    via_param = rm3_topk(docs_df, queries, k=10, max_df=0.5, **kw).collect()
+    via_wterms = rm3_topk(docs_df, queries, k=10, wterms=tight, **kw).collect()
+    key = lambda rs: sorted(
+        (r["query_id"], r["doc_id"], r["score"], r["rank"]) for r in rs
+    )
+    assert key(via_param) == key(via_wterms)
+
+
 def test_rm3_no_feedback_docs_degenerates_to_orig_terms(spark):
     from scida_spark.functions.retrieval import rm3_expand_terms
 

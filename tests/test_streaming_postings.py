@@ -817,6 +817,30 @@ def test_rm3_from_store_equals_batch_bitwise(spark, dirs):
     }
 
 
+def test_rm3_from_store_max_df_equals_batch(spark, dirs):
+    """r14: the expansion-term df ceiling served from the index (df
+    from a bucket-pruned postings read) is bit-identical to the batch
+    twin's (df from a corpus scan), and the ceiling genuinely changes
+    the result vs the unceilinged run."""
+    from scida_spark.functions.retrieval import rm3_topk
+    from scida_spark.streaming.postings import rm3_topk_from_store
+
+    _wave(os.path.join(dirs["input"], "w0.parquet"), 0, 30)
+    _wave(os.path.join(dirs["input"], "w1.parquet"), 30, 55)
+    _ingest(spark, dirs, max_files_per_trigger=1, with_forward=True)
+
+    docs = spark.read.schema(SCHEMA).parquet(dirs["input"])
+    params = dict(k=10, k_fb=3, m=5, alpha=0.5, mu=60.0, max_df=0.25)
+    served = rm3_topk_from_store(spark, dirs["store"], QUERIES, **params)
+    batch = rm3_topk(docs, QUERIES, **params)
+    assert _rows(served) == _rows(batch) and served.count() > 0
+
+    no_ceiling = rm3_topk(
+        docs, QUERIES, k=10, k_fb=3, m=5, alpha=0.5, mu=60.0
+    )
+    assert _rows(no_ceiling) != _rows(batch)
+
+
 def test_read_forward_refuses_non_forward_store(spark, dirs):
     from scida_spark.streaming.postings import (
         read_forward,

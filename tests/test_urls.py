@@ -232,3 +232,75 @@ def test_with_url_columns_refuses_name_clash(spark, urls_df):
         domain_col="d2",
     )
     assert {"h2", "d2"} <= set(out.columns)
+
+
+def test_cap_per_domain_deterministic_and_capped(spark):
+    """r14: per-registered-domain quota sampling — at most cap rows
+    per domain, hash-order (md5(id||salt), id) reproduced exactly by a
+    python replay, invariant under repartitioning, re-rolled by the
+    salt."""
+    import hashlib
+
+    from scida_spark.functions.urls import cap_per_domain
+
+    rows = [
+        (i, f"http://www.s{i % 4}.dom{i % 2}.com/p/{i}") for i in range(40)
+    ] + [(100 + i, "https://tiny.org/x") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+
+    got = cap_per_domain(df, "doc_id", "url", cap=5, salt="s1")
+    by_dom = {}
+    for r in got.collect():
+        by_dom.setdefault(r["url_domain"], []).append(
+            (r["domain_rank"], r["doc_id"])
+        )
+    assert set(by_dom) == {"dom0.com", "dom1.com", "tiny.org"}
+    assert len(by_dom["dom0.com"]) == 5 and len(by_dom["dom1.com"]) == 5
+    assert len(by_dom["tiny.org"]) == 3  # under the cap: all kept
+
+    # python replay of the hash order per domain
+    def key(i):
+        return (hashlib.md5(f"{i}s1".encode()).hexdigest(), i)
+
+    doms = {
+        i: ("tiny.org" if i >= 100 else f"dom{i % 2}.com")
+        for i, _ in rows
+    }
+    for dom, kept in by_dom.items():
+        ids = sorted((i for i in doms if doms[i] == dom), key=key)[:5]
+        assert sorted(kept) == [(r + 1, d) for r, d in enumerate(ids)]
+
+    # partitioning-invariant; salt re-rolls the sample
+    got17 = {
+        (r["doc_id"], r["domain_rank"])
+        for r in cap_per_domain(
+            df.repartition(17), "doc_id", "url", cap=5, salt="s1"
+        ).collect()
+    }
+    assert got17 == {(r["doc_id"], r["domain_rank"]) for r in got.collect()}
+    other = {
+        r["doc_id"]
+        for r in cap_per_domain(df, "doc_id", "url", cap=5, salt="s2")
+        .filter(F.col("url_domain") == "dom0.com")
+        .collect()
+    }
+    assert other != {d for _, d in by_dom["dom0.com"]}
+
+
+def test_cap_per_domain_plan_has_partial_window_group_limit(spark):
+    """The hot-domain shuffle bound: Catalyst must plan the rank
+    filter as a map-side Partial WindowGroupLimit below the exchange
+    (the grouped_topn contract), so a billion-row domain forwards at
+    most cap rows per map task."""
+    from scida_spark.functions.urls import cap_per_domain
+
+    df = spark.createDataFrame(
+        [(i, f"http://a{i % 3}.com/{i}") for i in range(100)],
+        "doc_id long, url string",
+    )
+    plan = (
+        cap_per_domain(df, "doc_id", "url", cap=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan
