@@ -33,6 +33,7 @@ rest of the LLM-pipeline family.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -153,4 +154,165 @@ def mask_hot_spans(
         *docs.columns,
         F.array_join(kept, " ").alias(out_col),
         (F.size(t) - F.size(kept)).cast("long").alias("n_masked"),
+    )
+
+
+def exact_substring_cut(
+    df,
+    id_col: str,
+    text_col: str,
+    min_len: int = 60,
+    k: int = 16,
+):
+    """CHARACTER-level exact-substring removal — the full Lee et al.
+    2022 regime (their suffix-array tool CUTS the duplicated bytes,
+    not just flags the documents): every character position lying
+    inside a verbatim substring of length >= ``min_len`` shared with a
+    DIFFERENT document is removed; the survivors concatenate in order.
+    (The token-window :func:`mask_hot_spans` above approximates this
+    at k-token granularity; this operator is byte-exact.)
+
+    Returns (id, cleaned, n_removed) for EVERY input document
+    (untouched docs report their original text and 0).
+
+    Semantics (both engines replay it exactly): position p of doc d is
+    covered iff some L-gram of d containing p also occurs in another
+    document. The engine never materializes the L-gram blowup:
+
+    1. winnowing anchors + the anchor-hash block join of
+       :func:`~scida_spark.functions.dedup.exact_substring_pairs`
+       produce every cross-doc candidate anchor OCCURRENCE pair;
+    2. an Arrow-batched pandas kernel extends each occurrence pair to
+       its MAXIMAL shared interval (O(match length) per candidate —
+       the only Python in the pipeline, bounded by the candidate set);
+    3. intervals of length >= L are exactly the union of covered
+       positions (any shared >= L substring contains a winnowing
+       anchor, and its maximal extension contains it back), so a
+       per-doc JVM fold — sort, merge overlaps, cut the gaps with
+       substr concatenation — rebuilds the cleaned text without ever
+       exploding characters through a shuffle.
+
+    Scale: stages 1 and 3 are the exact_substring_pairs shapes (one
+    anchor-hash exchange + one per-doc groupBy of interval structs —
+    intervals are candidate-bounded, not text-bounded); stage 2 ships
+    only candidate rows through Arrow. Within-document repeats are NOT
+    removed (cross-doc only — the dedup-between-documents contract;
+    compose with :func:`mask_hot_spans` for within-corpus hot spans).
+    """
+    from scida_spark.functions.dedup import winnow_anchors
+
+    if k >= min_len:
+        raise ValueError(
+            f"exact_substring_cut: k={k} must be < min_len={min_len}"
+        )
+    window = min_len - k + 1
+    anchors = winnow_anchors(
+        df, id_col, text_col, k=k, window=window
+    ).localCheckpoint(eager=False)
+    a = anchors.select(
+        F.col(id_col).alias("doc_a"), "h", F.col("pos").alias("pos_a")
+    )
+    b = anchors.select(
+        F.col(id_col).alias("doc_b"), "h", F.col("pos").alias("pos_b")
+    )
+    cand = a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b", "pos_a", "pos_b"
+    )
+    texts = df.select(F.col(id_col), F.col(text_col).alias("_t"))
+    paired = (
+        cand.join(texts.withColumnRenamed(id_col, "doc_a"), "doc_a")
+        .withColumnRenamed("_t", "_ta")
+        .join(texts.withColumnRenamed(id_col, "doc_b"), "doc_b")
+        .withColumnRenamed("_t", "_tb")
+    )
+
+    @F.pandas_udf("struct<sa:int,sb:int,ln:int>")
+    def _extend(
+        ta: pd.Series, pa: pd.Series, tb: pd.Series, pb: pd.Series
+    ) -> pd.DataFrame:
+        sa_out, sb_out, ln_out = [], [], []
+        for xa, ia, xb, ib in zip(
+            ta.tolist(), pa.tolist(), tb.tolist(), pb.tolist()
+        ):
+            i, j = ia - 1, ib - 1  # 0-based anchor starts
+            lo = 0
+            while i - lo - 1 >= 0 and j - lo - 1 >= 0 and xa[i - lo - 1] == xb[j - lo - 1]:
+                lo += 1
+            hi = 0
+            while (
+                i + k + hi < len(xa)
+                and j + k + hi < len(xb)
+                and xa[i + k + hi] == xb[j + k + hi]
+            ):
+                hi += 1
+            sa_out.append(ia - lo)
+            sb_out.append(ib - lo)
+            ln_out.append(lo + k + hi)
+        return pd.DataFrame({"sa": sa_out, "sb": sb_out, "ln": ln_out})
+
+    ext = paired.select(
+        "doc_a",
+        "doc_b",
+        _extend(F.col("_ta"), F.col("pos_a"), F.col("_tb"), F.col("pos_b")).alias(
+            "_e"
+        ),
+    ).filter(F.col("_e.ln") >= min_len)
+    ivals = (
+        ext.select(
+            F.col("doc_a").alias(id_col),
+            F.col("_e.sa").alias("s"),
+            (F.col("_e.sa") + F.col("_e.ln") - 1).alias("e"),
+        )
+        .unionAll(
+            ext.select(
+                F.col("doc_b").alias(id_col),
+                F.col("_e.sb").alias("s"),
+                (F.col("_e.sb") + F.col("_e.ln") - 1).alias("e"),
+            )
+        )
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set(F.struct("s", "e"))).alias("_iv"))
+    )
+    empty_iv = F.array().cast("array<struct<s:int,e:int>>")
+    merged = F.aggregate(
+        F.coalesce(F.col("_iv"), empty_iv),
+        empty_iv,
+        lambda acc, x: F.when(F.size(acc) == 0, F.array(x)).otherwise(
+            F.when(
+                x["s"] <= F.element_at(acc, -1)["e"] + 1,
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(
+                        F.struct(
+                            F.element_at(acc, -1)["s"].alias("s"),
+                            F.greatest(
+                                F.element_at(acc, -1)["e"], x["e"]
+                            ).alias("e"),
+                        )
+                    ),
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+        ),
+    )
+    t = F.col("_t")
+    cut = F.aggregate(
+        merged,
+        F.struct(F.lit("").alias("acc"), F.lit(1).alias("cur")),
+        lambda st, iv: F.struct(
+            F.concat(
+                st["acc"], F.substr(t, st["cur"], iv["s"] - st["cur"])
+            ).alias("acc"),
+            (iv["e"] + 1).alias("cur"),
+        ),
+        lambda st: F.concat(
+            st["acc"], F.substr(t, st["cur"], F.length(t) - st["cur"] + 1)
+        ),
+    )
+    return (
+        texts.join(ivals, id_col, "left")
+        .select(
+            F.col(id_col),
+            cut.alias("cleaned"),
+            (F.length("_t") - F.length(cut)).alias("n_removed"),
+        )
     )

@@ -280,6 +280,88 @@ def _postings_cert_store(spark, docs_dt, sf_dir: str, hi_doc_id: int):
     return pstore, pre_dir
 
 
+def _esub_cert_store(spark, esub_corpus, sf_dir: str, hi_doc_id: int):
+    """The incremental exact-substring-index attestation store (r14)
+    — the ``_postings_cert_store`` pattern applied to
+    :mod:`scida_spark.streaming.esubindex`: built ONCE per (sf_dir,
+    documents content) and reused across calls and processes.
+
+    One-time build: the esub section corpus (documents + the 2^41
+    planted excerpts) split into 3 batch files — originals into two
+    id-range thirds, the remaining originals PLUS every planted doc in
+    the third — so the ingest's anchors-vs-history join provably fires
+    on real cross-batch shares; ingested through a REAL availableNow
+    file stream (maxFilesPerTrigger=1 → 3 genuine micro-batches of
+    map-only winnowing). A ``_CERT_OK.json`` sentinel carrying the
+    corpus fingerprint commits the store. Per call, serving is ONE
+    partial read + distinct (``read_esub_pairs``) — the driver oracle
+    then value-checks the served pair set against the direct
+    L-gram-join SQL, which certifies incremental == batch == SQL in
+    one row family."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from scida_spark.streaming import storefs
+    from scida_spark.streaming.esubindex import incremental_esub_ingest
+
+    fp = _corpus_fingerprint(sf_dir, "documents")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    ebase = os.path.join(tempfile.gettempdir(), f"ss_esubidx_cert_{tag}")
+    sentinel = os.path.join(ebase, "_CERT_OK.json")
+    estore = os.path.join(ebase, "store")
+    if os.path.isfile(sentinel):
+        try:
+            if storefs.read_json(sentinel).get("fingerprint") == fp:
+                return estore
+        except Exception:
+            pass  # torn/stale sentinel → rebuild
+    shutil.rmtree(ebase, ignore_errors=True)
+    einp = os.path.join(ebase, "input")
+    os.makedirs(einp)
+    _c1, _c2 = hi_doc_id // 3, 2 * hi_doc_id // 3
+    for _k, _cond in enumerate(
+        [
+            F.col("doc_id") <= _c1,
+            (F.col("doc_id") > _c1) & (F.col("doc_id") <= _c2),
+            F.col("doc_id") > _c2,  # includes every 2^41 planted doc
+        ]
+    ):
+        _part = os.path.join(ebase, f"_stage{_k}")
+        esub_corpus.filter(_cond).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(_part)
+        _src = next(f for f in os.listdir(_part) if f.endswith(".parquet"))
+        os.rename(
+            os.path.join(_part, _src), os.path.join(einp, f"b{_k}.parquet")
+        )
+        shutil.rmtree(_part)
+    eq = incremental_esub_ingest(
+        spark,
+        einp,
+        esub_corpus.schema,
+        index_dir=estore,
+        checkpoint_dir=os.path.join(ebase, "ckpt"),
+        min_len=_ESUB_L,
+        k=_ESUB_K,
+    )
+    eq.awaitTermination()
+    _nb = len(
+        [
+            d
+            for d in os.listdir(os.path.join(estore, "pairs"))
+            if d.startswith("batch_id=")
+        ]
+    )
+    if _nb != 3:  # pragma: no cover - layout regression guard
+        raise AssertionError(
+            f"esub ingest: expected 3 micro-batch partials, got {_nb}"
+        )
+    storefs.write_json_atomic(sentinel, {"fingerprint": fp})
+    return estore
+
+
 def _vecindex_cert_store(spark, emb, sf_dir: str, n_vectors: int):
     """The streaming VECTOR-index attestation store (r13, the r12
     verdict's streaming-story item) — the ``_postings_cert_store``
@@ -476,19 +558,22 @@ _ESUB_L, _ESUB_K = 60, 16
 _ESUB_BASE = 1 << 41
 
 
-def _esub_oracle_section() -> str:
-    """DuckDB twin of the esub section — the SEMANTICS-level replay:
-    a pair shares a verbatim substring of length >= L iff it shares an
-    L-gram, so the oracle joins every section doc's distinct 60-grams
-    directly (the quadratic-free set form DuckDB can afford at these
-    SFs). The engine's winnowing-anchor + neighborhood-verify pipeline
-    (functions/dedup.py::exact_substring_pairs) must reproduce that
-    pair set EXACTLY — a hash match certifies both the winnowing
-    blocking's completeness and the verify stage's soundness on real
-    data."""
+def _esub_oracle_section(method: str = "esub") -> str:
+    """DuckDB twin of the esub/esubs sections — the SEMANTICS-level
+    replay: a pair shares a verbatim substring of length >= L iff it
+    shares an L-gram, so the oracle joins every section doc's distinct
+    60-grams directly (the quadratic-free set form DuckDB can afford
+    at these SFs). The engine must reproduce that pair set EXACTLY —
+    ``esub`` runs the batch winnowing-anchor + neighborhood-verify
+    pipeline (functions/dedup.py::exact_substring_pairs), ``esubs``
+    serves the SAME answer from the incrementally built anchor store
+    (streaming/esubindex.py — 3 real micro-batches with cross-batch
+    planted shares), so one oracle body certifies batch blocking
+    completeness + verify soundness AND the streaming store's
+    incremental == batch contract."""
     return f"""
     UNION ALL
-    SELECT 'esub' AS method, id_a, id_b, CAST(1.0 AS DOUBLE) AS score
+    SELECT '{method}' AS method, id_a, id_b, CAST(1.0 AS DOUBLE) AS score
     FROM (
       WITH esd AS (
         SELECT CAST(doc_id AS BIGINT) AS doc, text FROM documents
@@ -643,7 +728,8 @@ def _fs_oracle_section() -> str:
     WHERE u.score >= 0.6
     """
     + _fs_oracle_section()
-    + _esub_oracle_section(),
+    + _esub_oracle_section()
+    + _esub_oracle_section("esubs"),
 )
 @_memo_slot("documents")
 def dedup_signature_pairs(spark, sf_dir):
@@ -1010,6 +1096,36 @@ def dedup_signature_pairs(spark, sf_dir):
         F.col("doc_b").cast("bigint").alias("id_b"),
         F.lit(1.0).alias("score"),
     )
+    # esubs (r14): the SAME pair set served from the INCREMENTALLY
+    # built anchor store (streaming/esubindex.py — the first store
+    # written entirely on storekit): 3 real availableNow micro-batches
+    # with the planted excerpts landing in the LAST batch, so the
+    # anchors-vs-history join provably fires on real cross-batch
+    # shares. The store build is a content-fingerprint-memoized
+    # fixed point (_esub_cert_store); the per-call serve is one pairs
+    # partial read + distinct. The oracle is the same direct
+    # L-gram-join replay as esub, so one green row certifies
+    # incremental == batch == SQL.
+    _ehi = _parquet_col_max(sf_dir, "documents", "doc_id")
+    if _ehi is None:
+        _ehi = docs.agg(F.max("doc_id")).first()[0]
+    if _ehi is None:
+        esubs = spark.range(0).select(
+            F.lit("esubs").alias("method"),
+            F.lit(-1).cast("bigint").alias("id_a"),
+            F.lit(-1).cast("bigint").alias("id_b"),
+            F.lit(1.0).alias("score"),
+        )
+    else:
+        from scida_spark.streaming.esubindex import read_esub_pairs
+
+        _estore = _esub_cert_store(spark, esub_corpus, sf_dir, _ehi)
+        esubs = read_esub_pairs(spark, _estore).select(
+            F.lit("esubs").alias("method"),
+            F.col("doc_a").cast("bigint").alias("id_a"),
+            F.col("doc_b").cast("bigint").alias("id_b"),
+            F.lit(1.0).alias("score"),
+        )
     return (
         sh.unionAll(cert)
         .unionAll(fz)
@@ -1017,6 +1133,7 @@ def dedup_signature_pairs(spark, sf_dir):
         .unionAll(lk)
         .unionAll(ct)
         .unionAll(esub)
+        .unionAll(esubs)
     )
 
 
@@ -1044,7 +1161,33 @@ def dedup_signature_pairs(spark, sf_dir):
                        CAST(COUNT(*) AS BIGINT) AS n_kept
                 FROM te LEFT JOIN cov ON cov.doc_id = te.doc_id AND cov.ci = te.i
                 WHERE cov.ci IS NULL GROUP BY te.doc_id),
-    lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM tok)
+    lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM tok),
+    -- esubcut (r14): character-level exact-substring removal over the
+    -- esub section corpus (documents + the 2^41 planted excerpts) —
+    -- the PER-POSITION COVERAGE definition replayed directly: a char
+    -- is removed iff some 60-gram containing it occurs in another doc
+    esd AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc, text FROM documents
+      UNION ALL
+      SELECT CAST(doc_id + 2199023255552 AS BIGINT),
+             substr(text, 10, 80) || ' planted-esub-'
+               || CAST(doc_id AS VARCHAR)
+      FROM documents WHERE doc_id % 11 = 4 AND len(text) >= 10),
+    eg2 AS (SELECT doc, i, substr(text, i, 60) AS gr
+            FROM esd, UNNEST(generate_series(1, len(text) - 59)) u(i)
+            WHERE len(text) >= 60),
+    eshared AS (SELECT gr FROM (SELECT DISTINCT doc, gr FROM eg2)
+                GROUP BY gr HAVING COUNT(*) >= 2),
+    ecov AS (SELECT DISTINCT e.doc, c.p
+             FROM eg2 e JOIN eshared USING (gr),
+                  LATERAL UNNEST(generate_series(e.i, e.i + 59)) AS c(p)),
+    ech AS (SELECT doc, u.p, substr(text, u.p, 1) AS ch
+            FROM esd, UNNEST(generate_series(1, len(text))) AS u(p)),
+    ek AS (SELECT ech.doc, string_agg(ch, '' ORDER BY ech.p) AS cleaned,
+                  CAST(COUNT(*) AS BIGINT) AS n_kept
+           FROM ech LEFT JOIN ecov ON ecov.doc = ech.doc AND ecov.p = ech.p
+           WHERE ecov.p IS NULL GROUP BY ech.doc),
+    elen AS (SELECT doc, CAST(len(text) AS BIGINT) AS n FROM esd)
     SELECT 'contam' AS section, CAST(bench_doc AS BIGINT) AS id_a,
            CAST(corpus_doc AS BIGINT) AS id_b,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -1056,6 +1199,13 @@ def dedup_signature_pairs(spark, sf_dir):
            lens.n - COALESCE(n_kept, 0),
            (lens.n - COALESCE(n_kept, 0)) > 0
     FROM lens LEFT JOIN keptagg USING (doc_id)
+    UNION ALL
+    SELECT 'esubcut', CAST(elen.doc AS BIGINT),
+           CAST(CAST(('0x' || substr(md5(COALESCE(ek.cleaned, '')), 1, 14))
+                AS UBIGINT) AS BIGINT),
+           elen.n - COALESCE(ek.n_kept, 0),
+           (elen.n - COALESCE(ek.n_kept, 0)) > 0
+    FROM elen LEFT JOIN ek USING (doc)
     """,
 )
 def dedup_contamination(spark, sf_dir):
@@ -1105,7 +1255,49 @@ def dedup_contamination(spark, sf_dir):
         F.col("n_masked").alias("n"),
         (F.col("n_masked") > 0).alias("flag"),
     )
-    return contam.unionAll(span_rows)
+    # esubcut (r14): CHARACTER-level exact-substring removal — the
+    # full Lee et al. regime (functions/spans.py::exact_substring_cut)
+    # over the esub section corpus (documents + 2^41 planted
+    # excerpts, so real verbatim shares exist to cut). Every kept and
+    # removed character of every document is certified: id_b is the
+    # 56-bit md5 fingerprint of the cleaned text and the oracle
+    # re-derives the per-position coverage definition directly. Scale:
+    # candidates are anchor-bounded (the esub machinery), the
+    # extension kernel is Arrow-batched over candidates only, and the
+    # rebuild is a per-doc JVM interval fold — characters never
+    # explode through a shuffle (the oracle's 1.6M-char table is the
+    # verification harness, not the plan).
+    from scida_spark.functions.spans import exact_substring_cut
+
+    rawdocs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    ecut_src = rawdocs.unionAll(
+        rawdocs.filter(
+            (F.col("doc_id") % 11 == 4) & (F.length("text") >= 10)
+        ).select(
+            (F.col("doc_id") + F.lit(_ESUB_BASE)).alias("doc_id"),
+            F.concat(
+                F.substring(F.col("text"), 10, 80),
+                F.lit(" planted-esub-"),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+    )
+    esubcut_rows = exact_substring_cut(
+        ecut_src, "doc_id", "text", min_len=_ESUB_L, k=_ESUB_K
+    ).select(
+        F.lit("esubcut").alias("section"),
+        F.col("doc_id").cast("long").alias("id_a"),
+        F.conv(
+            F.substring(F.md5(F.coalesce("cleaned", F.lit(""))), 1, 14),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("id_b"),
+        F.col("n_removed").cast("long").alias("n"),
+        (F.col("n_removed") > 0).alias("flag"),
+    )
+    return contam.unionAll(span_rows).unionAll(esubcut_rows)
 
 
 @query(

@@ -124,3 +124,80 @@ def test_mask_plan_no_udf_no_token_explode_projection(spark, docs):
         masked._jdf.queryExecution(), "formatted"
     )
     assert "EvalPython" not in p
+
+
+# --------------------------------------------------------------------------
+# Character-level exact-substring CUT (r14): Lee et al. removal
+# --------------------------------------------------------------------------
+
+
+def test_exact_substring_cut_matches_coverage_reference(spark):
+    """cleaned == remove every char inside a >= L-char substring shared
+    with ANOTHER doc (per-position coverage reference), incl. a full
+    duplicate (everything cut), empty/short docs, and identical sub-L
+    docs (nothing cut)."""
+    import random
+
+    from scida_spark.functions.spans import exact_substring_cut
+
+    random.seed(7)
+    alph = "abcdefghij "
+
+    def rnd(n):
+        return "".join(random.choice(alph) for _ in range(n))
+
+    base = [rnd(200) for _ in range(20)]
+    rows = [(i, t) for i, t in enumerate(base)]
+    for i in (0, 3):
+        rows.append((100 + i, rnd(20) + base[i][50:130] + rnd(25)))
+    rows.append((200, base[5]))  # verbatim duplicate: fully removed
+    rows.append((300, ""))
+    rows.append((301, "short"))
+    sub = rnd(58)
+    rows.append((400, sub))
+    rows.append((401, sub))  # identical but sub-L: untouched
+
+    L = 60
+    grams: dict = {}
+    for d, t in rows:
+        for i in range(len(t) - L + 1):
+            grams.setdefault(t[i : i + L], set()).add(d)
+    want = {}
+    for d, t in rows:
+        cov = set()
+        for i in range(len(t) - L + 1):
+            if len(grams[t[i : i + L]]) >= 2:
+                cov.update(range(i, i + L))
+        want[d] = (
+            "".join(c for p, c in enumerate(t) if p not in cov),
+            len(cov),
+        )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["cleaned"], r["n_removed"])
+        for r in exact_substring_cut(df, "doc_id", "text", 60, 16).collect()
+    }
+    assert got == want
+    assert got[200] == ("", 200)  # the duplicate vanished entirely
+    assert got[400][1] == 0 and got[401][1] == 0
+
+
+def test_exact_substring_cut_partitioning_invariant(spark):
+    from scida_spark.functions.spans import exact_substring_cut
+
+    rows = [(i, ("tok%d " % (i % 4)) * 30) for i in range(16)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    one = {
+        (r["doc_id"], r["cleaned"], r["n_removed"])
+        for r in exact_substring_cut(df.coalesce(1), "doc_id", "text", 60, 16).collect()
+    }
+    many = {
+        (r["doc_id"], r["cleaned"], r["n_removed"])
+        for r in exact_substring_cut(
+            df.repartition(13), "doc_id", "text", 60, 16
+        ).collect()
+    }
+    assert one == many
+    # every doc has 3 verbatim twins -> fully covered
+    assert all(c == "" for _, c, _ in one)
