@@ -313,7 +313,11 @@ def _esub_cert_store(spark, esub_corpus, sf_dir: str, hi_doc_id: int):
     estore = os.path.join(ebase, "store")
     if os.path.isfile(sentinel):
         try:
-            if storefs.read_json(sentinel).get("fingerprint") == fp:
+            _js = storefs.read_json(sentinel)
+            # "grain" gates on the rep-collapsed ingest (r14): a store
+            # built over the raw corpus serves a different (expanded)
+            # pair grain and must rebuild once
+            if _js.get("fingerprint") == fp and _js.get("grain") == "reps":
                 return estore
         except Exception:
             pass  # torn/stale sentinel → rebuild
@@ -358,7 +362,7 @@ def _esub_cert_store(spark, esub_corpus, sf_dir: str, hi_doc_id: int):
         raise AssertionError(
             f"esub ingest: expected 3 micro-batch partials, got {_nb}"
         )
-    storefs.write_json_atomic(sentinel, {"fingerprint": fp})
+    storefs.write_json_atomic(sentinel, {"fingerprint": fp, "grain": "reps"})
     return estore
 
 
@@ -1085,16 +1089,45 @@ def dedup_signature_pairs(spark, sf_dir):
             ).alias("text"),
         )
     )
-    # lazy checkpoint: the pair set materializes on first use and is
-    # shared by every later execution of the (memoized) slot — the
+    # Rep-collapse (the r8 convention, applied up-front for the x100
+    # regime where every doc is a 100-clique): winnowing anchors are a
+    # pure text function, so identical texts carry identical anchors —
+    # running the anchor join over RAW docs would square every
+    # clique's candidate contribution. Compute pairs over clique
+    # REPRESENTATIVES and expand only the ANSWER: cross-clique pairs
+    # via the member cross product (output-bound), within-clique pairs
+    # exactly for cliques whose text is itself >= L chars (an
+    # identical pair shares an L-gram iff the text has one). At the
+    # driver SFs (max clique 2) this is row-identical to the raw
+    # computation the oracle replays.
+    eclique = D.exact_clique_map(
+        esub_corpus, "doc_id", "text"
+    ).localCheckpoint(eager=False)
+    erep_corpus = esub_corpus.join(
+        eclique.filter(F.col("doc") == F.col("rep")).select(
+            F.col("doc").alias("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    # lazy checkpoint: the rep-pair set materializes on first use and
+    # is shared by every later execution of the (memoized) slot — the
     # exact_raw convention
-    esub = D.exact_substring_pairs(
-        esub_corpus, "doc_id", "text", min_len=_ESUB_L, k=_ESUB_K
-    ).localCheckpoint(eager=False).select(
+    erp = (
+        D.exact_substring_pairs(
+            erep_corpus, "doc_id", "text", min_len=_ESUB_L, k=_ESUB_K
+        )
+        .withColumn("score", F.lit(1.0))
+        .localCheckpoint(eager=False)
+    )
+    eself = erep_corpus.filter(F.length("text") >= _ESUB_L).select("doc_id")
+    esub = D.expand_rep_pairs(
+        erp, eclique, "score", self_score=1.0, self_reps=eself
+    ).select(
         F.lit("esub").alias("method"),
         F.col("doc_a").cast("bigint").alias("id_a"),
         F.col("doc_b").cast("bigint").alias("id_b"),
-        F.lit(1.0).alias("score"),
+        F.col("score"),
     )
     # esubs (r14): the SAME pair set served from the INCREMENTALLY
     # built anchor store (streaming/esubindex.py — the first store
@@ -1119,12 +1152,24 @@ def dedup_signature_pairs(spark, sf_dir):
     else:
         from scida_spark.streaming.esubindex import read_esub_pairs
 
-        _estore = _esub_cert_store(spark, esub_corpus, sf_dir, _ehi)
-        esubs = read_esub_pairs(spark, _estore).select(
+        # the store ingests the REP corpus (exact dedup precedes
+        # near-dup indexing in the production ingest —
+        # incremental_dedup_ingest's own contract); the served rep
+        # pairs expand through the same clique map as the batch twin
+        _estore = _esub_cert_store(spark, erep_corpus, sf_dir, _ehi)
+        esubs = D.expand_rep_pairs(
+            read_esub_pairs(spark, _estore).withColumn(
+                "score", F.lit(1.0)
+            ),
+            eclique,
+            "score",
+            self_score=1.0,
+            self_reps=eself,
+        ).select(
             F.lit("esubs").alias("method"),
             F.col("doc_a").cast("bigint").alias("id_a"),
             F.col("doc_b").cast("bigint").alias("id_b"),
-            F.lit(1.0).alias("score"),
+            F.col("score"),
         )
     return (
         sh.unionAll(cert)
@@ -1282,20 +1327,62 @@ def dedup_contamination(spark, sf_dir):
             ).alias("text"),
         )
     )
-    esubcut_rows = exact_substring_cut(
-        ecut_src, "doc_id", "text", min_len=_ESUB_L, k=_ESUB_K
-    ).select(
-        F.lit("esubcut").alias("section"),
-        F.col("doc_id").cast("long").alias("id_a"),
-        F.conv(
-            F.substring(F.md5(F.coalesce("cleaned", F.lit(""))), 1, 14),
-            16,
-            10,
+    # Rep-collapse (the r8 convention — identical texts get identical
+    # cuts, and at x100 every doc is a 100-clique): run the cut over
+    # clique representatives only, then expand to members. A member of
+    # a >= 2 clique whose text is itself >= L chars is FULLY covered
+    # by its twin (the whole text is a shared substring), regardless
+    # of the rep-level cut; every other member inherits the rep's
+    # result verbatim. Row-identical to the raw computation the oracle
+    # replays (max clique 2 at the driver SFs exercises both arms).
+    from scida_spark.functions.dedup import exact_clique_map
+
+    cclq = exact_clique_map(ecut_src, "doc_id", "text").localCheckpoint(
+        eager=False
+    )
+    crep = ecut_src.join(
+        cclq.filter(F.col("doc") == F.col("rep")).select(
+            F.col("doc").alias("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    rep_cut = exact_substring_cut(
+        crep, "doc_id", "text", min_len=_ESUB_L, k=_ESUB_K
+    )
+    csz = cclq.groupBy("rep").agg(F.count("*").alias("_csz"))
+    _rlen = F.length("cleaned") + F.col("n_removed")
+    _twin_covered = (F.col("_csz") >= 2) & (_rlen >= _ESUB_L)
+    esubcut_rows = (
+        cclq.join(csz, "rep")
+        .join(rep_cut.withColumnRenamed("doc_id", "rep"), "rep")
+        .select(
+            F.lit("esubcut").alias("section"),
+            F.col("doc").cast("long").alias("id_a"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.when(_twin_covered, F.lit("")).otherwise(
+                            F.coalesce("cleaned", F.lit(""))
+                        )
+                    ),
+                    1,
+                    14,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("id_b"),
+            F.when(_twin_covered, _rlen)
+            .otherwise(F.col("n_removed"))
+            .cast("long")
+            .alias("n"),
+            (
+                F.when(_twin_covered, _rlen).otherwise(F.col("n_removed"))
+                > 0
+            ).alias("flag"),
         )
-        .cast("long")
-        .alias("id_b"),
-        F.col("n_removed").cast("long").alias("n"),
-        (F.col("n_removed") > 0).alias("flag"),
     )
     return contam.unionAll(span_rows).unionAll(esubcut_rows)
 
