@@ -110,3 +110,35 @@ def test_histogram_inexact_width_clips_to_last_bin(spark):
     got = {r.bin: r["count"] for r in histogram1d(df, "x", 0.0, 0.6, 3).collect()}
     assert set(got) <= {0, 1, 2}
     assert got[2] == 2
+
+
+def test_memo_slot_caches_and_invalidates(spark, tmp_path):
+    """r14: _memo_slot returns the SAME lazy DataFrame per (session,
+    sf_dir, content fingerprint) and invalidates when the input
+    table's files change (driver-regenerated testdata)."""
+    import os
+    import time
+
+    from scida_spark.queries_pipeline import _memo_slot
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    p = sf / "documents.parquet"
+    p.write_bytes(b"x" * 10)
+
+    calls = []
+
+    @_memo_slot("documents")
+    def slot(spark, sf_dir):
+        calls.append(sf_dir)
+        return spark.range(3)
+
+    a = slot(spark, str(sf))
+    b = slot(spark, str(sf))
+    assert a is b and len(calls) == 1
+    # content change (size/mtime) invalidates
+    time.sleep(0.01)
+    p.write_bytes(b"y" * 11)
+    os.utime(p)
+    c = slot(spark, str(sf))
+    assert c is not a and len(calls) == 2
