@@ -287,7 +287,10 @@ def _esub_cert_store(spark, esub_corpus, sf_dir: str, hi_doc_id: int):
     documents content) and reused across calls and processes.
 
     One-time build: the esub section corpus (documents + the 2^41
-    planted excerpts) split into 3 batch files — originals into two
+    planted excerpts), REP-COLLAPSED by the caller (r14 — exact dedup
+    precedes near-dup indexing, the production ingest contract; the
+    serve side expands rep pairs through the same clique map as the
+    batch twin), split into 3 batch files — originals into two
     id-range thirds, the remaining originals PLUS every planted doc in
     the third — so the ingest's anchors-vs-history join provably fires
     on real cross-batch shares; ingested through a REAL availableNow
