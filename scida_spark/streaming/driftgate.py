@@ -74,10 +74,10 @@ def read_reference_hist(
     """The accepted-corpus histogram partials (facet, bucket, c,
     batch_id); None if nothing has been admitted yet. ``exclude_batch``
     implements the replay guard."""
+    if not os.path.isdir(hist_dir):
+        return None
     storefs.recover_pending(hist_dir)
-    if not os.path.isdir(hist_dir) or not any(
-        d.startswith("batch_id=") for d in os.listdir(hist_dir)
-    ):
+    if not any(d.startswith("batch_id=") for d in os.listdir(hist_dir)):
         return None
     h = spark.read.option("basePath", hist_dir).parquet(hist_dir)
     if exclude_batch is not None:
@@ -232,17 +232,10 @@ def compact_drift_hist(spark: SparkSession, hist_dir: str) -> int:
     (sum monoid — a fixed point for every future admit decision).
     Crash-safe via ``streaming/storefs``; single-writer under
     ``storefs.maintenance_lock``."""
-    storefs.recover_pending(hist_dir)  # heal before locking
-    with storefs.maintenance_lock(hist_dir):
-        batches = storefs.list_batches(hist_dir)
-        if not batches:
-            return 0
-        base = (
-            spark.read.option("basePath", hist_dir)
-            .parquet(hist_dir)
-            .groupBy("facet", "bucket")
-            .agg(F.sum("c").alias("c"))
-        )
-        base.write.mode("overwrite").parquet(storefs.scratch_dir(hist_dir))
-        storefs.promote_compacted(hist_dir, batches)
-        return len(batches)
+    return storekit.compact_monoid_store(
+        spark,
+        hist_dir,
+        lambda: storekit.read_partials(spark, hist_dir)
+        .groupBy("facet", "bucket")
+        .agg(F.sum("c").alias("c")),
+    )

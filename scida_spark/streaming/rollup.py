@@ -85,7 +85,7 @@ def read_rollup(
     row per key — counts and sums re-aggregate EXACTLY (monoid),
     distincts via HLL union (within the sketch bound). Cost is
     O(keys × partial files), independent of raw history size."""
-    partials = spark.read.option("basePath", store_dir).parquet(store_dir)
+    partials = storekit.read_partials(spark, store_dir)
     return partials.groupBy(*key_cols).agg(
         F.sum("n_rows").alias("n_rows"),
         F.sum("sum_val").alias("sum_val"),
@@ -104,7 +104,7 @@ def compact_rollup(
     is mergeable. Heal/lock/promote mechanics:
     :func:`storekit.compact_monoid_store`."""
     def _base():
-        partials = spark.read.option("basePath", store_dir).parquet(store_dir)
+        partials = storekit.read_partials(spark, store_dir)
         return partials.groupBy(*key_cols).agg(
             F.sum("n_rows").alias("n_rows"),
             F.sum("sum_val").alias("sum_val"),
@@ -163,7 +163,7 @@ def read_freq(
     above ``err``, ``err <= n/(k+1)``."""
     from scida_spark.functions.sketches import freq_merge
 
-    partials = spark.read.option("basePath", store_dir).parquet(store_dir)
+    partials = storekit.read_partials(spark, store_dir)
     return freq_merge(
         partials.select(*group_cols, "item", "w"), group_cols, k
     )
@@ -284,7 +284,7 @@ def read_reservoir(
     smallest per group. Returns (group..., rid, rkey, sample_rank)."""
     from pyspark.sql.window import Window as W
 
-    partials = spark.read.option("basePath", store_dir).parquet(store_dir)
+    partials = storekit.read_partials(spark, store_dir)
     w = W.partitionBy(*group_cols).orderBy("rkey", "rid")
     return (
         partials.select(*group_cols, "rid", "rkey")
