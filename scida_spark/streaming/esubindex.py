@@ -67,6 +67,7 @@ __all__ = [
     "read_esub_anchors",
     "delete_esub_docs",
     "compact_esub_index",
+    "esub_probe",
     "esub_store_meta",
 ]
 
@@ -348,4 +349,73 @@ def compact_esub_index(spark: SparkSession, index_dir: str) -> int:
         read_dels=lambda s: storekit.read_tombstones(
             s, index_dir, out_col="doc"
         ),
+    )
+
+
+def esub_probe(
+    spark: SparkSession,
+    index_dir: str,
+    probe: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ONLINE serve: which already-ingested documents share a verbatim
+    >= min_len substring with each of these NEW (not-yet-ingested)
+    probe documents? The submission-time dedup check — the esub analog
+    of the postings store's term-targeted serve and the vector store's
+    probe-pruned query path.
+
+    The probe batch pays one map-only winnowing pass (its own anchors
+    + neighborhoods, parameters from the store's meta so probe and
+    index agree by construction); the INDEX read prunes to the probe
+    anchors' ``h_bucket`` partitions — a bounded probe touches
+    |probe-anchor buckets| / n_buckets of the anchor substore, never
+    the whole history. Tombstoned docs are masked. Returns
+    (probe_id, doc) distinct — probe ids need not be disjoint from
+    ingested ids (a re-submitted id simply reports its other copies;
+    self-matches by id are excluded)."""
+    meta = esub_store_meta(index_dir)
+    if not meta:
+        raise FileNotFoundError(
+            f"exact-substring index {index_dir} has no meta; ingest "
+            "something first"
+        )
+    min_len, k = int(meta["min_len"]), int(meta["k"])
+    n_buckets = int(meta["n_buckets"])
+    pa = _anchor_table(
+        probe, id_col, text_col, min_len, k, n_buckets
+    ).localCheckpoint(eager=True)
+    buckets = sorted(
+        r["h_bucket"]
+        for r in pa.select("h_bucket").distinct().collect()
+    )
+    hist = read_esub_anchors(spark, index_dir)
+    if hist is None or not buckets:
+        return spark.createDataFrame([], f"probe_id long, doc long")
+    hist = hist.filter(F.col("h_bucket").isin(buckets))
+    cand = (
+        F.broadcast(
+            pa.select(
+                F.col("doc").alias("probe_id"),
+                "h",
+                F.col("hood").alias("hood_a"),
+            )
+        )
+        .join(
+            hist.select(
+                F.col("doc"), "h", F.col("hood").alias("hood_b")
+            ),
+            "h",
+        )
+        .filter(F.col("probe_id") != F.col("doc"))
+    )
+    return (
+        cand.filter(
+            F.arrays_overlap(
+                _lgrams(F.col("hood_a"), min_len),
+                _lgrams(F.col("hood_b"), min_len),
+            )
+        )
+        .select("probe_id", "doc")
+        .distinct()
     )

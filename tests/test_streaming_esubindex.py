@@ -153,3 +153,34 @@ def test_anchor_bucket_jvm_python_twin(spark):
     )
     got = {r["h"]: r["b"] for r in df.collect()}
     assert got == {h: anchor_bucket(h, 16) for h in hs}
+
+
+def test_esub_probe_targeted_serve(spark, dirs):
+    """Online probe: new (un-ingested) docs report exactly their
+    >= L-char-share partners among ingested docs; pruning + masking
+    hold; unrelated probes report nothing."""
+    from scida_spark.streaming.esubindex import delete_esub_docs, esub_probe
+
+    _ingest(spark, dirs)
+    probe_share = BASE[4][30:120]  # 90 verbatim chars of ingested doc 4
+    probes = spark.createDataFrame(
+        [
+            (9000, _rnd(12) + probe_share + _rnd(12)),
+            (9001, _rnd(150)),  # unrelated
+            (9002, BASE[7][: 55]),  # sub-L prefix: no hit
+        ],
+        SCHEMA,
+    )
+    got = {
+        (r["probe_id"], r["doc"])
+        for r in esub_probe(spark, dirs["index"], probes).collect()
+    }
+    assert (9000, 4) in got
+    assert not {p for p, _ in got} & {9001, 9002}
+    # tombstoned partner stops serving
+    delete_esub_docs(spark, dirs["index"], [4], batch_id=60)
+    got2 = {
+        (r["probe_id"], r["doc"])
+        for r in esub_probe(spark, dirs["index"], probes).collect()
+    }
+    assert (9000, 4) not in got2
