@@ -184,3 +184,49 @@ def test_esub_probe_targeted_serve(spark, dirs):
         for r in esub_probe(spark, dirs["index"], probes).collect()
     }
     assert (9000, 4) not in got2
+
+
+def test_compaction_crash_mid_apply_heals_on_read(spark, dirs, monkeypatch):
+    """Kit-level crash window on the NEW store: die after the anchors
+    substore's _finish (pairs still staged, tombstones not cleared) —
+    the next read replays the whole txn via recover_store and the
+    served pair set is exactly the masked truth (the postings-store
+    crash contract, inherited through storekit with zero
+    esubindex-specific recovery code)."""
+    from scida_spark.streaming import storefs
+
+    _ingest(spark, dirs)
+    before = _pairs(read_esub_pairs(spark, dirs["index"]))
+    delete_esub_docs(spark, dirs["index"], [2], batch_id=50)
+    want = [p for p in before if 2 not in p]
+
+    real_finish = storefs._finish
+    calls = {"n": 0}
+
+    def flaky(root, folded):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise RuntimeError("simulated crash mid-apply")
+        real_finish(root, folded)
+
+    monkeypatch.setattr(storefs, "_finish", flaky)
+    with pytest.raises(RuntimeError, match="mid-apply"):
+        compact_esub_index(spark, dirs["index"])
+    monkeypatch.setattr(storefs, "_finish", real_finish)
+    # the partial-apply window exists: anchors folded, pairs still
+    # batch partials, txn manifest pending
+    assert storefs.list_batches(os.path.join(dirs["index"], "anchors")) == []
+    assert storefs.list_batches(os.path.join(dirs["index"], "pairs")) == [
+        "batch_id=0",
+        "batch_id=1",
+        "batch_id=2",
+    ]
+    assert os.path.isfile(
+        os.path.join(dirs["index"], storefs.TXN_MANIFEST)
+    )
+    # the next read heals the WHOLE transaction first
+    assert _pairs(read_esub_pairs(spark, dirs["index"])) == want
+    assert not os.path.isfile(
+        os.path.join(dirs["index"], storefs.TXN_MANIFEST)
+    )
+    assert storefs.list_batches(os.path.join(dirs["index"], "pairs")) == []
