@@ -1532,12 +1532,24 @@ def merge_cc_labels(
     )
 
 
+# Docs at least this long route through the linear Arrow winnow in
+# ``winnow_anchors(engine="auto")``. Below it, the O(n·window) codegen
+# form wins on constants (JVM, zero Python); above it, the monotonic-
+# queue kernel's O(n) beats the quadratic term (crossover measured in
+# SCALE.md "Round 15 — long-document winnowing": ~8-16 KB at the
+# k=16/window=45 defaults; the threshold sits above the crossover so
+# the entire web-document regime stays on the zero-Python path).
+WINNOW_ARROW_MIN_LEN = 16384
+
+
 def winnow_anchors(
     df: DataFrame,
     id_col: str,
     text_col: str,
     k: int = 16,
     window: int = 45,
+    engine: str = "auto",
+    arrow_min_len: int = WINNOW_ARROW_MIN_LEN,
 ) -> DataFrame:
     """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
     2003 — the MOSS algorithm): per document, hash every character
@@ -1553,16 +1565,47 @@ def winnow_anchors(
     occurrence; ``h`` is the md5 of the k-gram (the block key), pos is
     1-based.
 
-    Scale: the whole computation is per-row column arrays — grams,
-    hashes, and window minima via transform/slice/array_min — so the
-    pass is MAP-ONLY whole-stage codegen: zero shuffle, zero UDF.
-    Anchor density is ~2/(window+1) of positions (winnowing theory),
-    so downstream joins see ~4% of the text's grams at the defaults.
-    The slice/array_min form does O(n·window) comparisons per doc —
-    fine for web-document sizes (100 KB doc -> ~4.5M JVM struct
-    compares); for book-length texts swap in the linear monotonic-
-    queue winnow as an Arrow-batched pandas UDF (same output contract,
-    the sanctioned slow-path shape)."""
+    Two bit-identical execution paths, both MAP-ONLY (zero shuffle):
+
+    * ``codegen`` — per-row column arrays (grams, hashes, window
+      minima via transform/slice/array_min), whole-stage codegen, zero
+      Python. O(n·window) struct compares per doc: the fast path for
+      web-document sizes (a 100 KB doc is ~4.5M compares), a cliff for
+      book-length texts (a 1 MB doc is ~45M).
+    * ``arrow`` — the linear monotonic-queue winnow (the textbook
+      sliding-window-minimum deque) as an Arrow-batched ``mapInPandas``
+      kernel: O(n) per doc regardless of window. Python constants, JVM
+      asymptotics — the sanctioned slow-path shape for long documents.
+
+    ``engine="auto"`` (default) splits per document at
+    ``arrow_min_len`` characters: short docs stay on codegen, long
+    docs take the linear kernel, results union (both branches prune to
+    the same two columns, so the source scans stay cheap). The split
+    is content-defined per row, so partitioning never changes which
+    path a doc takes. Anchor density is ~2/(window+1) of positions
+    (winnowing theory), so downstream joins see ~4% of the text's
+    grams at the defaults either way."""
+    if engine == "codegen":
+        return _winnow_anchors_codegen(df, id_col, text_col, k, window)
+    if engine == "arrow":
+        return _winnow_anchors_arrow(df, id_col, text_col, k, window)
+    if engine != "auto":
+        raise ValueError(f"winnow_anchors: unknown engine {engine!r}")
+    pruned = df.select(id_col, text_col)
+    is_long = F.length(F.col(text_col)) >= arrow_min_len
+    return _winnow_anchors_codegen(
+        pruned.filter(~is_long), id_col, text_col, k, window
+    ).unionAll(
+        _winnow_anchors_arrow(
+            pruned.filter(is_long), id_col, text_col, k, window
+        )
+    )
+
+
+def _winnow_anchors_codegen(
+    df: DataFrame, id_col: str, text_col: str, k: int, window: int
+) -> DataFrame:
+    """The whole-stage-codegen winnow (see :func:`winnow_anchors`)."""
     n_grams = F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(0))
     structs = F.transform(
         F.sequence(F.lit(1), n_grams),
@@ -1600,6 +1643,89 @@ def winnow_anchors(
         )
         .select(F.col(id_col), F.col("_a.h").alias("h"), F.col("_a.p").alias("pos"))
     )
+
+
+def _winnow_anchors_arrow(
+    df: DataFrame, id_col: str, text_col: str, k: int, window: int
+) -> DataFrame:
+    """Linear monotonic-queue winnow (see :func:`winnow_anchors`):
+    Arrow-batched ``mapInPandas`` kernel, O(n) per document.
+
+    Replays the codegen semantics EXACTLY so the two paths are
+    bit-identical (pinned by ``test_winnow_arrow_matches_codegen``):
+    md5 hex of every character ``k``-gram (Python slices by code point
+    and md5s the UTF-8 bytes — precisely what Spark's substr + md5 do
+    on UTF8String), then for every 1-based window start ``i`` in
+    ``1..n_grams`` the minimum (h, pos) over grams ``[i, min(i+window-1,
+    n_grams)]`` — including the same trailing suffix windows the
+    codegen form's saturating ``slice`` produces — ties to the
+    smallest position, output distinct by first selection.
+
+    The deque holds gram indices with strictly increasing hashes;
+    a new gram evicts from the back only on STRICTLY greater hash, so
+    an equal hash keeps the earlier (smaller-pos) occurrence — the
+    ``array_min`` struct tie-break. Each index enters and leaves the
+    deque once: O(n) total, independent of ``window``."""
+    import hashlib
+    from collections import deque
+
+    from pyspark.sql import types as T
+
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
+            T.StructField("h", T.StringType(), False),
+            T.StructField("pos", T.IntegerType(), False),
+        ]
+    )
+
+    def _gen(batches):
+        for pdf in batches:
+            ids_out: list = []
+            hs_out: list = []
+            ps_out: list = []
+            for _id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                n = len(text) - (k - 1)
+                if n <= 0:
+                    continue
+                md5 = hashlib.md5
+                enc = text.encode("utf-8")
+                ascii_only = len(enc) == len(text)
+                if ascii_only:
+                    # one encode, byte-sliced grams (== char slices)
+                    hs = [
+                        md5(enc[i : i + k]).hexdigest() for i in range(n)
+                    ]
+                else:
+                    hs = [
+                        md5(text[i : i + k].encode("utf-8")).hexdigest()
+                        for i in range(n)
+                    ]
+                dq: deque = deque()
+                seen: set = set()
+                r = -1
+                for i in range(n):
+                    right = min(i + window - 1, n - 1)
+                    while r < right:
+                        r += 1
+                        hr = hs[r]
+                        while dq and hs[dq[-1]] > hr:
+                            dq.pop()
+                        dq.append(r)
+                    while dq[0] < i:
+                        dq.popleft()
+                    j = dq[0]
+                    if j not in seen:
+                        seen.add(j)
+                        ids_out.append(_id)
+                        hs_out.append(hs[j])
+                        ps_out.append(j + 1)
+            yield pd.DataFrame({id_col: ids_out, "h": hs_out, "pos": ps_out})
+
+    return df.select(id_col, text_col).mapInPandas(_gen, out_schema)
 
 
 def exact_substring_pairs(

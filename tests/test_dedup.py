@@ -979,3 +979,80 @@ def test_winnow_anchor_density_and_guarantee(spark):
     for r in winnow_anchors(df2, "doc_id", "text", k=16, window=45).collect():
         by_doc.setdefault(r["doc_id"], set()).add(r["h"])
     assert by_doc[0] & by_doc[1], "winnowing guarantee violated"
+
+
+def test_winnow_arrow_matches_codegen(spark):
+    """The linear monotonic-queue (Arrow) winnow is BIT-IDENTICAL to
+    the codegen slice/array_min winnow — same (id, h, pos) set — on
+    random text, tie-heavy repeated text (equal hashes in a window
+    exercise the smallest-pos tie-break), short/empty/sub-k docs
+    (suffix windows + degenerate cases), and non-ASCII text (code-
+    point slicing + UTF-8 md5)."""
+    import random
+
+    from scida_spark.functions.dedup import winnow_anchors
+
+    random.seed(23)
+    rows = [
+        (0, "".join(random.choice("abcdefgh") for _ in range(3000))),
+        (1, "abcab" * 400),  # heavy hash ties within every window
+        (2, "x" * 200),  # ALL grams identical: pure tie-break test
+        (3, ""),
+        (4, "tiny"),
+        (5, "ürlaub-füß" * 120),  # multi-byte UTF-8
+        (6, "".join(random.choice("abcdefgh") for _ in range(60))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k, w in ((16, 45), (8, 12), (4, 1)):
+        cg = {
+            (r["doc_id"], r["h"], r["pos"])
+            for r in winnow_anchors(
+                df, "doc_id", "text", k=k, window=w, engine="codegen"
+            ).collect()
+        }
+        ar = {
+            (r["doc_id"], r["h"], r["pos"])
+            for r in winnow_anchors(
+                df, "doc_id", "text", k=k, window=w, engine="arrow"
+            ).collect()
+        }
+        assert cg == ar, (k, w, cg ^ ar)
+        # auto (split at arrow_min_len=100: docs 0,1,2,5 go Arrow,
+        # the rest codegen) agrees with both
+        auto = {
+            (r["doc_id"], r["h"], r["pos"])
+            for r in winnow_anchors(
+                df, "doc_id", "text", k=k, window=w, arrow_min_len=100
+            ).collect()
+        }
+        assert auto == cg
+
+
+def test_exact_substring_pairs_long_doc_arrow_path(spark):
+    """exact_substring_pairs stays correct when documents are long
+    enough to cross WINNOW_ARROW_MIN_LEN (the auto split routes them
+    through the linear kernel): a planted 80-char excerpt from a
+    20 KB book is found, an unrelated 20 KB book is not paired."""
+    import random
+
+    from scida_spark.functions.dedup import exact_substring_pairs
+
+    random.seed(31)
+
+    def rnd(n):
+        return "".join(random.choice("abcdefghij ") for _ in range(n))
+
+    book_a, book_b = rnd(20000), rnd(20000)
+    rows = [
+        (0, book_a),
+        (1, book_b),
+        (2, rnd(50) + book_a[7000:7080] + rnd(50)),  # short doc, long match
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in exact_substring_pairs(
+            df, "doc_id", "text", min_len=60, k=16
+        ).collect()
+    }
+    assert got == {(0, 2)}
