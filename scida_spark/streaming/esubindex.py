@@ -58,7 +58,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scida_spark.functions.dedup import winnow_anchors
-from scida_spark.streaming import storekit
+from scida_spark.streaming import storefs, storekit
 
 __all__ = [
     "esub_index_writer",
@@ -270,7 +270,7 @@ def read_esub_anchors(
     before the first write. ``before_batch`` implements the replay
     guard; tombstoned docs are masked by default."""
     root = os.path.join(index_dir, "anchors")
-    if not os.path.isdir(root):
+    if not storefs.isdir(root):
         return None
     try:
         df = storekit.read_partials(spark, root)

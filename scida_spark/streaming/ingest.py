@@ -45,7 +45,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from scida_spark.streaming import storekit
+from scida_spark.streaming import storefs, storekit
 from scida_spark.functions.dedup import (
     _band_signatures,
     connected_components,
@@ -69,7 +69,7 @@ def _read_index_part(
     stops suppressing future near-duplicates immediately, before any
     compaction."""
     path = os.path.join(root, part)
-    if not os.path.isdir(path):
+    if not storefs.isdir(path):
         return None
     try:
         df = spark.read.parquet(path)
@@ -175,7 +175,7 @@ def compact_dedup_index(
             return
         storefs.recover_pending(corpus_dir)
         cb = storefs.list_batches(corpus_dir)
-        if os.path.isdir(os.path.join(corpus_dir, storefs.BASE_DIR)):
+        if storefs.isdir(os.path.join(corpus_dir, storefs.BASE_DIR)):
             cb = cb + [storefs.BASE_DIR]
         if not cb:
             return
@@ -389,7 +389,7 @@ def vector_index_ingest(
         sess = batch.sparkSession
         if batch.isEmpty():
             return
-        if os.path.isdir(cb_path):
+        if storefs.isdir(cb_path):
             cb = load_pq_codebooks(sess, cb_path)
         else:
             sample = np.stack(

@@ -62,9 +62,9 @@ def ensure_meta(
     artifacts the meta describes — a crash in between leaves no meta,
     so the store reads as uncreated, never half-created). Returns True
     iff the meta was created by this call."""
-    os.makedirs(store_dir, exist_ok=True)
+    storefs.makedirs(store_dir)
     path = os.path.join(store_dir, META_FILE)
-    if os.path.isfile(path):
+    if storefs.isfile(path):
         have = storefs.read_json(path)
         diffs = {
             k: (have.get(k), v)
@@ -88,7 +88,7 @@ def ensure_meta(
 def store_meta(store_dir: str) -> dict:
     """The store's persisted parameters ({} for a pre-meta store)."""
     path = os.path.join(store_dir, META_FILE)
-    return storefs.read_json(path) if os.path.isfile(path) else {}
+    return storefs.read_json(path) if storefs.isfile(path) else {}
 
 
 def write_tombstones(
@@ -130,10 +130,10 @@ def read_tombstones(
     when no deletes are pending. Heals an interrupted compaction
     first (no-op under a live maintainer's lock)."""
     root = os.path.join(store_dir, sub)
-    if not os.path.isdir(root):
+    if not storefs.isdir(root):
         return None
     storefs.recover_pending(root)
-    if not any(d.startswith("batch_id=") for d in os.listdir(root)):
+    if not any(d.startswith("batch_id=") for d in storefs.listdir(root)):
         return None
     return (
         spark.read.option("basePath", root)
@@ -234,7 +234,7 @@ def compact_store(
     storefs.recover_store(store_dir)
     for s in substores:
         p = os.path.join(store_dir, s.name)
-        if os.path.isdir(p):
+        if storefs.isdir(p):
             storefs.recover_pending(p)
     with storefs.maintenance_lock(store_dir):
         dels = read_dels(spark)
@@ -243,11 +243,11 @@ def compact_store(
         folds: list[tuple[str, list[str]]] = []
         for s in substores:
             root = os.path.join(store_dir, s.name)
-            if not os.path.isdir(root):
+            if not storefs.isdir(root):
                 continue
             batches = storefs.list_batches(root)
             if not batches:
-                if dels is None or not os.path.isdir(
+                if dels is None or not storefs.isdir(
                     os.path.join(root, storefs.BASE_DIR)
                 ):
                     continue
@@ -262,7 +262,7 @@ def compact_store(
         clear: list[tuple[str, list[str]]] = []
         if dels is not None:
             droot = os.path.join(store_dir, deletes_sub)
-            if os.path.isdir(droot):
+            if storefs.isdir(droot):
                 clear.append((deletes_sub, storefs.list_batches(droot)))
         if folds or clear:
             storefs.promote_txn(store_dir, folds, clear)
@@ -293,7 +293,7 @@ def compact_monoid_store(
     storefs.recover_pending(store_dir)
     with storefs.maintenance_lock(store_dir):
         batches = storefs.list_batches(store_dir)
-        if absorb_base and os.path.isdir(
+        if absorb_base and storefs.isdir(
             os.path.join(store_dir, storefs.BASE_DIR)
         ):
             batches = batches + [storefs.BASE_DIR]

@@ -129,7 +129,7 @@ def vector_store_meta(store_dir: str) -> dict:
 
 
 def _load_centroids(spark: SparkSession, store_dir: str) -> "np.ndarray":
-    if not os.path.isfile(os.path.join(store_dir, META_FILE)):
+    if not storefs.isfile(os.path.join(store_dir, META_FILE)):
         raise FileNotFoundError(
             f"vector store {store_dir} has no {META_FILE}; call "
             "create_vector_store first (the quantizer must exist before "
@@ -220,8 +220,8 @@ def read_vectors(
     pruned subset)."""
     root = os.path.join(store_dir, "vectors")
     storefs.recover_pending(root)
-    if not os.path.isdir(root) or not any(
-        d.startswith("batch_id=") for d in os.listdir(root)
+    if not storefs.isdir(root) or not any(
+        d.startswith("batch_id=") for d in storefs.listdir(root)
     ):
         # created-but-never-ingested store: an empty index serves an
         # empty result, not a missing-path crash
