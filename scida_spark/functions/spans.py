@@ -182,9 +182,14 @@ def exact_substring_cut(
     1. winnowing anchors + the anchor-hash block join of
        :func:`~scida_spark.functions.dedup.exact_substring_pairs`
        produce every cross-doc candidate anchor OCCURRENCE pair;
-    2. an Arrow-batched pandas kernel extends each occurrence pair to
-       its MAXIMAL shared interval (O(match length) per candidate —
-       the only Python in the pipeline, bounded by the candidate set);
+    2. an Arrow-batched pandas kernel extends candidate occurrence
+       pairs to their MAXIMAL shared intervals, one call per (doc_a,
+       doc_b) pair with the candidates collected into an array (texts
+       ship ONCE per pair, not once per candidate) and anchors inside
+       an already-extended interval on the same alignment diagonal
+       skipped (their maximal extension is provably that interval) —
+       O(shared length per diagonal + anchors) per pair, the only
+       Python in the pipeline;
     3. intervals of length >= L are exactly the union of covered
        positions (any shared >= L substring contains a winnowing
        anchor, and its maximal extension contains it back), so a
@@ -219,43 +224,75 @@ def exact_substring_cut(
         "doc_a", "doc_b", "pos_a", "pos_b"
     )
     texts = df.select(F.col(id_col), F.col(text_col).alias("_t"))
+    # Candidates GROUP per (doc_a, doc_b) before the texts join (r15,
+    # closes r14 VERDICT next #6): the earlier per-candidate form
+    # shipped BOTH full texts once per candidate row — a pathological
+    # corpus (long docs with heavy overlap → thousands of shared
+    # anchors per pair) multiplied text bytes through the exchange by
+    # the anchor count. One row per pair bounds the exchange at
+    # |pairs| x |texts| + |candidates| positions.
+    cand_g = cand.groupBy("doc_a", "doc_b").agg(
+        F.collect_list(F.struct("pos_a", "pos_b")).alias("_ps")
+    )
     paired = (
-        cand.join(texts.withColumnRenamed(id_col, "doc_a"), "doc_a")
+        cand_g.join(texts.withColumnRenamed(id_col, "doc_a"), "doc_a")
         .withColumnRenamed("_t", "_ta")
         .join(texts.withColumnRenamed(id_col, "doc_b"), "doc_b")
         .withColumnRenamed("_t", "_tb")
     )
 
-    @F.pandas_udf("struct<sa:int,sb:int,ln:int>")
+    @F.pandas_udf("array<struct<sa:int,sb:int,ln:int>>")
     def _extend(
-        ta: pd.Series, pa: pd.Series, tb: pd.Series, pb: pd.Series
-    ) -> pd.DataFrame:
-        sa_out, sb_out, ln_out = [], [], []
-        for xa, ia, xb, ib in zip(
-            ta.tolist(), pa.tolist(), tb.tolist(), pb.tolist()
-        ):
-            i, j = ia - 1, ib - 1  # 0-based anchor starts
-            lo = 0
-            while i - lo - 1 >= 0 and j - lo - 1 >= 0 and xa[i - lo - 1] == xb[j - lo - 1]:
-                lo += 1
-            hi = 0
-            while (
-                i + k + hi < len(xa)
-                and j + k + hi < len(xb)
-                and xa[i + k + hi] == xb[j + k + hi]
-            ):
-                hi += 1
-            sa_out.append(ia - lo)
-            sb_out.append(ib - lo)
-            ln_out.append(lo + k + hi)
-        return pd.DataFrame({"sa": sa_out, "sb": sb_out, "ln": ln_out})
+        ta: pd.Series, ps: pd.Series, tb: pd.Series
+    ) -> pd.Series:
+        out = []
+        for xa, plist, xb in zip(ta.tolist(), ps.tolist(), tb.tolist()):
+            # sort by alignment diagonal, then position: every anchor
+            # inside an already-extended maximal interval on the SAME
+            # diagonal extends to exactly that interval (maximality:
+            # both stop at the same mismatch), so it is skipped — the
+            # extension cost is O(shared length per diagonal), not
+            # O(anchors x match length) (the r14 verdict's adversarial
+            # regime: one long doc's near-copies, thousands of anchors
+            # all inside one giant match).
+            prs = sorted(
+                ((int(p["pos_a"]), int(p["pos_b"])) for p in plist),
+                key=lambda t: (t[0] - t[1], t[0]),
+            )
+            res = []
+            last_diag = None
+            last_end = -1  # 0-based exclusive end on the doc_a axis
+            for ia, ib in prs:
+                d = ia - ib
+                i, j = ia - 1, ib - 1  # 0-based anchor starts
+                if d == last_diag and i + k <= last_end:
+                    continue
+                lo = 0
+                while (
+                    i - lo - 1 >= 0
+                    and j - lo - 1 >= 0
+                    and xa[i - lo - 1] == xb[j - lo - 1]
+                ):
+                    lo += 1
+                hi = 0
+                while (
+                    i + k + hi < len(xa)
+                    and j + k + hi < len(xb)
+                    and xa[i + k + hi] == xb[j + k + hi]
+                ):
+                    hi += 1
+                res.append((ia - lo, ib - lo, lo + k + hi))
+                last_diag = d
+                last_end = (i - lo) + lo + k + hi
+            out.append(res)
+        return pd.Series(out)
 
     ext = paired.select(
         "doc_a",
         "doc_b",
-        _extend(F.col("_ta"), F.col("pos_a"), F.col("_tb"), F.col("pos_b")).alias(
-            "_e"
-        ),
+        F.explode(
+            _extend(F.col("_ta"), F.col("_ps"), F.col("_tb"))
+        ).alias("_e"),
     ).filter(F.col("_e.ln") >= min_len)
     ivals = (
         ext.select(

@@ -201,3 +201,59 @@ def test_exact_substring_cut_partitioning_invariant(spark):
     assert one == many
     # every doc has 3 verbatim twins -> fully covered
     assert all(c == "" for _, c, _ in one)
+
+
+def test_exact_substring_cut_overlapping_long_matches(spark):
+    """The r15 per-pair diagonal-skip kernel stays EXACT on the
+    adversarial regime it was built for: long documents whose shared
+    runs overlap heavily (near-copies of one long doc, multiple
+    distinct runs per pair, runs on different diagonals, an internal
+    edit splitting one diagonal into two runs). Reference = the same
+    per-position coverage oracle."""
+    import random
+
+    from scida_spark.functions.spans import exact_substring_cut
+
+    random.seed(13)
+    alph = "abcdefgh "
+
+    def rnd(n):
+        return "".join(random.choice(alph) for _ in range(n))
+
+    book = rnd(3000)
+    rows = [(0, book)]
+    # near-copy with one internal edit: same diagonal breaks into two
+    # maximal runs
+    edited = book[:1500] + "X" + book[1501:]
+    rows.append((1, edited))
+    # copy with an INSERTION: the two halves share on different
+    # diagonals
+    rows.append((2, book[:800] + rnd(50) + book[800:1600]))
+    # two disjoint excerpts of the same book in one doc
+    rows.append((3, rnd(30) + book[100:400] + rnd(40) + book[2000:2400]))
+    # unrelated long doc
+    rows.append((4, rnd(3000)))
+
+    L = 60
+    grams: dict = {}
+    for d, t in rows:
+        for i in range(len(t) - L + 1):
+            grams.setdefault(t[i : i + L], set()).add(d)
+    want = {}
+    for d, t in rows:
+        cov = set()
+        for i in range(len(t) - L + 1):
+            if len(grams[t[i : i + L]]) >= 2:
+                cov.update(range(i, i + L))
+        want[d] = (
+            "".join(c for p, c in enumerate(t) if p not in cov),
+            len(cov),
+        )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["cleaned"], r["n_removed"])
+        for r in exact_substring_cut(df, "doc_id", "text", 60, 16).collect()
+    }
+    assert got == want
+    assert got[4][1] == 0  # the unrelated doc is untouched
