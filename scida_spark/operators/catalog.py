@@ -35,17 +35,77 @@ from pyspark.sql.window import Window as W
 SENTINEL = np.iinfo(np.int64).max  # 9223372036854775807
 
 
+# Above this many catalog rows, group_offsets switches from the single
+# global window to the two-phase bucketed prefix (the
+# exclusive_key_prefix trick) so no task ever serializes the whole
+# catalog. ~1e7 matches the WindowExec comfort bound documented in
+# operators/prefix_sum.py.
+GROUP_OFFSETS_WINDOW_LIMIT = 10_000_000
+
+
 def group_offsets(
-    catalog: DataFrame, length_col: str, order_col: str, offset_col: str = "offset"
+    catalog: DataFrame,
+    length_col: str,
+    order_col: str,
+    offset_col: str = "offset",
+    *,
+    window_limit: int | None = None,
+    bucket_width: int = 1_000_000,
 ) -> DataFrame:
     """offsets = concat([0], cumsum(lengths))[:-1] per catalog row.
 
     Reference: GroupOffsetsType construction (arepo/dataset.py:342-352).
-    Window is a single global ordering — acceptable because catalogs are
-    ~1e6 rows (the reference materializes them to the driver outright,
-    dataset.py:555-575); for larger catalogs use
-    ``operators.uid.with_uid_by_order``'s two-phase pattern instead.
-    """
+
+    Auto-switched (r15, closes r14 VERDICT next #7, mirroring the
+    :func:`add_group_ids_auto` gate): at reference-like catalog sizes
+    (~1e6 rows — the reference materializes them to the driver
+    outright, dataset.py:555-575) the exclusive prefix runs as ONE
+    global-ordering window; past ``window_limit`` rows (default
+    :data:`GROUP_OFFSETS_WINDOW_LIMIT`) that window would serialize
+    the whole catalog through a single task, so the same computation
+    reruns as the two-phase bucketed form (the
+    ``prefix_sum.exclusive_key_prefix`` trick, inlined to keep every
+    catalog column): bucket by ``floor(order/width)``, prefix-sum the
+    per-bucket TOTALS over the tiny bucket table (the only remaining
+    single-task window — |catalog|/width rows), and run the
+    within-bucket exclusive prefix partitioned by bucket — parallel at
+    any catalog size, and value-identical because long addition
+    reassociates exactly. A non-numeric ``order_col`` can't bucket
+    order-preservingly and stays on the single window."""
+    limit = GROUP_OFFSETS_WINDOW_LIMIT if window_limit is None else window_limit
+    numeric = dict(catalog.dtypes).get(order_col) in (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+    )
+    if numeric and catalog.count() > limit:
+        bkt = catalog.withColumn(
+            "__bkt", F.floor(F.col(order_col) / F.lit(int(bucket_width)))
+        )
+        w_b = W.orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
+        boffs = (
+            bkt.groupBy("__bkt")
+            .agg(F.sum(length_col).alias("__btot"))
+            .withColumn(
+                "__boff", F.coalesce(F.sum("__btot").over(w_b), F.lit(0))
+            )
+            .select(F.col("__bkt").alias("__bkt2"), "__boff")
+        )
+        w_in = (
+            W.partitionBy("__bkt")
+            .orderBy(order_col)
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        return (
+            bkt.withColumn(
+                "__in", F.coalesce(F.sum(F.col(length_col)).over(w_in), F.lit(0))
+            )
+            .join(
+                F.broadcast(boffs), F.col("__bkt").eqNullSafe(F.col("__bkt2"))
+            )
+            .withColumn(
+                offset_col, (F.col("__boff") + F.col("__in")).cast("long")
+            )
+            .drop("__bkt", "__bkt2", "__boff", "__in")
+        )
     w = W.orderBy(order_col).rowsBetween(W.unboundedPreceding, -1)
     return catalog.withColumn(
         offset_col, F.coalesce(F.sum(F.col(length_col)).over(w), F.lit(0)).cast("long")

@@ -144,6 +144,39 @@ def test_offsets(spark):
     assert out == {0: 0, 1: 40, 2: 70}
 
 
+def test_offsets_two_phase_matches_window(spark):
+    """Forcing the catalog over the window_limit routes group_offsets
+    through the two-phase bucketed prefix (r15 auto-switch): values
+    identical to the single-window form on irregular lengths, sparse /
+    non-contiguous ids, and a zero-length group; the big-side window
+    in the plan is PARTITIONED by bucket (no whole-catalog single-task
+    sort), which is the scale property the switch buys."""
+    import random
+
+    random.seed(5)
+    rows = []
+    gid = 0
+    for _ in range(500):
+        gid += random.randint(1, 97)  # sparse, non-contiguous ids
+        rows.append((gid, random.choice([0, 1, 3, 17, 1000])))
+    groups = spark.createDataFrame(rows, "GroupID long, GroupLen long")
+    base = {
+        r["GroupID"]: r["offset"]
+        for r in C.group_offsets(groups, "GroupLen", "GroupID").collect()
+    }
+    two = C.group_offsets(
+        groups, "GroupLen", "GroupID", window_limit=1, bucket_width=1000
+    )
+    got = {r["GroupID"]: r["offset"] for r in two.collect()}
+    assert got == base
+    # schema contract: same columns as the window form
+    assert set(two.columns) == {"GroupID", "GroupLen", "offset"}
+    # plan pin: the per-row window partitions by the bucket key — the
+    # whole catalog never serializes through one unpartitioned sort
+    plan = two._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(__bkt" in plan, plan
+
+
 def test_selectors(spark):
     particles, groups, subs = _fixture(spark, 3)
     df = C.add_subhalo_ids(
