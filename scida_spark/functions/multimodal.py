@@ -2,9 +2,11 @@
 
 Decode is REAL for uncompressed containers — pure-numpy parsers for
 PPM/PGM (binary P6/P5), BMP (24/32-bit BI_RGB), and WAV (RIFF PCM) need
-no external library. Compressed formats (JPEG/PNG/MP3/...) raise
-NotImplementedError: PIL/ffmpeg/librosa are genuinely absent in this
-container, and faking entropy decoding would be dishonest. The
+no external library — and (r15) non-interlaced 8-bit PNG, whose
+critical path is stdlib zlib + numpy scanline unfiltering, no PIL
+needed. Entropy-coded formats (JPEG/MP3/16-bit or interlaced PNG/...)
+raise NotImplementedError: PIL/ffmpeg/librosa are genuinely absent in
+this container, and faking entropy decoding would be dishonest. The
 Spark-side plumbing (schema, partitioning, Pandas-UDF signatures, Arrow
 batch shape) is identical either way, so swapping a PIL kernel in for
 the compressed formats touches only ``decode_image``.
@@ -50,7 +52,9 @@ FEATURE_SCHEMA = (
     "fake_mean_pixel double, width int, height int, mean_luma double"
 )
 
-_IMAGE_MAGIC = (b"P6", b"P5", b"BM")
+# first-two-bytes sniff for natively decodable images; b"\x89P" is the
+# PNG signature's first two bytes (r15: PNG decodes natively now)
+_IMAGE_MAGIC = (b"P6", b"P5", b"BM", b"\x89P")
 
 
 def to_media_table(df: DataFrame, id_col: str, text_col: str, mime: str = "text/plain") -> DataFrame:
@@ -93,20 +97,188 @@ def _pnm_header(buf: bytes, n_tokens: int) -> tuple[list[int], int]:
     return toks, i + 1  # exactly one whitespace byte before pixel data
 
 
-def decode_image(payload: bytes) -> np.ndarray:
-    """Pure-numpy image decode for uncompressed containers.
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
-    Supported (no external library needed):
+
+def _png_unfilter(raw: bytes, h: int, w: int, nch: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (RFC 2083 §6): each scanline is
+    one filter-type byte + ``w*nch`` filtered bytes. Filters None/Up
+    and Sub vectorize (uint8 adds wrap mod 256 natively; Sub is a
+    per-byte-lane cumulative sum); Average and Paeth carry a true
+    left-neighbor recurrence, decoded with a per-byte loop — O(row)
+    either way, and the hot path (image corpora at scale) runs inside
+    an Arrow-batched ``mapInPandas`` where per-image cost is what
+    matters, not per-byte constants."""
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    bpp = nch
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        rec = np.frombuffer(raw, np.uint8, stride, pos + 1).copy()
+        pos += stride + 1
+        if ft == 0:
+            pass
+        elif ft == 2:  # Up
+            rec += prev
+        elif ft == 1:  # Sub: per-lane cumsum mod 256
+            for r in range(bpp):
+                rec[r::bpp] = np.cumsum(rec[r::bpp], dtype=np.int64) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (rec[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = rec
+        prev = out[y]
+    return out
+
+
+def _decode_png(b: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode (r15, closes r14 VERDICT next #5): the
+    critical path of PNG is zlib (stdlib) + scanline unfiltering
+    (numpy) — no PIL needed for non-interlaced 8-bit images. Supports
+    color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha) and
+    6 (RGBA) at bit depth 8; 16-bit and Adam7-interlaced images raise
+    NotImplementedError (they remain the honest carve-out)."""
+    import struct
+    import zlib
+
+    pos, n = 8, len(b)
+    ihdr = None
+    plte = None
+    idat = []
+    while pos + 8 <= n:
+        (clen,), ctype = struct.unpack(">I", b[pos : pos + 4]), b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + clen]
+        pos += 12 + clen  # len + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise NotImplementedError(
+            f"only 8-bit depth-0-compression PNG supported "
+            f"(depth={depth}, compression={comp})"
+        )
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if nch is None:
+        raise ValueError(f"bad PNG color type {color}")
+    raw = zlib.decompress(b"".join(idat))
+    px = _png_unfilter(raw, h, w, nch).reshape(h, w, nch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        return plte[px[:, :, 0]]
+    if color in (0, 4):  # gray / gray+alpha → broadcast, drop alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3].copy() if color == 6 else px
+
+
+def encode_png(img: np.ndarray, row_filters=(0, 1, 2, 3, 4)) -> bytes:
+    """(H, W, 3) uint8 → non-interlaced 8-bit RGB PNG — the inverse of
+    the native PNG decode path, used (like :func:`encode_ppm`) to emit
+    decodable synthetic payloads. ``row_filters`` cycles per scanline
+    (default: all five standard filters), so a roundtrip exercises
+    every unfilter branch — the property the pytest contract pins."""
+    import struct
+    import zlib
+
+    a = np.ascontiguousarray(img[:, :, :3], dtype=np.uint8)
+    h, w = a.shape[:2]
+    bpp = 3
+    prev = np.zeros(w * bpp, np.uint8)
+    lines = []
+    for y in range(h):
+        row = a[y].reshape(-1)
+        ft = int(row_filters[y % len(row_filters)])
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+            filt = row - left
+        elif ft == 2:  # Up
+            filt = row - prev
+        elif ft == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+            filt = row - (
+                (left.astype(np.int32) + prev.astype(np.int32)) // 2
+            ).astype(np.uint8)
+        elif ft == 4:  # Paeth
+            la = np.concatenate(
+                [np.zeros(bpp, np.int32), row[:-bpp].astype(np.int32)]
+            )
+            ub = prev.astype(np.int32)
+            uc = np.concatenate(
+                [np.zeros(bpp, np.int32), ub[:-bpp]]
+            )
+            p = la + ub - uc
+            pa, pb, pc = np.abs(p - la), np.abs(p - ub), np.abs(p - uc)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), la, np.where(pb <= pc, ub, uc)
+            )
+            filt = row - pred.astype(np.uint8)
+        else:
+            raise ValueError(f"bad filter {ft}")
+        lines.append(bytes([ft]) + filt.tobytes())
+        prev = row
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Pure-numpy/stdlib image decode — no external library needed:
+
     * binary PPM ``P6`` / PGM ``P5`` with maxval ≤ 255 — header comments
       handled; grayscale is broadcast to 3 channels
     * BMP: 24- or 32-bit uncompressed (BI_RGB), bottom-up or top-down
+    * PNG: non-interlaced 8-bit gray / RGB / palette / gray+alpha /
+      RGBA — stdlib zlib + numpy scanline unfiltering (r15; the
+      dominant real-world lossless format)
 
-    Returns an (H, W, 3) uint8 RGB array. Compressed formats (JPEG,
-    PNG, ...) raise NotImplementedError — entropy decoding needs
-    PIL/imageio, which are not installed here; the mapInPandas plumbing
-    above this seam is format-agnostic.
+    Returns an (H, W, 3) uint8 RGB array. Entropy-coded formats (JPEG,
+    16-bit or interlaced PNG, ...) raise NotImplementedError — those
+    genuinely need PIL/imageio, which are not installed here; the
+    mapInPandas plumbing above this seam is format-agnostic.
     """
     b = payload or b""
+    if b[:8] == _PNG_MAGIC:
+        return _decode_png(b)
     if b[:2] in (b"P6", b"P5"):
         gray = b[:2] == b"P5"
         (w, h, maxval), off = _pnm_header(b[2:], 3)
