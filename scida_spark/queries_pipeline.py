@@ -563,6 +563,9 @@ _FS_M_U = {
 # text is long enough.
 _ESUB_L, _ESUB_K = 60, 16
 _ESUB_BASE = 1 << 41
+# Probe-doc id namespace (r15): NEW never-ingested documents submitted
+# to esub_probe against the cert store — above the 2^41 esub namespace.
+_ESUBP_BASE = 1 << 42
 
 
 def _esub_oracle_section(method: str = "esub") -> str:
@@ -597,6 +600,53 @@ def _esub_oracle_section(method: str = "esub") -> str:
       FROM (SELECT DISTINCT doc, gr FROM eg) a
       JOIN (SELECT DISTINCT doc, gr FROM eg) b
         ON a.gr = b.gr AND a.doc < b.doc
+    )
+    """
+
+
+def _esubp_oracle_section() -> str:
+    """DuckDB twin of the esubp section (r15, closes r14 VERDICT next
+    #2): the ONLINE probe serve — NEW, never-ingested probe documents
+    asked against the incrementally built anchor store. The oracle is
+    the same L-gram-join semantics restricted to probe x history: a
+    probe doc matches an ingested doc iff they share a 60-gram. Probe
+    matchers carry an 80-char verbatim slice of an ingested original
+    (a certain hit); probe negatives carry a 40-char (sub-L) slice
+    plus a unique suffix (a certain miss) — so a green row certifies
+    the probe's bucket pruning loses nothing AND its verify admits
+    nothing."""
+    return f"""
+    UNION ALL
+    SELECT 'esubp' AS method, id_a, id_b, CAST(1.0 AS DOUBLE) AS score
+    FROM (
+      WITH esd AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc, text FROM documents
+        UNION ALL
+        SELECT CAST(doc_id + {_ESUB_BASE} AS BIGINT),
+               substr(text, 10, 80) || ' planted-esub-'
+                 || CAST(doc_id AS VARCHAR)
+        FROM documents WHERE doc_id % 11 = 4 AND len(text) >= 10),
+      pr AS (
+        SELECT CAST(doc_id + {_ESUBP_BASE} AS BIGINT) AS pid,
+               substr(text, 5, 80) || ' planted-esubp-'
+                 || CAST(doc_id AS VARCHAR) AS text
+        FROM documents WHERE doc_id % 13 = 7 AND len(text) >= 64
+        UNION ALL
+        SELECT CAST(doc_id + {_ESUBP_BASE} AS BIGINT),
+               substr(text, 3, 40) || ' planted-esubp-neg-'
+                 || CAST(doc_id AS VARCHAR)
+        FROM documents WHERE doc_id % 13 = 2 AND len(text) >= 42),
+      eg AS (
+        SELECT doc, substr(text, i, {_ESUB_L}) AS gr
+        FROM esd, UNNEST(generate_series(1, len(text) - {_ESUB_L - 1})) u(i)
+        WHERE len(text) >= {_ESUB_L}),
+      pg AS (
+        SELECT pid, substr(text, i, {_ESUB_L}) AS gr
+        FROM pr, UNNEST(generate_series(1, len(text) - {_ESUB_L - 1})) u(i)
+        WHERE len(text) >= {_ESUB_L})
+      SELECT DISTINCT p.pid AS id_a, h.doc AS id_b
+      FROM (SELECT DISTINCT pid, gr FROM pg) p
+      JOIN (SELECT DISTINCT doc, gr FROM eg) h ON p.gr = h.gr
     )
     """
 
@@ -736,7 +786,8 @@ def _fs_oracle_section() -> str:
     """
     + _fs_oracle_section()
     + _esub_oracle_section()
-    + _esub_oracle_section("esubs"),
+    + _esub_oracle_section("esubs")
+    + _esubp_oracle_section(),
 )
 @_memo_slot("documents")
 def dedup_signature_pairs(spark, sf_dir):
@@ -1152,6 +1203,9 @@ def dedup_signature_pairs(spark, sf_dir):
             F.lit(-1).cast("bigint").alias("id_b"),
             F.lit(1.0).alias("score"),
         )
+        esubp = esubs.select(
+            F.lit("esubp").alias("method"), "id_a", "id_b", "score"
+        )
     else:
         from scida_spark.streaming.esubindex import read_esub_pairs
 
@@ -1174,6 +1228,58 @@ def dedup_signature_pairs(spark, sf_dir):
             F.col("doc_b").cast("bigint").alias("id_b"),
             F.col("score"),
         )
+        # esubp (r15, closes r14 VERDICT next #2): the ONLINE probe
+        # serve against the SAME cert store — NEW probe docs (2^42 id
+        # namespace, never ingested) winnowed once map-only, then
+        # joined only against the probe anchors' h_bucket partitions
+        # with tombstone masking (streaming/esubindex.py::esub_probe).
+        # Matchers carry an 80-char slice of an ingested original
+        # (>= L ⇒ the winnowing guarantee places a common anchor —
+        # a certain hit); negatives carry a sub-L 40-char slice plus a
+        # unique suffix (a certain miss). The store holds clique REPS,
+        # so served (probe, rep) hits expand through the same clique
+        # map as esub/esubs — identical text has identical L-grams,
+        # making the expansion exact. The oracle replays probe x
+        # history as a direct L-gram join.
+        from scida_spark.streaming.esubindex import esub_probe
+
+        probe_df = docs.filter(
+            (F.col("doc_id") % 13 == 7) & (F.length("text") >= 64)
+        ).select(
+            (F.col("doc_id") + F.lit(_ESUBP_BASE)).alias("doc_id"),
+            F.concat(
+                F.substring(F.col("text"), 5, 80),
+                F.lit(" planted-esubp-"),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+        ).unionAll(
+            docs.filter(
+                (F.col("doc_id") % 13 == 2) & (F.length("text") >= 42)
+            ).select(
+                (F.col("doc_id") + F.lit(_ESUBP_BASE)).alias("doc_id"),
+                F.concat(
+                    F.substring(F.col("text"), 3, 40),
+                    F.lit(" planted-esubp-neg-"),
+                    F.col("doc_id").cast("string"),
+                ).alias("text"),
+            )
+        )
+        esubp = (
+            esub_probe(spark, _estore, probe_df)
+            .join(
+                eclique.select(
+                    F.col("rep").alias("doc"),
+                    F.col("doc").alias("_member"),
+                ),
+                "doc",
+            )
+            .select(
+                F.lit("esubp").alias("method"),
+                F.col("probe_id").cast("bigint").alias("id_a"),
+                F.col("_member").cast("bigint").alias("id_b"),
+                F.lit(1.0).alias("score"),
+            )
+        )
     return (
         sh.unionAll(cert)
         .unionAll(fz)
@@ -1182,6 +1288,7 @@ def dedup_signature_pairs(spark, sf_dir):
         .unionAll(ct)
         .unionAll(esub)
         .unionAll(esubs)
+        .unionAll(esubp)
     )
 
 
@@ -3974,9 +4081,16 @@ _BM25_K1, _BM25_B = 1.2, 0.75
 _QL_MU = 300.0
 _RRF_K0 = 60
 
-_QCTE = f"""q(query_id, tok) AS (VALUES {",".join(
-          f"({q},'{t}')" for q, qt in _BM25_QUERIES for t in sorted(set(qt.split()))
-      )})"""
+# strip().split(' ') — the ENGINE's tokenization (single-space split,
+# not any-whitespace): a query constant with a double space must
+# diverge identically on both sides (r14 verdict residual #1; pinned
+# by test_bm25_query_tokenization_mirror).
+_QTOK_ROWS = ",".join(
+    f"({q},'{t}')"
+    for q, qt in _BM25_QUERIES
+    for t in sorted(set(qt.strip().split(" ")))
+)
+_QCTE = f"""q(query_id, tok) AS (VALUES {_QTOK_ROWS})"""
 
 _BM25_CTES = f"""
       bm_dl AS (SELECT doc_id, len(string_split(trim(text),' ')) AS dl
@@ -6749,6 +6863,13 @@ def text_repetition_filter(spark, sf_dir):
             WHERE doc_id < 200) AS n_bytes,
            'planted_only=1' AS sha256, '' AS fingerprint
     UNION ALL
+    SELECT 'phash_png' AS section,
+           2 * (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+                WHERE doc_id < 200) AS media_id,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+            WHERE doc_id < 200) AS n_bytes,
+           'planted_only=1' AS sha256, '' AS fingerprint
+    UNION ALL
     SELECT 'audiofp' AS section,
            2 * (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
                 WHERE doc_id < 200) AS media_id,
@@ -6808,6 +6929,37 @@ def multimodal_features(spark, sf_dir):
     )
     hashes = M.phash_table(imgs).localCheckpoint(eager=False)
     pairs_df = M.phash_near_pairs(hashes, max_hamming=8).select("id_a", "id_b")
+
+    # ``phash_png`` certification row (r15, closes r14 VERDICT next
+    # #5): the SAME planted-pair contract with the images encoded as
+    # non-interlaced 8-bit RGB PNG — row filters cycling 0..4 so the
+    # zlib + scanline-unfilter decode path (functions/multimodal.py::
+    # _decode_png, no PIL) is exercised on every filter type before
+    # the pHash → pigeonhole-blocking pipeline. decode is format-
+    # transparent (pytest pins PPM-pHash == PNG-pHash per image), so
+    # a green row certifies real PNG decode inside the same
+    # encode→decode→hash→block shape as the PPM cert.
+    def _mk_images_png(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                rng = np.random.RandomState(int(did) % (2**31))
+                img = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+                prng = np.random.RandomState((int(did) + 999_983) % (2**31))
+                pert = np.clip(
+                    img.astype(int) + prng.randint(-2, 3, img.shape), 0, 255
+                ).astype(np.uint8)
+                ids += [2 * int(did), 2 * int(did) + 1]
+                payloads += [M.encode_png(img), M.encode_png(pert)]
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    pngs = docs.select("doc_id").mapInPandas(
+        _mk_images_png, schema="media_id long, payload binary"
+    )
+    png_hashes = M.phash_table(pngs).localCheckpoint(eager=False)
+    png_pairs_df = M.phash_near_pairs(png_hashes, max_hamming=8).select(
+        "id_a", "id_b"
+    )
     planted_df = docs.select(
         (F.col("doc_id") * 2).cast("long").alias("id_a"),
         (F.col("doc_id") * 2 + 1).cast("long").alias("id_b"),
@@ -6896,8 +7048,10 @@ def multimodal_features(spark, sf_dir):
             F.lit("").alias("fingerprint"),
         )
 
-    cert = _lazy_cert("phash", pairs_df).unionAll(
-        _lazy_cert("audiofp", apairs_df)
+    cert = (
+        _lazy_cert("phash", pairs_df)
+        .unionAll(_lazy_cert("phash_png", png_pairs_df))
+        .unionAll(_lazy_cert("audiofp", apairs_df))
     )
     return base_rows.unionAll(cert)
 

@@ -59,6 +59,59 @@ def test_bm25_matches_naive(docs_df):
             assert s_got == pytest.approx(s_exp, rel=1e-12)
 
 
+def test_bm25_query_tokenization_mirror(spark):
+    """Engine and oracle must tokenize query constants IDENTICALLY:
+    ``strip().split(' ')`` (single-space split), NOT any-whitespace
+    ``split()``. A query with a double space yields an empty-string
+    token, which genuinely matches a corpus document containing a
+    double space — any oracle that silently drops it diverges (r14
+    verdict residual #1: queries_pipeline._QCTE built its VALUES
+    literal from ``qt.split()``; now fixed and pinned here)."""
+    docs = spark.createDataFrame(
+        [(0, "alpha  beta"), (1, "alpha beta"), (2, "gamma delta")],
+        "doc_id long, text string",
+    )
+    queries = [(0, "alpha  beta")]  # double space -> '' token
+    got = {
+        (r["doc_id"], round(r["score"], 10))
+        for r in bm25_topk(docs, queries, k=10).collect()
+    }
+
+    def naive(tokenize):
+        toks = {0: ["alpha", "", "beta"], 1: ["alpha", "beta"],
+                2: ["gamma", "delta"]}
+        n, k1, b = 3, 1.2, 0.75
+        avgdl = sum(len(t) for t in toks.values()) / n
+        scores = {}
+        for term in sorted(set(tokenize(queries[0][1]))):
+            df = sum(1 for t in toks.values() if term in t)
+            if df == 0:
+                continue
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for d, t in toks.items():
+                tf = t.count(term)
+                if tf:
+                    scores[d] = scores.get(d, 0.0) + idf * (
+                        tf * (k1 + 1.0)
+                    ) / (tf + k1 * ((1.0 - b) + b * len(t) / avgdl))
+        return {(d, round(s, 10)) for d, s in scores.items()}
+
+    engine_recipe = naive(lambda q: q.strip().split(" "))
+    old_oracle_recipe = naive(lambda q: q.split())
+    assert got == engine_recipe
+    # the two recipes REALLY diverge on this constant — the pin is
+    # meaningful, not vacuous
+    assert engine_recipe != old_oracle_recipe
+    # and the repo's oracle literal builder emits EXACTLY the engine
+    # recipe's (query_id, token) rows — including any '' token a
+    # future double-spaced constant would produce
+    from scida_spark import queries_pipeline as QP
+
+    for q, qt in QP._BM25_QUERIES:
+        for t in sorted(set(qt.strip().split(" "))):
+            assert f"({q},'{t}')" in QP._QCTE
+
+
 def test_bm25_tf_saturation(docs_df):
     """Doc 2 (tf=3 for 'spark') outranks single-tf docs, but its score
     is < 3x theirs (k1 saturation)."""
