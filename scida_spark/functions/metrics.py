@@ -28,6 +28,7 @@ def auc_exact(
     score_col: str,
     label_col: str,
     group_cols=(),
+    score_bucket_width: float | None = None,
 ) -> DataFrame:
     """Exact tie-corrected AUC of ``score_col`` for boolean
     ``label_col``, optionally per group. Returns (``group_cols``...,
@@ -36,23 +37,47 @@ def auc_exact(
 
     ``score_col`` must be non-NULL (engines disagree where NULLs
     sort — the grouped_median_element precondition); filter upstream.
+
+    The rank window runs over the DISTINCT-score count table. For the
+    ungrouped case with an unbounded score vocabulary (raw continuous
+    scores at corpus scale), pass ``score_bucket_width`` to rerun that
+    cumulative count as the two-phase bucketed prefix
+    (``prefix_sum.exclusive_key_prefix`` — the r15 group_offsets
+    pattern): no task ever sorts the whole vocabulary, and the result
+    is value-identical because the cumulative counts are exact integer
+    sums either way.
     """
     group_cols = list(group_cols)
     cnt = df.groupBy(*group_cols, score_col).agg(
         F.count("*").alias("__n"),
         F.sum(F.when(F.col(label_col), 1).otherwise(0)).alias("__np"),
     )
-    w_cum = (
-        W.partitionBy(*group_cols).orderBy(score_col)
-        if group_cols
-        else W.orderBy(score_col)
-    )
-    cum = cnt.select(
-        *group_cols,
-        "__n",
-        "__np",
-        F.sum("__n").over(w_cum).alias("__cum"),
-    )
+    if group_cols or score_bucket_width is None:
+        w_cum = (
+            W.partitionBy(*group_cols).orderBy(score_col)
+            if group_cols
+            else W.orderBy(score_col)
+        )
+        cum = cnt.select(
+            *group_cols,
+            "__n",
+            "__np",
+            F.sum("__n").over(w_cum).alias("__cum"),
+        )
+    else:
+        from scida_spark.operators.prefix_sum import exclusive_key_prefix
+
+        offs = exclusive_key_prefix(
+            cnt.select(score_col, "__n"),
+            score_col,
+            "__n",
+            bucket_width=score_bucket_width,
+        ).withColumnRenamed(score_col, "__sc2")
+        cum = cnt.join(
+            offs, F.col(score_col).eqNullSafe(F.col("__sc2"))
+        ).select(
+            "__n", "__np", (F.col("__off") + F.col("__n")).alias("__cum")
+        )
     # DOUBLED midrank of every row sharing this score value:
     # 2 * (min_rank + max_rank)/2 = 2*cum - n + 1 — an INTEGER, so the
     # rank sum stays exact integer arithmetic (DECIMAL against 100 TB

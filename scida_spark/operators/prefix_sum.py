@@ -34,7 +34,7 @@ def exclusive_key_prefix(
     totals: DataFrame,
     key_col: str,
     sum_col: str,
-    bucket_width: int | None = None,
+    bucket_width: float | None = None,
     out_col: str = "__off",
 ) -> DataFrame:
     """Exclusive prefix of ``sum_col`` over ascending ``key_col`` order
@@ -61,8 +61,14 @@ def exclusive_key_prefix(
         return totals.withColumn(
             out_col, F.coalesce(F.sum(sum_col).over(w_off), zero)
         ).select(key_col, out_col)
+    # fractional widths are legal (float keys — e.g. AUC score
+    # vocabularies); integral widths keep the exact literal form
+    bw = float(bucket_width)
     bkt = totals.withColumn(
-        "__bkt", F.floor(F.col(key_col) / F.lit(int(bucket_width)))
+        "__bkt",
+        F.floor(
+            F.col(key_col) / F.lit(int(bw) if bw.is_integer() else bw)
+        ),
     )
     w_b = W.orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
     boffs = (

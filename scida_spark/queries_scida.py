@@ -219,9 +219,11 @@ def scida_subhalo_ids(spark, sf_dir):
             .alias("GroupNsubs"),
         )
     )
-    w = W.orderBy("GroupID").rowsBetween(W.unboundedPreceding, -1)
-    groups = o.withColumn(
-        "GroupFirstSub", F.coalesce(F.sum("GroupNsubs").over(w), F.lit(0)).cast("long")
+    # GroupFirstSub = exclusive prefix of GroupNsubs over GroupID —
+    # exactly the group_offsets computation, so it inherits the r15
+    # two-phase auto-switch (no single-task window past 1e7 groups)
+    groups = C.group_offsets(
+        o, "GroupNsubs", "GroupID", offset_col="GroupFirstSub"
     )
     # The catalog derives from a join + global window; checkpoint it so
     # the auto dispatcher's size probe and the kernel's catalog reads

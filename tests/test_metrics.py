@@ -295,3 +295,29 @@ def test_ranking_metrics_perfect_run_is_all_ones(spark):
     )
     [r] = ranking_metrics(run, qrels, k=2).collect()
     assert (r["recall"], r["mrr"], r["ndcg"], r["ap"]) == (1.0, 1.0, 1.0, 1.0)
+
+
+def test_auc_bucketed_prefix_matches_single_window(spark):
+    """score_bucket_width (r15) reruns the ungrouped rank cumulative
+    as the two-phase bucketed prefix — bit-identical AUC on a
+    tie-heavy randomized corpus (integer sums reassociate exactly),
+    and the per-score window in the plan partitions by bucket (no
+    whole-vocabulary single-task sort)."""
+    import random
+
+    from scida_spark.functions.metrics import auc_exact
+
+    rng = random.Random(77)
+    rows = [
+        (i, round(rng.random(), 2), rng.random() < 0.4)  # heavy ties
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "id long, s double, y boolean")
+    [base] = auc_exact(df, "s", "y").collect()
+    two = auc_exact(df, "s", "y", score_bucket_width=0.13)
+    [got] = two.collect()
+    assert (got["auc"], got["n_pos"], got["n_neg"]) == (
+        base["auc"], base["n_pos"], base["n_neg"],
+    )
+    plan = two._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(__bkt" in plan, plan
