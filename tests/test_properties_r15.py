@@ -46,6 +46,13 @@ def test_winnow_threshold_and_partitioning_invariance(spark):
     for thr in (0, 50, 10**9):
         assert anchors(df, arrow_min_len=thr) == base, thr
     assert anchors(df.repartition(7), arrow_min_len=50) == base
+    # NULL text emits nothing on every path (codegen: null length →
+    # zero grams; arrow: skipped; auto: filtered out of both branches)
+    withnull = df.unionAll(
+        spark.createDataFrame([(500, None)], "doc_id long, text string")
+    )
+    for kw in ({"engine": "codegen"}, {"engine": "arrow"}, {"arrow_min_len": 50}):
+        assert anchors(withnull, **kw) == base, kw
 
 
 def test_objstore_replace_dir_converges_from_any_crash_prefix(tmp_path):
