@@ -9,13 +9,18 @@ reservoir stores in ``streaming/rollup.py``, and the span index in
 ``batch_id=N`` parquet directories under a store root, and their
 compactions fold those partials into one base partial ``batch_id=-1``.
 The fold's directory shuffle (list / delete / rename) runs DRIVER-SIDE
-against ``os`` / ``shutil`` — correct for a local or NFS-mounted store
-directory (this sandbox, a single-node deployment, a posix-mounted
-checkpoint volume). On object storage / HDFS these calls do not exist;
-swapping this module's five small functions for their Hadoop
-FileSystem equivalents (``fs.listStatus`` / ``fs.delete`` /
-``fs.rename`` via ``spark._jvm``) ports every store at once — no store
-touches the filesystem except through here.
+through a pluggable BACKEND (r15): :class:`LocalBackend` (``os`` /
+``shutil`` — a local or NFS-mounted store directory: this sandbox, a
+single-node deployment, a posix-mounted checkpoint volume) is the
+default; :mod:`scida_spark.streaming.objstore` implements the same
+verb set on the five object-store primitives (no directory rename, no
+links — the promote becomes overwrite-copy + commit marker + source
+delete with the same replay-safety), registered per path prefix via
+:func:`register_backend`. No store touches the filesystem except
+through here — the backend-parametrized crash matrix in
+``tests/test_streaming_postings.py`` proves the port claim; an HDFS
+port is the same exercise against ``fs.listStatus`` / ``fs.delete`` /
+``fs.rename`` via ``spark._jvm``.
 
 CRASH SAFETY: a compaction that deletes batch partials before the
 compacted base is in place can lose data. :func:`promote_compacted`

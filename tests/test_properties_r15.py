@@ -55,6 +55,32 @@ def test_winnow_threshold_and_partitioning_invariance(spark):
         assert anchors(withnull, **kw) == base, kw
 
 
+def test_winnow_astral_plane_utf8_equivalence(spark):
+    """4-byte UTF-8 (astral-plane emoji) counts as ONE character in
+    both engines — Spark's UTF8String substr walks code points and
+    Python slices by code point — so the two winnow paths stay
+    bit-identical on text where bytes != chars by 4x."""
+    from scida_spark.functions.dedup import winnow_anchors
+
+    t = ("🚀data🧪" * 60) + "plain ascii tail " * 10
+    df = spark.createDataFrame(
+        [(0, t), (1, "🎯" * 40)], "doc_id long, text string"
+    )
+    cg = {
+        (r["doc_id"], r["h"], r["pos"])
+        for r in winnow_anchors(
+            df, "doc_id", "text", k=8, window=10, engine="codegen"
+        ).collect()
+    }
+    ar = {
+        (r["doc_id"], r["h"], r["pos"])
+        for r in winnow_anchors(
+            df, "doc_id", "text", k=8, window=10, engine="arrow"
+        ).collect()
+    }
+    assert cg == ar and cg
+
+
 def test_objstore_replace_dir_converges_from_any_crash_prefix(tmp_path):
     """Exhaustive crash-injection over the rename-free promote: run
     replace_dir with a store that dies after exactly N primitive
