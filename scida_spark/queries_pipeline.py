@@ -566,6 +566,59 @@ _ESUB_BASE = 1 << 41
 # Probe-doc id namespace (r15): NEW never-ingested documents submitted
 # to esub_probe against the cert store — above the 2^41 esub namespace.
 _ESUBP_BASE = 1 << 42
+# Shifted-copy namespace for the content-defined-chunking cert (r15).
+_CDC_BASE = 1 << 43
+
+
+def _cdc_oracle_section() -> str:
+    """DuckDB twin of the cdc section (r15): content-defined chunking
+    — cut after every position whose 16-gram integer hash (first 8
+    md5 hex chars) is ≡ 0 mod 32 — replayed literally, then the same
+    per-doc chunk-hash-sequence fingerprint and the same
+    shares-a-chunk-with-another-doc flag. Planted docs are SHIFTED
+    copies, so a green row certifies the shift-resilience property
+    (interior chunks hash-equal across the offset) end to end."""
+    return f"""
+    UNION ALL
+    SELECT 'cdc' AS section, id_a, id_b, n, flag
+    FROM (
+      WITH cd AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc, text FROM documents
+        UNION ALL
+        SELECT CAST(doc_id + {_CDC_BASE} AS BIGINT),
+               'cdc-shift-' || CAST(doc_id AS VARCHAR) || ' ' || text
+        FROM documents WHERE doc_id % 17 = 5 AND len(text) >= 1),
+      ct AS (SELECT doc, text, len(text) AS n FROM cd WHERE len(text) > 0),
+      ccuts AS (
+        SELECT doc, u.i + 15 AS c
+        FROM ct, UNNEST(generate_series(1, n - 15)) u(i)
+        WHERE CAST(('0x' || substr(md5(substr(text, i, 16)), 1, 8))
+                   AS UBIGINT) % 32 = 0),
+      cbl AS (SELECT doc, list(c ORDER BY c) AS cs FROM ccuts GROUP BY doc),
+      cbs AS (SELECT ct.doc, ct.text,
+                     list_sort(list_distinct(
+                       COALESCE(cbl.cs, CAST([] AS BIGINT[]))
+                         || [CAST(0 AS BIGINT), ct.n])) AS b
+              FROM ct LEFT JOIN cbl USING (doc)),
+      cck AS (SELECT doc, u.i AS oi,
+                     md5(substr(text, b[u.i - 1] + 1,
+                                b[u.i] - b[u.i - 1])) AS h
+              FROM cbs, UNNEST(generate_series(2, len(b))) u(i)),
+      cmulti AS (SELECT h FROM cck GROUP BY h
+                 HAVING COUNT(DISTINCT doc) >= 2),
+      cfp AS (SELECT doc,
+                     CAST(CAST(('0x' || substr(
+                       md5(string_agg(h, '' ORDER BY oi)), 1, 14))
+                       AS UBIGINT) AS BIGINT) AS fp,
+                     CAST(COUNT(*) AS BIGINT) AS nc
+              FROM cck GROUP BY doc),
+      cfl AS (SELECT DISTINCT doc FROM cck
+              WHERE h IN (SELECT h FROM cmulti))
+      SELECT f.doc AS id_a, f.fp AS id_b, f.nc AS n,
+             (cfl.doc IS NOT NULL) AS flag
+      FROM cfp f LEFT JOIN cfl ON cfl.doc = f.doc
+    )
+    """
 
 
 def _esub_oracle_section(method: str = "esub") -> str:
@@ -1361,7 +1414,8 @@ def dedup_signature_pairs(spark, sf_dir):
            elen.n - COALESCE(ek.n_kept, 0),
            (elen.n - COALESCE(ek.n_kept, 0)) > 0
     FROM elen LEFT JOIN ek USING (doc)
-    """,
+    """
+    + _cdc_oracle_section(),
 )
 def dedup_contamination(spark, sf_dir):
     """Benchmark decontamination + repeated-span masking, one slot
@@ -1494,7 +1548,74 @@ def dedup_contamination(spark, sf_dir):
             ).alias("flag"),
         )
     )
-    return contam.unionAll(span_rows).unionAll(esubcut_rows)
+    # cdc (r15): CONTENT-DEFINED chunking + chunk-hash dedup (the
+    # rsync/LBFS/FastCDC boundary family — functions/chunking.py::
+    # cdc_chunks). Planted docs (2^43 namespace) are SHIFTED copies of
+    # originals ('cdc-shift-<id> ' prefix), so the cert exercises the
+    # property the operator exists for: boundaries are content-
+    # defined, hence the copies' interior chunks hash-equal despite
+    # the offset shift and the chunk-dup flag fires. Per doc: id_b =
+    # 56-bit md5 fingerprint of the in-order chunk-hash sequence
+    # (every boundary and every chunk's content certified), n = chunk
+    # count, flag = shares >= 1 chunk with a DIFFERENT doc. The
+    # chunking pass is map-only codegen; the dup flag is one
+    # chunk-hash groupBy.
+    from scida_spark.functions.chunking import cdc_chunks, cdc_dup_doc_flags
+
+    cdc_src = docs.select("doc_id", "text").unionAll(
+        docs.filter(
+            (F.col("doc_id") % 17 == 5) & (F.length("text") >= 1)
+        ).select(
+            (F.col("doc_id") + F.lit(_CDC_BASE)).alias("doc_id"),
+            F.concat(
+                F.lit("cdc-shift-"),
+                F.col("doc_id").cast("string"),
+                F.lit(" "),
+                F.col("text"),
+            ).alias("text"),
+        )
+    )
+    ch = cdc_chunks(cdc_src, "doc_id", "text", k=16, divisor=32).localCheckpoint(
+        eager=False
+    )
+    cdc_fp = ch.groupBy("doc_id").agg(
+        F.count("*").alias("_nc"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct("chunk_idx", "chunk_hash")
+                                )
+                            ),
+                            lambda x: x["chunk_hash"],
+                        ),
+                        "",
+                    )
+                ),
+                1,
+                14,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("_fp"),
+    )
+    cdc_rows = cdc_fp.join(cdc_dup_doc_flags(ch, "doc_id"), "doc_id").select(
+        F.lit("cdc").alias("section"),
+        F.col("doc_id").cast("long").alias("id_a"),
+        F.col("_fp").alias("id_b"),
+        F.col("_nc").cast("long").alias("n"),
+        F.col("shares_chunk").alias("flag"),
+    )
+    return (
+        contam.unionAll(span_rows)
+        .unionAll(esubcut_rows)
+        .unionAll(cdc_rows)
+    )
 
 
 @query(
