@@ -700,6 +700,52 @@ def test_jaccard_prefix_exact_threshold_boundary(spark):
     assert abs(got[0]["jaccard"] - 0.55) < 1e-12
 
 
+def test_jaccard_prefix_positional_filter_boundary(spark):
+    """r15 positional-filter regression: the candidate pruning bound
+    I <= cp + min(sza - i2, szb - j2) must KEEP pairs whose Jaccard is
+    EXACTLY the threshold (the bound is tight for a pair whose common
+    shingles are a suffix run, so any off-by-one or slack in the wrong
+    direction drops a qualifying pair), and the pruned answer must
+    equal the unpruned one on a corpus where most candidates fail
+    verification (the case the filter exists for)."""
+    import itertools
+    import random
+
+    from scida_spark.functions.dedup import jaccard_pairs_prefix_from_shingles
+
+    # Exact-boundary pair: |A|=|B|=4, I=3 -> J = 3/5 = 0.6 at t=0.6.
+    sh = spark.createDataFrame(
+        [(1, [10, 11, 12, 1]), (2, [10, 11, 12, 2])],
+        "doc long, sh array<long>",
+    ).localCheckpoint(eager=True)
+    got = jaccard_pairs_prefix_from_shingles(sh, threshold=0.6).collect()
+    assert len(got) == 1 and abs(got[0]["jaccard"] - 0.6) < 1e-12
+
+    # Random corpus with heavy non-qualifying overlap: pruned == brute.
+    rng = random.Random(7)
+    docs = [
+        (d, sorted(rng.sample(range(40), rng.randint(6, 14))))
+        for d in range(50)
+    ]
+    sh2 = spark.createDataFrame(
+        [(d, [int(x) for x in s]) for d, s in docs], "doc long, sh array<long>"
+    ).localCheckpoint(eager=True)
+    t = 0.4
+    got2 = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs_prefix_from_shingles(sh2, threshold=t).collect()
+    }
+    want = {}
+    for (da, sa), (db, sb) in itertools.combinations(docs, 2):
+        i = len(set(sa) & set(sb))
+        j = i / (len(set(sa)) + len(set(sb)) - i)
+        if j >= t:
+            want[(min(da, db), max(da, db))] = j
+    assert set(got2) == set(want)
+    for k, v in want.items():
+        assert abs(got2[k] - v) < 1e-12
+
+
 def _lp_edges(spark, pairs):
     rows = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
     return spark.createDataFrame(rows, "src long, dst long")
