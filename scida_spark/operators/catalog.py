@@ -470,6 +470,13 @@ def segmented_apply(
         else df.repartition(key_col)
     ).sortWithinPartitions(key_col)
 
+    # Per-group results are BATCHED into one yielded frame per incoming
+    # Arrow batch (r15, guide §4.1/§4.2): every yield becomes its own
+    # Arrow record batch on the wire, so yielding per GROUP paid the
+    # per-batch serialization constant ~n_groups times — measured at
+    # sf0.1 (8k rows, 1,959 groups): 2.31 s -> 1.20 s min just by
+    # concatenating the group outputs before yielding. Row content is
+    # identical; only the batch framing changes.
     def run(batches):
         pending: pd.DataFrame | None = None
         for pdf in batches:
@@ -481,11 +488,14 @@ def segmented_apply(
             tail_mask = pdf[key_col] == last_key
             pending = pdf[tail_mask]
             body = pdf[~tail_mask]
-            for _, g in body.groupby(key_col, sort=True):
-                yield func(g)
+            outs = [func(g) for _, g in body.groupby(key_col, sort=True)]
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
         if pending is not None and len(pending):
-            for _, g in pending.groupby(key_col, sort=True):
-                yield func(g)
+            outs = [
+                func(g) for _, g in pending.groupby(key_col, sort=True)
+            ]
+            yield pd.concat(outs, ignore_index=True)
 
     return rp.mapInPandas(run, schema)
 
