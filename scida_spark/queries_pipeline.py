@@ -5203,11 +5203,30 @@ def sim_topk(spark, sf_dir):
 
         pre_b = spark.read.parquet(_os2.path.join(pre_dir, "bm25s"))
         pre_q = spark.read.parquet(_os2.path.join(pre_dir, "qls"))
+        # Multiset equality via SIGNED-COUNT aggregation (r15, guide
+        # §1.2/§2.4): the old form was four exceptAll legs, which
+        # executed each LIVE serve twice (once per direction) on every
+        # slot execution — the idxcompact section's 2.3 s marginal was
+        # mostly a second run of the bm25s+qls serves. Tagging each
+        # row +1 (saved pre-compaction) / -1 (live) and grouping on
+        # the full row value instead computes the same verdict with
+        # ONE scan per side:  sum(_s) != 0 for some value class  <=>
+        # the multisets differ  <=>  the old symmetric-difference
+        # count was nonzero. The family tag keeps bm25 and ql rows
+        # from cancelling across rankers. Only the boolean `ok` is
+        # emitted, so the row value is unchanged.
+        _dcols = pre_b.columns
+        _sgn = lambda df, fam, s: df.select(*_dcols).select(  # noqa: E731
+            F.lit(fam).alias("_f"), F.lit(s).alias("_s"), "*"
+        )
         _idx_diff = (
-            pre_b.exceptAll(bm25s_live)
-            .unionAll(bm25s_live.exceptAll(pre_b))
-            .unionAll(pre_q.exceptAll(qls_live))
-            .unionAll(qls_live.exceptAll(pre_q))
+            _sgn(pre_b, "b", 1)
+            .unionAll(_sgn(bm25s_live, "b", -1))
+            .unionAll(_sgn(pre_q, "q", 1))
+            .unionAll(_sgn(qls_live, "q", -1))
+            .groupBy("_f", *_dcols)
+            .agg(F.sum("_s").alias("_d"))
+            .filter(F.col("_d") != 0)
         )
         idxcompact_rows = _idx_diff.agg(F.count("*").alias("nd")).select(
             F.lit("idxcompact").alias("method"),
@@ -7135,22 +7154,34 @@ def multimodal_features(spark, sf_dir):
     # no driver collect at construction, so bench's per-section filter
     # isolates each modality's encode->hash->block pipeline.
     def _lazy_cert(section: str, found_df):
-        sym = found_df.exceptAll(planted_df).unionAll(
-            planted_df.exceptAll(found_df)
+        # pair-set == planted-set via SIGNED-COUNT aggregation (r15,
+        # same rewrite as sim_topk's idxcompact): the old exceptAll
+        # symmetric difference executed found_df twice and its count
+        # a third time, re-running each modality's blocking join 3x
+        # per slot execution. One union with +1/-1 tags computes the
+        # pair count (np = rows tagged +1) and the mismatch verdict
+        # (any value class with sum(_s) != 0  <=>  the old symmetric
+        # difference was non-empty) in ONE scan of each side; the
+        # emitted row (nd, np, planted_only boolean) is unchanged.
+        pair_stats = (
+            found_df.select("id_a", "id_b", F.lit(1).alias("_s"))
+            .unionAll(planted_df.select("id_a", "id_b", F.lit(-1).alias("_s")))
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.sum("_s").alias("_d"),
+                F.count(F.when(F.col("_s") == 1, 1)).alias("_cf"),
+            )
+            .agg(
+                F.coalesce(F.sum("_cf"), F.lit(0)).cast("long").alias("np"),
+                F.count(F.when(F.col("_d") != 0, 1)).alias("nbad"),
+            )
         )
         one = F.lit(None).cast("long")
         combined = (
             docs.agg(F.count("*").alias("nd"))
             .select("nd", one.alias("np"), one.alias("nbad"))
             .unionAll(
-                found_df.agg(F.count("*").alias("np")).select(
-                    one.alias("nd"), "np", one.alias("nbad")
-                )
-            )
-            .unionAll(
-                sym.agg(F.count("*").alias("nbad")).select(
-                    one.alias("nd"), one.alias("np"), "nbad"
-                )
+                pair_stats.select(one.alias("nd"), "np", "nbad")
             )
             .agg(
                 F.max("nd").alias("nd"),
