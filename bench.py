@@ -26,6 +26,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 RUNS = 5
 
+# r15 note (optimization round): four MORE slots joined the r14
+# plan-memoization protocol — text_train_eval_split,
+# multimodal_features, stream_batch_windows, scida_groupid_assign —
+# so their medians, like the r14 four, now measure serve steady state
+# (sample 1 pays construction + lazy-checkpoint materialization; the
+# per-call construction these slots used to re-pay every sample was
+# 0.7-2.5 s of driver-side Python + eager stats collects, constant in
+# data size). Cross-round comparability: r14 medians for these four
+# include per-sample reconstruction, r15 medians do not.
 # r14 note: the four big composite slots (sim_topk,
 # dedup_signature_pairs, sketch_distinct_rollup, text_quality_lang)
 # now MEMOIZE their constructed DataFrame per (session, sf_dir,

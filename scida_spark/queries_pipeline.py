@@ -2562,6 +2562,7 @@ _SPLIT_T = _split_thresholds_r6()
                                  JOIN domc ON domc.doc_id = b.doc_id
     """,
 )
+@_memo_slot("documents")
 def text_train_eval_split(spark, sf_dir):
     """Reproducible train/eval/test assignment by content hash PLUS
     domain-mix membership (functions/sampling.py) — both pure functions
@@ -7018,6 +7019,7 @@ def text_repetition_filter(spark, sf_dir):
            'planted_only=1' AS sha256, '' AS fingerprint
     """,
 )
+@_memo_slot("documents")
 def multimodal_features(spark, sf_dir):
     """Binary-payload feature extraction via mapInPandas (schema /
     Arrow-batch plumbing is real; image decode itself is stubbed —
@@ -7374,6 +7376,7 @@ def stream_session_windows(spark, sf_dir):
     )
     """,
 )
+@_memo_slot("events")
 def stream_batch_windows(spark, sf_dir):
     """ALL three window families in one driver-attested result (merged
     r6 slots stream_window_counts + stream_session_windows,

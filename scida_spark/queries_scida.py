@@ -19,6 +19,7 @@ from scida_spark.operators import histogram as H
 from scida_spark.operators import spatial as S
 from scida_spark.operators.uid import with_uid_by_order
 from scida_spark.queries import DEC, dsum, query
+from scida_spark.queries_pipeline import _memo_slot
 from scida_spark.tables import table
 
 SENT = C.SENTINEL
@@ -138,6 +139,7 @@ def scida_groupid_rangejoin(spark, sf_dir):
     SELECT 'rangejoin' AS method, uid, group_id FROM ids
     """,
 )
+@_memo_slot("lineitem")
 def scida_groupid_assign(spark, sf_dir):
     """BOTH particle→halo assignment paths in one driver-attested result
     (merged r6 slots scida_groupid_searchsorted + scida_groupid_rangejoin,
