@@ -3245,21 +3245,34 @@ def sketch_distinct_rollup(spark, sf_dir):
         )
     )
     # exact order-statistic anchors at ceil(q*n) — element picks, so
-    # they reproduce bit-for-bit in the oracle
-    w = W.partitionBy("event_type").orderBy("value")
-    ranked = evv.select(
+    # they reproduce bit-for-bit in the oracle. r15 (guide §2.4
+    # "pre-aggregate before windowing"): the old form ranked EVERY
+    # event row with row_number over a per-type window — a full sort
+    # of the events table through a handful of single-task partitions.
+    # The value at rank r in value order is the smallest distinct
+    # value whose cumulative count reaches r, so the same anchor
+    # falls out of a parallel (type, value) count + a window over
+    # DISTINCT values only (bounded by the value vocabulary, not the
+    # row count).
+    cnt = evv.groupBy("event_type", "value").agg(F.count("*").alias("_c"))
+    cum = cnt.select(
         "event_type",
         "value",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(W.partitionBy("event_type")).alias("n"),
+        F.sum("_c").over(W.partitionBy("event_type").orderBy("value")).alias(
+            "_cum"
+        ),
+        F.sum("_c").over(W.partitionBy("event_type")).alias("n"),
     )
-    anchors = ranked.filter(
-        F.col("rn") == F.ceil(F.col("n") * 0.5)
-    ).select("event_type", F.lit("p50").alias("q"), "value", "n").unionAll(
-        ranked.filter(F.col("rn") == F.ceil(F.col("n") * 0.95)).select(
-            "event_type", F.lit("p95").alias("q"), "value", "n"
+
+    def _anchor(q: float, lbl: str):
+        return (
+            cum.filter(F.col("_cum") >= F.ceil(F.col("n") * q))
+            .groupBy("event_type", "n")
+            .agg(F.min("value").alias("value"))
+            .select("event_type", F.lit(lbl).alias("q"), "value", "n")
         )
-    )
+
+    anchors = _anchor(0.5, "p50").unionAll(_anchor(0.95, "p95"))
     eps = 2 * SK.KLL_RANK_EPS_K200
     kll_rows = anchors.join(F.broadcast(rk), "event_type").select(
         F.concat(F.lit("kll_"), "q", F.lit(":"), "event_type").alias("kind"),
