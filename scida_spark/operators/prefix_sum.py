@@ -192,6 +192,98 @@ def grouped_ntile(
     )
 
 
+def grouped_ntile_stats(
+    df: DataFrame,
+    k: int,
+    group_col: str,
+    bucket_col: str,
+    out_col: str = "ntile",
+) -> DataFrame:
+    """Per-(group, tile) row count and bucket-value min/max of
+    ``NTILE(k) OVER (PARTITION BY group ORDER BY bucket, <any
+    tie-break>)`` WITHOUT ranking a single row (r15 — guide §1.2
+    "change the distributed algorithm"): NTILE assigns tiles by rank
+    alone, rows sharing a bucket value occupy one contiguous rank
+    block ``(__off, __off + __cnt]``, and tile ``j`` owns the rank
+    interval ``(start_j, start_j + size_j]`` with ``size_j = q+1`` for
+    ``j <= n % k`` else ``q`` (``q = n div k`` — the uneven-split
+    rule). So the number of a cell's rows landing in tile ``j`` is the
+    interval overlap, and a tile's bucket min/max are the min/max
+    bucket values among cells with positive overlap. Counts, min and
+    max are invariant to the tie-break order (ties share a bucket
+    value), so the result is bit-identical to aggregating
+    :func:`grouped_ntile`'s per-row output — pinned in
+    tests/test_prefix_sum.py — while the plan never shuffles or sorts
+    the raw rows beyond the one cell groupBy.
+
+    Returns ``(group_col, out_col, n_rows, bucket_min, bucket_max)``,
+    one row per non-empty tile."""
+    return grouped_ntile_stats_from_cells(
+        df.groupBy(group_col, bucket_col).agg(F.count("*").alias("__cnt")),
+        k,
+        group_col,
+        bucket_col,
+        out_col=out_col,
+    )
+
+
+def grouped_ntile_stats_from_cells(
+    raw_cells: DataFrame,
+    k: int,
+    group_col: str,
+    bucket_col: str,
+    cnt_col: str = "__cnt",
+    out_col: str = "ntile",
+) -> DataFrame:
+    """:func:`grouped_ntile_stats` from an ALREADY-AGGREGATED
+    ``(group, bucket, cnt)`` cell table — the ``_from_cells``
+    convention: a pipeline that computed the cell counts once (e.g.
+    for a frequency-weighted percentile over the same cells) reuses
+    the IDENTICAL DataFrame here, so the one cell shuffle is planned
+    once and runtime-reused across consumers."""
+    w_off = (
+        W.partitionBy(group_col)
+        .orderBy(bucket_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cells = raw_cells.select(
+        group_col,
+        bucket_col,
+        F.col(cnt_col).alias("__cnt"),
+        F.coalesce(F.sum(cnt_col).over(w_off), F.lit(0))
+        .cast("long")
+        .alias("__off"),
+        F.sum(cnt_col)
+        .over(W.partitionBy(group_col))
+        .cast("long")
+        .alias("__n"),
+    )
+    kk = F.lit(int(k))
+    qsz = F.floor(F.col("__n") / kk).cast("long")
+    rem = (F.col("__n") % kk).cast("long")
+    j = F.col(out_col).cast("long")
+    start = F.when(j <= rem, (j - 1) * (qsz + 1)).otherwise(
+        rem * (qsz + 1) + (j - 1 - rem) * qsz
+    )
+    size = F.when(j <= rem, qsz + 1).otherwise(qsz)
+    ov = F.least(start + size, F.col("__off") + F.col("__cnt")) - F.greatest(
+        start, F.col("__off")
+    )
+    return (
+        cells.withColumn(
+            out_col, F.explode(F.array(*[F.lit(i) for i in range(1, k + 1)]))
+        )
+        .withColumn("__ov", ov)
+        .filter(F.col("__ov") > 0)
+        .groupBy(group_col, F.col(out_col).cast("int").alias(out_col))
+        .agg(
+            F.sum("__ov").cast("long").alias("n_rows"),
+            F.min(bucket_col).alias("bucket_min"),
+            F.max(bucket_col).alias("bucket_max"),
+        )
+    )
+
+
 def grouped_median_element(
     df: DataFrame, group_col: str, value_col: str, out_col: str = "med"
 ) -> DataFrame:

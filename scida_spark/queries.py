@@ -705,37 +705,49 @@ def q_percentiles(spark, sf_dir):
     q_percentiles + q_ntile_quartiles into one registry slot).
 
     Scale: percentile → ``percentile_approx`` at 100 TB (Greenwald-
-    Khanna sketch, mergeable, bounded memory); the NTILE window is
-    partitioned by returnflag (per-partition sort, no global ordering
-    task); the final join is flag-grain — broadcast."""
-    from scida_spark.operators.prefix_sum import grouped_ntile
+    Khanna sketch, mergeable, bounded memory); NTILE quartile stats
+    come from the CLOSED-FORM cell-overlap operator (r15, guide §1.2
+    — no per-row ranking at all); the final join is flag-grain —
+    broadcast."""
+    from scida_spark.operators.prefix_sum import (
+        grouped_ntile_stats_from_cells,
+    )
 
     li = table(spark, sf_dir, "lineitem")
-    # Two-level NTILE (operators/prefix_sum.py): the native window
-    # partitioned by the 3-value returnflag sorts each group's whole
-    # membership on ONE task (x100: 3 stragglers x 20M rows). Bucketing
-    # on the leading sort key (l_quantity, ~50 distinct per flag) makes
-    # phase 1's window side 150 rows and the parallel rank cells ~400k.
-    t = grouped_ntile(
-        li.select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber"),
+    # r15 rewrite (guide §1.2 "change the distributed algorithm"; was
+    # grouped_ntile's two-level per-row ranking): every output column
+    # is a pure function of the (returnflag, quantity) cell counts —
+    # quartile counts are rank-interval overlaps, lo/hi are bucket
+    # min/max over overlapping cells (operators/prefix_sum.py::
+    # grouped_ntile_stats, pinned row-identical to the per-row NTILE),
+    # and the exact interpolated percentile consumes the same cells
+    # through its frequency argument (Spark's percentile accumulates a
+    # value->count map internally either way — bit-identical). ONE
+    # full scan + one cell-grain shuffle where the r14 form shuffled
+    # and ranked all rows, joined them twice, and re-scanned the table
+    # for the percentile buffers.
+    cells = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("__cnt")
+    )
+    qd = grouped_ntile_stats_from_cells(
+        cells,
         4,
         "l_returnflag",
         "l_quantity",
-        "l_orderkey",
-        "l_linenumber",
         out_col="quartile",
-    ).select("l_returnflag", "l_quantity", "quartile")
-    q = t.groupBy("l_returnflag", "quartile").agg(
-        F.count("*").alias("n"),
-        F.min("l_quantity").cast("double").alias("lo"),
-        F.max("l_quantity").cast("double").alias("hi"),
+    ).select(
+        "l_returnflag",
+        "quartile",
+        F.col("n_rows").alias("n"),
+        F.col("bucket_min").cast("double").alias("lo"),
+        F.col("bucket_max").cast("double").alias("hi"),
     )
-    p = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
-        F.expr("percentile(l_quantity, 0.50)").alias("p50"),
-        F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+    p = cells.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25, __cnt)").alias("p25"),
+        F.expr("percentile(l_quantity, 0.50, __cnt)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.75, __cnt)").alias("p75"),
     )
-    return q.join(F.broadcast(p), "l_returnflag")
+    return qd.join(F.broadcast(p), "l_returnflag")
 
 
 @query(

@@ -244,3 +244,57 @@ def test_grouped_topn_plans_partial_window_group_limit(spark):
     assert "Partial" in plan and "Final" in plan
     # and the Partial prune sits below the exchange
     assert plan.index("Final") < plan.index("Exchange") < plan.rindex("Partial")
+
+
+def test_grouped_ntile_stats_matches_per_row_aggregate(spark):
+    """grouped_ntile_stats (closed-form cell-overlap, r15) reproduces
+    the per-(group, tile) count / bucket-min / bucket-max of the
+    per-row grouped_ntile output bit-for-bit on randomized data with
+    heavy ties, for several k including n < k and NULL keys."""
+    import random
+
+    from scida_spark.operators.prefix_sum import (
+        grouped_ntile,
+        grouped_ntile_stats,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.choice(["a", "b", None]), rng.choice([1, 2, 3, 4, 5, None]))
+        for i in range(499)
+    ] + [(1000, "solo", 9)]  # 1-row group: n < k
+    df = spark.createDataFrame(rows, "id long, g string, v int")
+    for k in (2, 4, 7):
+        per_row = (
+            grouped_ntile(df, k, "g", "v", "id", out_col="t")
+            .groupBy("g", "t")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.min("v").alias("bucket_min"),
+                F.max("v").alias("bucket_max"),
+            )
+        )
+        base = {
+            (r["g"], r["t"]): (r["n_rows"], r["bucket_min"], r["bucket_max"])
+            for r in per_row.collect()
+        }
+        got = {
+            (r["g"], r["t"]): (r["n_rows"], r["bucket_min"], r["bucket_max"])
+            for r in grouped_ntile_stats(df, k, "g", "v", out_col="t").collect()
+        }
+        assert got == base, k
+
+
+def test_grouped_ntile_stats_no_raw_row_shuffle(spark):
+    """Plan contract: the stats plan contains no window or sort over
+    raw rows — the only window inputs are the aggregated cells (no
+    row_number at all; the raw table is touched once by the cell
+    groupBy)."""
+    from scida_spark.operators.prefix_sum import grouped_ntile_stats
+
+    df = spark.createDataFrame([(1, "a", 2)], "id long, g string, v int")
+    out = grouped_ntile_stats(df, 4, "g", "v")
+    p = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "row_number" not in p
