@@ -50,6 +50,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from scida_spark.session import local_df
 
 __all__ = ["bucket_counts", "psi_kl", "drift_table", "embedding_drift_table"]
 
@@ -115,7 +116,7 @@ def drift_table(
     for facet in sorted(by_facet):
         psi, kl, n_old, n_new, nb = psi_kl(by_facet[facet])
         rows.append((facet, psi, kl, n_old, n_new, nb))
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows,
         "facet string, psi double, kl double, n_old long, n_new long, "
         "n_buckets int",

@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from scida_spark.functions import text as TX
+from scida_spark.session import local_df
 
 __all__ = [
     "train_unigram_lm",
@@ -126,7 +127,7 @@ def save_unigram_lm(spark, model: UnigramLM, path: str) -> None:
     training slice)."""
     rows = [(t, int(c), None, None) for t, c in sorted(model.counts.items())]
     rows.append((None, None, model.n_total, model.vocab_size))
-    spark.createDataFrame(
+    local_df(spark, 
         rows, "tok string, c long, n_total long, vocab_size long"
     ).coalesce(1).write.mode("overwrite").parquet(path)
 
@@ -399,7 +400,7 @@ def save_bigram_lm(spark, model: BigramLM, path: str) -> None:
     ]
     rows += [(t, None, None, None) for t in sorted(model.vocab)]
     rows.append((None, None, None, model.vocab_size))
-    spark.createDataFrame(
+    local_df(spark, 
         rows, "u string, v string, c2 long, vocab_size long"
     ).coalesce(1).write.mode("overwrite").parquet(path)
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
+from scida_spark.session import local_df
 
 
 def auc_exact(
@@ -218,7 +219,7 @@ def isotonic_calibration(
     out_schema = (
         df.select(score_col).schema.add("n", "long").add("n_pos", "long")
     ).add("calibrated", "double")
-    return spark.createDataFrame(rows, out_schema)
+    return local_df(spark, rows, out_schema)
 
 
 def ranking_metrics(
@@ -266,7 +267,7 @@ def ranking_metrics(
 
     spark = run.sparkSession
     disc = F.broadcast(
-        spark.createDataFrame(
+        local_df(spark, 
             [(i, math.log(2.0) / math.log(i + 1.0)) for i in range(1, k + 1)],
             "pos int, disc double",
         )

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from scida_spark.functions import text as TX
+from scida_spark.session import local_df
 
 __all__ = [
     "bm25_topk",
@@ -209,7 +210,7 @@ def bm25_topk_from_index(
     if n_docs == 0:
         # Empty corpus → empty result (the repo-wide "card zeros, don't
         # crash" convention).
-        return spark.createDataFrame(
+        return local_df(spark, 
             [], f"query_id long, {id_col} long, score double, rank int"
         )
     avgdl = float(corpus_stats[1]) / n_docs
@@ -233,11 +234,11 @@ def bm25_topk_from_index(
     }
     matched_qterms = [(qid, t, idf[t]) for qid, t in qterm_rows if t in idf]
     if not matched_qterms:
-        return spark.createDataFrame(
+        return local_df(spark, 
             [], f"query_id long, {id_col} long, score double, rank int"
         )
     qterms = F.broadcast(
-        spark.createDataFrame(
+        local_df(spark, 
             matched_qterms, "query_id long, tok string, idf double"
         )
     )
@@ -382,7 +383,7 @@ def ql_topk_from_index(
     )
     all_terms = sorted({t for _, t in qterm_rows})
     if corpus_stats[0] == 0:
-        return spark.createDataFrame(
+        return local_df(spark, 
             [], f"query_id long, {id_col} long, score double, rank int"
         )
     c_total = int(corpus_stats[1])
@@ -393,7 +394,7 @@ def ql_topk_from_index(
     }
     mucf = {t: mu * c / c_total for t, c in cf.items()}
     if not mucf:
-        return spark.createDataFrame(
+        return local_df(spark, 
             [], f"query_id long, {id_col} long, score double, rank int"
         )
     qmeta_rows = []
@@ -406,13 +407,13 @@ def ql_topk_from_index(
             bq += math.log(mucf[t])
         qmeta_rows.append((qid, len(terms_q), bq))
     qterms = F.broadcast(
-        spark.createDataFrame(
+        local_df(spark, 
             [(q, t, mucf[t]) for q, t in qterm_rows if t in mucf],
             "query_id long, tok string, mucf double",
         )
     )
     qmeta = F.broadcast(
-        spark.createDataFrame(qmeta_rows, "query_id long, nq int, bq double")
+        local_df(spark, qmeta_rows, "query_id long, nq int, bq double")
     )
 
     @F.pandas_udf("double")
@@ -507,7 +508,7 @@ def weighted_ql_topk_from_index(
     wmap = {(int(q), t): float(w) for q, t, w in wterms}
     all_terms = sorted({t for _, t in wmap})
     if corpus_stats[0] == 0 or not all_terms:
-        return spark.createDataFrame(
+        return local_df(spark, 
             [], f"query_id long, {id_col} long, score double, rank int"
         )
     c_total = int(corpus_stats[1])
@@ -525,7 +526,7 @@ def weighted_ql_topk_from_index(
         }
     mucf = {t: mu * c / c_total for t, c in cf.items() if c > 0}
     if not mucf:
-        return spark.createDataFrame(
+        return local_df(spark, 
             [], f"query_id long, {id_col} long, score double, rank int"
         )
     qmeta_rows = []
@@ -540,7 +541,7 @@ def weighted_ql_topk_from_index(
             wq += wmap[(qid, t)]
         qmeta_rows.append((qid, wq, bq))
     qterms = F.broadcast(
-        spark.createDataFrame(
+        local_df(spark, 
             [
                 (q, t, wmap[(q, t)], mucf[t])
                 for (q, t) in sorted(wmap)
@@ -550,7 +551,7 @@ def weighted_ql_topk_from_index(
         )
     )
     qmeta = F.broadcast(
-        spark.createDataFrame(qmeta_rows, "query_id long, wq double, bq double")
+        local_df(spark, qmeta_rows, "query_id long, wq double, bq double")
     )
 
     @F.pandas_udf("double")
@@ -677,7 +678,7 @@ def rm3_expand_terms(
     if not post_rows:
         return _orig_only_weights(queries, alpha)
     fb = F.broadcast(
-        spark.createDataFrame(
+        local_df(spark, 
             post_rows, f"query_id long, {id_col} long, post double"
         )
     )
@@ -1008,7 +1009,7 @@ def tfidf_keywords(
         int(r["df"]) for r in dfr.select("df").distinct().collect()
     )
     idf_map = F.broadcast(
-        spark.createDataFrame(
+        local_df(spark, 
             [(dv, (ln_n1 - math.log(dv + 1.0)) + 1.0) for dv in df_vals],
             "df long, idf double",
         )

@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
+from scida_spark.session import local_df
 
 
 def _fold_sum(arr: Column) -> Column:
@@ -308,7 +309,7 @@ def build_ivf_index(
 def save_ivf_index(spark, centroids: np.ndarray, path: str) -> None:
     """Centroids → parquet (list_id, centroid array<double>)."""
     rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
-    spark.createDataFrame(rows, "list_id int, centroid array<double>").coalesce(
+    local_df(spark, rows, "list_id int, centroid array<double>").coalesce(
         1
     ).write.mode("overwrite").parquet(path)
 
@@ -565,7 +566,7 @@ def _neardup_pairs_kernel(
         # (TakeOrderedAndProject — no full sort).
         sample_rows = base.orderBy("_id").limit(max(ncells * 64, 1024)).collect()
     if not sample_rows:
-        return spark.createDataFrame([], "id_a long, id_b long, sim double")
+        return local_df(spark, [], "id_a long, id_b long, sim double")
     sample = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in sample_rows])
     # Size cells to ~64+ members (est. from the deterministic sample):
     # tiles below that are task-overhead-bound, not GEMM-bound. Callers
@@ -605,7 +606,7 @@ def _neardup_pairs_kernel(
         for j in radii
         if i <= j and cent_ang[i, j] <= theta_t + radii[i] + radii[j] + eps
     ]
-    pairs_df = spark.createDataFrame(cell_pairs, "c1 int, c2 int")
+    pairs_df = local_df(spark, cell_pairs, "c1 int, c2 int")
 
     # Tile sides: each cell's members, repeated once per adjacent cell
     # (NOT per candidate pair) — replication factor = avg adjacency.
@@ -959,7 +960,7 @@ def save_pq_codebooks(spark, codebooks: np.ndarray, path: str) -> None:
         for i in range(m)
         for c in range(ksub)
     ]
-    spark.createDataFrame(
+    local_df(spark, 
         rows, "subspace int, centroid_id int, centroid array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(path)
 
@@ -1107,7 +1108,7 @@ def ivfpq_topk(
         F.col(vec_col).cast("array<double>").alias("v"),
     ).collect()
     if not qrows:
-        return spark.createDataFrame(
+        return local_df(spark, 
             [], "query_id long, cand_id long, sim double, rank int"
         )
     qids, probes, probe_union, lut = ivfpq_query_tables(
@@ -1322,7 +1323,7 @@ def semantic_dedup_clustered(
 
     sample = _sample_vectors(base, sample_stride, max(nlist * 8, 1024))
     if sample is None:  # no non-zero vectors at all
-        return spark.createDataFrame(
+        return local_df(spark, 
             [], f"{id_col} long, cell int, keep boolean"
         )
     cent = _kmeans_centroids(sample, nlist, seed)
@@ -2005,7 +2006,7 @@ def save_kmeans_centroids(spark, centroids: list[list[int]], path: str) -> None:
     ``save_ivf_index`` convention), so serving tiers call
     :func:`kmeans_assign` with ``centroids=`` and never retrain."""
     rows = [(int(i), [int(v) for v in c]) for i, c in enumerate(centroids)]
-    spark.createDataFrame(
+    local_df(spark, 
         rows, "cluster int, centroid array<bigint>"
     ).coalesce(1).write.mode("overwrite").parquet(path)
 
@@ -2063,7 +2064,7 @@ def kmeans_assign(
             embeddings, k, iters, scale, id_col=id_col, vec_col=vec_col
         )
     if not centroids:
-        return embeddings.sparkSession.createDataFrame(
+        return local_df(embeddings.sparkSession, 
             [], f"{id_col} long, cluster int, dist2 long"
         )
     xi = embeddings.select(

@@ -11,6 +11,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from scida_spark.session import local_df
 
 # Tiny per-language stopword sets for the n-gram/stopword heuristic.
 # Deterministic and SQL-expressible (the oracle recomputes the same
@@ -519,7 +520,7 @@ def top_collocations(
             - math.log(uc[r["w1"]])
         ) - math.log(uc[r["w2"]])
         rows.append((rank, r["w1"], r["w2"], c_ab, pmi))
-    return docs.sparkSession.createDataFrame(
+    return local_df(docs.sparkSession, 
         rows, "rank int, w1 string, w2 string, c_ab long, pmi double"
     )
 

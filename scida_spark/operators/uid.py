@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from scida_spark.operators.prefix_sum import exclusive_key_prefix
+from scida_spark.session import local_df
 
 
 def with_uid_by_order(
@@ -140,7 +141,7 @@ def with_uid_ingest_order(df: DataFrame, uid_col: str = "uid") -> DataFrame:
     for r in counts:
         rows.append((r["__pid"], acc))
         acc += r["count"]
-    off_df = df.sparkSession.createDataFrame(rows, "__pid int, __offset long")
+    off_df = local_df(df.sparkSession, rows, "__pid int, __offset long")
     w = W.partitionBy("__pid").orderBy("__mono")
     return (
         local.join(F.broadcast(off_df), "__pid")

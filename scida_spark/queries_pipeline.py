@@ -15,6 +15,7 @@ from scida_spark.functions import similarity as SIM
 from scida_spark.functions import text as TX
 from scida_spark.queries import DEC, dsum, query
 from scida_spark.tables import table
+from scida_spark.session import local_df
 
 
 def _parquet_rows(sf_dir: str, name: str = "embeddings") -> int | None:
@@ -6413,13 +6414,13 @@ def text_quality_lang(spark, sf_dir):
         F.lit(len(merges)).cast("long").alias("n"),
         F.lit(0.0).alias("sum_score"),
     )
-    mini = spark.createDataFrame(
+    mini = local_df(spark, 
         [(0, "low low low low low lower lower"),
          (1, "newest " * 6 + "widest " * 3)],
         "doc_id long, text string",
     )
     mini_merges = BPE.learn_bpe(BPE.word_counts(mini), 4)
-    probes = spark.createDataFrame(
+    probes = local_df(spark, 
         [("low",), ("lower",), ("lowest",), ("newest",), ("widest",)], "w string"
     )
     bpe_lit = BPE.bpe_encode(probes, mini_merges, text_col="w").select(
@@ -6464,7 +6465,7 @@ def text_quality_lang(spark, sf_dir):
         rows_per_shard=exp_rps, salt="exp8",
     )
     ok = verify_shards(spark, dst)["ok"]
-    exp_rows = spark.createDataFrame(
+    exp_rows = local_df(spark, 
         [
             (
                 "export",
@@ -6638,7 +6639,7 @@ def text_quality_lang(spark, sf_dir):
         salt="tkp10",
     )
     tp_ok = verify_shards(spark, tp_dst)["ok"]
-    tp_shard_rows = spark.createDataFrame(
+    tp_shard_rows = local_df(spark, 
         [
             (
                 "tokpack",
@@ -6686,7 +6687,7 @@ def text_quality_lang(spark, sf_dir):
         ],
     )
     pii_lit = PII.pii_report(
-        spark.createDataFrame(_PII_CASES, "pid string, text string"),
+        local_df(spark, _PII_CASES, "pid string, text string"),
         "pid",
         "text",
     ).select(
@@ -6730,7 +6731,7 @@ def text_quality_lang(spark, sf_dir):
         with_url_columns,
     )
 
-    url_lit_df = spark.createDataFrame(
+    url_lit_df = local_df(spark, 
         [(pid, raw) for pid, raw, _c, _d in _URL_CASES],
         "pid string, url string",
     )
@@ -6867,7 +6868,7 @@ def text_quality_lang(spark, sf_dir):
         strip_accents as _sacc,
     )
 
-    un_base = spark.createDataFrame(
+    un_base = local_df(spark, 
         _UNINORM_CASES, "pid string, raw string"
     ).select(
         "pid",
@@ -8018,7 +8019,7 @@ def dedup_cleaned_corpus(spark, sf_dir):
         .count()
     )
     ok_witness = wit == _wit_target
-    cert = spark.createDataFrame(
+    cert = local_df(spark, 
         [
             (
                 "clustered",

@@ -21,6 +21,7 @@ from scida_spark.operators.uid import with_uid_by_order
 from scida_spark.queries import DEC, dsum, query
 from scida_spark.queries_pipeline import _memo_slot
 from scida_spark.tables import table
+from scida_spark.session import local_df
 
 SENT = C.SENTINEL
 GROUP_CUTOFF = 1000  # orders with key < cutoff are "halos"; the rest is the unbound tail
@@ -777,7 +778,7 @@ def scida_zoom_selector(spark, sf_dir):
     pushes the uid predicates through any derived column, and the
     custom sources prune non-overlapping splits."""
     li = table(spark, sf_dir, "lineitem")
-    targets = spark.createDataFrame(
+    targets = local_df(spark, 
         [(0, 100, 200, 1000, 100)],
         "target_id long, offset long, length long, fuzz_offset long, fuzz_length long",
     )

@@ -91,8 +91,12 @@ def ensure_session_defaults(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     # Perf-only (never value-affecting): larger Arrow batches for the
-    # Pandas-UDF kernels — see get_spark.
+    # Pandas-UDF kernels — see get_spark. Arrow createDataFrame keeps
+    # local_df's literal tables on the one-Arrow-batch path (r15) in a
+    # driver-created session too; value-identical (local_df guards the
+    # one coercion difference, top-level NaN, itself).
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     # Externally-created sessions default to 200 shuffle partitions —
     # pointless task overhead at test scale; AQE still re-coalesces.
     spark.conf.set("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
@@ -100,3 +104,52 @@ def ensure_session_defaults(spark: SparkSession) -> SparkSession:
     # settable at session build; see get_spark. An externally-created
     # session keeps whatever its creator chose.)
     return spark
+
+
+def local_df(spark: SparkSession, data, schema=None):
+    """``createDataFrame`` for DRIVER-BUILT metadata tables (query
+    literals, calibration rows, offset maps, drift folds — all
+    metadata-sized by construction), coalesced to ONE partition.
+
+    PySpark parallelizes local rows into ``defaultParallelism``
+    pickled slices (= cores), so every tiny literal table otherwise
+    becomes a 32-partition ExistingRDD whose every partition pays a
+    Python-worker round trip PER EVALUATION — measured ~30 ms/partition
+    (~1 s per count of one 100-row table), and the cert-union slots
+    evaluate dozens of such tables per serve (sketch_distinct_rollup:
+    a 177-task result stage, median task 290 ms wall / 5 ms CPU).
+    Routing through pandas/Arrow moves the rows as one Arrow batch the
+    JVM decodes itself — same 100-row table: 120 ms → and coalesce(1)
+    removes the near-empty task fan. Falls back to the plain pickle
+    path for anything pandas/Arrow cannot represent; Spark re-validates
+    the declared schema either way, so values are identical.
+
+    One partition is the right layout for these tables at ANY scale:
+    they are broadcast sides or driver folds, never partitioned work."""
+    if schema is not None:
+        try:
+            import pandas as pd
+            from pyspark.sql.types import StructType
+
+            st = (
+                schema
+                if isinstance(schema, StructType)
+                else StructType.fromDDL(schema)
+            )
+            rows = list(data)
+            # pandas reads a top-level float NaN as MISSING (→ NULL);
+            # the pickle path keeps it a NaN value. Any NaN anywhere →
+            # take the slow faithful path.
+            def _no_nan(v):
+                if isinstance(v, float):
+                    return v == v
+                if isinstance(v, (list, tuple)):
+                    return all(_no_nan(x) for x in v)
+                return True
+
+            if all(_no_nan(r) for r in rows):
+                pdf = pd.DataFrame.from_records(rows, columns=st.names)
+                return spark.createDataFrame(pdf, st).coalesce(1)
+        except Exception:  # noqa: BLE001 — fidelity over speed
+            pass
+    return spark.createDataFrame(data, schema).coalesce(1)

@@ -43,6 +43,7 @@ from scida_spark.functions.dedup import (
     shingle_hash_table,
 )
 from scida_spark.streaming.ingest import _read_index_part
+from scida_spark.session import local_df
 
 
 def read_labels(
@@ -52,11 +53,11 @@ def read_labels(
     ``before_batch`` inside a replayed micro-batch so it cannot see
     its own prior writes (the _read_index_part rule)."""
     if not os.path.isdir(labels_dir):
-        return spark.createDataFrame([], "doc long, label long")
+        return local_df(spark, [], "doc long, label long")
     try:
         df = spark.read.parquet(labels_dir)
     except Exception:
-        return spark.createDataFrame([], "doc long, label long")
+        return local_df(spark, [], "doc long, label long")
     if before_batch is not None:
         df = df.filter(F.col("batch_id") < before_batch)
     return df.groupBy("doc").agg(

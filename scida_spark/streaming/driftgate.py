@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 
 from scida_spark.functions.drift import psi_kl
 from scida_spark.streaming import storefs, storekit
+from scida_spark.session import local_df
 
 __all__ = [
     "drift_gate_writer",
@@ -170,7 +171,7 @@ def drift_gate_writer(
             mix_psi, mix_kl, mix_n = 0.0, 0.0, sum(bat_tot.values())
         if bat_tot:
             report.append(("__mix__", mix_psi, mix_kl, mix_n))
-        spark.createDataFrame(
+        local_df(spark, 
             [(f, p, k, n, admitted) for f, p, k, n in report]
             or [("<empty>", 0.0, 0.0, 0, True)],
             REPORT_SCHEMA,

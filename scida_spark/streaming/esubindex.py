@@ -58,6 +58,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scida_spark.functions.dedup import winnow_anchors
+from scida_spark.session import local_df
 from scida_spark.streaming import storefs, storekit
 
 __all__ = [
@@ -391,7 +392,7 @@ def esub_probe(
     )
     hist = read_esub_anchors(spark, index_dir)
     if hist is None or not buckets:
-        return spark.createDataFrame([], f"probe_id long, doc long")
+        return local_df(spark, [], f"probe_id long, doc long")
     hist = hist.filter(F.col("h_bucket").isin(buckets))
     cand = (
         F.broadcast(

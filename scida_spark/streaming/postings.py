@@ -81,6 +81,7 @@ from scida_spark.functions.retrieval import (
     ql_topk_from_index,
 )
 from scida_spark.streaming import storekit
+from scida_spark.session import local_df
 
 __all__ = [
     "postings_writer",
@@ -450,7 +451,7 @@ def rm3_topk_from_store(
         wterms = _orig_only_weights(queries, alpha)
     else:
         fb = F.broadcast(
-            spark.createDataFrame(
+            local_df(spark, 
                 post_rows, f"query_id long, {id_col} long, post double"
             )
         )

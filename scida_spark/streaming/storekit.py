@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scida_spark.streaming import storefs
+from scida_spark.session import local_df
 
 META_FILE = "_meta.json"
 
@@ -110,7 +111,7 @@ def write_tombstones(
     df = (
         ids
         if isinstance(ids, DataFrame)
-        else spark.createDataFrame(
+        else local_df(spark, 
             [(int(i),) for i in ids], f"{id_col} long"
         )
     )

@@ -63,6 +63,7 @@ from scida_spark.functions.similarity import (
     load_ivf_index,
     save_ivf_index,
 )
+from scida_spark.session import local_df
 from scida_spark.streaming import storefs, storekit
 
 __all__ = [
@@ -228,7 +229,7 @@ def read_vectors(
         schema = "vec_id long, v array<double>, list_id int"
         if vector_store_meta(store_dir).get("pq_m"):
             schema = "vec_id long, v array<double>, code binary, list_id int"
-        return spark.createDataFrame([], schema)
+        return local_df(spark, [], schema)
     v = spark.read.option("basePath", root).parquet(root)
     if lists is not None:
         v = v.filter(F.col("list_id").isin([int(x) for x in lists]))
@@ -294,14 +295,14 @@ def ivf_topk_from_store(
         F.col(vec_col).cast("array<double>").alias("qv"),
     ).collect()
     if not qrows:
-        return spark.createDataFrame(
+        return local_df(spark, 
             [], "query_id long, cand_id long, sim double, rank int"
         )
     mat = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     top = np.argsort(-(mat @ cent.T), axis=1)[:, :nprobe]
     probe_lists = sorted({int(x) for row in top for x in row})
-    q = spark.createDataFrame(
+    q = local_df(spark, 
         [
             (int(r["query_id"]), list(r["qv"]), [int(x) for x in row])
             for r, row in zip(qrows, top)
@@ -449,7 +450,7 @@ def ivfpq_topk_from_store(
         F.col(vec_col).cast("array<double>").alias("v"),
     ).collect()
     if not qrows:
-        return spark.createDataFrame(
+        return local_df(spark, 
             [], "query_id long, cand_id long, sim double, rank int"
         )
     qids, probes, probe_union, lut = ivfpq_query_tables(
@@ -475,7 +476,7 @@ def ivfpq_topk_from_store(
         "vec_id",
         "left_semi",
     ).select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
-    qdf = spark.createDataFrame(
+    qdf = local_df(spark, 
         [(int(r["qid"]), list(r["v"])) for r in qrows],
         "query_id long, qv array<double>",
     )
