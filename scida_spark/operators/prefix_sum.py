@@ -304,14 +304,36 @@ def grouped_median_element(
 
     Returns one row per group: ``(group_col, out_col, n)``."""
     cnt = df.groupBy(group_col, value_col).agg(F.count("*").alias("__c"))
+    return grouped_median_element_cells(
+        cnt, group_col, value_col, "__c", out_col
+    )
+
+
+def grouped_median_element_cells(
+    cells: DataFrame,
+    group_col: str,
+    value_col: str,
+    cnt_col: str,
+    out_col: str = "med",
+) -> DataFrame:
+    """:func:`grouped_median_element` over an ALREADY-AGGREGATED
+    per-(group, value) count table — the two-level plan's second level
+    alone. Callers that already hold the cells (e.g. q_corr_stats,
+    which derives median, MAD, and the outlier count from ONE cell
+    table) skip re-scanning and re-aggregating the raw rows; the rank
+    identity is unchanged, so the picked element is bit-identical to
+    running the raw-row form (pinned in tests/test_prefix_sum.py).
+
+    ``cells`` must hold each (group, value) at most once (a groupBy
+    output does); multiplicity rides in ``cnt_col``."""
     w_cum = W.partitionBy(group_col).orderBy(value_col)
     w_all = W.partitionBy(group_col)
-    cum = cnt.select(
+    cum = cells.select(
         group_col,
         F.col(value_col).alias(out_col),
-        "__c",
-        F.sum("__c").over(w_cum).alias("__cum"),
-        F.sum("__c").over(w_all).alias("__n"),
+        F.col(cnt_col).alias("__c"),
+        F.sum(cnt_col).over(w_cum).alias("__cum"),
+        F.sum(cnt_col).over(w_all).alias("__n"),
     )
     target = F.expr("(__n + 1) DIV 2")
     return cum.filter(

@@ -253,27 +253,29 @@ def q_part_brand_stats(spark, sf_dir):
     one registry slot, same operators demonstrated).
 
     Scale: the bulk side is pre-filtered then reduced to DISTINCT join
-    keys before both semi/anti joins (broadcast); part is a dim →
+    keys before the existence probe (broadcast); part is a dim →
     explicit broadcast for the volume join; countDistinct expands to a
     two-phase aggregate, still one shuffle keyed by p_brand; the final
-    brand-grain join is tiny (|brands| rows)."""
+    brand-grain join is tiny (|brands| rows, broadcast).
+
+    r15: the EXISTS / NOT EXISTS pair over the same predicate is ONE
+    broadcast left-outer probe against the distinct bulk keys (distinct
+    ⇒ at most one match ⇒ no fan-out; matched ⇔ semi, unmatched ⇔ anti)
+    with conditional counts — part and lineitem each scanned once
+    instead of twice, and the brand-grain full-outer merge disappears.
+    Same rows as the semi + anti + full_outer form (oracle unchanged)."""
     p = table(spark, sf_dir, "part")
     li = table(spark, sf_dir, "lineitem")
     bulk = li.filter(F.col("l_quantity") > 45).select("l_partkey").distinct()
-    with_bulk = (
-        p.join(bulk, p.p_partkey == bulk.l_partkey, "left_semi")
+    semi_anti = (
+        p.join(F.broadcast(bulk), p.p_partkey == bulk.l_partkey, "left")
         .groupBy("p_brand")
-        .agg(F.count("*").alias("n_with_bulk"))
-    )
-    without_bulk = (
-        p.join(bulk, p.p_partkey == bulk.l_partkey, "left_anti")
-        .groupBy("p_brand")
-        .agg(F.count("*").alias("n_without_bulk"))
-    )
-    semi_anti = with_bulk.join(without_bulk, "p_brand", "full_outer").select(
-        "p_brand",
-        F.coalesce("n_with_bulk", F.lit(0)).alias("n_with_bulk"),
-        F.coalesce("n_without_bulk", F.lit(0)).alias("n_without_bulk"),
+        .agg(
+            F.count("l_partkey").alias("n_with_bulk"),
+            F.count(F.when(F.col("l_partkey").isNull(), 1)).alias(
+                "n_without_bulk"
+            ),
+        )
     )
     small = table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
     vol = (
@@ -285,7 +287,7 @@ def q_part_brand_stats(spark, sf_dir):
             F.countDistinct("l_suppkey").alias("n_suppliers"),
         )
     )
-    return semi_anti.join(vol, "p_brand", "left").select(
+    return semi_anti.join(F.broadcast(vol), "p_brand", "left").select(
         "p_brand",
         "n_with_bulk",
         "n_without_bulk",
@@ -858,26 +860,48 @@ def q_corr_stats(spark, sf_dir):
     no rounding), via operators/prefix_sum.py::grouped_median_element:
     per-(group, value) counts first, window over the aggregated table
     only — no task ever sorts a group's raw rows, so a 20M-row group
-    costs the same as the ~50 distinct quantities it holds."""
-    from scida_spark.operators.prefix_sum import grouped_median_element
+    costs the same as the ~50 distinct quantities it holds.
+
+    r15: median, MAD, and the outlier count all derive from ONE
+    (flag, quantity) cell-count table (the q_percentiles identity):
+    |q − med| maps cells to deviation cells (counts summed where two
+    quantities collide on the same deviation), MAD is the weighted
+    element pick over those, and the outlier count is a conditional
+    sum of cell counts — lineitem feeds two aggregations total (cells
+    + the moment stats) instead of five scans, and every
+    median/deviation step runs over ~|distinct qty| rows."""
+    from scida_spark.operators.prefix_sum import (
+        grouped_median_element_cells,
+    )
 
     li = table(spark, sf_dir, "lineitem")
-    med = grouped_median_element(li, "l_returnflag", "l_quantity").select(
-        "l_returnflag", F.col("med").alias("med_qty")
+    cells = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("__cnt")
     )
-    dev = li.join(F.broadcast(med), "l_returnflag").select(
-        "l_returnflag",
-        F.abs(F.col("l_quantity") - F.col("med_qty")).alias("_dev"),
+    med = grouped_median_element_cells(
+        cells, "l_returnflag", "l_quantity", "__cnt"
+    ).select("l_returnflag", F.col("med").alias("med_qty"))
+    devc = (
+        cells.join(F.broadcast(med), "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.abs(F.col("l_quantity") - F.col("med_qty")).alias("_dev"),
+            "__cnt",
+        )
+        .groupBy("l_returnflag", "_dev")
+        .agg(F.sum("__cnt").alias("__cnt"))
     )
-    mad = grouped_median_element(dev, "l_returnflag", "_dev").select(
-        "l_returnflag", F.col("med").alias("mad_qty")
-    )
+    mad = grouped_median_element_cells(
+        devc, "l_returnflag", "_dev", "__cnt"
+    ).select("l_returnflag", F.col("med").alias("mad_qty"))
     outl = (
-        dev.join(F.broadcast(mad), "l_returnflag")
+        devc.join(F.broadcast(mad), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
             F.sum(
-                (F.col("_dev") > 3 * F.col("mad_qty")).cast("long")
+                F.when(
+                    F.col("_dev") > 3 * F.col("mad_qty"), F.col("__cnt")
+                ).otherwise(F.lit(0))
             ).alias("n_outliers")
         )
     )

@@ -187,6 +187,74 @@ def test_grouped_median_element_exact_and_layout_free(spark):
     assert got["a"][0] == statistics.median_low([5.0, 1.0, 3.0, 3.0, 9.0])
 
 
+def test_grouped_median_element_cells_matches_raw_rows(spark):
+    """The weighted-cells variant (q_corr_stats' one-cell-table path)
+    picks the BIT-IDENTICAL element as the raw-row form on a randomized
+    corpus with heavy ties, and the derived MAD/outlier identities
+    (deviation cells with summed counts) match a per-row computation."""
+    import random
+    import statistics
+
+    from scida_spark.operators.prefix_sum import (
+        grouped_median_element,
+        grouped_median_element_cells,
+    )
+
+    rng = random.Random(150)
+    rows = [
+        (f"g{i % 4}", float(rng.choice([1, 2, 2, 3, 5, 5, 5, 8, 13])))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    cells = df.groupBy("g", "v").agg(F.count("*").alias("c"))
+    raw = {
+        (r["g"], r["med"], r["n"])
+        for r in grouped_median_element(df, "g", "v").collect()
+    }
+    via_cells = {
+        (r["g"], r["med"], r["n"])
+        for r in grouped_median_element_cells(cells, "g", "v", "c").collect()
+    }
+    assert raw == via_cells
+    med = {g: m for g, m, _ in raw}
+    # deviation cells (counts summed on collision) reproduce the
+    # per-row MAD and 3-MAD outlier count exactly
+    by_g: dict[str, list[float]] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(abs(v - med[g]))
+    want_mad = {g: statistics.median_low(sorted(ds)) for g, ds in by_g.items()}
+    dev_rows = [(g, d) for g, ds in by_g.items() for d in ds]
+    ddf = spark.createDataFrame(dev_rows, "g string, d double")
+    dcells = ddf.groupBy("g", "d").agg(F.count("*").alias("c"))
+    got_mad = {
+        r["g"]: r["med"]
+        for r in grouped_median_element_cells(dcells, "g", "d", "c").collect()
+    }
+    assert got_mad == want_mad
+    got_outl = {
+        r["g"]: r["n_outliers"]
+        for r in dcells.join(
+            spark.createDataFrame(
+                [(g, m) for g, m in got_mad.items()], "g string, mad double"
+            ),
+            "g",
+        )
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad"), F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_outliers")
+        )
+        .collect()
+    }
+    want_outl = {
+        g: sum(1 for d in ds if d > 3 * want_mad[g]) for g, ds in by_g.items()
+    }
+    assert got_outl == want_outl
+
+
 # --------------------------------------------------------------------------
 # grouped_topn — native rank-filtered window (WindowGroupLimit contract)
 # --------------------------------------------------------------------------
