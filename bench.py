@@ -261,10 +261,33 @@ def main() -> None:
         round(statistics.median(per_spread.values()), 2) if per_spread else None
     )
     sections = _section_timings(spark, reg, sf_dir, names, errors)
+    # r16: the bulky attribution dicts (per-section walls, per-query
+    # contention spreads) move to a SIDE FILE — the r14 one-line JSON
+    # outgrew the driver's capture window (its head was lost
+    # mid-token, so the r15 PERF round-over-round table came back
+    # empty with prev_bench_ok=false). The stdout line now carries
+    # only the contract keys + the small "first" dict and stays well
+    # under the window; sections live in BENCH_SECTIONS.json next to
+    # this script.
+    side = {
+        "contention_spread_per_query": per_spread,
+        # Single-run per-section wall times for composite slots
+        # (union-branch pruning via the discriminator column) —
+        # attribution only; medians in "queries" remain the headline.
+        "sections": sections,
+    }
+    try:
+        side_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_SECTIONS.json"
+        )
+        with open(side_path, "w") as fh:
+            json.dump(side, fh, indent=1)
+    except OSError:
+        pass  # attribution is best-effort; never break the bench line
     # Key order matters: the driver's capture keeps the TAIL of the
     # line when it overflows its window (BENCH_r09 lost the first 13
     # medians this way), so the headline "queries" dict is emitted
-    # LAST, after the bulky attribution dicts.
+    # LAST.
     print(
         json.dumps(
             {
@@ -279,12 +302,13 @@ def main() -> None:
                 # on one run of many queries and the median discards it.
                 "protocol": "interleaved",
                 "contention_spread": spread,
-                "contention_spread_per_query": per_spread,
-                # Single-run per-section wall times for composite slots
-                # (union-branch pruning via the discriminator column) —
-                # attribution only; medians in "queries" remain the
-                # headline.
-                "sections": sections,
+                # Cold-cost visibility (r15 VERDICT #4/#6): sample 1 of
+                # each slot pays plan construction + any lazy-checkpoint
+                # materialization the memoized slots defer there; the
+                # median reports warm serve. Emitting the first sample
+                # next to the median keeps that one-time cost visible
+                # round over round.
+                "first": {n: round(s[0], 4) for n, s in samples.items() if s},
                 "queries": timings,
             }
         )

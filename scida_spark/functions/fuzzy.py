@@ -196,8 +196,12 @@ def fuzzy_pairs(
     return (
         cands.join(ta, "id_a")
         .join(tb, "id_b")
-        .withColumn("distance", F.levenshtein("ta", "tb"))
-        .filter(F.col("distance") <= d)
+        # r16: banded verify — the 3-arg levenshtein(l, r, threshold)
+        # computes only the |d|-band of the DP matrix (O(len*d) instead
+        # of O(len^2)) and returns -1 past the threshold; kept rows
+        # carry the identical exact distance.
+        .withColumn("distance", F.levenshtein("ta", "tb", d))
+        .filter(F.col("distance") >= 0)
         .select("id_a", "id_b", "distance")
     )
 
@@ -380,7 +384,11 @@ def fuzzy_pairs_segment(
     return (
         cands.join(ta, "id_a")
         .join(tb, "id_b")
-        .withColumn("distance", F.levenshtein("ta", "tb"))
-        .filter(F.col("distance") <= d)
+        # r16: banded verify — the 3-arg levenshtein(l, r, threshold)
+        # computes only the |d|-band of the DP matrix (O(len*d) instead
+        # of O(len^2)) and returns -1 past the threshold; kept rows
+        # carry the identical exact distance.
+        .withColumn("distance", F.levenshtein("ta", "tb", d))
+        .filter(F.col("distance") >= 0)
         .select("id_a", "id_b", "distance")
     )

@@ -34,6 +34,12 @@ from pyspark.sql.window import Window as W
 
 SENTINEL = np.iinfo(np.int64).max  # 9223372036854775807
 
+# _bucketed_range_join only hints broadcast when the measured interval
+# count is at most this (~2 exploded rows per interval at the derived
+# width => ~32 bytes/row => <~1.3 GB built relation, well under the
+# 8 GB / 512M-row broadcast cap with headroom for the driver collect).
+_BROADCAST_ROW_LIMIT = 20_000_000
+
 
 # Above this many catalog rows, group_offsets switches from the single
 # global window to the two-phase bucketed prefix (the
@@ -430,7 +436,19 @@ def _bucketed_range_join(
     docstring for the rationale and the equivalence argument). Returns
     the joined frame with the interval columns attached (null on
     miss); the caller applies its sentinel coalesce. ``bucket_width``
-    None derives B = average interval span from one tiny aggregate."""
+    None derives B = average interval span from one tiny aggregate.
+
+    Join strategy (r16, closes the r15 ADVICE item): the broadcast
+    hint is CONDITIONAL on the measured interval count — Spark honors
+    an explicit hint regardless of size, so hardcoding it would OOM
+    rather than degrade on a catalog past broadcast scale. Small
+    catalogs (the overwhelmingly common case — halo catalogs are ~1e3x
+    smaller than their particle tables) get the hint because
+    size-in-bytes estimates after the explode are unreliable; past
+    ``_BROADCAST_ROW_LIMIT`` exploded rows the hint is omitted and the
+    planner/AQE picks a shuffled hash or sort-merge join on the bucket
+    key — the graceful 100 TB degradation the docstring promises."""
+    n_intervals = None
     if bucket_width is None:
         row = intervals.agg(
             F.min(start_col).alias("lo"),
@@ -441,6 +459,7 @@ def _bucketed_range_join(
             bucket_width = 1
         else:
             bucket_width = max(1, int((row["hi"] - row["lo"]) // row["n"]))
+        n_intervals = 0 if row is None else int(row["n"] or 0)
     b = F.lit(int(bucket_width))
     bcat = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
         "__cb",
@@ -451,13 +470,19 @@ def _bucketed_range_join(
             )
         ),
     )
+    # B = average span => ~2 exploded rows per interval; hint only
+    # when that clearly fits an executor-side hash relation. With an
+    # explicit bucket_width there is no measured count — leave the
+    # strategy to the planner (parquet-derived stats + AQE).
+    if n_intervals is not None and n_intervals <= _BROADCAST_ROW_LIMIT:
+        bcat = F.broadcast(bcat)
     pb = particles.withColumn("__pb", F.floor(F.col(uid_col) / b))
     cond = (
         (F.col("__pb") == F.col("__cb"))
         & (F.col(uid_col) >= F.col(start_col))
         & (F.col(uid_col) < F.col(end_col))
     )
-    return pb.join(F.broadcast(bcat), cond, "left").drop("__pb", "__cb")
+    return pb.join(bcat, cond, "left").drop("__pb", "__cb")
 
 
 def add_group_ids_auto(

@@ -234,30 +234,94 @@ def grouped_ntile_stats_from_cells(
     bucket_col: str,
     cnt_col: str = "__cnt",
     out_col: str = "ntile",
+    percentiles: list[tuple[str, float]] | None = None,
 ) -> DataFrame:
     """:func:`grouped_ntile_stats` from an ALREADY-AGGREGATED
     ``(group, bucket, cnt)`` cell table — the ``_from_cells``
-    convention: a pipeline that computed the cell counts once (e.g.
-    for a frequency-weighted percentile over the same cells) reuses
+    convention: a pipeline that computed the cell counts once reuses
     the IDENTICAL DataFrame here, so the one cell shuffle is planned
-    once and runtime-reused across consumers."""
+    once and shared across consumers.
+
+    ``percentiles`` (r16): ``[(out_name, p), ...]`` additionally
+    computes the EXACT interpolated percentile per group — the same
+    value as Spark's ``percentile(bucket, p, cnt)`` aggregate,
+    bit-for-bit — as closed-form window expressions over the SAME
+    windowed cells, appended as constant-per-group columns on every
+    (group, tile) row. This keeps the whole computation ONE linear
+    pipeline (one scan, no second aggregate branch, no join): the
+    value at 0-indexed rank r among the group's non-NULL values is
+    the unique cell whose cumulative-count interval covers r, and
+    Spark's ``Percentile.getPercentile`` interpolates
+    ``(ceil(pos) - pos) * v_floor + (pos - floor(pos)) * v_ceil`` at
+    ``pos = p * (n_nonnull - 1)``, returning ``v_floor`` outright when
+    ``pos`` is integral or both ranks land in one cell — replicated
+    here expression-for-expression (same IEEE ops, same order), pinned
+    in tests/test_prefix_sum.py. NULL bucket cells count for the tile
+    ranks (native NTILE sorts NULLS FIRST) but are excluded from the
+    percentile ranks, exactly like the aggregate they replace."""
     w_off = (
         W.partitionBy(group_col)
         .orderBy(bucket_col)
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    cells = raw_cells.select(
-        group_col,
-        bucket_col,
+    w_all = W.partitionBy(group_col)
+    base_cols = [
+        F.col(group_col),
+        F.col(bucket_col),
         F.col(cnt_col).alias("__cnt"),
         F.coalesce(F.sum(cnt_col).over(w_off), F.lit(0))
         .cast("long")
         .alias("__off"),
-        F.sum(cnt_col)
-        .over(W.partitionBy(group_col))
-        .cast("long")
-        .alias("__n"),
-    )
+        F.sum(cnt_col).over(w_all).cast("long").alias("__n"),
+    ]
+    if percentiles:
+        # non-NULL row count per group: percentile ranks skip NULLs
+        base_cols.append(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col(bucket_col).isNotNull(), F.col(cnt_col))
+                ).over(w_all),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("__nn")
+        )
+    cells = raw_cells.select(*base_cols)
+    pct_names: list[str] = []
+    if percentiles:
+        # window-over-window: same partitioning, unbounded frame — a
+        # chained Window operator, no new exchange or sort.
+        pct_exprs = []
+        # rank offset among non-NULL values (NULL cells sort first)
+        nnoff = F.col("__off") - (F.col("__n") - F.col("__nn"))
+        val = F.col(bucket_col).cast("double")
+        for name, p in percentiles:
+            pos = F.lit(float(p)) * (F.col("__nn") - F.lit(1)).cast(
+                "double"
+            )
+            lower = F.floor(pos)
+            higher = F.ceil(pos)
+
+            def _pick(rank):
+                hit = (
+                    F.col(bucket_col).isNotNull()
+                    & (nnoff <= rank)
+                    & (rank < nnoff + F.col("__cnt"))
+                )
+                return F.max(F.when(hit, val)).over(w_all)
+
+            vl, vh = _pick(lower), _pick(higher)
+            pct_exprs.append(
+                F.when(lower == higher, vl)
+                .when(vl == vh, vl)
+                .otherwise(
+                    (higher.cast("double") - pos) * vl
+                    + (pos - lower.cast("double")) * vh
+                )
+                .alias(name)
+            )
+            pct_names.append(name)
+        cells = cells.select("*", *pct_exprs)
     kk = F.lit(int(k))
     qsz = F.floor(F.col("__n") / kk).cast("long")
     rem = (F.col("__n") % kk).cast("long")
@@ -280,6 +344,8 @@ def grouped_ntile_stats_from_cells(
             F.sum("__ov").cast("long").alias("n_rows"),
             F.min(bucket_col).alias("bucket_min"),
             F.max(bucket_col).alias("bucket_max"),
+            # constant within the group — min() just forwards the value
+            *[F.min(n).alias(n) for n in pct_names],
         )
     )
 
@@ -339,6 +405,81 @@ def grouped_median_element_cells(
     return cum.filter(
         (F.col("__cum") >= target) & (F.col("__cum") - F.col("__c") < target)
     ).select(group_col, out_col, F.col("__n").alias("n"))
+
+def grouped_robust_stats_cells(
+    cells: DataFrame,
+    group_col: str,
+    value_col: str,
+    cnt_col: str,
+) -> DataFrame:
+    """Exact element-pick median, MAD (median absolute deviation, also
+    an element pick), and the ``|x − med| > 3·MAD`` outlier count per
+    group, from an ALREADY-AGGREGATED ``(group, value, cnt)`` cell
+    table — as ONE LINEAR PIPELINE (r16).
+
+    The r15 form computed the same math as four DataFrame branches
+    (median pick, deviation re-aggregate, MAD pick, outlier sum)
+    joined back together, which plans the shared cells subtree once
+    per consumer and relies on AQE runtime exchange reuse to avoid
+    re-executing it. Here the median and MAD picks are WINDOW
+    expressions over the flag-partitioned cells (``max(when(<the
+    grouped_median_element_cells pick condition>, value))`` over the
+    partition — exactly one cell satisfies the condition), the
+    deviation re-aggregation keys on (group, dev) while the rows are
+    already clustered by group (no new exchange), and the outlier
+    count folds into the final group-grain aggregate: one cells
+    subtree in the plan, two exchanges total, zero joins. Values are
+    bit-identical to the branch form (same picks, same integer
+    arithmetic) — pinned in tests/test_prefix_sum.py.
+
+    ``value_col`` must be non-NULL (the grouped_median_element
+    contract). Returns ``(group_col, med, mad, n_outliers)``."""
+    w_all = W.partitionBy(group_col)
+    target = F.expr("(__n + 1) DIV 2")
+    pick = (F.col("__cum") >= target) & (
+        F.col("__cum") - F.col("__c") < target
+    )
+
+    def _pick_over(df: DataFrame, vcol: str, out: str) -> DataFrame:
+        keep = [c for c in df.columns if not c.startswith("__")]
+        return df.select(
+            *keep,
+            F.col("__c"),
+            F.sum("__c")
+            .over(W.partitionBy(group_col).orderBy(vcol))
+            .alias("__cum"),
+            F.sum("__c").over(w_all).alias("__n"),
+        ).select(
+            *keep,
+            F.col("__c"),
+            F.max(F.when(pick, F.col(vcol))).over(w_all).alias(out),
+        )
+
+    c = _pick_over(
+        cells.select(
+            group_col, value_col, F.col(cnt_col).alias("__c")
+        ),
+        value_col,
+        "med",
+    )
+    devc = (
+        c.groupBy(
+            group_col,
+            F.abs(F.col(value_col) - F.col("med")).alias("_dev"),
+        )
+        .agg(F.sum("__c").alias("__c"), F.min("med").alias("med"))
+    )
+    d = _pick_over(devc, "_dev", "mad")
+    return d.groupBy(group_col).agg(
+        F.min("med").alias("med"),
+        F.min("mad").alias("mad"),
+        F.sum(
+            F.when(F.col("_dev") > 3 * F.col("mad"), F.col("__c")).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_outliers"),
+    )
+
 
 def grouped_topn(
     df: DataFrame,

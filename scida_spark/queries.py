@@ -715,41 +715,46 @@ def q_percentiles(spark, sf_dir):
         grouped_ntile_stats_from_cells,
     )
 
-    li = table(spark, sf_dir, "lineitem")
+    # The oracle joins the quartile and percentile CTEs on
+    # l_returnflag (inner) — a NULL flag group would be dropped there,
+    # so the filter keeps semantics identical without the join.
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isNotNull()
+    )
     # r15 rewrite (guide §1.2 "change the distributed algorithm"; was
     # grouped_ntile's two-level per-row ranking): every output column
     # is a pure function of the (returnflag, quantity) cell counts —
     # quartile counts are rank-interval overlaps, lo/hi are bucket
     # min/max over overlapping cells (operators/prefix_sum.py::
-    # grouped_ntile_stats, pinned row-identical to the per-row NTILE),
-    # and the exact interpolated percentile consumes the same cells
-    # through its frequency argument (Spark's percentile accumulates a
-    # value->count map internally either way — bit-identical). ONE
-    # full scan + one cell-grain shuffle where the r14 form shuffled
-    # and ranked all rows, joined them twice, and re-scanned the table
-    # for the percentile buffers.
+    # grouped_ntile_stats, pinned row-identical to the per-row NTILE).
+    # r16: the exact interpolated percentiles are now CLOSED-FORM
+    # window expressions over the SAME windowed cells (bit-identical
+    # to percentile(l_quantity, p, __cnt) — pinned in
+    # tests/test_prefix_sum.py), so the whole query is ONE linear
+    # pipeline: one scan, two exchanges (cell agg + flag-grain
+    # window), no second aggregate branch, no join. The r15 two-branch
+    # form relied on AQE runtime exchange reuse to avoid a second
+    # scan; this shape cannot scan twice in any plan.
     cells = li.groupBy("l_returnflag", "l_quantity").agg(
         F.count("*").alias("__cnt")
     )
-    qd = grouped_ntile_stats_from_cells(
+    return grouped_ntile_stats_from_cells(
         cells,
         4,
         "l_returnflag",
         "l_quantity",
         out_col="quartile",
+        percentiles=[("p25", 0.25), ("p50", 0.50), ("p75", 0.75)],
     ).select(
         "l_returnflag",
         "quartile",
         F.col("n_rows").alias("n"),
         F.col("bucket_min").cast("double").alias("lo"),
         F.col("bucket_max").cast("double").alias("hi"),
+        "p25",
+        "p50",
+        "p75",
     )
-    p = cells.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_quantity, 0.25, __cnt)").alias("p25"),
-        F.expr("percentile(l_quantity, 0.50, __cnt)").alias("p50"),
-        F.expr("percentile(l_quantity, 0.75, __cnt)").alias("p75"),
-    )
-    return qd.join(F.broadcast(p), "l_returnflag")
 
 
 @query(
@@ -867,43 +872,34 @@ def q_corr_stats(spark, sf_dir):
     |q − med| maps cells to deviation cells (counts summed where two
     quantities collide on the same deviation), MAD is the weighted
     element pick over those, and the outlier count is a conditional
-    sum of cell counts — lineitem feeds two aggregations total (cells
-    + the moment stats) instead of five scans, and every
-    median/deviation step runs over ~|distinct qty| rows."""
-    from scida_spark.operators.prefix_sum import (
-        grouped_median_element_cells,
-    )
+    sum of cell counts.
+
+    r16: the whole robust branch is ONE LINEAR PIPELINE — the median
+    and MAD picks are window expressions over the flag-partitioned
+    cells (the same element-pick condition grouped_median_element_
+    cells filters on, evaluated as max(when(...)) over the partition),
+    the deviation re-aggregation keys on (flag, _dev) while the data
+    is already clustered by flag (no new exchange), and the outlier
+    count folds into the final flag-grain aggregate. The r15 form
+    expressed the same math as FOUR branches over two shared
+    subtrees and relied on AQE runtime exchange reuse to avoid
+    re-scanning; this shape has exactly one cells subtree in the
+    plan, so it cannot duplicate work under any planner. lineitem is
+    scanned twice total: once for the cells, once for the moment
+    stats (which need l_extendedprice/l_discount at row grain)."""
+    from scida_spark.operators.prefix_sum import grouped_robust_stats_cells
 
     li = table(spark, sf_dir, "lineitem")
     cells = li.groupBy("l_returnflag", "l_quantity").agg(
         F.count("*").alias("__cnt")
     )
-    med = grouped_median_element_cells(
+    robust = grouped_robust_stats_cells(
         cells, "l_returnflag", "l_quantity", "__cnt"
-    ).select("l_returnflag", F.col("med").alias("med_qty"))
-    devc = (
-        cells.join(F.broadcast(med), "l_returnflag")
-        .select(
-            "l_returnflag",
-            F.abs(F.col("l_quantity") - F.col("med_qty")).alias("_dev"),
-            "__cnt",
-        )
-        .groupBy("l_returnflag", "_dev")
-        .agg(F.sum("__cnt").alias("__cnt"))
-    )
-    mad = grouped_median_element_cells(
-        devc, "l_returnflag", "_dev", "__cnt"
-    ).select("l_returnflag", F.col("med").alias("mad_qty"))
-    outl = (
-        devc.join(F.broadcast(mad), "l_returnflag")
-        .groupBy("l_returnflag")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("_dev") > 3 * F.col("mad_qty"), F.col("__cnt")
-                ).otherwise(F.lit(0))
-            ).alias("n_outliers")
-        )
+    ).select(
+        "l_returnflag",
+        F.col("med").alias("med_qty"),
+        F.col("mad").alias("mad_qty"),
+        "n_outliers",
     )
     base = li.groupBy("l_returnflag").agg(
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
@@ -912,9 +908,7 @@ def q_corr_stats(spark, sf_dir):
         F.count("*").alias("n"),
     )
     return (
-        base.join(F.broadcast(med), "l_returnflag")
-        .join(F.broadcast(mad), "l_returnflag")
-        .join(F.broadcast(outl), "l_returnflag")
+        base.join(F.broadcast(robust), "l_returnflag")
         .select(
             "l_returnflag", "corr_qty_price", "covar_qty_disc", "sd_qty",
             "n", "med_qty", "mad_qty", "n_outliers",

@@ -140,7 +140,11 @@ def scida_groupid_rangejoin(spark, sf_dir):
     SELECT 'rangejoin' AS method, uid, group_id FROM ids
     """,
 )
-@_memo_slot("lineitem")
+# r16 (closes the r15 ADVICE item): fingerprint BOTH inputs — the
+# memoized plan embeds a driver-collected boundary array and a bucket
+# width derived from orders via _group_catalog, so regenerating orders
+# without touching lineitem must invalidate the memo too.
+@_memo_slot("lineitem", "orders")
 def scida_groupid_assign(spark, sf_dir):
     """BOTH particle→halo assignment paths in one driver-attested result
     (merged r6 slots scida_groupid_searchsorted + scida_groupid_rangejoin,

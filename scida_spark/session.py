@@ -91,12 +91,14 @@ def ensure_session_defaults(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     # Perf-only (never value-affecting): larger Arrow batches for the
-    # Pandas-UDF kernels — see get_spark. Arrow createDataFrame keeps
-    # local_df's literal tables on the one-Arrow-batch path (r15) in a
-    # driver-created session too; value-identical (local_df guards the
-    # one coercion difference, top-level NaN, itself).
+    # Pandas-UDF kernels — see get_spark.
+    # (spark.sql.execution.arrow.pyspark.enabled is NOT pinned here —
+    # r16, closes the r15 ADVICE item: it is a semantic toggle for the
+    # caller's own createDataFrame(pandas)/toPandas coercions, not
+    # purely perf. local_df scopes it around its own conversion
+    # instead, so an externally-created session keeps its owner's
+    # setting everywhere else.)
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
-    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     # Externally-created sessions default to 200 shuffle partitions —
     # pointless task overhead at test scale; AQE still re-coalesces.
     spark.conf.set("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
@@ -147,9 +149,47 @@ def local_df(spark: SparkSession, data, schema=None):
                     return all(_no_nan(x) for x in v)
                 return True
 
-            if all(_no_nan(r) for r in rows):
+            def _int_columns_safe() -> bool:
+                # r16 (closes the r15 ADVICE item): a column mixing
+                # None with ints becomes float64 in pandas, silently
+                # rounding ints beyond 2**53 before the Arrow cast
+                # back to long. Only the mix is unsafe — all-int
+                # columns stay int64, all-None stays object.
+                if not rows:
+                    return True
+                width = len(st.names)
+                if not all(
+                    isinstance(r, (list, tuple)) and len(r) == width
+                    for r in rows
+                ):
+                    return False  # unknown row shape — take pickle path
+                for col in zip(*rows):
+                    has_none = any(v is None for v in col)
+                    has_big = any(
+                        isinstance(v, int)
+                        and not isinstance(v, bool)
+                        and abs(v) > 2**53
+                        for v in col
+                    )
+                    if has_none and has_big:
+                        return False
+                return True
+
+            if all(_no_nan(r) for r in rows) and _int_columns_safe():
                 pdf = pd.DataFrame.from_records(rows, columns=st.names)
-                return spark.createDataFrame(pdf, st).coalesce(1)
+                # Arrow conversion scoped to THIS call (not pinned
+                # session-wide): set/restore around createDataFrame —
+                # the conversion happens eagerly inside the call.
+                key = "spark.sql.execution.arrow.pyspark.enabled"
+                old = spark.conf.get(key, None)
+                spark.conf.set(key, "true")
+                try:
+                    return spark.createDataFrame(pdf, st).coalesce(1)
+                finally:
+                    if old is None:
+                        spark.conf.unset(key)
+                    else:
+                        spark.conf.set(key, old)
         except Exception:  # noqa: BLE001 — fidelity over speed
             pass
     return spark.createDataFrame(data, schema).coalesce(1)

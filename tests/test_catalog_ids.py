@@ -86,6 +86,36 @@ def test_group_ids_rangejoin_golden(spark, npartitions):
         assert row["GroupID"] == _expected_gid(row["uid"]), row
 
 
+def test_group_ids_rangejoin_degrades_past_broadcast_limit(
+    spark, monkeypatch
+):
+    """The 100 TB degradation path (r16, closes r15 VERDICT next #8 +
+    the ADVICE hardcoded-broadcast item): with the interval count past
+    `_BROADCAST_ROW_LIMIT` (forced to 0 here) and auto-broadcast
+    disabled, the bucketed range join must plan WITHOUT any broadcast
+    of the catalog — a shuffled hash / sort-merge join on the bucket
+    key — and stay row-identical to the broadcast-hinted plan."""
+    particles, groups, _ = _fixture(spark, 4)
+    cat = C.group_offsets(groups, "GroupLen", "GroupID")
+    monkeypatch.setattr(C, "_BROADCAST_ROW_LIMIT", 0)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out_df = C.add_group_ids_rangejoin(
+            particles, cat, length_col="GroupLen"
+        )
+        plan = out_df._sc._jvm.PythonSQLUtils.explainString(
+            out_df._jdf.queryExecution(), "formatted"
+        )
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert ("ShuffledHashJoin" in plan) or ("SortMergeJoin" in plan)
+        for row in out_df.orderBy("uid").collect():
+            assert row["GroupID"] == _expected_gid(row["uid"]), row
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 _SUBHALO_IMPLS = [C.add_subhalo_ids, C.add_subhalo_ids_rangejoin]
 
 

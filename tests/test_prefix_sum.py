@@ -255,6 +255,63 @@ def test_grouped_median_element_cells_matches_raw_rows(spark):
     assert got_outl == want_outl
 
 
+def test_grouped_robust_stats_cells_matches_branch_form(spark):
+    """The one-pipeline med/MAD/outlier operator (r16) reproduces the
+    r15 branch form (grouped_median_element_cells picks + deviation
+    re-aggregate + conditional outlier sum) bit-for-bit on randomized
+    heavy-ties data, and its plan contains no join."""
+    import random
+
+    from scida_spark.operators.prefix_sum import (
+        grouped_median_element_cells,
+        grouped_robust_stats_cells,
+    )
+
+    rng = random.Random(16)
+    rows = [
+        (f"g{i % 5}", float(rng.choice([1, 2, 2, 3.5, 5, 5, 5, 8, 13, 21])))
+        for i in range(700)
+    ] + [("solo", 4.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    cells = df.groupBy("g", "v").agg(F.count("*").alias("c"))
+    got = {
+        r["g"]: (r["med"], r["mad"], r["n_outliers"])
+        for r in grouped_robust_stats_cells(cells, "g", "v", "c").collect()
+    }
+    med = grouped_median_element_cells(cells, "g", "v", "c").select(
+        "g", F.col("med").alias("m")
+    )
+    devc = (
+        cells.join(med, "g")
+        .groupBy("g", F.abs(F.col("v") - F.col("m")).alias("d"))
+        .agg(F.sum("c").alias("c"))
+    )
+    mad = grouped_median_element_cells(devc, "g", "d", "c").select(
+        "g", F.col("med").alias("mad")
+    )
+    outl = (
+        devc.join(mad, "g")
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad"), F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_outliers")
+        )
+    )
+    want = {
+        r["g"]: (r["m"], r["mad"], r["n_outliers"])
+        for r in med.join(mad, "g").join(outl, "g").collect()
+    }
+    assert got == want
+    plan = grouped_robust_stats_cells(cells, "g", "v", "c")._sc._jvm.PythonSQLUtils.explainString(
+        grouped_robust_stats_cells(cells, "g", "v", "c")._jdf.queryExecution(),
+        "formatted",
+    )
+    assert "Join" not in plan
+
+
 # --------------------------------------------------------------------------
 # grouped_topn — native rank-filtered window (WindowGroupLimit contract)
 # --------------------------------------------------------------------------
@@ -351,6 +408,52 @@ def test_grouped_ntile_stats_matches_per_row_aggregate(spark):
             for r in grouped_ntile_stats(df, k, "g", "v", out_col="t").collect()
         }
         assert got == base, k
+
+
+def test_grouped_ntile_stats_percentiles_match_builtin(spark):
+    """The fused closed-form percentiles (r16) reproduce Spark's
+    percentile(v, p, cnt) aggregate BIT-FOR-BIT on randomized data
+    with heavy ties, NULL values, 1-row groups, and double values
+    (including fractional ones so the interpolation path runs)."""
+    import random
+
+    from scida_spark.operators.prefix_sum import (
+        grouped_ntile_stats_from_cells,
+    )
+
+    rng = random.Random(16)
+    rows = [
+        (
+            rng.choice(["a", "b", "c", None]),
+            rng.choice([1.0, 2.5, 2.5, 3.25, 7.0, 11.5, None]),
+        )
+        for _ in range(601)
+    ] + [("solo", 9.0), ("allnull", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    cells = df.groupBy("g", "v").agg(F.count("*").alias("__cnt"))
+    ps = [("p10", 0.10), ("p25", 0.25), ("p50", 0.50), ("p777", 0.777)]
+    got_rows = grouped_ntile_stats_from_cells(
+        cells, 3, "g", "v", percentiles=ps
+    ).collect()
+    got = {}
+    for r in got_rows:
+        vals = tuple(r[name] for name, _ in ps)
+        # constant per group — every tile row must carry the same vals
+        assert got.setdefault(r["g"], vals) == vals
+    exp = {
+        r["g"]: (r["p10"], r["p25"], r["p50"], r["p777"])
+        for r in cells.groupBy("g")
+        .agg(
+            *[
+                F.expr(f"percentile(v, {p!r}, __cnt)").alias(name)
+                for name, p in ps
+            ]
+        )
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for g in exp:
+        assert got[g] == exp[g], (g, got[g], exp[g])
 
 
 def test_grouped_ntile_stats_no_raw_row_shuffle(spark):
